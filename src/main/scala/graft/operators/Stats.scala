@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The reference's entire "query engine": aggregate statistics and
+  * post-load integrity validation (reference: src/core/db_manager.py:250-293
+  * and :314-353), as one-pass DataFrame aggregations.
+  *
+  * Float policy (oracle determinism at any scale): double summation is
+  * order-sensitive, and at 1000 executors partial-aggregate merge order is
+  * nondeterministic run-to-run — so every SUM/AVG goes through exact
+  * DECIMAL arithmetic on 2-dp business values and is cast to DOUBLE only at
+  * the output boundary. MIN/MAX/COUNT are order-insensitive and stay
+  * native.
+  */
+object Stats {
+
+  private val dec = DecimalType(18, 2)
+
+  /** A1 + A3: row count, min/max/avg/sum of `amountCol` in one pass
+    * (reference: src/core/db_manager.py:262, :270-278).
+    */
+  def tableStats(df: DataFrame, amountCol: String = "amount"): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      min(col(amountCol)).as("min_amount"),
+      max(col(amountCol)).as("max_amount"),
+      (sum(col(amountCol).cast(dec)).cast(DoubleType) / count(lit(1)))
+        .as("avg_amount"),
+      sum(col(amountCol).cast(dec)).cast(DoubleType).as("sum_amount"))
+
+  /** A2: per-status row counts (reference: src/core/db_manager.py:266-267),
+    * hash-aggregated (map-side partial combine, one shuffle on `status`).
+    */
+  def statusCounts(df: DataFrame, statusCol: String = "status"): DataFrame =
+    df.groupBy(col(statusCol)).agg(count(lit(1)).as("n"))
+      .orderBy(col(statusCol))
+
+  /** A4: post-load integrity validation in ONE scan (the reference issues
+    * 7 separate full-table queries — src/core/db_manager.py:326-343; at
+    * 100 TB that is 7 scans too many).
+    */
+  def integrity(df: DataFrame): DataFrame = {
+    def bad(c: org.apache.spark.sql.Column, name: String) =
+      sum(when(c, 1L).otherwise(0L)).as(name)
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      bad(col("transaction_id").isNull, "null_transaction_id"),
+      bad(col("user_id").isNull, "null_user_id"),
+      bad(col("amount").isNull, "null_amount"),
+      bad(col("status").isNull, "null_status"),
+      bad(col("processed_at").isNull, "null_processed_at"),
+      bad(col("amount") < 0, "negative_amount"),
+      bad(lower(trim(col("status"))) === "cancelled", "cancelled_rows"),
+      bad(col("status") === "unknown", "unknown_status"))
+  }
+
+  /** A5: pipeline funnel stats over the RAW (dirty) input — how many rows
+    * each cleaning rule removes (reference: src/data_processor.py:188-210).
+    * Flags mirror TxnTransform's rule order; one scan, one row out.
+    */
+  def funnel(raw: DataFrame): DataFrame = {
+    val keysOk = col("transaction_id").isNotNull && col("user_id").isNotNull
+    val parsed = expr("try_cast(amount AS DOUBLE)")
+    val statusNorm = lower(trim(coalesce(col("status"), lit("unknown"))))
+    def cnt(c: org.apache.spark.sql.Column, name: String) =
+      sum(when(c, 1L).otherwise(0L)).as(name)
+    raw.agg(
+      count(lit(1)).as("n_input"),
+      cnt(!keysOk, "n_null_key"),
+      cnt(keysOk && parsed.isNull, "n_unparseable_amount"),
+      cnt(keysOk && parsed.isNotNull && parsed < 0, "n_negative_amount"),
+      cnt(keysOk && parsed.isNotNull && parsed >= 0 &&
+        statusNorm === "cancelled", "n_cancelled"),
+      cnt(keysOk && parsed.isNotNull && parsed >= 0 &&
+        statusNorm =!= "cancelled", "n_output"))
+  }
+}
