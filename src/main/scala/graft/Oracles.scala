@@ -102,6 +102,67 @@ object Oracles {
       SELECT count(*) AS n_rows,
              CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
              count(DISTINCT user_id) AS n_users
-      FROM cleaned"""
+      FROM cleaned""",
+
+    "q10_topk_orders" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q11_region_revenue" -> """
+      SELECT r_name, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""",
+
+    "q12_priority_agg" -> """
+      SELECT o_orderpriority, count(*) AS n_items,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) -
+                       CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q13_window_orders" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(row_number() OVER w AS INTEGER) AS rn,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS running_total
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, rn""",
+
+    "q14_distinct_parts" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q16_events_hourly" -> """
+      SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q17_events_props" -> """
+      SELECT json_extract_string(props, '$.k') AS k, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q18_sessionize" -> """
+      WITH flagged AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_session
+        FROM events)
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+             (max(ts_us) - min(ts_us)) // 1000000 AS span_seconds
+      FROM flagged GROUP BY user_id ORDER BY user_id"""
   )
 }

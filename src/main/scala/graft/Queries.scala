@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators._
@@ -57,6 +58,95 @@ object Queries {
 
     // A4: integrity validation, one pass.
     "q06_integrity" -> ((s, dir) => Stats.integrity(cleaned(s, dir))),
+
+    // Sort + limit: top-k with a total order (unique tiebreak key).
+    "q10_topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // Star join: fact ⋈ three small dims — dims are broadcast (no shuffle
+    // of the fact side; at 100 TB the only shuffle is the final group-by).
+    "q11_region_revenue" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("revenue"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Large-large join: lineitem ⋈ orders on the order key. Both sides
+    // shuffle-hash/sort-merge on l_orderkey at scale (AQE may elect
+    // broadcast at small SF — correct either way, the plan is declarative).
+    "q12_priority_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val dec = DecimalType(18, 2)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(dec) *
+              (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DoubleType).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Window functions: per-customer order sequence + running total
+    // (exact decimal running sum, total order within each partition).
+    "q13_window_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "rn", "running_total")
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Exact distinct cardinality per group (expand+two-phase aggregate).
+    "q14_distinct_parts" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
+    // HLL sketch distinct — the 100 TB-safe variant of q14 (one pass, no
+    // expand, fixed memory). Engine-specific sketch ⇒ no SQL oracle;
+    // accuracy asserted against the exact count in ScalaTest.
+    "q15_approx_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
+    // Tumbling time-bucket rollup over the event stream (batch form).
+    "q16_events_hourly" -> ((s, dir) =>
+      Events.rollup(Tables.events(s, dir), "hour")),
+
+    // JSON property extraction + rollup.
+    "q17_events_props" -> ((s, dir) =>
+      Events.propsRollup(Tables.events(s, dir), "$.k")),
+
+    // Lag-gap sessionization (30-minute inactivity gap).
+    "q18_sessionize" -> ((s, dir) =>
+      Events.sessionize(Tables.events(s, dir), 30)),
 
     // S1+S4: CSV sink then schema'd CSV scan, verified by aggregate parity.
     "q07_csv_roundtrip" -> ((s, dir) => {

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Event-stream operators over the `events` table (north-star extension;
+  * SURVEY.md §2.5): time-bucketed rollups, JSON property extraction, and
+  * lag-gap sessionization. Batch forms here; the Structured Streaming
+  * variants live in [[graft.streaming]].
+  *
+  * `ts` arrives as raw epoch NANOSECONDS (see [[graft.Tables.events]]);
+  * `withEventTime` converts to a µs-precision TimestampType by truncating
+  * integer division — the same floor DuckDB applies when reading
+  * TIMESTAMP(NANOS) parquet, so oracle comparisons are exact.
+  *
+  * Scale notes: rollups are hash aggregations with map-side combine — one
+  * shuffle keyed on (bucket, type), no skew risk at 100 TB because bucket
+  * cardinality grows with time span. Sessionization shuffles once on
+  * user_id; skewed power-users are bounded by AQE skew-join handling, and
+  * the state per key is O(1) (a running lag), not O(events).
+  */
+object Events {
+
+  /** Truncating ns→µs conversion to a real timestamp column `ts` (plus the
+    * raw µs long kept as `ts_us` for exact integer gap arithmetic).
+    */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+
+  private val dec6 = DecimalType(18, 6)
+
+  /** Tumbling-bucket rollup: count + exact-decimal value sum per
+    * (date_trunc bucket, event_type). `unit` ∈ hour/day/week/...
+    */
+  def rollup(df: DataFrame, unit: String): DataFrame =
+    withEventTime(df)
+      .groupBy(date_trunc(unit, col("ts")).as("bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec6)).cast(DoubleType).as("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** JSON property extraction (`props` is a JSON string column) +
+    * per-value rollup. At scale this stays in one codegen stage — no UDF.
+    */
+  def propsRollup(df: DataFrame, jsonPath: String): DataFrame =
+    df.withColumn("k", get_json_object(col("props"), jsonPath))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec6)).cast(DoubleType).as("sum_value"))
+      .orderBy(col("k"))
+
+  /** Lag-gap sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapMinutes`. Returns per-user
+    * session stats. Exact integer µs arithmetic end-to-end.
+    */
+  def sessionize(df: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    withEventTime(df)
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(col("new_session")) + lit(1L)).as("n_sessions"),
+        // `div` (integer division): `/` on longs is double division under
+        // ANSI, whose truncation would have to match DuckDB's — don't.
+        expr("(max(ts_us) - min(ts_us)) div 1000000").as("span_seconds"))
+      .orderBy(col("user_id"))
+  }
+}
