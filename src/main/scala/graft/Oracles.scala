@@ -153,6 +153,86 @@ object Oracles {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY 1""",
 
+    "q19_dedup_exact" -> """
+      WITH unioned AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 10 = 0)
+      SELECT md5(text) AS dup_key, min(doc_id) AS canonical_id,
+             count(*) AS group_size
+      FROM unioned GROUP BY md5(text) HAVING count(*) >= 2
+      ORDER BY canonical_id""",
+
+    "q20_fingerprint" -> """
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+      FROM documents ORDER BY doc_id""",
+
+    "q21_token_stats" -> """
+      WITH t AS (
+        SELECT lang, n_chars,
+               len(regexp_extract_all(text, '\S+')) AS n_tok,
+               len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_sub
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(sum(n_sub) AS BIGINT) AS total_subwords,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_tokens
+      FROM t GROUP BY lang ORDER BY lang""",
+
+    "q22_lang_id" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      c AS (SELECT doc_id,
+        CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','is','in'], x))) AS INTEGER) AS n_en,
+        CAST(len(list_filter(ws, x -> list_contains(['el','la','de','los','y','que'], x))) AS INTEGER) AS n_es,
+        CAST(len(list_filter(ws, x -> list_contains(['le','la','de','les','et','un'], x))) AS INTEGER) AS n_fr,
+        CAST(len(list_filter(ws, x -> list_contains(['der','die','das','und','ein','ist'], x))) AS INTEGER) AS n_de
+        FROM t)
+      SELECT doc_id, n_en, n_es, n_fr, n_de,
+        CASE WHEN n_en >= n_es AND n_en >= n_fr AND n_en >= n_de AND n_en > 0 THEN 'en'
+             WHEN n_es >= n_fr AND n_es >= n_de AND n_es > 0 THEN 'es'
+             WHEN n_fr >= n_de AND n_fr > 0 THEN 'fr'
+             WHEN n_de > 0 THEN 'de'
+             ELSE 'unknown' END AS predicted_lang
+      FROM c ORDER BY doc_id""",
+
+    "q23_quality" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                 AS n_char
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(ws) AS INTEGER) AS n_tokens,
+        n_char / CAST(len(ws) AS DOUBLE) AS avg_token_len,
+        CAST(len(list_filter(ws, x ->
+            list_contains(['the','a','of','and','is','in'], x))) AS DOUBLE)
+          / CAST(len(ws) AS DOUBLE) AS stopword_ratio,
+        least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+          (CAST(len(list_filter(ws, x ->
+              list_contains(['the','a','of','and','is','in'], x))) AS DOUBLE)
+            / CAST(len(ws) AS DOUBLE)) * 0.3 +
+          least((n_char / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0) * 0.2
+          AS quality_score
+      FROM t ORDER BY doc_id""",
+
+    "q26_neardup_lsh" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+             FROM tok WHERE len(ws) >= 3),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                 AS jaccard
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM pairs
+      WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""",
+
     "q18_sessionize" -> """
       WITH flagged AS (
         SELECT user_id, epoch_us(ts) AS ts_us,

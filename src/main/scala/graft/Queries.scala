@@ -148,6 +148,77 @@ object Queries {
     "q18_sessionize" -> ((s, dir) =>
       Events.sessionize(Tables.events(s, dir), 30)),
 
+    // Exact text dedup: union docs with a shifted copy of every 10th doc,
+    // then hash-group — dup groups must be exactly those planted copies.
+    "q19_dedup_exact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val copies = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      TextDedup.exactDupGroups(d.unionByName(copies))
+        .filter(col("group_size") >= 2)
+        .orderBy(col("canonical_id"))
+    }),
+
+    // Normalize-then-hash document fingerprints.
+    "q20_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFns.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // Token/char statistics per language (exact integer sums; the one
+    // double division mirrors the oracle's expression shape).
+    "q21_token_stats" -> ((s, dir) => {
+      val t = graft.functions.TextFns
+      Tables.documents(s, dir)
+        .select(col("lang"), t.tokenCount(col("text")).as("n_tok"),
+          col("n_chars"), t.subwordEstimate(col("text")).as("n_sub"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast(LongType)).as("total_tokens"),
+          sum(col("n_sub").cast(LongType)).as("total_subwords"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_tok").cast(LongType)).cast(DoubleType) /
+            count(lit(1))).as("avg_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // Stopword-marker language-ID heuristic.
+    "q22_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFns.langId(split(col("text"), " ")).as("lid"))
+        .select(col("doc_id"), col("lid.n_en"), col("lid.n_es"),
+          col("lid.n_fr"), col("lid.n_de"), col("lid.predicted_lang"))
+        .orderBy(col("doc_id"))),
+
+    // Quality scoring (length/stopword/token-shape heuristics).
+    "q23_quality" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFns
+            .quality(col("text"), split(col("text"), " ")).as("q"))
+        .select(col("doc_id"), col("q.n_tokens"), col("q.avg_token_len"),
+          col("q.stopword_ratio"), col("q.quality_score"))
+        .orderBy(col("doc_id"))),
+
+    // Near-dup detection: MinHash+LSH candidates, exact-Jaccard verified.
+    // The oracle computes the exact O(n²) answer — the gate proves LSH
+    // recall is total at verification scale.
+    "q26_neardup_lsh" -> ((s, dir) =>
+      TextDedup.jaccardPairsLsh(Tables.documents(s, dir), threshold = 0.6)),
+
+    // SimHash bucketing over texts with planted exact copies (engine-
+    // specific bit hashing ⇒ no SQL oracle; properties in ScalaTest).
+    "q27_simhash" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val copies = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      TextDedup.simhashGroups(d.unionByName(copies))
+        .select(col("canonical_id"), col("group_size"), col("doc_ids"))
+    }),
+
     // S1+S4: CSV sink then schema'd CSV scan, verified by aggregate parity.
     "q07_csv_roundtrip" -> ((s, dir) => {
       val out = s"/tmp/graft_csv_roundtrip"

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Near-duplicate text detection at scale (north-star extension).
+  *
+  * Two implementations of the same contract (pairs of docs with word-
+  * 3-gram-shingle Jaccard >= threshold):
+  *
+  *  - [[jaccardPairsLsh]]: MinHash signatures + LSH banding for candidate
+  *    generation, exact Jaccard verification of candidates only. This is
+  *    the 100 TB path: cost is O(docs × bands) explode + one shuffle per
+  *    band join — never O(n²). With b=16 bands of r=4 rows, a pair at
+  *    J=0.8 is missed with prob (1-0.8⁴)¹⁶ ≈ 2e-4; at the J≥0.9 regime
+  *    planted in the testdata, recall is 1 to ~1e-15.
+  *  - the DuckDB oracle computes the exact O(n²) answer at sf0.01, so the
+  *    driver gate proves the LSH path loses nothing at verification scale.
+  *
+  * SimHash ([[simhashGroups]]) gives a complementary single-pass bucketing
+  * (no oracle — bit-level hashing is engine-specific; properties are
+  * asserted in ScalaTest).
+  */
+object TextDedup {
+
+  /** (doc_id, shingle) pairs, distinct per doc. */
+  private def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(TextFns.shingles(col("ws"), n)).as("shingle"))
+
+  /** Exact duplicate groups by text hash (SURVEY.md §2.5 "exact dedup"):
+    * canonical id = min doc_id, plus group size.
+    */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    Dedup.exactGroups(docs, md5(col("text")), "doc_id")
+
+  /** MinHash+LSH candidate pairs verified by exact Jaccard.
+    *
+    * @param numHashes signature length (bands × rowsPerBand)
+    * @param bands     LSH bands; rowsPerBand = numHashes / bands
+    */
+  def jaccardPairsLsh(docs: DataFrame, threshold: Double,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = shingleRows(docs).cache()
+
+    // Signature: per doc, min over shingles of xxhash64(shingle, seed) for
+    // each seed — numHashes aggregates in ONE hash-aggregate pass
+    // (map-side combine; a single shuffle keyed on doc_id).
+    val sigCols = (0 until numHashes)
+      .map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+
+    // Bands: hash r consecutive signature slots per band, explode to
+    // (band_id, band_hash, doc_id) and self-join on bucket equality.
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until r).map(k => col(s"h${b * r + k}"))
+      struct(lit(b).as("band_id"), hash(slice :+ lit(b): _*).as("band_hash"))
+    }
+    val bandRows = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band_id"), col("bh.band_hash"))
+    val cand = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact shingle-Jaccard for a given candidate-pair set: two semi-joins
+    * against the shingle table, count intersections, compare to set sizes.
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("za.n_shingles") + col("zb.n_shingles") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash per document + duplicate buckets: documents sharing a
+    * simhash are near-identical under token-frequency weighting. Single
+    * map pass + one group-by; no pairwise work at all.
+    */
+  def simhashGroups(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    // For each of 64 bits: +1 if the token's xxhash64 has the bit set,
+    // -1 otherwise; the sign of the per-doc sum is the simhash bit.
+    val bitCols = (0 until 64).map { b =>
+      sum(when(expr(s"(shiftright(xxhash64(tok), $b) & 1) = 1"), 1L)
+        .otherwise(-1L)).as(s"b$b")
+    }
+    val sums = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sim = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sim.as("simhash"))
+      .groupBy("simhash")
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("group_size"),
+        sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      .filter(col("group_size") >= 2)
+      .orderBy(col("canonical_id"))
+  }
+}
