@@ -233,6 +233,27 @@ object Oracles {
       SELECT doc_a, doc_b, jaccard FROM pairs
       WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""",
 
+    "q24_ann_topk" -> """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id % 50 = 0),
+      c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+                   list_cosine_similarity(qv, cv) AS sim
+                 FROM c JOIN q ON query_id <> neighbor_id)
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+      QUALIFY rank <= 5 ORDER BY query_id, rank""",
+
+    "q28_cosine_pairs" -> """
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.4
+      ORDER BY vec_a, vec_b""",
+
     "q18_sessionize" -> """
       WITH flagged AS (
         SELECT user_id, epoch_us(ts) AS ts_us,

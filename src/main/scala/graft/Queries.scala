@@ -219,6 +219,25 @@ object Queries {
         .select(col("canonical_id"), col("group_size"), col("doc_ids"))
     }),
 
+    // Exact brute-force cosine top-k (every 50th vector queries the rest).
+    "q24_ann_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.bruteTopK(e, e.filter(col("vec_id") % 50 === 0), k = 5)
+    }),
+
+    // LSH-bucketed ANN — the 2^planes-cheaper scale path. Bucket
+    // membership is engine-specific float folding ⇒ no SQL oracle;
+    // recall vs q24's exact baseline is asserted in ScalaTest.
+    "q25_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.lshTopK(e, e.filter(col("vec_id") % 50 === 0), k = 5)
+    }),
+
+    // Embedding near-dup pairs above a cosine threshold (integer-only
+    // output; threshold far from the pairwise-sim bulk).
+    "q28_cosine_pairs" -> ((s, dir) =>
+      Ann.cosinePairs(Tables.embeddings(s, dir), threshold = 0.4)),
+
     // S1+S4: CSV sink then schema'd CSV scan, verified by aggregate parity.
     "q07_csv_roundtrip" -> ((s, dir) => {
       val out = s"/tmp/graft_csv_roundtrip"
