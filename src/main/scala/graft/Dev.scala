@@ -11,35 +11,23 @@ object Dev {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
 
-    println("== explicit schema read ==")
-    try {
-      val ev = spark.read
-        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"$dir/events.parquet")
-      ev.select(col("ts"), timestamp_micros(expr("ts div 1000")).as("tsx"))
-        .show(3, truncate = false)
-    } catch { case e: Throwable => println("explicit failed: " + e.getMessage.take(200)) }
-
-    println("== nanosAsLong read ==")
-    try {
-      val ev = Tables.events(spark, dir)
-      ev.printSchema()
-      ev.select(col("ts"), timestamp_micros(expr("ts div 1000")).as("tsx"),
-          get_json_object(col("props"), "$.k").as("k")).show(3, truncate = false)
-      println("count=" + ev.count())
-    } catch { case e: Throwable => println("nanosAsLong failed: " + e.getMessage.take(200)) }
-
-    println("== embeddings ==")
-    val emb = Tables.embeddings(spark, dir)
-    emb.printSchema()
-    println("emb=" + emb.count() + " docs=" + Tables.documents(spark, dir).count())
+    val (clean, corrupt) = graft.sources.CsvSource.splitCorrupt(
+      graft.sources.CsvSource.readTxnCsv(spark,
+        "src/test/resources/txn_malformed.csv"))
+    println("== clean rows ==")
+    clean.show(30, truncate = false)
+    println("== corrupt rows ==")
+    corrupt.show(30, truncate = false)
+    println(s"clean=${clean.count()} corrupt=${corrupt.count()}")
+    val piped = graft.operators.TxnTransform.pipeline(Queries.RunTs)(
+      clean.withColumnRenamed("ts", "ts"))
+    piped.show(30, truncate = false)
+    println("piped=" + piped.count())
     spark.stop()
   }
 }

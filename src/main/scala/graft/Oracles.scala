@@ -254,6 +254,25 @@ object Oracles {
                                    CAST(b.embedding AS DOUBLE[])) >= 0.4
       ORDER BY vec_a, vec_b""",
 
+    // Pinned expectation: the fixture's anatomy is documented in
+    // graft.Fixtures (12 structurally-clean rows, 3 corrupt, 7 surviving
+    // the pipeline) and asserted behaviorally in ScalaTest.
+    "q08_malformed_csv" -> """
+      SELECT CAST(12 AS BIGINT) AS n_clean, CAST(3 AS BIGINT) AS n_corrupt,
+             CAST(7 AS BIGINT) AS n_pipeline""",
+
+    "q29_media_features" -> """
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS checksum_md5,
+             CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                  WHEN 2 THEN octet_length(encode(text)) // 100 + 1
+                  WHEN 1 THEN octet_length(encode(text)) // 40 + 1
+                  ELSE 1 END AS BIGINT) AS frame_estimate
+      FROM documents ORDER BY media_id""",
+
     "q18_sessionize" -> """
       WITH flagged AS (
         SELECT user_id, epoch_us(ts) AS ts_us,

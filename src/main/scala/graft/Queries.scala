@@ -238,6 +238,25 @@ object Queries {
     "q28_cosine_pairs" -> ((s, dir) =>
       Ann.cosinePairs(Tables.embeddings(s, dir), threshold = 0.4)),
 
+    // S2: malformed-row tolerance e2e — per-ROW corrupt capture (finer
+    // than the reference's whole-chunk drop), then the pipeline over the
+    // clean side. Counts pinned from the fixture's documented anatomy.
+    "q08_malformed_csv" -> ((s, dir) => {
+      val path = Fixtures.materializeMalformed()
+      val (clean, corrupt) = CsvSource.splitCorrupt(
+        CsvSource.readTxnCsv(s, path))
+      val piped = TxnTransform.pipeline(RunTs)(clean)
+      clean.agg(count(lit(1)).as("n_clean"))
+        .crossJoin(corrupt.agg(count(lit(1)).as("n_corrupt")))
+        .crossJoin(piped.agg(count(lit(1)).as("n_pipeline")))
+    }),
+
+    // Multimodal: opaque binary payloads + typed metadata; partition-
+    // batched (stub) decode via mapPartitions, relational features after.
+    "q29_media_features" -> ((s, dir) =>
+      Multimodal.features(Tables.documents(s, dir))
+        .orderBy(col("media_id"))),
+
     // S1+S4: CSV sink then schema'd CSV scan, verified by aggregate parity.
     "q07_csv_roundtrip" -> ((s, dir) => {
       val out = s"/tmp/graft_csv_roundtrip"

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming forms of the event operators (SURVEY.md §2.5
+  * "event-stream ops — Structured Streaming variant").
+  *
+  * The batch forms in [[graft.operators.Events]] are the oracle-checked
+  * source of truth; these run the SAME aggregations incrementally:
+  * `readStream` over the parquet directory, event-time watermarks, and a
+  * stateful sessionizer via `flatMapGroupsWithState`. Local tests drive
+  * them synchronously with a memory sink (`processAllAvailable`).
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * horizon; the sessionizer keeps O(1) state per user (last-seen µs +
+  * counts), not the event history.
+  */
+object EventStreams {
+
+  /** Streaming source over an events parquet directory (ts arrives as raw
+    * epoch nanos — same explicit-schema read as [[graft.Tables.events]]).
+    */
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .parquet(dir)
+
+  /** Tumbling event-time window counts per event_type with a watermark —
+    * the streaming form of [[graft.operators.Events.rollup]].
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Per-user session state for the stateful sessionizer. */
+  case class SessionState(lastUs: Long, nEvents: Long, nSessions: Long)
+
+  /** Emitted on every update: the user's running session stats. */
+  case class SessionUpdate(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState — the streaming
+    * form of [[graft.operators.Events.sessionize]]: a new session starts
+    * after `gapMinutes` of inactivity. O(1) state per key.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          // Rows within a micro-batch arrive unordered; sort locally
+          // (bounded by batch size, not stream history).
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { us =>
+            val newSession = st.nSessions == 0L || us - st.lastUs > gapUs
+            st = SessionState(us, st.nEvents + 1L,
+              st.nSessions + (if (newSession) 1L else 0L))
+          }
+          state.update(st)
+          Iterator.single(SessionUpdate(user, st.nEvents, st.nSessions))
+      }
+      .toDF()
+  }
+
+  /** Drive a streaming DataFrame synchronously into a memory sink and
+    * return the materialized result (local smoke/test harness).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}
