@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.{Events, Multimodal}
+import graft.streaming.EventStreams
+
+/** Batch event ops vs their Structured Streaming forms, plus multimodal
+  * plumbing.
+  */
+class EventsAndStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The file-stream source requires a directory; stage the single-file
+    * events parquet into one.
+    */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Paths.get("/tmp/graft_stream_events")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("streaming windowed counts match batch hourly rollup totals") {
+    val batch = Events.rollup(Tables.events(spark, TestSpark.sf), "hour")
+      .agg(sum("n")).as[Long].collect().head
+    val stream = EventStreams.runToMemory(
+      EventStreams.windowedCounts(
+        EventStreams.source(spark, eventsDir)),
+      "win_counts", OutputMode.Complete())
+    assert(stream.agg(sum("n")).as[Long].collect().head == batch)
+    // window starts align with date_trunc('hour') buckets
+    val batchBuckets = Events.rollup(Tables.events(spark, TestSpark.sf), "hour")
+      .select(col("bucket")).distinct().as[java.sql.Timestamp].collect().toSet
+    val streamBuckets = stream.select(col("window.start"))
+      .distinct().as[java.sql.Timestamp].collect().toSet
+    assert(streamBuckets == batchBuckets)
+  }
+
+  test("stateful streaming sessionizer agrees with the batch sessionizer") {
+    val batch = Events.sessionize(Tables.events(spark, TestSpark.sf), 30)
+      .select("user_id", "n_events", "n_sessions")
+      .as[(Long, Long, Long)].collect().toSet
+    val stream = EventStreams.runToMemory(
+      EventStreams.sessionize(
+        EventStreams.source(spark, eventsDir), 30),
+      "sessions", OutputMode.Update())
+    // one micro-batch => one update row per user = final state
+    val got = stream.as[(Long, Long, Long)].collect().toSet
+    assert(got == batch)
+  }
+
+  test("multimodal: features are deterministic and checksum matches payload") {
+    val feats = Multimodal.features(Tables.documents(spark, TestSpark.sf))
+    val row = feats.filter(col("media_id") === 0).collect().head
+    val text = Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") === 0).select("text").as[String].collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(text.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(row.getAs[String]("checksum_md5") == expect)
+    assert(row.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
+    assert(Set("image", "audio", "video")(row.getAs[String]("kind")))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.CsvSource
+import graft.operators.{Dedup, TxnTransform}
+
+/** S1/S2 CSV ingestion with per-row corrupt capture, and S7 deterministic
+  * last-writer-wins dedup (SURVEY.md §2.1).
+  */
+class SourcesAndDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("S2: malformed fixture splits 12 clean / 3 corrupt; pipeline keeps 7") {
+    val (clean, corrupt) = CsvSource.splitCorrupt(
+      CsvSource.readTxnCsv(spark, Fixtures.materializeMalformed()))
+    assert(clean.count() == 12)
+    assert(corrupt.count() == 3)
+    // every corrupt row retains its raw text for quarantine/debugging
+    assert(corrupt.filter(col(CsvSource.corruptCol).isNull).count() == 0)
+    assert(TxnTransform.pipeline("TS0")(clean).count() == 7)
+  }
+
+  test("P1: requireColumns rejects missing columns") {
+    val df = Seq(("a", "b")).toDF("transaction_id", "user_id")
+    assertThrows[IllegalArgumentException] {
+      CsvSource.requireColumns(df, Seq("transaction_id", "amount"))
+    }
+  }
+
+  test("S7: last-writer-wins keeps exactly the highest-priority row per key") {
+    val df = Seq(
+      ("k1", 1, "old"), ("k1", 2, "new"),
+      ("k2", 5, "only"),
+      ("k3", 7, "a"), ("k3", 7, "b") // tie on priority -> tiebreak col
+    ).toDF("id", "batch", "v")
+    val out = Dedup.lastWriterWins(df, Seq("id"),
+      Seq(col("batch").desc, col("v")))
+    assert(out.orderBy("id").as[(String, Int, String)].collect().toSeq ==
+      Seq(("k1", 2, "new"), ("k2", 5, "only"), ("k3", 7, "a")))
+  }
+
+  test("S7: dedup output is stable across repeated runs (determinism)") {
+    val base = TxnTransform.pipeline("TS0")(TxnView.dirty(spark, TestSpark.sf))
+    val dup = base.unionByName(base.withColumn("amount", col("amount") + 1.0))
+    def run() = Dedup.lastWriterWins(dup, Seq("transaction_id"),
+      Seq(col("amount").desc, col("user_id"), col("ts"), col("status")))
+      .collect().toSet
+    assert(run() == run())
+  }
+
+  test("S4/S6: parquet sink round-trips the pipeline output exactly") {
+    val out = TxnTransform.pipeline("TS0")(TxnView.dirty(spark, TestSpark.sf))
+    val path = "/tmp/graft_test_parquet_sink"
+    CsvSource.writeParquet(out, path)
+    val back = spark.read.parquet(path)
+    // parquet read-back relaxes nullability; names+types must match
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      out.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() == out.count())
+    assert(back.agg(sum(col("amount").cast("decimal(18,2)"))).collect().head ==
+      out.agg(sum(col("amount").cast("decimal(18,2)"))).collect().head)
+  }
+}
