@@ -104,6 +104,12 @@ object Oracles {
              count(DISTINCT user_id) AS n_users
       FROM cleaned""",
 
+    "q09_sql_surface" -> s"""$cte
+      SELECT status, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
+             count(DISTINCT user_id) AS n_users
+      FROM cleaned GROUP BY status ORDER BY status""",
+
     "q10_topk_orders" -> """
       SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",

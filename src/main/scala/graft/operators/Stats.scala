@@ -43,8 +43,10 @@ object Stats {
     * 100 TB that is 7 scans too many).
     */
   def integrity(df: DataFrame): DataFrame = {
+    // coalesce: SUM over an empty relation is NULL, but a violation
+    // counter must read 0 (found by the empty-survivor property test)
     def bad(c: org.apache.spark.sql.Column, name: String) =
-      sum(when(c, 1L).otherwise(0L)).as(name)
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(name)
     df.agg(
       count(lit(1)).as("n_rows"),
       bad(col("transaction_id").isNull, "null_transaction_id"),
@@ -66,7 +68,7 @@ object Stats {
     val parsed = expr("try_cast(amount AS DOUBLE)")
     val statusNorm = lower(trim(coalesce(col("status"), lit("unknown"))))
     def cnt(c: org.apache.spark.sql.Column, name: String) =
-      sum(when(c, 1L).otherwise(0L)).as(name)
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(name)
     raw.agg(
       count(lit(1)).as("n_input"),
       cnt(!keysOk, "n_null_key"),
