@@ -239,6 +239,35 @@ object Oracles {
       SELECT doc_a, doc_b, jaccard FROM pairs
       WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""",
 
+    "q30_events_sliding" -> """
+      WITH k AS (SELECT unnest(range(4)) AS k),
+      e AS (SELECT event_type,
+              make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                             - k.k * 900000000) AS win_start
+            FROM events CROSS JOIN k)
+      SELECT win_start, event_type, count(*) AS n
+      FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q31_asof_join" -> """
+      WITH m AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+               last_value(CASE WHEN event_type = 'purchase'
+                               THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_purchase_id
+        FROM events)
+      SELECT event_id, user_id, ts_us, prev_purchase_id
+      FROM m WHERE event_type = 'click' ORDER BY event_id""",
+
+    "q32_rollup" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
     "q24_ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id % 50 = 0),

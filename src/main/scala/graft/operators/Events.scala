@@ -54,6 +54,44 @@ object Events {
         sum(col("value").cast(dec6)).cast(DoubleType).as("sum_value"))
       .orderBy(col("k"))
 
+  /** Sliding-window rollup (1 h windows every `slide` µs) via explicit
+    * window-start arithmetic: an event at t belongs to exactly
+    * length/slide windows whose starts are the preceding slide multiples.
+    * Implemented as an explode (no self-join); equivalence with Spark's
+    * built-in `window(ts, len, slide)` is asserted in ScalaTest — the
+    * arithmetic form exists so the DuckDB oracle can mirror it exactly.
+    */
+  def slidingCounts(df: DataFrame, lengthUs: Long = 3600000000L,
+      slideUs: Long = 900000000L): DataFrame = {
+    val k = lengthUs / slideUs
+    withEventTime(df)
+      .withColumn("k", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("win_start", timestamp_micros(
+        expr(s"(ts_us div $slideUs) * $slideUs") - col("k") * lit(slideUs)))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** As-of join composed from built-ins (SURVEY preference (a)): attach to
+    * every `leftType` event the most recent STRICTLY EARLIER `rightType`
+    * event of the same user. One shuffle on user_id; per-row state is a
+    * single running last-match (no range self-join, no point lookups).
+    */
+  def asofJoin(df: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withEventTime(df)
+      .withColumn("asof_match",
+        last(when(col("event_type") === rightType, col("event_id")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === leftType)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_match").as(s"prev_${rightType}_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Lag-gap sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMinutes`. Returns per-user
     * session stats. Exact integer µs arithmetic end-to-end.

@@ -55,6 +55,38 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("sliding-window arithmetic form equals Spark's built-in window()") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val arith = Events.slidingCounts(ev)
+      .select(col("win_start"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val builtin = Events.withEventTime(ev)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(arith == builtin)
+  }
+
+  test("as-of join: every match is the latest earlier purchase in (ts,id) order") {
+    val out = Events.asofJoin(Tables.events(spark, TestSpark.sf),
+      "click", "purchase")
+    val purchases = Events.withEventTime(Tables.events(spark, TestSpark.sf))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._2)
+    val rows = out.as[(Long, Long, Long, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (clickId, user, ts, matched) =>
+      val naive = purchases.getOrElse(user, Array.empty)
+        .filter(p => p._3 < ts || (p._3 == ts && p._1 < clickId))
+        .sortBy(p => (p._3, p._1)).lastOption.map(_._1)
+      assert(matched == naive, s"click $clickId (user $user): " +
+        s"got $matched expected $naive")
+    }
+  }
+
   test("multimodal: features are deterministic and checksum matches payload") {
     val feats = Multimodal.features(Tables.documents(spark, TestSpark.sf))
     val row = feats.filter(col("media_id") === 0).collect().head
