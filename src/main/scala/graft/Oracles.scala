@@ -62,7 +62,8 @@ object Oracles {
       SELECT transaction_id, user_id, amount, ts, status, processed_at, batch
       FROM (SELECT *, row_number() OVER (
               PARTITION BY transaction_id
-              ORDER BY batch DESC, user_id, amount, ts, status) AS rn
+              ORDER BY batch DESC, user_id DESC, amount DESC, ts DESC,
+                       status DESC) AS rn
             FROM unioned) ranked
       WHERE rn = 1 ORDER BY transaction_id""",
 

@@ -29,6 +29,27 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Aggregation-based last-writer-wins: the survivor is the row whose
+    * `orderCols` struct is MAXIMAL (field-by-field, all-descending
+    * priority). Plans as a SortAggregate (struct aggregation buffers are
+    * not hash-aggregable — verified on the executed plan) but, unlike the
+    * window form, runs `partial_max_by` BEFORE the shuffle: duplicate and
+    * hot keys collapse map-side, so shuffle volume is bounded by distinct
+    * keys — the property that matters for skew at 100 TB.
+    *
+    * `payload` are the non-key output columns; `orderCols` must be
+    * non-null for a total order.
+    */
+  def lastWriterWinsAgg(df: DataFrame, keys: Seq[String],
+      payload: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val winner = max_by(
+      struct(payload.map(col): _*),
+      struct(orderCols.map(col): _*)).as("__w")
+    df.groupBy(keys.map(col): _*)
+      .agg(winner)
+      .select(keys.map(col) ++ payload.map(p => col(s"__w.$p")): _*)
+  }
+
   /** Exact duplicate-group detection by an arbitrary derived key (e.g. a
     * text hash): one row per group with the minimal id as canonical
     * representative plus the group size. Groups of size 1 are unique docs.

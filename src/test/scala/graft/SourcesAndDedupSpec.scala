@@ -50,6 +50,35 @@ class SourcesAndDedupSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("agg-based LWW equals window-based LWW under an all-desc total order") {
+    val base = TxnTransform.pipeline("TS0")(TxnView.dirty(spark, TestSpark.sf))
+      .withColumn("batch", (col("amount") * 100).cast("long") % 3)
+    val win = Dedup.lastWriterWins(base, Seq("transaction_id"),
+      Seq(col("batch").desc, col("user_id").desc, col("amount").desc,
+        col("ts").desc, col("status").desc))
+      .select("transaction_id", "user_id", "amount", "ts", "status", "batch")
+    val agg = Dedup.lastWriterWinsAgg(base, Seq("transaction_id"),
+      payload = Seq("user_id", "amount", "ts", "status", "batch"),
+      orderCols = Seq("batch", "user_id", "amount", "ts", "status"))
+      .select("transaction_id", "user_id", "amount", "ts", "status", "batch")
+    assert(win.collect().toSet == agg.collect().toSet)
+  }
+
+  test("S8 analogue: partitionBy write enables partition-pruned scans") {
+    val out = TxnTransform.pipeline("TS0")(TxnView.dirty(spark, TestSpark.sf))
+    val path = "/tmp/graft_test_partitioned"
+    out.write.mode("overwrite").partitionBy("status").parquet(path)
+    val scan = spark.read.parquet(path).filter(col("status") === "pending")
+    val plan = scan.queryExecution.executedPlan.toString
+    // the status predicate must become a PartitionFilter (pruned
+    // directories), not a data filter over all files
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("isnotnull(status"),
+      s"expected partition pruning in plan:\n$plan")
+    assert(scan.count() ==
+      out.filter(col("status") === "pending").count())
+  }
+
   test("S4/S6: parquet sink round-trips the pipeline output exactly") {
     val out = TxnTransform.pipeline("TS0")(TxnView.dirty(spark, TestSpark.sf))
     val path = "/tmp/graft_test_parquet_sink"
