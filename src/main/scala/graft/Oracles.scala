@@ -269,6 +269,21 @@ object Oracles {
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
+    "q33_salted_agg" -> """
+      SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q34_top_terms" -> """
+      WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      counted AS (
+        SELECT lang, term, count(*) AS n FROM tok GROUP BY lang, term)
+      SELECT lang, term, n,
+             CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY n DESC, term) AS INTEGER) AS rank
+      FROM counted QUALIFY rank <= 5 ORDER BY lang, rank""",
+
     "q24_ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id % 50 = 0),

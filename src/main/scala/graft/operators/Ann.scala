@@ -77,6 +77,67 @@ object Ann {
     ranked(scored, k)
   }
 
+  /** IVF (inverted-file) top-k: partition the corpus by nearest centroid,
+    * search only the query's `nprobe` closest cells. Centroids are learned
+    * with a fixed number of Lloyd iterations from a deterministic seed
+    * (first `nCells` corpus vectors by id) — distributed k-means expressed
+    * as join/groupBy rounds, no MLlib dependency.
+    *
+    * Scale: each iteration is one broadcast (centroids are tiny) + one
+    * hash aggregation over the corpus; search touches |corpus| ×
+    * nprobe/nCells candidates. The LSH variant needs no training; IVF
+    * adapts to the data distribution — both exist because real pipelines
+    * choose per workload.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 8, nprobe: Int = 2, iterations: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      graft.functions.VecFns.toDouble(col("embedding")).as("cv")).cache()
+
+    // deterministic init: the nCells lowest-id vectors
+    var centroids = c.orderBy(col("neighbor_id")).limit(nCells)
+      .select(monotonically_increasing_id().as("cell"), col("cv").as("cen"))
+    // Lloyd iterations: assign to nearest centroid, recompute means.
+    // Centroid frames are tiny (nCells rows) -> collected into literals is
+    // avoided; broadcast joins keep everything declarative.
+    for (_ <- 0 until iterations) {
+      val assigned = c.join(broadcast(centroids))
+        .withColumn("sim", expr("graft_cosine(cv, cen)"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("neighbor_id")).orderBy(col("sim").desc,
+            col("cell"))))
+        .filter(col("rk") === 1)
+      centroids = assigned.groupBy(col("cell"))
+        .agg(array((0 until 64).map(i =>
+          avg(element_at(col("cv"), i + 1))): _*).as("cen"))
+    }
+    val cells = c.join(broadcast(centroids))
+      .withColumn("sim", expr("graft_cosine(cv, cen)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("neighbor_id")).orderBy(col("sim").desc,
+          col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+
+    val q = queries.select(col("vec_id").as("query_id"),
+      graft.functions.VecFns.toDouble(col("embedding")).as("qv"))
+      .join(broadcast(centroids))
+      .withColumn("sim", expr("graft_cosine(qv, cen)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc,
+          col("cell"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    val scored = cells.join(broadcast(q),
+        cells("cell") === q("cell") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("graft_cosine(qv, cv)").as("sim"))
+    ranked(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold.
     * Exact form is a broadcast nested-loop self-join — quadratic, kept as
     * the verifiable baseline; the LSH bucketing above is the scale path

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation patterns (SURVEY.md "salting for skew").
+  *
+  * Salted two-phase aggregation: phase 1 aggregates on (key, salt) so a
+  * hot key's rows spread over `buckets` reducers; phase 2 merges the
+  * partials per key. For algebraic aggregates (count/sum over exact
+  * types) the result is IDENTICAL to the direct group-by — which is why
+  * the driver gate can hash-compare it against a plain GROUP BY oracle.
+  *
+  * (AQE's skew handling covers join skew automatically; explicit salting
+  * remains the tool for aggregation skew and for engines/pipelines where
+  * AQE cannot see the hot key in advance.)
+  */
+object Skew {
+
+  /** Deterministic salt in [0, buckets) derived from a row-unique column
+    * (hash-based, not random — reruns produce identical partials).
+    */
+  def salt(rowKey: Column, buckets: Int): Column =
+    pmod(hash(rowKey), lit(buckets))
+
+  /** count + exact-decimal sum per key, via salted two-phase aggregation.
+    */
+  def saltedStats(df: DataFrame, key: String, valueCol: String,
+      rowKey: String, buckets: Int = 16): DataFrame =
+    df.withColumn("__salt", salt(col(rowKey), buckets))
+      .groupBy(col(key), col("__salt"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("__s"))
+      .groupBy(col(key))
+      .agg(
+        sum(col("__n")).as("n"),
+        sum(col("__s")).cast("double").as("sum_value"))
+      .orderBy(col(key))
+}

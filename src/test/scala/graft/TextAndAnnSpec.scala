@@ -82,6 +82,34 @@ class TextAndAnnSpec extends AnyFunSuite {
     assert(math.abs(got(0)) < 1e-12 && math.abs(got(1) - 1.0) < 1e-12)
   }
 
+  test("ANN IVF: valid ranked output with nonzero recall vs exact baseline") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val ivf = Ann.ivfTopK(e, q, 5).as[(Long, Long, Int)].collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    val bruteSet = Ann.bruteTopK(e, q, 5).as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val recall = ivf.count(r => bruteSet.contains((r._1, r._2))).toDouble /
+      bruteSet.size
+    assert(recall > 0.05, s"IVF recall $recall vs exact baseline")
+  }
+
+  test("salted aggregation equals direct aggregation (algebraic identity)") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val salted = graft.operators.Skew
+      .saltedStats(ev, "user_id", "value", "event_id")
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(salted == direct)
+  }
+
   test("ANN: brute top-k is exact; LSH returns valid ranked subsets") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val q = e.filter(col("vec_id") % 50 === 0)
