@@ -109,9 +109,12 @@ object Ann {
           Window.partitionBy(col("neighbor_id")).orderBy(col("sim").desc,
             col("cell"))))
         .filter(col("rk") === 1)
+      // cache each round: downstream consumers (cells + query routing)
+      // would otherwise re-execute the whole k-means lineage per reference
       centroids = assigned.groupBy(col("cell"))
         .agg(array((0 until 64).map(i =>
           avg(element_at(col("cv"), i + 1))): _*).as("cen"))
+        .cache()
     }
     val cells = c.join(broadcast(centroids))
       .withColumn("sim", expr("graft_cosine(cv, cen)"))

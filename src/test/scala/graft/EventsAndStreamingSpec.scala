@@ -87,6 +87,24 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup drops duplicate event_ids (S7, streaming form)") {
+    // stage the events file TWICE -> every event_id arrives duplicated
+    val dir = java.nio.file.Paths.get("/tmp/graft_stream_dup")
+    java.nio.file.Files.createDirectories(dir)
+    for (n <- Seq("a.parquet", "b.parquet")) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+        dir.resolve(n),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val out = EventStreams.runToMemory(
+      EventStreams.dedupedStream(EventStreams.source(spark, dir.toString)),
+      "dedup_stream", OutputMode.Append())
+    val expected = Tables.events(spark, TestSpark.sf).count()
+    assert(out.count() == expected)
+    assert(out.select("event_id").distinct().count() == expected)
+  }
+
   test("multimodal: features are deterministic and checksum matches payload") {
     val feats = Multimodal.features(Tables.documents(spark, TestSpark.sf))
     val row = feats.filter(col("media_id") === 0).collect().head
