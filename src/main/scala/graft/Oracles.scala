@@ -284,6 +284,33 @@ object Oracles {
                   ORDER BY n DESC, term) AS INTEGER) AS rank
       FROM counted QUALIFY rank <= 5 ORDER BY lang, rank""",
 
+    "q36_set_ops" -> """
+      WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+           src1 AS (SELECT doc_id FROM documents WHERE source = 'src1')
+      SELECT 'intersect' AS op, doc_id FROM (
+        SELECT doc_id FROM en INTERSECT SELECT doc_id FROM src1) i
+      UNION ALL
+      SELECT 'except' AS op, doc_id FROM (
+        SELECT doc_id FROM en EXCEPT SELECT doc_id FROM src1) e
+      ORDER BY op, doc_id""",
+
+    "q37_semi_anti" -> """
+      SELECT c_custkey, TRUE AS has_orders FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      UNION ALL
+      SELECT c_custkey, FALSE AS has_orders FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    "q38_pivot" -> """
+      SELECT user_id % 10 AS cohort,
+        count(*) FILTER (WHERE event_type = 'click') AS click,
+        count(*) FILTER (WHERE event_type = 'error') AS error,
+        count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        count(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY 1 ORDER BY 1""",
+
     "q24_ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id % 50 = 0),
