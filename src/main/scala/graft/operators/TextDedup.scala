@@ -113,22 +113,13 @@ object TextDedup {
     * map pass + one group-by; no pairwise work at all.
     */
   def simhashGroups(docs: DataFrame): DataFrame = {
-    // Hash each token ONCE; the 64 per-bit aggregates read the cached
-    // column (64 inline xxhash64 calls per row would dominate the stage).
-    val toks = docs
+    // One custom aggregate ([[graft.plans.SimHashAgg]]: long[64] buffer,
+    // partial-merge capable) replaces 64 separate per-bit SUM columns.
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    // For each of 64 bits: +1 if the token hash has the bit set, -1
-    // otherwise; the sign of the per-doc sum is the simhash bit.
-    val bitCols = (0 until 64).map { b =>
-      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L)
-        .otherwise(-1L)).as(s"b$b")
-    }
-    val sums = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val sim = (0 until 64)
-      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduce(_ + _)
-    sums.select(col("doc_id"), sim.as("simhash"))
+      .groupBy("doc_id")
+      .agg(expr("graft_simhash(tok)").as("simhash"))
       .groupBy("simhash")
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("group_size"),

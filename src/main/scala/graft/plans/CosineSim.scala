@@ -87,5 +87,8 @@ object GraftFunctions {
       "graft_cosine", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash64", exprs => MinHashSig(exprs.head, 64), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => SimHashAgg(exprs.head).toAggregateExpression(), "built-in")
   }
 }

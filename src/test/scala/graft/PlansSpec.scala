@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VecFns
+import graft.plans.GraftFunctions
+
+/** The custom Catalyst pieces (plans.*) against their contracts:
+  * CosineSim's bit-identical claim vs the higher-order form, MinHashSig's
+  * set-semantics properties, SimHashAgg's dedup behavior.
+  */
+class PlansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("CosineSim is BIT-IDENTICAL to the higher-order-function cosine") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(VecFns.toDouble(col("a.embedding")).as("x"),
+        VecFns.toDouble(col("b.embedding")).as("y"))
+    val diffs = pairs.select(
+      (expr("graft_cosine(x, y)") - VecFns.cosine(col("x"), col("y")))
+        .as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diffs == 0, "codegen cosine must equal the HOF fold exactly")
+  }
+
+  test("MinHashSig: permutation-invariant, subset-monotone signatures") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("c d e", "a b c", "b c d")), // same set, different order
+      (3L, Seq("a b c", "b c d"))           // subset
+    ).toDF("id", "shingles")
+    val sigs = df.select(col("id"),
+      expr("graft_minhash64(shingles)").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L), "signature must ignore element order")
+    // each slot of a subset's signature is >= the superset's (min over
+    // fewer elements can only grow)
+    assert(sigs(3L).zip(sigs(1L)).forall { case (sub, sup) => sub >= sup })
+    assert(sigs(1L).length == 64)
+  }
+
+  test("SimHashAgg: identical token multisets collide, disjoint ones do not") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "spark hash join group filter"),
+      (2L, "spark hash join group filter"),
+      (3L, "completely different words entirely here")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id").agg(expr("graft_simhash(tok)").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(df(1L) == df(2L))
+    assert(df(1L) != df(3L))
+  }
+}
