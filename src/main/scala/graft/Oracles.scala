@@ -311,6 +311,26 @@ object Oracles {
         count(*) FILTER (WHERE event_type = 'view') AS view
       FROM events GROUP BY 1 ORDER BY 1""",
 
+    "q39_percentiles" -> """
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS p50_qty,
+             quantile_cont(l_quantity, 0.9) AS p90_qty,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q40_moments" -> """
+      WITH sums AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS s1,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS s2
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n, s1 / n AS mean,
+             (s2 - s1 * s1 / n) / (n - 1) AS variance
+      FROM sums ORDER BY l_returnflag""",
+
     "q24_ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id % 50 = 0),
