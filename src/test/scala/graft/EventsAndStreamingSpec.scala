@@ -87,6 +87,24 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static join: events stream enriched against a static dim") {
+    // static dim: per-user cohort labels derived once
+    val dim = Events.withEventTime(Tables.events(spark, TestSpark.sf))
+      .select("user_id").distinct()
+      .withColumn("cohort", col("user_id") % 3)
+    val enriched = EventStreams.source(spark, eventsDir)
+      .join(dim, Seq("user_id"))  // stream-static equi-join: no state
+      .groupBy("cohort").count()
+    val got = EventStreams.runToMemory(enriched, "stream_static",
+      OutputMode.Complete())
+      .as[(Long, Long)].collect().toMap
+    val want = Events.withEventTime(Tables.events(spark, TestSpark.sf))
+      .withColumn("cohort", col("user_id") % 3)
+      .groupBy("cohort").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("streaming dedup drops duplicate event_ids (S7, streaming form)") {
     // stage the events file TWICE -> every event_id arrives duplicated
     val dir = java.nio.file.Paths.get("/tmp/graft_stream_dup")

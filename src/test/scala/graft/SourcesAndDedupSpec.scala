@@ -79,6 +79,33 @@ class SourcesAndDedupSpec extends AnyFunSuite {
       out.filter(col("status") === "pending").count())
   }
 
+  test("bucketed tables join WITHOUT a shuffle exchange (co-located join)") {
+    val o = Tables.orders(spark, TestSpark.sf)
+    val c = Tables.customer(spark, TestSpark.sf)
+    // (warehouse.dir is a static conf; bucketed tables land in the
+    // default ./spark-warehouse, which is gitignored)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      o.write.mode("overwrite").bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").saveAsTable("orders_b")
+      c.write.mode("overwrite").bucketBy(8, "c_custkey")
+        .sortBy("c_custkey").saveAsTable("customer_b")
+      val joined = spark.table("orders_b").join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucketing on the join key must eliminate ShuffleExchange on BOTH
+      // sides (SortMergeJoin reads co-located buckets directly)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected no shuffle exchange in bucketed join plan:\n$plan")
+      assert(joined.count() == o.join(c,
+        col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("S4/S6: parquet sink round-trips the pipeline output exactly") {
     val out = TxnTransform.pipeline("TS0")(TxnView.dirty(spark, TestSpark.sf))
     val path = "/tmp/graft_test_parquet_sink"
