@@ -331,6 +331,38 @@ object Oracles {
              (s2 - s1 * s1 / n) / (n - 1) AS variance
       FROM sums ORDER BY l_returnflag""",
 
+    "q41_json_roundtrip" -> s"""$cte
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
+             count(DISTINCT status) AS n_statuses
+      FROM cleaned""",
+
+    "q43_date_rollup" -> """
+      SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(extract(month FROM o_orderdate) AS INTEGER) AS o_month,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q44_correlation" -> """
+      WITH sums AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+                   CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+                   CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             (n * sxy - sx * sy) /
+               sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+               AS corr_qty_price
+      FROM sums ORDER BY l_returnflag""",
+
     "q24_ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id % 50 = 0),

@@ -106,6 +106,16 @@ class SourcesAndDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ORC sink round-trips the pipeline output (third columnar format)") {
+    val out = TxnTransform.pipeline("TS0")(TxnView.dirty(spark, TestSpark.sf))
+    val path = "/tmp/graft_test_orc_sink"
+    out.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    assert(back.count() == out.count())
+    assert(back.agg(sum(col("amount").cast("decimal(18,2)"))).collect().head ==
+      out.agg(sum(col("amount").cast("decimal(18,2)"))).collect().head)
+  }
+
   test("S4/S6: parquet sink round-trips the pipeline output exactly") {
     val out = TxnTransform.pipeline("TS0")(TxnView.dirty(spark, TestSpark.sf))
     val path = "/tmp/graft_test_parquet_sink"
