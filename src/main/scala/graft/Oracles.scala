@@ -363,6 +363,12 @@ object Oracles {
                AS corr_qty_price
       FROM sums ORDER BY l_returnflag""",
 
+    "q45_histogram" -> """
+      SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+             count(*) AS n, min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
     "q24_ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id % 50 = 0),

@@ -110,6 +110,26 @@ class TextAndAnnSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("approx_percentile within 2% of the exact percentile") {
+    val exact = Queries.all("q39_percentiles")(spark, TestSpark.sf)
+      .select("l_returnflag", "p50_qty").as[(String, Double)]
+      .collect().toMap
+    // q39 is on l_quantity; compute the exact price median here for a
+    // like-for-like comparison with q46's l_extendedprice sketch
+    val exactPrice = Tables.lineitem(spark, TestSpark.sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .as[(String, Double)].collect().toMap
+    val approx = Queries.all("q46_approx_percentile")(spark, TestSpark.sf)
+      .select("l_returnflag", "p50").as[(String, Double)]
+      .collect().toMap
+    approx.foreach { case (flag, p) =>
+      val e = exactPrice(flag)
+      assert(math.abs(p - e) / e < 0.02, s"$flag: approx $p vs exact $e")
+    }
+    assert(exact.nonEmpty)
+  }
+
   test("ANN: brute top-k is exact; LSH returns valid ranked subsets") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val q = e.filter(col("vec_id") % 50 === 0)
