@@ -337,6 +337,14 @@ object Oracles {
              count(DISTINCT status) AS n_statuses
       FROM cleaned""",
 
+    "q42_props_map" -> """
+      WITH kv AS (
+        SELECT 'k' AS key, CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 AS value
+        FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL)
+      SELECT key, count(*) AS n, CAST(sum(value) AS BIGINT) AS sum_v
+      FROM kv GROUP BY key ORDER BY key""",
+
     "q43_date_rollup" -> """
       SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
              CAST(extract(month FROM o_orderdate) AS INTEGER) AS o_month,
