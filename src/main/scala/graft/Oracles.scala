@@ -377,6 +377,30 @@ object Oracles {
              max(o_totalprice) AS max_price
       FROM orders GROUP BY 1 ORDER BY 1""",
 
+    "q47_moving_avg" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / count(*) OVER w AS trailing3_avg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q48_lead_lag_ntile" -> """
+      SELECT c_custkey, c_acctbal,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             c_acctbal - coalesce(lag(c_acctbal, 1) OVER w, c_acctbal)
+               AS gap_to_prev
+      FROM customer
+      WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_custkey""",
+
+    "q49_cube" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
     "q24_ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id % 50 = 0),
