@@ -90,7 +90,8 @@ object Ann {
     * choose per workload.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 8, nprobe: Int = 2, iterations: Int = 3): DataFrame = {
+      nCells: Int = 8, nprobe: Int = 2, iterations: Int = 2,
+      dim: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
     val c = corpus.select(col("vec_id").as("neighbor_id"),
@@ -101,7 +102,9 @@ object Ann {
       .select(monotonically_increasing_id().as("cell"), col("cv").as("cen"))
     // Lloyd iterations: assign to nearest centroid, recompute means.
     // Centroid frames are tiny (nCells rows) -> collected into literals is
-    // avoided; broadcast joins keep everything declarative.
+    // avoided; broadcast joins keep everything declarative. Each round is
+    // materialized (count) so the previous round's cache can be released
+    // immediately instead of pinning one frame per iteration.
     for (_ <- 0 until iterations) {
       val assigned = c.join(broadcast(centroids))
         .withColumn("sim", expr("graft_cosine(cv, cen)"))
@@ -109,12 +112,13 @@ object Ann {
           Window.partitionBy(col("neighbor_id")).orderBy(col("sim").desc,
             col("cell"))))
         .filter(col("rk") === 1)
-      // cache each round: downstream consumers (cells + query routing)
-      // would otherwise re-execute the whole k-means lineage per reference
+      val prev = centroids
       centroids = assigned.groupBy(col("cell"))
-        .agg(array((0 until 64).map(i =>
+        .agg(array((0 until dim).map(i =>
           avg(element_at(col("cv"), i + 1))): _*).as("cen"))
         .cache()
+      centroids.count()
+      prev.unpersist()
     }
     val cells = c.join(broadcast(centroids))
       .withColumn("sim", expr("graft_cosine(cv, cen)"))

@@ -94,7 +94,10 @@ class TextAndAnnSpec extends AnyFunSuite {
       .map(r => (r._1, r._2)).toSet
     val recall = ivf.count(r => bruteSet.contains((r._1, r._2))).toDouble /
       bruteSet.size
-    assert(recall > 0.05, s"IVF recall $recall vs exact baseline")
+    // measured ~0.42 at 2 Lloyd rounds on sf0.001; 0.25 floor catches a
+    // real regression while leaving noise headroom (review finding: the
+    // old 0.05 floor would also have passed a catastrophic regression)
+    assert(recall > 0.25, s"IVF recall $recall vs exact baseline")
   }
 
   test("salted aggregation equals direct aggregation (algebraic identity)") {
