@@ -401,6 +401,16 @@ object Oracles {
       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
+    "q50_name_neardup" -> """
+      SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_custkey < b.c_custkey
+       AND levenshtein(a.c_name, b.c_name) <= 2
+      WHERE a.c_custkey % 10 = 0
+      ORDER BY cust_a, cust_b""",
+
     "q24_ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id % 50 = 0),
