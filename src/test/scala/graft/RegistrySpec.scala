@@ -14,7 +14,8 @@ class RegistrySpec extends AnyFunSuite {
     "q25_ann_lsh" -> "bucket membership is engine-specific float folding",
     "q27_simhash" -> "bit-level hashing is engine-specific",
     "q35_ann_ivf" -> "learned centroids are engine-internal",
-    "q46_approx_percentile" -> "t-digest sketch is engine-specific")
+    "q46_approx_percentile" -> "t-digest sketch is engine-specific",
+    "q51_rolling_fp" -> "rolling-hash fingerprint is engine-internal")
 
   test("every oracle key names an existing query") {
     val orphans = Oracles.all.keySet -- Queries.all.keySet
