@@ -28,6 +28,21 @@ object Oracles {
   val cte: String =
     s"WITH transactions AS (${TxnView.selectSql}), cleaned AS ($cleanedSelect)"
 
+  /** Exact cosine-pairs contract shared by q28 (blocked-exact path) and
+    * q52 (LSH-banded path): every (a<b) pair with cosine >= 0.4. The
+    * cosine is the explicit dot/(sqrt·sqrt) shape CosineSim executes.
+    */
+  private val cosinePairsOracle: String = """
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) /
+              (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(a.embedding AS DOUBLE[]))) *
+               sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])))) >= 0.4
+      ORDER BY vec_a, vec_b"""
+
   val all: Map[String, String] = Map(
     "q01_pipeline" -> s"""$cte
       SELECT transaction_id, user_id, amount, ts, status, processed_at
@@ -158,7 +173,7 @@ object Oracles {
     "q17_events_props" -> """
       SELECT json_extract_string(props, '$.k') AS k, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1 ORDER BY 1""",
+      FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""",
 
     "q19_dedup_exact" -> """
       WITH unioned AS (
@@ -405,19 +420,30 @@ object Oracles {
       SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
              CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
       FROM customer a JOIN customer b
-        ON a.c_nationkey = b.c_nationkey
+        ON substring(a.c_name, 1, 15) = substring(b.c_name, 1, 15)
        AND a.c_custkey < b.c_custkey
-       AND levenshtein(a.c_name, b.c_name) <= 2
-      WHERE a.c_custkey % 10 = 0
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
       ORDER BY cust_a, cust_b""",
 
+    "q53_partition_prune" -> s"""$cte
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
+             count(DISTINCT user_id) AS n_users
+      FROM cleaned WHERE status = 'approved'""",
+
+    // cosine written as the explicit dot/(sqrt·sqrt) shape — the same IEEE
+    // op sequence CosineSim executes — instead of list_cosine_similarity,
+    // whose internal op order is DuckDB's own (r1 advisor: a ~1-ulp
+    // near-tie could flip a rank nondeterministically).
     "q24_ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id % 50 = 0),
       c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
             FROM embeddings),
       scored AS (SELECT query_id, neighbor_id,
-                   list_cosine_similarity(qv, cv) AS sim
+                   list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv))) AS sim
                  FROM c JOIN q ON query_id <> neighbor_id)
       SELECT query_id, neighbor_id,
              CAST(row_number() OVER (PARTITION BY query_id
@@ -425,12 +451,11 @@ object Oracles {
       FROM scored
       QUALIFY rank <= 5 ORDER BY query_id, rank""",
 
-    "q28_cosine_pairs" -> """
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])) >= 0.4
-      ORDER BY vec_a, vec_b""",
+    "q28_cosine_pairs" -> cosinePairsOracle,
+
+    // Same exact contract as q28 — the LSH-banded engine path must lose
+    // nothing vs the exact all-pairs answer.
+    "q52_cosine_pairs_lsh" -> cosinePairsOracle,
 
     // Pinned expectation: the fixture's anatomy is documented in
     // graft.Fixtures (12 structurally-clean rows, 3 corrupt, 7 surviving

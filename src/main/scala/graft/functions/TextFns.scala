@@ -31,15 +31,18 @@ object TextFns {
   /** Word n-gram shingles over a pre-split token array (1-based positions,
     * matching DuckDB list indexing). Callers must filter size >= n first:
     * Spark's `sequence(1, 0)` counts DOWN instead of returning empty.
+    *
+    * Built from the passed Column (not a hardcoded column name — the r1
+    * expr-string form silently bound to any unrelated column named `ws`).
+    * The concat interleaves literal spaces to mirror the oracle's
+    * `w[i] || ' ' || w[i+1] || ...` shape exactly.
     */
-  def shingles(ws: Column, n: Int): Column = {
-    val parts = (0 until n)
-      .map(k => s"element_at(ws, CAST(i + $k AS INT))")
-      .mkString(", ' ', ")
-    array_distinct(expr(
-      s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat($parts))"))
-      .as("shingles")
-  }
+  def shingles(ws: Column, n: Int): Column =
+    array_distinct(transform(sequence(lit(1), size(ws) - lit(n - 1)), i =>
+      concat((0 until n).flatMap { k =>
+        val tok = element_at(ws, (i + lit(k)).cast("int"))
+        if (k == 0) Seq(tok) else Seq(lit(" "), tok)
+      }: _*)))
 
   private def countIn(ws: Column, words: Seq[String]): Column =
     size(filter(ws, w => array_contains(array(words.map(lit): _*), w)))

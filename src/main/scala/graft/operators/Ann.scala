@@ -100,32 +100,36 @@ object Ann {
     // deterministic init: the nCells lowest-id vectors
     var centroids = c.orderBy(col("neighbor_id")).limit(nCells)
       .select(monotonically_increasing_id().as("cell"), col("cv").as("cen"))
+    // Nearest-centroid argmax as a map-side-combinable AGGREGATION
+    // (max_by over the (sim, -cell) order struct — same family as the LWW
+    // dedup). The r1 form used row_number over Window.partitionBy(
+    // neighbor_id): a full shuffle+SORT of corpus × nCells rows per pass;
+    // max_by partial-aggregates before the exchange, so each pass moves
+    // one row per vector and sorts nothing. Ties break to the lowest cell
+    // (-cell maximized), matching the old (sim desc, cell asc) order.
+    def assignCells(cen: DataFrame): DataFrame =
+      c.join(broadcast(cen))
+        .withColumn("sim", expr("graft_cosine(cv, cen)"))
+        .groupBy(col("neighbor_id"))
+        .agg(max_by(struct(col("cell"), col("cv")),
+          struct(col("sim"), negate(col("cell")))).as("m"))
+        .select(col("neighbor_id"), col("m.cell").as("cell"),
+          col("m.cv").as("cv"))
     // Lloyd iterations: assign to nearest centroid, recompute means.
     // Centroid frames are tiny (nCells rows) -> collected into literals is
     // avoided; broadcast joins keep everything declarative. Each round is
     // materialized (count) so the previous round's cache can be released
     // immediately instead of pinning one frame per iteration.
     for (_ <- 0 until iterations) {
-      val assigned = c.join(broadcast(centroids))
-        .withColumn("sim", expr("graft_cosine(cv, cen)"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("neighbor_id")).orderBy(col("sim").desc,
-            col("cell"))))
-        .filter(col("rk") === 1)
       val prev = centroids
-      centroids = assigned.groupBy(col("cell"))
+      centroids = assignCells(centroids).groupBy(col("cell"))
         .agg(array((0 until dim).map(i =>
           avg(element_at(col("cv"), i + 1))): _*).as("cen"))
         .cache()
       centroids.count()
       prev.unpersist()
     }
-    val cells = c.join(broadcast(centroids))
-      .withColumn("sim", expr("graft_cosine(cv, cen)"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("neighbor_id")).orderBy(col("sim").desc,
-          col("cell"))))
-      .filter(col("rk") === 1)
+    val cells = assignCells(centroids)
       .select(col("neighbor_id"), col("cv"), col("cell"))
 
     val q = queries.select(col("vec_id").as("query_id"),
@@ -145,12 +149,105 @@ object Ann {
     ranked(scored, k)
   }
 
-  /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold.
-    * Exact form is a broadcast nested-loop self-join — quadratic, kept as
-    * the verifiable baseline; the LSH bucketing above is the scale path
-    * (same verify-after-candidates shape as TextDedup).
+  /** Embedding near-duplicate pairs, exact, via a CHUNK-GRID self-join.
+    *
+    * The r1 form (`a.join(b, vec_a < vec_b)`) planned as a
+    * BroadcastNestedLoopJoin: the whole corpus broadcast to every executor
+    * (dies at the 8 GB broadcast ceiling) and the comparison triangle
+    * hanging off one operator. Here the n² comparisons are TILED: each
+    * side is assigned a chunk by `vec_id % chunks`, a tiny (ca ≤ cb) grid
+    * of chunk-pair cells is broadcast onto both sides, and the join
+    * shuffles by the CELL key — every cell is an independent |chunk|²
+    * task, shuffle volume is n × chunks/2 per side, and no broadcast of
+    * data rows exists at all. This is the standard theta-join
+    * decomposition; chunk count trades replication (∝ chunks) against
+    * task granularity (∝ n²/chunks²).
+    *
+    * Pair accounting: an off-diagonal cell (x<y) sees each cross pair
+    * exactly once (in whatever id order); a diagonal cell sees both
+    * orders. The filter keeps off-diagonal rows and the a<b half of the
+    * diagonal, then least/greatest canonicalizes. Cosine is symmetric in
+    * IEEE arithmetic (products commute, norms swap), so the un-canonical
+    * id order never changes `sim`.
     */
-  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  def cosinePairsBlocked(corpus: DataFrame, threshold: Double,
+      chunks: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val grid = broadcast(
+      spark.range(chunks.toLong).select(col("id").as("ga"))
+        .crossJoin(spark.range(chunks.toLong).select(col("id").as("gb")))
+        .filter(col("ga") <= col("gb")))
+    val a = corpus.select(col("vec_id").as("vec_a"),
+      VecFns.toDouble(col("embedding")).as("va"),
+      pmod(col("vec_id"), lit(chunks.toLong)).as("ga"))
+    val b = corpus.select(col("vec_id").as("vec_b"),
+      VecFns.toDouble(col("embedding")).as("vb"),
+      pmod(col("vec_id"), lit(chunks.toLong)).as("gb"))
+    a.join(grid, Seq("ga"))          // replicate a over its row of cells
+      .join(b.join(grid, Seq("gb")), // replicate b over its column of cells
+        Seq("ga", "gb"))             // shuffle by CELL — even n²/chunks² tasks
+      .filter(col("vec_a") =!= col("vec_b") &&
+        (col("ga") < col("gb") || col("vec_a") < col("vec_b")))
+      .withColumn("sim", expr("graft_cosine(va, vb)"))
+      .filter(col("sim") >= threshold)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Embedding near-duplicate pairs via banded sign-bit LSH + exact
+    * verification — same contract as [[cosinePairsBlocked]], same shape as
+    * [[TextDedup.jaccardPairsLsh]]: `bands` independent 4-bit sign codes
+    * per vector (one codegen map stage, [[graft.plans.LshBands]]),
+    * candidates = pairs sharing any band code, then exact `graft_cosine`
+    * on candidates only.
+    *
+    * Parameter math (p = 1 − θ/π per plane): a pair at cosine 0.9 collides
+    * per band w.p. 0.857⁴ ≈ 0.54 — a handful of bands suffice and
+    * candidates shrink by orders of magnitude; that is the regime real
+    * near-dup pipelines run at. The driver testdata's planted pairs sit at
+    * cosine 0.40-0.51 against a near-orthogonal bulk (ρ = ln p₁/ln p₂ ≈
+    * 0.66), the worst case for angular LSH — full recall needs 48 bands
+    * (verified exhaustively vs the exact answer at sf0.01 AND sf0.1:
+    * deterministic planes make recall a checkable fact, worst pair first
+    * collides at band 35) and candidate volume exceeds brute force at
+    * gate scale. The value demonstrated by the oracle gate is recall-
+    * losslessness of the machinery; the pruning value appears at real
+    * thresholds, asserted separately in ScalaTest.
+    */
+  def cosinePairsLsh(corpus: DataFrame, threshold: Double,
+      planesPerBand: Int = 4, bands: Int = 48): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val v = corpus.select(col("vec_id"),
+      VecFns.toDouble(col("embedding")).as("v")).cache()
+    val bandRows = v
+      .select(col("vec_id"),
+        posexplode(expr(s"graft_lshbands(v, $planesPerBand, $bands)"))
+          .as(Seq("band_id", "code")))
+    val cand = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.code") === col("y.code") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .withColumn("sim", expr("graft_cosine(va, vb)"))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Exact all-pairs via broadcast nested loop — r1's q28 implementation,
+    * demoted to a test-only equivalence baseline for the blocked and LSH
+    * paths (it cannot outlive the driver-side broadcast ceiling).
+    */
+  private[graft] def cosinePairsBrute(corpus: DataFrame,
+      threshold: Double): DataFrame = {
     val a = corpus.select(col("vec_id").as("vec_a"),
       VecFns.toDouble(col("embedding")).as("va"))
     val b = corpus.select(col("vec_id").as("vec_b"),

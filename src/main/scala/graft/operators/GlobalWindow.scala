@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global-order window functions (rank, ntile, lag) WITHOUT a global
+  * single-task window.
+  *
+  * `Window.orderBy(...)` with no partitionBy forces every row into ONE
+  * task — fine at 1.5k rows, a single-executor sort at 100×. The
+  * scale-safe plan is the classic two-pass:
+  *
+  *   1. range-partition by the order key (`repartitionByRange`): rows are
+  *      globally ordered ACROSS partitions, each partition holds a
+  *      contiguous rank range;
+  *   2. per-partition local windows (row_number / lag) — parallel, each
+  *      task sorts only its slice;
+  *   3. a TINY per-partition stats frame (one row per partition: count,
+  *      last value) turned into prefix offsets + boundary carry values by
+  *      a window over `parts` rows — the only single-partition work is
+  *      O(parts), bounded by construction, independent of data size;
+  *   4. broadcast the offsets back and combine: global rank = prefix
+  *      offset + local rank; a partition-first row's lag comes from the
+  *      previous partition's last value; ntile becomes closed-form
+  *      integer arithmetic on (global rank, total count).
+  *
+  * Output values are invariant to where the (sampled) range boundaries
+  * fall, so the plan is deterministic end-to-end.
+  */
+object GlobalWindow {
+
+  /** Standard SQL ntile bucket from a 1-based global rank and total count:
+    * q = n div k, r = n mod k; the first r buckets hold q+1 rows. Integral
+    * `DIV` keeps the arithmetic exact at any scale (the DSL `/` promotes
+    * longs to double, and a correctly-rounded double quotient can still
+    * floor across a bucket boundary once numerators pass 2^53). The q=0
+    * branch order matters: when n < k every row lands in a size-1 bucket
+    * via the first branch, so the DIV-by-zero branch is never evaluated
+    * (CaseWhen is lazy).
+    */
+  private def ntileExpr(rnCol: String, nCol: String, k: Int): Column = expr(
+    s"""CASE WHEN $rnCol <= ($nCol % $k) * (($nCol DIV $k) + 1)
+          THEN ($rnCol - 1) DIV (($nCol DIV $k) + 1) + 1
+          ELSE ($nCol % $k) +
+               ($rnCol - 1 - ($nCol % $k) * (($nCol DIV $k) + 1))
+                 DIV ($nCol DIV $k) + 1 END""")
+
+  /** ntile + lag over the global (valueCol DESC, keyCol ASC) total order.
+    * Adds `global_rn`, `ntile_bucket` (1..buckets), and `prev_value` (the
+    * previous row's value in global order; null for the global first row).
+    */
+  def ntileLagDesc(df: DataFrame, valueCol: String, keyCol: String,
+      buckets: Int, parts: Int = 16): DataFrame = {
+    val v = col(valueCol); val k = col(keyCol)
+    val parted = df.repartitionByRange(parts, v.desc, k.asc)
+      .withColumn("_pid", spark_partition_id())
+    val wLoc = Window.partitionBy(col("_pid")).orderBy(v.desc, k.asc)
+    val local = parted
+      .withColumn("_lrn", row_number().over(wLoc))
+      .withColumn("_llag", lag(v, 1).over(wLoc))
+    // last row of each partition in (v desc, k asc) order = min v, ties
+    // to max k — min_by over the (v, -k) struct, map-side combinable
+    val stats = parted.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_cnt"),
+        min_by(v, struct(v, negate(k))).as("_last"))
+    val wStat = Window.orderBy(col("_pid"))
+    val offsets = stats
+      .withColumn("_off", coalesce(
+        sum(col("_cnt")).over(wStat.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("_prev_last", lag(col("_last"), 1).over(wStat))
+      .withColumn("_n", sum(col("_cnt")).over(
+        wStat.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("_pid"), col("_off"), col("_prev_last"), col("_n"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("global_rn", col("_off") + col("_lrn"))
+      .withColumn("ntile_bucket", ntileExpr("global_rn", "_n", buckets))
+      .withColumn("prev_value", coalesce(col("_llag"), col("_prev_last")))
+      .drop("_pid", "_lrn", "_llag", "_off", "_prev_last", "_n")
+  }
+}

@@ -36,7 +36,8 @@ object TextDedup {
     * @param bands     LSH bands; rowsPerBand = numHashes / bands
     */
   def jaccardPairsLsh(docs: DataFrame, threshold: Double,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16,
+      bucketCap: Int = 100000): DataFrame = {
     require(numHashes == 64, "graft_minhash64 emits 64-slot signatures")
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
@@ -55,24 +56,7 @@ object TextDedup {
       .cache()
     val sigs = shingled.select(col("doc_id"),
       expr("graft_minhash64(shingles)").as("sig"))
-
-    // Bands: hash r consecutive signature slots per band, explode to
-    // (band_id, band_hash, doc_id) and self-join on bucket equality.
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        hash(slice(col("sig"), b * r + 1, r), lit(b)).as("band_hash"))
-    }
-    val bandRows = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
-      .select(col("doc_id"), col("bh.band_id"), col("bh.band_hash"))
-      .cache() // tiny (docs × bands rows); read twice by the self-join
-    val cand = bandRows.as("x")
-      .join(bandRows.as("y"),
-        col("x.band_id") === col("y.band_id") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = lshCandidates(sigs, bands, r, bucketCap)
 
     // Exact-Jaccard verification only touches candidate documents: a
     // semi-join prunes the shingle table before the explode.
@@ -83,6 +67,45 @@ object TextDedup {
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     verifyJaccard(cand, sh, threshold)
+  }
+
+  /** LSH candidate pairs from (doc_id, sig) rows: hash r consecutive
+    * signature slots per band, explode to (band_id, band_hash, doc_id)
+    * and self-join on bucket equality.
+    *
+    * Buckets larger than `bucketCap` are SALTED into cap-sized slices
+    * (deterministic row_number order by doc_id) and pairs form only
+    * within a slice: a degenerate corpus — thousands of byte-identical
+    * documents collapsing into one bucket in every band — costs
+    * O(bucket × cap) instead of O(bucket²). Below the cap (any
+    * non-pathological corpus) every bucket is one slice and the
+    * candidate set is unchanged; above it, cross-slice pairs are
+    * knowingly dropped — identical documents are exact-dedup's job
+    * ([[exactDupGroups]]), not the near-dup join's.
+    */
+  private[graft] def lshCandidates(sigs: DataFrame, bands: Int, r: Int,
+      bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        hash(slice(col("sig"), b * r + 1, r), lit(b)).as("band_hash"))
+    }
+    val wBucket = Window.partitionBy(col("band_id"), col("band_hash"))
+      .orderBy(col("doc_id"))
+    val bandRows = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band_id"), col("bh.band_hash"))
+      .withColumn("salt",
+        ((row_number().over(wBucket) - 1) / bucketCap).cast("int"))
+      .cache() // tiny (docs × bands rows); read twice by the self-join
+    bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.salt") === col("y.salt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Exact shingle-Jaccard for a given candidate-pair set: two semi-joins

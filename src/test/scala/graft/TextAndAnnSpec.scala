@@ -133,6 +133,50 @@ class TextAndAnnSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("cosine pairs: blocked grid and banded LSH both equal the brute baseline") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val brute = Ann.cosinePairsBrute(e, 0.4)
+      .as[(Long, Long)].collect().toSet
+    val blocked = Ann.cosinePairsBlocked(e, 0.4, chunks = 4)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Ann.cosinePairsLsh(e, 0.4)
+      .as[(Long, Long)].collect().toSet
+    assert(blocked == brute, "chunk-grid must lose/invent nothing")
+    assert(lsh == brute, "48-band LSH must be lossless at threshold 0.4")
+  }
+
+  test("cosine pairs LSH at a realistic threshold: planted near-copies, few bands") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    // cosine is scale-invariant: a uniformly scaled copy is a planted
+    // sim≈1.0 pair; the random base pairs sit far below the threshold
+    val copies = e.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val corpus = e.select("vec_id", "embedding").unionByName(copies)
+    val brute = Ann.cosinePairsBrute(corpus, 0.95)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Ann.cosinePairsLsh(corpus, 0.95, planesPerBand = 4, bands = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh == brute)
+    assert(brute.size >= e.count(), "every planted copy pair must be found")
+  }
+
+  test("LSH band buckets are capped: degenerate identical corpus stays linear") {
+    graft.plans.GraftFunctions.register(spark)
+    // 1000 byte-identical docs: every band bucket collapses to ONE bucket
+    // of 1000 — uncapped, the band self-join is O(n²)=499500 pairs; the
+    // cap-100 salt bounds it to 10 slices × C(100,2)
+    val sigs = spark.range(1000)
+      .select(col("id").as("doc_id"),
+        split(lit("alpha beta gamma delta epsilon zeta"), " ").as("ws"))
+      .select(col("doc_id"), TextFns.shingles(col("ws"), 3).as("sh"))
+      .select(col("doc_id"), expr("graft_minhash64(sh)").as("sig"))
+    val cand = TextDedup.lshCandidates(sigs,
+      bands = 16, r = 4, bucketCap = 100)
+    val n = cand.count()
+    assert(n == 10L * 100 * 99 / 2,
+      s"expected 10 cap-sized slices of C(100,2) candidates, got $n")
+  }
+
   test("ANN: brute top-k is exact; LSH returns valid ranked subsets") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val q = e.filter(col("vec_id") % 50 === 0)
