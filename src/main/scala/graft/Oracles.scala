@@ -431,6 +431,25 @@ object Oracles {
              count(DISTINCT user_id) AS n_users
       FROM cleaned WHERE status = 'approved'""",
 
+    "q54_orc_roundtrip" -> s"""$cte
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
+             count(DISTINCT user_id) AS n_users
+      FROM cleaned""",
+
+    "q55_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n
+      FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q56_range_frame" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS trailing30d_rev
+      FROM orders ORDER BY o_custkey, o_orderkey""",
+
     // cosine written as the explicit dot/(sqrt·sqrt) shape — the same IEEE
     // op sequence CosineSim executes — instead of list_cosine_similarity,
     // whose internal op order is DuckDB's own (r1 advisor: a ~1-ulp
