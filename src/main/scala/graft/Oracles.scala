@@ -32,6 +32,14 @@ object Oracles {
     * q52 (LSH-banded path): every (a<b) pair with cosine >= 0.4. The
     * cosine is the explicit dot/(sqrt·sqrt) shape CosineSim executes.
     */
+  /** Hourly event rollup shared by q16 (batch) and q57 (streaming form):
+    * a 1-hour tumbling window's start is date_trunc('hour', ts).
+    */
+  private val eventsHourlyOracle: String = """
+      SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
   private val cosinePairsOracle: String = """
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -165,10 +173,11 @@ object Oracles {
              count(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
-    "q16_events_hourly" -> """
-      SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q16_events_hourly" -> eventsHourlyOracle,
+
+    // The streaming form drains the same input through AvailableNow
+    // micro-batches; the final windows must equal the batch rollup.
+    "q57_streaming_rollup" -> eventsHourlyOracle,
 
     "q17_events_props" -> """
       SELECT json_extract_string(props, '$.k') AS k, count(*) AS n,

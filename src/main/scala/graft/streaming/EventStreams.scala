@@ -39,6 +39,49 @@ object EventStreams {
       .groupBy(window(col("event_time"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** The hourly rollup as a RUN-TO-COMPLETION streaming job: AvailableNow
+    * trigger drains the source incrementally (micro-batches with partial
+    * state, exactly the cluster shape), Complete mode emits the final
+    * windows into a memory sink, and the result comes back as a plain
+    * DataFrame — which is how the driver gate hash-compares a STREAMING
+    * operator against the same DuckDB oracle as the batch form (q16).
+    *
+    * The 1-hour tumbling `window().start` is definitionally
+    * `date_trunc('hour', ts)`, and the sum runs in exact DECIMAL like
+    * every oracle-facing aggregate. A fresh checkpoint dir per call keeps
+    * AvailableNow from treating the (static) input as already consumed.
+    */
+  def hourlyRollupOnce(spark: SparkSession, path: String,
+      queryName: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // FileStreamSource ingests DIRECTORIES (files land in a watched dir
+    // in production); the single-file testdata layout is staged into one
+    val p = java.nio.file.Paths.get(path)
+    val srcDir = java.nio.file.Paths.get(s"/tmp/graft_stream_src_$queryName")
+    java.nio.file.Files.createDirectories(srcDir)
+    java.nio.file.Files.copy(p, srcDir.resolve(p.getFileName),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val agg = source(spark, srcDir.toString)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("sum_value"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt").toString
+    val q = agg.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** Per-user session state for the stateful sessionizer. */
   case class SessionState(lastUs: Long, nEvents: Long, nSessions: Long)
 
