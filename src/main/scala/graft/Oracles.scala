@@ -451,6 +451,32 @@ object Oracles {
       FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
+    "q58_rank_family" -> """
+      SELECT c_nationkey, c_custkey,
+             CAST(rank() OVER wc AS INTEGER) AS rnk,
+             CAST(dense_rank() OVER wc AS INTEGER) AS drnk,
+             percent_rank() OVER wc AS prnk,
+             cume_dist() OVER wc AS cdist,
+             first_value(c_custkey) OVER wt AS richest_cust
+      FROM customer
+      WINDOW wc AS (PARTITION BY c_nationkey
+                    ORDER BY floor(c_acctbal / 1000) DESC),
+             wt AS (PARTITION BY c_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_nationkey, c_custkey""",
+
+    "q59_unpivot" -> """
+      WITH melted AS (
+        SELECT l_returnflag, 'discount' AS metric, l_discount AS value
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'quantity', l_quantity FROM lineitem)
+      SELECT l_returnflag, metric, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM melted GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q56_range_frame" -> """
       SELECT o_custkey, o_orderkey,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER

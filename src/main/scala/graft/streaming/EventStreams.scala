@@ -55,13 +55,27 @@ object EventStreams {
       queryName: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     // FileStreamSource ingests DIRECTORIES (files land in a watched dir
-    // in production); the single-file testdata layout is staged into one
-    val p = java.nio.file.Paths.get(path)
-    val srcDir = java.nio.file.Paths.get(s"/tmp/graft_stream_src_$queryName")
-    java.nio.file.Files.createDirectories(srcDir)
-    java.nio.file.Files.copy(p, srcDir.resolve(p.getFileName),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val agg = source(spark, srcDir.toString)
+    // in production). The single-file testdata is staged as TWO files
+    // consumed one per trigger, so AvailableNow runs two real
+    // micro-batches and the window state must merge incrementally across
+    // them — the result is batching-invariant, which is exactly what the
+    // oracle equality proves. Two batches (not more) because each one
+    // pays a fixed state-store commit across every shuffle partition —
+    // the incremental-merge claim is proven at minimal bench cost. (The
+    // rewrite also lands `ts` as physical INT64, sidestepping the
+    // TIMESTAMP(NANOS) read quirk.)
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    spark.read
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .parquet(path)
+      .repartition(2)
+      .write.mode("overwrite").parquet(srcDir)
+    val agg = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "2 hours")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
