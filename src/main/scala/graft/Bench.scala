@@ -49,7 +49,11 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    // failed queries' partial elapsed times are EXCLUDED from the
+    // headline total — a query that dies early must not read as a
+    // speedup in cross-round comparisons (its per-query entry remains,
+    // flagged by `failed`)
+    val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

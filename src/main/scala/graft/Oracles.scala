@@ -28,10 +28,6 @@ object Oracles {
   val cte: String =
     s"WITH transactions AS (${TxnView.selectSql}), cleaned AS ($cleanedSelect)"
 
-  /** Exact cosine-pairs contract shared by q28 (blocked-exact path) and
-    * q52 (LSH-banded path): every (a<b) pair with cosine >= 0.4. The
-    * cosine is the explicit dot/(sqrt·sqrt) shape CosineSim executes.
-    */
   /** Hourly event rollup shared by q16 (batch) and q57 (streaming form):
     * a 1-hour tumbling window's start is date_trunc('hour', ts).
     */
@@ -40,6 +36,10 @@ object Oracles {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Exact cosine-pairs contract shared by q28 (blocked-exact path) and
+    * q52 (LSH-banded path): every (a<b) pair with cosine >= 0.4. The
+    * cosine is the explicit dot/(sqrt·sqrt) shape CosineSim executes.
+    */
   private val cosinePairsOracle: String = """
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

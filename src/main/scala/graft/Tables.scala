@@ -26,7 +26,7 @@ object Tables {
     * as raw epoch nanoseconds (see [[graft.operators.Events]] for the
     * truncating conversion that matches DuckDB's ns→µs read behavior).
     */
-  private val eventsSchema =
+  private[graft] val eventsSchema =
     "event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
       "value DOUBLE, props STRING"
 

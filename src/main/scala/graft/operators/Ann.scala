@@ -226,6 +226,8 @@ object Ann {
       .select(col("vec_id"),
         posexplode(expr(s"graft_lshbands(v, $planesPerBand, $bands)"))
           .as(Seq("band_id", "code")))
+      .cache() // read twice by the self-join: uncached, the banded
+               // plane-dot map stage would execute once per side
     val cand = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band_id") === col("y.band_id") &&

@@ -49,6 +49,15 @@ object GlobalWindow {
   /** ntile + lag over the global (valueCol DESC, keyCol ASC) total order.
     * Adds `global_rn`, `ntile_bucket` (1..buckets), and `prev_value` (the
     * previous row's value in global order; null for the global first row).
+    *
+    * The locally-windowed frame is cache()'d because BOTH the stats
+    * aggregation and the final join consume it: uncached, each consumer
+    * would re-execute the range exchange, and RangePartitioner's sampled
+    * boundaries are seeded per-RDD — two independent executions could
+    * disagree on partition assignment and corrupt every offset (the
+    * CLAUDE.md self-join-intermediate rule; relying on ReuseExchange
+    * dedup is fragile since column pruning can de-canonicalize one
+    * side). The cached working set is the operator's own output size.
     */
   def ntileLagDesc(df: DataFrame, valueCol: String, keyCol: String,
       buckets: Int, parts: Int = 16): DataFrame = {
@@ -59,11 +68,13 @@ object GlobalWindow {
     val local = parted
       .withColumn("_lrn", row_number().over(wLoc))
       .withColumn("_llag", lag(v, 1).over(wLoc))
-    // last row of each partition in (v desc, k asc) order = min v, ties
-    // to max k — min_by over the (v, -k) struct, map-side combinable
-    val stats = parted.groupBy(col("_pid"))
+      .cache()
+    // last row of each partition = the row with the max LOCAL rank:
+    // max_by over _lrn (never null) stays correct when v itself has
+    // nulls, which a (v, -k)-struct argmin would mis-order
+    val stats = local.groupBy(col("_pid"))
       .agg(count(lit(1)).as("_cnt"),
-        min_by(v, struct(v, negate(k))).as("_last"))
+        max_by(v, col("_lrn")).as("_last"))
     val wStat = Window.orderBy(col("_pid"))
     val offsets = stats
       .withColumn("_off", coalesce(
@@ -76,7 +87,12 @@ object GlobalWindow {
     local.join(broadcast(offsets), Seq("_pid"))
       .withColumn("global_rn", col("_off") + col("_lrn"))
       .withColumn("ntile_bucket", ntileExpr("global_rn", "_n", buckets))
-      .withColumn("prev_value", coalesce(col("_llag"), col("_prev_last")))
+      // lag semantics preserved for nullable values: only a partition's
+      // FIRST row borrows the previous partition's last value — a
+      // coalesce would also fire when the true predecessor's value is
+      // legitimately NULL and fabricate a non-null prev
+      .withColumn("prev_value",
+        when(col("_lrn") === 1, col("_prev_last")).otherwise(col("_llag")))
       .drop("_pid", "_lrn", "_llag", "_off", "_prev_last", "_n")
   }
 }

@@ -95,8 +95,8 @@ object TextDedup {
     val bandRows = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band_id"), col("bh.band_hash"))
-      .withColumn("salt",
-        ((row_number().over(wBucket) - 1) / bucketCap).cast("int"))
+      .withColumn("salt", // FLOOR before the double→int cast (float policy)
+        floor((row_number().over(wBucket) - 1) / bucketCap).cast("int"))
       .cache() // tiny (docs × bands rows); read twice by the self-join
     bandRows.as("x")
       .join(bandRows.as("y"),

@@ -24,8 +24,7 @@ object EventStreams {
     */
   def source(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-        "value DOUBLE, props STRING")
+      .schema(graft.Tables.eventsSchema) // the ONE events schema (ns→long)
       .parquet(dir)
 
   /** Tumbling event-time window counts per event_type with a watermark —
@@ -65,15 +64,11 @@ object EventStreams {
     // rewrite also lands `ts` as physical INT64, sidestepping the
     // TIMESTAMP(NANOS) read quirk.)
     val srcDir = s"/tmp/graft_stream_src_$queryName"
-    spark.read
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-        "value DOUBLE, props STRING")
-      .parquet(path)
+    spark.read.schema(graft.Tables.eventsSchema).parquet(path)
       .repartition(2)
       .write.mode("overwrite").parquet(srcDir)
     val agg = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-        "value DOUBLE, props STRING")
+      .schema(graft.Tables.eventsSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))

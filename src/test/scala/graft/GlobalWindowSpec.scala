@@ -34,6 +34,22 @@ class GlobalWindowSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("nullable values: lag must return NULL after a null-valued row, not a carry") {
+    // every 7th value NULL: a coalesce-based boundary carry would
+    // fabricate a non-null prev for rows whose true predecessor is NULL
+    val df = spark.range(500)
+      .select(col("id").as("k"),
+        when(col("id") % 7 === 0, lit(null))
+          .otherwise((col("id") % 53).cast("double")).as("v"))
+    val got = GlobalWindow.ntileLagDesc(df, "v", "k", buckets = 4, parts = 8)
+      .select(col("k"), col("ntile_bucket").cast("int").as("nt"),
+        col("prev_value").as("pv"))
+      .as[(Long, Int, Option[Double])].collect().toSet
+    val want = naive(df, 4).select(col("k"), col("nt"), col("pv"))
+      .as[(Long, Int, Option[Double])].collect().toSet
+    assert(got == want)
+  }
+
   test("n < buckets degenerate case matches naive ntile") {
     val df = spark.range(3)
       .select(col("id").as("k"), col("id").cast("double").as("v"))
