@@ -530,7 +530,17 @@ object Oracles {
                   ELSE 1 END AS BIGINT) AS frame_estimate
       FROM documents ORDER BY media_id""",
 
-    "q18_sessionize" -> """
+    "q18_sessionize" -> sessionizeOracle,
+
+    // The stateful-streaming form must converge to the same per-user
+    // sessions as the batch window computation.
+    "q60_streaming_sessionize" -> sessionizeOracle
+  )
+
+  /** 30-minute-gap sessionization shared by q18 (batch) and q60
+    * (stateful streaming form).
+    */
+  private lazy val sessionizeOracle: String = """
       WITH flagged AS (
         SELECT user_id, epoch_us(ts) AS ts_us,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
@@ -541,5 +551,4 @@ object Oracles {
              CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
              (max(ts_us) - min(ts_us)) // 1000000 AS span_seconds
       FROM flagged GROUP BY user_id ORDER BY user_id"""
-  )
 }

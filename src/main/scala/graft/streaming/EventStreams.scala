@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -92,10 +94,12 @@ object EventStreams {
   }
 
   /** Per-user session state for the stateful sessionizer. */
-  case class SessionState(lastUs: Long, nEvents: Long, nSessions: Long)
+  case class SessionState(firstUs: Long, lastUs: Long, nEvents: Long,
+    nSessions: Long)
 
   /** Emitted on every update: the user's running session stats. */
-  case class SessionUpdate(user_id: Long, n_events: Long, n_sessions: Long)
+  case class SessionUpdate(user_id: Long, n_events: Long, n_sessions: Long,
+    span_seconds: Long)
 
   /** Stateful sessionization via flatMapGroupsWithState — the streaming
     * form of [[graft.operators.Events.sessionize]]: a new session starts
@@ -113,18 +117,72 @@ object EventStreams {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (user, rows, state: GroupState[SessionState]) =>
           // Rows within a micro-batch arrive unordered; sort locally
-          // (bounded by batch size, not stream history).
+          // (bounded by batch size, not stream history). Cross-batch
+          // correctness assumes per-user time-ordered arrival — the file
+          // layout's job (see sessionizeOnce), as in any log pipeline.
           val sorted = rows.map(_._2).toSeq.sorted
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          var st = state.getOption
+            .getOrElse(SessionState(Long.MinValue, Long.MinValue, 0L, 0L))
           sorted.foreach { us =>
             val newSession = st.nSessions == 0L || us - st.lastUs > gapUs
-            st = SessionState(us, st.nEvents + 1L,
-              st.nSessions + (if (newSession) 1L else 0L))
+            st = SessionState(if (st.nEvents == 0L) us else st.firstUs, us,
+              st.nEvents + 1L, st.nSessions + (if (newSession) 1L else 0L))
           }
           state.update(st)
-          Iterator.single(SessionUpdate(user, st.nEvents, st.nSessions))
+          Iterator.single(SessionUpdate(user, st.nEvents, st.nSessions,
+            (st.lastUs - st.firstUs) / 1000000L))
       }
       .toDF()
+  }
+
+  /** The stateful sessionizer as a RUN-TO-COMPLETION streaming job, gate-
+    * comparable to batch q18: the input is staged as two TIME-RANGE-split
+    * files with forced modification-time order (FileStreamSource ingests
+    * oldest-first), consumed one per trigger — so every user's session
+    * state genuinely carries across two micro-batches, with the second
+    * batch's events all later than the first's. Update mode emits a
+    * running row per (user, batch); the final answer is each user's LAST
+    * update, selected by the strictly-increasing n_events via max_by.
+    */
+  def sessionizeOnce(spark: SparkSession, path: String, gapMinutes: Int,
+      queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    spark.read.schema(graft.Tables.eventsSchema).parquet(path)
+      .repartitionByRange(2, col("ts")) // part-00000 = earlier half
+      .write.mode("overwrite").parquet(srcDir)
+    // pin arrival order without data-dependent driver logic: range
+    // partition ids are ascending in ts, so stamping ascending mtimes on
+    // the part files makes oldest-first ingestion == time order
+    val dir = java.nio.file.Paths.get(srcDir)
+    val parts = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+      .sortBy(_.getFileName.toString)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val src = spark.readStream
+      .schema(graft.Tables.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt").toString
+    val q = sessionize(src, gapMinutes).writeStream.format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("n_events"), col("n_sessions"), col("span_seconds")),
+        col("n_events")).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.n_sessions").as("n_sessions"),
+        col("m.span_seconds").as("span_seconds"))
+      .orderBy(col("user_id"))
   }
 
   /** Streaming exactly-once-per-key dedup — the streaming analogue of the

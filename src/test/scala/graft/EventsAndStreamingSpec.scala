@@ -51,7 +51,8 @@ class EventsAndStreamingSpec extends AnyFunSuite {
         EventStreams.source(spark, eventsDir), 30),
       "sessions", OutputMode.Update())
     // one micro-batch => one update row per user = final state
-    val got = stream.as[(Long, Long, Long)].collect().toSet
+    val got = stream.select("user_id", "n_events", "n_sessions")
+      .as[(Long, Long, Long)].collect().toSet
     assert(got == batch)
   }
 
