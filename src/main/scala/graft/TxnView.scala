@@ -62,6 +62,16 @@ object TxnView {
 
   /** The dirty view as a Spark DataFrame (same SQL text, evaluated by
     * Catalyst over the parquet `lineitem`).
+    *
+    * Deliberately NO repartition before the per-row string construction:
+    * the testdata's single-row-group parquet makes this scan one task
+    * locally (~2 s of the staging build), but a round-robin shuffle of
+    * the whole fact table to fix a testdata artifact would be an extra
+    * full shuffle at 100 TB — the wrong trade (measured locally: the
+    * shuffle cost ≈ the parallelism gain even here). Real fact tables
+    * arrive in many row groups and parallelize in the scan itself.
+    * Contrast q50, where the probe-side repartition IS kept: there each
+    * row fans into ~1000 levenshtein DPs, so compute dwarfs any shuffle.
     */
   def dirty(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
