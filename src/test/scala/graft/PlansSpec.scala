@@ -27,6 +27,28 @@ class PlansSpec extends AnyFunSuite {
     assert(diffs == 0, "codegen cosine must equal the HOF fold exactly")
   }
 
+  test("LshBands codes equal a direct recomputation from the plane spec") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val got = e.select(col("vec_id"),
+        VecFns.toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), expr("graft_lshbands(v, 4, 8)").as("codes"),
+        col("v"))
+      .as[(Long, Seq[Long], Seq[Double])].collect()
+    val planes = VecFns.hyperplanes(64, 32)
+    got.foreach { case (id, codes, v) =>
+      val want = (0 until 8).map { b =>
+        (0 until 4).map { j =>
+          val p = planes(b * 4 + j)
+          val dot = v.indices.foldLeft(0.0)((acc, d) => acc + v(d) * p(d))
+          if (dot > 0) 1L << j else 0L
+        }.sum
+      }
+      assert(codes == want, s"vec $id codes diverge from plane spec")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("MinHashSig: permutation-invariant, subset-monotone signatures") {
     GraftFunctions.register(spark)
     val df = Seq(
