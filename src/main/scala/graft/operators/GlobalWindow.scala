@@ -59,10 +59,18 @@ object GlobalWindow {
     * dedup is fragile since column pruning can de-canonicalize one
     * side). The cached working set is the operator's own output size.
     */
+  /** `parts <= 0` (the default) resolves to the session's shuffle
+    * parallelism — partition count must GROW with the cluster/data; a
+    * fixed constant would turn each range slice into an ever-larger
+    * single-task sort at scale (the q50-nation-blocking mistake).
+    */
   def ntileLagDesc(df: DataFrame, valueCol: String, keyCol: String,
-      buckets: Int, parts: Int = 16): DataFrame = {
+      buckets: Int, parts: Int = 0): DataFrame = {
+    val nParts =
+      if (parts > 0) parts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     val v = col(valueCol); val k = col(keyCol)
-    val parted = df.repartitionByRange(parts, v.desc, k.asc)
+    val parted = df.repartitionByRange(nParts, v.desc, k.asc)
       .withColumn("_pid", spark_partition_id())
     val wLoc = Window.partitionBy(col("_pid")).orderBy(v.desc, k.asc)
     val local = parted
