@@ -451,6 +451,19 @@ object Oracles {
       FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
+    "q61_deterministic_split" -> """
+      WITH tagged AS (
+        SELECT lang, n_chars,
+               ((doc_id % 100003) * 2654435761) % 1000 AS bucket
+        FROM documents)
+      SELECT lang,
+             CASE WHEN bucket < 800 THEN 'train'
+                  WHEN bucket < 900 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q58_rank_family" -> """
       SELECT c_nationkey, c_custkey,
              CAST(rank() OVER wc AS INTEGER) AS rnk,
