@@ -58,8 +58,8 @@ object GlobalWindow {
     * CLAUDE.md self-join-intermediate rule; relying on ReuseExchange
     * dedup is fragile since column pruning can de-canonicalize one
     * side). The cached working set is the operator's own output size.
-    */
-  /** `parts <= 0` (the default) resolves to the session's shuffle
+    *
+    * `parts <= 0` (the default) resolves to the session's shuffle
     * parallelism — partition count must GROW with the cluster/data; a
     * fixed constant would turn each range slice into an ever-larger
     * single-task sort at scale (the q50-nation-blocking mistake).

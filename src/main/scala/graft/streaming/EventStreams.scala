@@ -40,54 +40,74 @@ object EventStreams {
       .groupBy(window(col("event_time"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
-  /** The hourly rollup as a RUN-TO-COMPLETION streaming job: AvailableNow
-    * trigger drains the source incrementally (micro-batches with partial
-    * state, exactly the cluster shape), Complete mode emits the final
-    * windows into a memory sink, and the result comes back as a plain
-    * DataFrame — which is how the driver gate hash-compares a STREAMING
-    * operator against the same DuckDB oracle as the batch form (q16).
-    *
-    * The 1-hour tumbling `window().start` is definitionally
-    * `date_trunc('hour', ts)`, and the sum runs in exact DECIMAL like
-    * every oracle-facing aggregate. A fresh checkpoint dir per call keeps
-    * AvailableNow from treating the (static) input as already consumed.
+  /** Stage the events table (read via [[graft.Tables.events]] — the ONE
+    * sanctioned ns-schema read) into a watched directory, reshaped by
+    * `shape` (the resulting FILE layout is the micro-batch plan:
+    * FileStreamSource ingests directories in production, and with
+    * `maxFilesPerTrigger=1` each staged file becomes one micro-batch).
+    * The rewrite lands `ts` as physical INT64, so the streaming reads
+    * sidestep the TIMESTAMP(NANOS) quirk by construction.
     */
-  def hourlyRollupOnce(spark: SparkSession, path: String,
-      queryName: String): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    // FileStreamSource ingests DIRECTORIES (files land in a watched dir
-    // in production). The single-file testdata is staged as TWO files
-    // consumed one per trigger, so AvailableNow runs two real
-    // micro-batches and the window state must merge incrementally across
-    // them — the result is batching-invariant, which is exactly what the
-    // oracle equality proves. Two batches (not more) because each one
-    // pays a fixed state-store commit across every shuffle partition —
-    // the incremental-merge claim is proven at minimal bench cost. (The
-    // rewrite also lands `ts` as physical INT64, sidestepping the
-    // TIMESTAMP(NANOS) read quirk.)
-    val srcDir = s"/tmp/graft_stream_src_$queryName"
-    spark.read.schema(graft.Tables.eventsSchema).parquet(path)
-      .repartition(2)
+  private def stagedEventsSource(spark: SparkSession, sfDir: String,
+      srcDir: String)(shape: DataFrame => DataFrame): DataFrame = {
+    shape(graft.Tables.events(spark, sfDir))
       .write.mode("overwrite").parquet(srcDir)
-    val agg = spark.readStream
+    spark.readStream
       .schema(graft.Tables.eventsSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
+  }
+
+  /** Drain a streaming frame into a memory-sink table via AvailableNow
+    * with a fresh checkpoint (a stale one would mark the static input
+    * already-consumed; it is deleted again after termination so repeated
+    * harness runs don't accumulate state-store garbage in /tmp), and
+    * return the materialized table.
+    */
+  private def drainToTable(df: DataFrame, queryName: String,
+      mode: OutputMode): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    try {
+      val q = df.writeStream.format("memory").queryName(queryName)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    df.sparkSession.table(queryName)
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
+  }
+
+  /** The hourly rollup as a RUN-TO-COMPLETION streaming job: the input is
+    * staged as TWO files consumed one per trigger, so AvailableNow runs
+    * two real micro-batches and the window state must merge incrementally
+    * across them — the result is batching-invariant, which is exactly
+    * what the driver-gate equality against batch q16's DuckDB oracle
+    * proves. Two batches (not more) because each pays a fixed state-store
+    * commit across every shuffle partition. The 1-hour tumbling
+    * `window().start` is definitionally `date_trunc('hour', ts)`, and the
+    * sum runs in exact DECIMAL like every oracle-facing aggregate.
+    */
+  def hourlyRollupOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val src = stagedEventsSource(spark, sfDir,
+      s"/tmp/graft_stream_src_$queryName")(_.repartition(2))
+    val agg = src
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "2 hours")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
           .as("sum_value"))
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_ckpt").toString
-    val q = agg.writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    drainToTable(agg, queryName, OutputMode.Complete)
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy(col("bucket"), col("event_type"))
@@ -144,37 +164,26 @@ object EventStreams {
     * running row per (user, batch); the final answer is each user's LAST
     * update, selected by the strictly-increasing n_events via max_by.
     */
-  def sessionizeOnce(spark: SparkSession, path: String, gapMinutes: Int,
+  def sessionizeOnce(spark: SparkSession, sfDir: String, gapMinutes: Int,
       queryName: String): DataFrame = {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
-    spark.read.schema(graft.Tables.eventsSchema).parquet(path)
-      .repartitionByRange(2, col("ts")) // part-00000 = earlier half
-      .write.mode("overwrite").parquet(srcDir)
+    val src = stagedEventsSource(spark, sfDir, srcDir)(
+      _.repartitionByRange(2, col("ts"))) // part-00000 = earlier half
     // pin arrival order without data-dependent driver logic: range
     // partition ids are ascending in ts, so stamping ascending mtimes on
     // the part files makes oldest-first ingestion == time order
     val dir = java.nio.file.Paths.get(srcDir)
-    val parts = java.nio.file.Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-")).toSeq
-      .sortBy(_.getFileName.toString)
+    val listing = java.nio.file.Files.list(dir)
+    val parts =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        .sortBy(_.getFileName.toString)
+      finally listing.close()
     parts.zipWithIndex.foreach { case (p, i) =>
       java.nio.file.Files.setLastModifiedTime(p,
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
     }
-    val src = spark.readStream
-      .schema(graft.Tables.eventsSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_ckpt").toString
-    val q = sessionize(src, gapMinutes).writeStream.format("memory")
-      .queryName(queryName)
-      .outputMode(OutputMode.Update)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    drainToTable(sessionize(src, gapMinutes), queryName, OutputMode.Update)
       .groupBy(col("user_id"))
       .agg(max_by(
         struct(col("n_events"), col("n_sessions"), col("span_seconds")),
