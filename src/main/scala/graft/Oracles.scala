@@ -464,6 +464,13 @@ object Oracles {
              CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "q62_embedding_pool" -> """
+      SELECT label, d, count(*) AS n,
+             CAST(sum(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 10000000)
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM embeddings, range(1, 65) t(d)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q58_rank_family" -> """
       SELECT c_nationkey, c_custkey,
              CAST(rank() OVER wc AS INTEGER) AS rnk,
