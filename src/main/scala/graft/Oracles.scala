@@ -554,7 +554,14 @@ object Oracles {
 
     // The stateful-streaming form must converge to the same per-user
     // sessions as the batch window computation.
-    "q60_streaming_sessionize" -> sessionizeOracle
+    "q60_streaming_sessionize" -> sessionizeOracle,
+
+    // Streaming dedup drops the planted later-batch duplicates, so the
+    // drained aggregates equal the RAW table's (no duplicates in it).
+    "q63_streaming_dedup" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""
   )
 
   /** 30-minute-gap sessionization shared by q18 (batch) and q60

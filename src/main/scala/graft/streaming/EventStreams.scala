@@ -85,6 +85,56 @@ object EventStreams {
     finally walk.close()
   }
 
+  /** Pin micro-batch ARRIVAL ORDER without data-dependent driver logic:
+    * staged part files are stamped with ascending modification times in
+    * part-number order (range partition ids are ascending in the range
+    * key), and FileStreamSource ingests oldest-first.
+    */
+  private def stampAscendingMtimes(srcDir: String): Unit = {
+    val dir = java.nio.file.Paths.get(srcDir)
+    val listing = java.nio.file.Files.list(dir)
+    val parts =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        .sortBy(_.getFileName.toString)
+      finally listing.close()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+  }
+
+  /** Streaming dedup as a RUN-TO-COMPLETION gate query: the first staged
+    * file carries every original event, the second carries byte-identical
+    * COPIES of every 10th event — so the copies arrive in a LATER
+    * micro-batch and only cross-batch dedup state (or the watermark's
+    * late-row policy, for copies older than the advanced watermark; both
+    * are the operator's contract) can drop them. The drained output must
+    * therefore aggregate to exactly the original events — which is what
+    * the DuckDB oracle over the raw table checks.
+    */
+  def dedupOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val src = stagedEventsSource(spark, sfDir, srcDir) { ev =>
+      val dups = ev.filter(col("event_id") % 10 === 0)
+      ev.withColumn("_b", lit(0))
+        .unionByName(dups.withColumn("_b", lit(1)))
+        .repartitionByRange(2, col("_b")) // part-00000 = originals
+        .drop("_b")
+    }
+    stampAscendingMtimes(srcDir)
+    val table = drainToTable(
+      dedupedStream(src).select("event_id", "event_type", "value"),
+      queryName, OutputMode.Append)
+    table.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** The hourly rollup as a RUN-TO-COMPLETION streaming job: the input is
     * staged as TWO files consumed one per trigger, so AvailableNow runs
     * two real micro-batches and the window state must merge incrementally
@@ -169,20 +219,7 @@ object EventStreams {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val src = stagedEventsSource(spark, sfDir, srcDir)(
       _.repartitionByRange(2, col("ts"))) // part-00000 = earlier half
-    // pin arrival order without data-dependent driver logic: range
-    // partition ids are ascending in ts, so stamping ascending mtimes on
-    // the part files makes oldest-first ingestion == time order
-    val dir = java.nio.file.Paths.get(srcDir)
-    val listing = java.nio.file.Files.list(dir)
-    val parts =
-      try listing.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("part-")).toSeq
-        .sortBy(_.getFileName.toString)
-      finally listing.close()
-    parts.zipWithIndex.foreach { case (p, i) =>
-      java.nio.file.Files.setLastModifiedTime(p,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-    }
+    stampAscendingMtimes(srcDir) // oldest-first ingestion == time order
     drainToTable(sessionize(src, gapMinutes), queryName, OutputMode.Update)
       .groupBy(col("user_id"))
       .agg(max_by(
