@@ -464,11 +464,14 @@ object Oracles {
              CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // the dimension range derives from each row's actual array length
+    // (lateral range), mirroring posexplode: no hard-coded 64, and a
+    // NULL/short embedding contributes exactly its own elements
     "q62_embedding_pool" -> """
       SELECT label, d, count(*) AS n,
              CAST(sum(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 10000000)
                            AS BIGINT)) AS BIGINT) AS s
-      FROM embeddings, range(1, 65) t(d)
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) t(d)
       GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q58_rank_family" -> """

@@ -233,14 +233,21 @@ object EventStreams {
 
   /** Streaming exactly-once-per-key dedup — the streaming analogue of the
     * reference's PK upsert (SURVEY.md S7): duplicate event_ids arriving
-    * within the watermark horizon are dropped; state is bounded by the
-    * watermark (old keys age out), so it runs forever at 100 TB/day.
+    * within the watermark delay of the first occurrence are dropped.
+    *
+    * `dropDuplicatesWithinWatermark`, NOT plain `dropDuplicates(key)`:
+    * with a key-only subset, plain dropDuplicates never applies watermark
+    * eviction (that path requires the event-time column IN the subset),
+    * so its state grows by one entry per distinct key forever — the exact
+    * key-only-dedup gap dropDuplicatesWithinWatermark was added to close.
+    * With it, state ages out at the watermark horizon and the stream runs
+    * forever at 100 TB/day.
     */
   def dedupedStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Drive a streaming DataFrame synchronously into a memory sink and
     * return the materialized result (local smoke/test harness).
