@@ -61,6 +61,34 @@ class GlobalWindowSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("property: random sizes/ties/nulls/buckets always equal the naive window") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      tieMod <- Gen.choose(1, 50)     // small mod → heavy ties
+      nullEvery <- Gen.choose(2, 20)  // planted nulls
+      buckets <- Gen.choose(1, 9)
+      parts <- Gen.choose(1, 12)
+    } yield (n, tieMod, nullEvery, buckets, parts)
+    val prop = Prop.forAll(gen) { case (n, tieMod, nullEvery, buckets, parts) =>
+      val df = spark.range(n.toLong)
+        .select(col("id").as("k"),
+          when(col("id") % nullEvery === 0, lit(null))
+            .otherwise((col("id") % tieMod).cast("double")).as("v"))
+      val got = GlobalWindow
+        .ntileLagDesc(df, "v", "k", buckets, parts)
+        .select(col("k"), col("ntile_bucket").cast("int"), col("prev_value"))
+        .as[(Long, Int, Option[Double])].collect().toSet
+      val want = naive(df, buckets)
+        .select(col("k"), col("nt"), col("pv"))
+        .as[(Long, Int, Option[Double])].collect().toSet
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("no single-partition exchange over data-sized input") {
     val df = spark.range(1000)
       .select(col("id").as("k"), (col("id") % 97).cast("double").as("v"))
