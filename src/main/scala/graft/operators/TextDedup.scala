@@ -73,30 +73,41 @@ object TextDedup {
     * signature slots per band, explode to (band_id, band_hash, doc_id)
     * and self-join on bucket equality.
     *
-    * Buckets larger than `bucketCap` are SALTED into cap-sized slices
-    * (deterministic row_number order by doc_id) and pairs form only
-    * within a slice: a degenerate corpus — thousands of byte-identical
-    * documents collapsing into one bucket in every band — costs
-    * O(bucket × cap) instead of O(bucket²). Below the cap (any
-    * non-pathological corpus) every bucket is one slice and the
-    * candidate set is unchanged; above it, cross-slice pairs are
-    * knowingly dropped — identical documents are exact-dedup's job
-    * ([[exactDupGroups]]), not the near-dup join's.
+    * Buckets larger than `bucketCap` are SALTED into ~cap-sized slices
+    * and pairs form only within a slice: a degenerate corpus — thousands
+    * of byte-identical documents collapsing into one bucket in every
+    * band — costs O(bucket × cap) instead of O(bucket²). The salt is
+    * derived by hash-partitioning doc_ids over ceil(size/cap) slices,
+    * joined from an OVERSIZED-BUCKETS side table that is empty for any
+    * non-pathological corpus — so the normal path pays one map-combined
+    * aggregation and an (empty) broadcast join, never the full
+    * shuffle+SORT a row_number window over every bucket would cost.
+    * Below the cap the candidate set is byte-identical; above it,
+    * cross-slice pairs are knowingly dropped — identical documents are
+    * exact-dedup's job ([[exactDupGroups]]), not the near-dup join's.
     */
   private[graft] def lshCandidates(sigs: DataFrame, bands: Int, r: Int,
       bucketCap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
         hash(slice(col("sig"), b * r + 1, r), lit(b)).as("band_hash"))
     }
-    val wBucket = Window.partitionBy(col("band_id"), col("band_hash"))
-      .orderBy(col("doc_id"))
-    val bandRows = sigs
+    val raw = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band_id"), col("bh.band_hash"))
-      .withColumn("salt", // FLOOR before the double→int cast (float policy)
-        floor((row_number().over(wBucket) - 1) / bucketCap).cast("int"))
+    // (band, hash) -> slice count, ONLY where a bucket breaches the cap;
+    // integral ceil division: (cnt + cap - 1) div cap
+    val oversized = raw.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > bucketCap)
+      .select(col("band_id"), col("band_hash"),
+        expr(s"(cnt + $bucketCap - 1) div $bucketCap").as("n_slices"))
+    val bandRows = raw
+      .join(broadcast(oversized), Seq("band_id", "band_hash"), "left")
+      .withColumn("salt",
+        when(col("n_slices").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("doc_id")), col("n_slices"))))
+      .drop("n_slices")
       .cache() // tiny (docs × bands rows); read twice by the self-join
     bandRows.as("x")
       .join(bandRows.as("y"),

@@ -164,7 +164,8 @@ class TextAndAnnSpec extends AnyFunSuite {
     graft.plans.GraftFunctions.register(spark)
     // 1000 byte-identical docs: every band bucket collapses to ONE bucket
     // of 1000 — uncapped, the band self-join is O(n²)=499500 pairs; the
-    // cap-100 salt bounds it to 10 slices × C(100,2)
+    // cap-100 hash salt spreads it over 10 slices, bounding candidates
+    // near 10 × C(100,2) ≈ 49.5k (multinomial slice sizes wobble a bit)
     val sigs = spark.range(1000)
       .select(col("id").as("doc_id"),
         split(lit("alpha beta gamma delta epsilon zeta"), " ").as("ws"))
@@ -173,8 +174,8 @@ class TextAndAnnSpec extends AnyFunSuite {
     val cand = TextDedup.lshCandidates(sigs,
       bands = 16, r = 4, bucketCap = 100)
     val n = cand.count()
-    assert(n == 10L * 100 * 99 / 2,
-      s"expected 10 cap-sized slices of C(100,2) candidates, got $n")
+    assert(n < 120000, s"candidates must stay ~n×cap/2, not O(n²): $n")
+    assert(n > 10000, s"slices must still pair internally: $n")
   }
 
   test("ANN: brute top-k is exact; LSH returns valid ranked subsets") {
