@@ -78,6 +78,10 @@ object EventStreams {
     df.sparkSession.table(queryName)
   }
 
+  /** Test hook: recursive staging-dir cleanup (no-op if absent). */
+  private[graft] def deleteStagingForTest(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) deleteRecursively(root)
+
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(root)
     try walk.sorted(java.util.Comparator.reverseOrder())

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -40,6 +42,54 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     val streamBuckets = stream.select(col("window.start"))
       .distinct().as[java.sql.Timestamp].collect().toSet
     assert(streamBuckets == batchBuckets)
+  }
+
+  test("streaming dedup EVICTS state past the watermark horizon") {
+    // Time-ordered micro-batches (one file per trigger, ascending
+    // mtimes): batch1 = keys 1..50 at t0; batch2 = fresh keys at t0+10h,
+    // advancing the watermark to t0+8h; batch3 = more fresh keys (state
+    // cleanup applies the ADVANCED watermark during this batch, expiring
+    // batch1's entries); batch4 repeats batch1's KEYS at t0+9h.
+    // dropDuplicatesWithinWatermark must re-emit them — proving state is
+    // evicted, not grown forever (plain dropDuplicates(key) would still
+    // drop them and OOM at 100 TB/day).
+    val srcDir = java.nio.file.Paths.get("/tmp/graft_stream_evict")
+    graft.streaming.EventStreams.deleteStagingForTest(srcDir)
+    java.nio.file.Files.createDirectories(srcDir)
+    val t0 = 1700000000L * 1000000000L // epoch NANOS (schema's raw ts)
+    val h = 3600L * 1000000000L
+    def mk(ids: Range, at: Long) = ids.toDF("event_id")
+      .select(col("event_id").cast("long"), lit(at).as("ts"),
+        lit(1L).as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("""{"k":1}""").as("props"))
+    Seq(mk(1 to 50, t0), mk(1000 to 1040, t0 + 10 * h),
+        mk(2000 to 2040, t0 + 10 * h),
+        mk(1 to 50, t0 + 9 * h)).zipWithIndex.foreach { case (df, i) =>
+      val sub = srcDir.resolve(s"b$i")
+      df.coalesce(1).write.mode("overwrite").parquet(sub.toString)
+      val l = java.nio.file.Files.list(sub)
+      val part = try l.iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      finally l.close()
+      val dst = srcDir.resolve(f"batch-$i%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      graft.streaming.EventStreams.deleteStagingForTest(sub)
+    }
+    val src = spark.readStream.schema(Tables.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val out = EventStreams.runToMemory(
+      EventStreams.dedupedStream(src).select("event_id"),
+      "evict_test", OutputMode.Append())
+    val perKey = out.groupBy("event_id").count()
+      .as[(Long, Long)].collect().toMap
+    (1L to 50L).foreach { k =>
+      assert(perKey(k) == 2L,
+        s"key $k must be re-emitted after its state expired (got ${perKey(k)})")
+    }
+    (1000L to 1040L).foreach(k => assert(perKey(k) == 1L))
+    (2000L to 2040L).foreach(k => assert(perKey(k) == 1L))
   }
 
   test("stateful streaming sessionizer agrees with the batch sessionizer") {
