@@ -32,17 +32,32 @@ object Bench {
     // lang-ID, q23's quality never executed under count), so the bench
     // wasn't measuring the declared work. The noop sink evaluates every
     // output column and discards rows sink-side.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    //
+    // Diagnostics knobs (NOT used by the driver's per-round run):
+    //  - SPARK_GRAFT_ACTION=count re-times under the r1 count() action,
+    //    for the one same-action cross-round comparison the r2 judge
+    //    asked for (pruned-action artifacts vs real regressions);
+    //  - SPARK_GRAFT_ONLY=q35,q50 restricts to named queries for cheap
+    //    paired runs of a suspect without the 60-query tail.
+    val action = sys.env.getOrElse("SPARK_GRAFT_ACTION", "noop")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+          val df = fn(spark, sfDir)
+          if (action == "count") df.count()
+          else df.write.format("noop").mode("overwrite").save()
+          true
         } catch {
           case t: Throwable =>
             // loud + flagged: a throwing query must not masquerade as a
             // plausibly-fast timing (r1 advisor finding)
             System.err.println(s"BENCH FAIL $name: $t"); false
-        }
+        } finally CacheScope.releaseAll() // per-query operator caches
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

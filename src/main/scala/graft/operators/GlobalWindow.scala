@@ -73,10 +73,9 @@ object GlobalWindow {
     val parted = df.repartitionByRange(nParts, v.desc, k.asc)
       .withColumn("_pid", spark_partition_id())
     val wLoc = Window.partitionBy(col("_pid")).orderBy(v.desc, k.asc)
-    val local = parted
+    val local = graft.CacheScope.scoped(parted
       .withColumn("_lrn", row_number().over(wLoc))
-      .withColumn("_llag", lag(v, 1).over(wLoc))
-      .cache()
+      .withColumn("_llag", lag(v, 1).over(wLoc)))
     // last row of each partition = the row with the max LOCAL rank:
     // max_by over _lrn (never null) stays correct when v itself has
     // nulls, which a (v, -k)-struct argmin would mis-order

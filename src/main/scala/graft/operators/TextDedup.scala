@@ -49,11 +49,10 @@ object TextDedup {
     // exchange at sf0.1.
     // cached: the band self-join and the verify path would otherwise both
     // re-derive shingles + signatures from the raw text
-    val shingled = docs
+    val shingled = graft.CacheScope.scoped(docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), TextFns.shingles(col("ws"), 3).as("shingles"))
-      .cache()
+      .select(col("doc_id"), TextFns.shingles(col("ws"), 3).as("shingles")))
     val sigs = shingled.select(col("doc_id"),
       expr("graft_minhash64(shingles)").as("sig"))
     val cand = lshCandidates(sigs, bands, r, bucketCap)
@@ -102,13 +101,13 @@ object TextDedup {
       .filter(col("cnt") > bucketCap)
       .select(col("band_id"), col("band_hash"),
         expr(s"(cnt + $bucketCap - 1) div $bucketCap").as("n_slices"))
-    val bandRows = raw
+    val bandRows = graft.CacheScope.scoped(raw
       .join(broadcast(oversized), Seq("band_id", "band_hash"), "left")
       .withColumn("salt",
         when(col("n_slices").isNull, lit(0L))
           .otherwise(pmod(xxhash64(col("doc_id")), col("n_slices"))))
       .drop("n_slices")
-      .cache() // tiny (docs × bands rows); read twice by the self-join
+      ) // tiny (docs × bands rows); read twice by the self-join
     bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band_id") === col("y.band_id") &&

@@ -55,7 +55,8 @@ object CsvSource {
     // PERMISSIVE-mode corrupt capture requires caching the raw scan before
     // filtering on the corrupt column (Spark requirement: the column is
     // populated at parse time, and a direct filter over it is disallowed).
-    val cached = df.cache()
+    // Scoped: released by the harness after the consuming query's action.
+    val cached = graft.CacheScope.scoped(df)
     val clean = cached.filter(col(corruptCol).isNull).drop(corruptCol)
     val corrupt = cached.filter(col(corruptCol).isNotNull)
     (clean, corrupt)
