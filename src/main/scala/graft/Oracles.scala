@@ -541,17 +541,36 @@ object Oracles {
       SELECT CAST(12 AS BIGINT) AS n_clean, CAST(3 AS BIGINT) AS n_corrupt,
              CAST(7 AS BIGINT) AS n_pipeline""",
 
+    // Image rows (doc_id % 3 = 0) are REAL PNGs round-tripped through
+    // javax.imageio; the oracle recomputes the decoded features from the
+    // closed-form pixel definition (Multimodal.encodePng) — byte-level
+    // columns are null for images since no SQL engine can recompute PNG
+    // container bytes. The correlated pixel-sum subquery ranges over the
+    // max canvas (24×16) and masks to each image's true w×h.
     "q29_media_features" -> """
-      SELECT doc_id AS media_id,
-             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      SELECT d.doc_id AS media_id,
+             CASE CAST(d.doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                   WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             md5(text) AS checksum_md5,
-             CAST(CASE CAST(doc_id % 3 AS INTEGER)
-                  WHEN 2 THEN octet_length(encode(text)) // 100 + 1
-                  WHEN 1 THEN octet_length(encode(text)) // 40 + 1
-                  ELSE 1 END AS BIGINT) AS frame_estimate
-      FROM documents ORDER BY media_id""",
+             CASE WHEN d.doc_id % 3 = 0 THEN NULL
+                  ELSE CAST(octet_length(encode(d.text)) AS BIGINT)
+                  END AS n_bytes,
+             CASE WHEN d.doc_id % 3 = 0 THEN NULL
+                  ELSE md5(d.text) END AS checksum_md5,
+             CAST(CASE CAST(d.doc_id % 3 AS INTEGER)
+                  WHEN 2 THEN octet_length(encode(d.text)) // 100 + 1
+                  WHEN 1 THEN octet_length(encode(d.text)) // 40 + 1
+                  ELSE 1 END AS BIGINT) AS frame_estimate,
+             CASE WHEN d.doc_id % 3 = 0
+                  THEN CAST(8 + d.doc_id % 16 AS BIGINT) END AS width,
+             CASE WHEN d.doc_id % 3 = 0
+                  THEN CAST(8 + d.doc_id % 8 AS BIGINT) END AS height,
+             CASE WHEN d.doc_id % 3 = 0 THEN
+               (SELECT CAST(SUM((d.doc_id*31 + 7*x.r + 13*y.r) % 256)
+                       AS BIGINT)
+                FROM range(0, 24) x(r), range(0, 16) y(r)
+                WHERE x.r < 8 + d.doc_id % 16
+                  AND y.r < 8 + d.doc_id % 8) END AS pixel_sum
+      FROM documents d ORDER BY media_id""",
 
     "q18_sessionize" -> sessionizeOracle,
 

@@ -176,14 +176,30 @@ class EventsAndStreamingSpec extends AnyFunSuite {
 
   test("multimodal: features are deterministic and checksum matches payload") {
     val feats = Multimodal.features(Tables.documents(spark, TestSpark.sf))
-    val row = feats.filter(col("media_id") === 0).collect().head
+    // media_id 0 is an IMAGE: features must come from a real PNG decode
+    // and match the closed-form pixel definition
+    val img = feats.filter(col("media_id") === 0).collect().head
+    assert(img.getAs[String]("kind") == "image")
+    assert(img.getAs[Long]("width") == 8L)
+    assert(img.getAs[Long]("height") == 8L)
+    val expectSum = (for (x <- 0 until 8; y <- 0 until 8)
+      yield (0L * 31 + 7 * x + 13 * y) % 256).sum.toLong
+    assert(img.getAs[Long]("pixel_sum") == expectSum)
+    assert(img.isNullAt(img.fieldIndex("checksum_md5")))
+    assert(img.isNullAt(img.fieldIndex("n_bytes")))
+    // the PNG payload really is a PNG (magic bytes), not a passthrough
+    val payload = Multimodal.encodePng(0L)
+    assert(payload.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47))
+    // media_id 1 is AUDIO: stub path keeps byte-level features
+    val row = feats.filter(col("media_id") === 1).collect().head
     val text = Tables.documents(spark, TestSpark.sf)
-      .filter(col("doc_id") === 0).select("text").as[String].collect().head
+      .filter(col("doc_id") === 1).select("text").as[String].collect().head
     val md = java.security.MessageDigest.getInstance("MD5")
     val expect = md.digest(text.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     assert(row.getAs[String]("checksum_md5") == expect)
     assert(row.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
-    assert(Set("image", "audio", "video")(row.getAs[String]("kind")))
+    assert(row.getAs[String]("kind") == "audio")
+    assert(row.isNullAt(row.fieldIndex("pixel_sum")))
   }
 }
