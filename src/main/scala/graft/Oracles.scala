@@ -34,7 +34,8 @@ object Oracles {
   private val eventsHourlyOracle: String = """
       SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM events GROUP BY 1, 2
+      ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
 
   /** Exact cosine-pairs contract shared by q28 (blocked-exact path) and
     * q52 (LSH-banded path): every (a<b) pair with cosine >= 0.4. The
@@ -178,6 +179,24 @@ object Oracles {
     // The streaming form drains the same input through AvailableNow
     // micro-batches; the final windows must equal the batch rollup.
     "q57_streaming_rollup" -> eventsHourlyOracle,
+
+    // Late-data drop: the hourly rollup over ONLY the on-time two-thirds
+    // of the event-time range (the earliest third arrives after the
+    // watermark passed it and must be absent), windows cut at the final
+    // watermark z − 2 h. Chunk boundary uses the same integral-ns floor
+    // division as the Spark staging (`div` / `//` both floor here).
+    "q64_streaming_late_drop" -> """
+      WITH b AS (SELECT epoch_ns(min(ts)) AS a, epoch_ns(max(ts)) AS z
+                 FROM events)
+      SELECT date_trunc('hour', e.ts) AS bucket, e.event_type,
+             count(*) AS n,
+             CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_value
+      FROM events e, b
+      WHERE epoch_ns(e.ts) >= b.a + (b.z - b.a) // 3
+        AND epoch_ns(date_trunc('hour', e.ts)) + 3600000000000
+              <= b.z - 7200000000000
+      GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
 
     "q17_events_props" -> """
       SELECT json_extract_string(props, '$.k') AS k, count(*) AS n,
@@ -333,7 +352,7 @@ object Oracles {
         count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
         count(*) FILTER (WHERE event_type = 'signup') AS signup,
         count(*) FILTER (WHERE event_type = 'view') AS view
-      FROM events GROUP BY 1 ORDER BY 1""",
+      FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""",
 
     "q39_percentiles" -> """
       SELECT l_returnflag,
@@ -462,7 +481,8 @@ object Oracles {
                   ELSE 'test' END AS split,
              count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS total_chars
-      FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""",
+      FROM tagged GROUP BY 1, 2
+      ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
 
     // the dimension range derives from each row's actual array length
     // (lateral range), mirroring posexplode: no hard-coded 64, and a
@@ -472,7 +492,7 @@ object Oracles {
              CAST(sum(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 10000000)
                            AS BIGINT)) AS BIGINT) AS s
       FROM embeddings, unnest(range(1, len(embedding) + 1)) t(d)
-      GROUP BY 1, 2 ORDER BY 1, 2""",
+      GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
 
     "q58_rank_family" -> """
       SELECT c_nationkey, c_custkey,
@@ -583,7 +603,7 @@ object Oracles {
     "q63_streaming_dedup" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1 ORDER BY 1"""
+      FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST"""
   )
 
   /** 30-minute-gap sessionization shared by q18 (batch) and q60

@@ -93,8 +93,13 @@ object EventStreams {
     * staged part files are stamped with ascending modification times in
     * part-number order (range partition ids are ascending in the range
     * key), and FileStreamSource ingests oldest-first.
+    *
+    * `expectParts` enforces the cross-batch premise (r2 ADVICE): every
+    * *Once gate query's claim rests on the staged batches landing in
+    * SEPARATE files — if range sampling ever collapsed them, the test
+    * would silently degrade to within-batch semantics. Now it fails loud.
     */
-  private def stampAscendingMtimes(srcDir: String): Unit = {
+  private def stampAscendingMtimes(srcDir: String, expectParts: Int): Unit = {
     val dir = java.nio.file.Paths.get(srcDir)
     val listing = java.nio.file.Files.list(dir)
     val parts =
@@ -102,6 +107,9 @@ object EventStreams {
         .filter(_.getFileName.toString.startsWith("part-")).toSeq
         .sortBy(_.getFileName.toString)
       finally listing.close()
+    require(parts.size == expectParts,
+      s"staging wrote ${parts.size} part files, expected $expectParts — " +
+        "the cross-batch premise of this gate query is broken")
     parts.zipWithIndex.foreach { case (p, i) =>
       java.nio.file.Files.setLastModifiedTime(p,
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
@@ -128,7 +136,7 @@ object EventStreams {
         .repartitionByRange(2, col("_b")) // part-00000 = originals
         .drop("_b")
     }
-    stampAscendingMtimes(srcDir)
+    stampAscendingMtimes(srcDir, 2)
     val table = drainToTable(
       dedupedStream(src).select("event_id", "event_type", "value"),
       queryName, OutputMode.Append)
@@ -162,6 +170,83 @@ object EventStreams {
         sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
           .as("sum_value"))
     drainToTable(agg, queryName, OutputMode.Complete)
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  /** Watermark LATE-DATA DROP as a RUN-TO-COMPLETION gate query (the one
+    * watermark semantic q57/q60/q63 did not prove: those show state
+    * merging/carrying across batches; this shows late rows being
+    * REFUSED). Three staged files, ingested in mtime order:
+    *
+    *   1. the middle third of the event-time range  — admitted (watermark
+    *      still behind),
+    *   2. the latest third                          — admitted, and its
+    *      max event time advances the watermark to z − 2 h,
+    *   3. the EARLIEST third, arriving LAST         — every row is now
+    *      older than the advanced watermark and its hour window long
+    *      finalized, so the append-mode aggregation DROPS all of it.
+    *
+    * The final no-data micro-batch emits exactly the windows that closed
+    * (end ≤ z − 2 h). The DuckDB oracle is the same hourly rollup
+    * computed over ONLY the on-time two-thirds, windows cut at the final
+    * watermark — late rows excluded by construction, so equality proves
+    * the drop. Chunk boundaries are integral ns arithmetic (a + (z−a)
+    * div 3) identical on both sides; boundary hour windows may hold both
+    * on-time and late rows, and only their on-time rows count — on the
+    * Spark side because the window was finalized before file 3 arrived,
+    * in the oracle because the WHERE keeps ts ≥ the split point.
+    */
+  def lateDropOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    deleteStagingForTest(java.nio.file.Paths.get(srcDir))
+    val ev = graft.Tables.events(spark, sfDir)
+    val bounds = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("_b",
+        when(col("ts") < expr("a + (z - a) div 3"), lit(2))          // late
+          .when(col("ts") >= expr("a + ((z - a) div 3) * 2"), lit(1)) // newest
+          .otherwise(lit(0)))                                         // middle
+      .drop("a", "z")
+    // One explicit append write PER BATCH, mtime-stamped in write order —
+    // NOT repartitionByRange(3, _b): RangePartitioner samples its bounds
+    // and on a 3-value key can legally collapse two values into one
+    // partition (observed: bounds [≤1, ≤2] → two files), silently merging
+    // micro-batches. coalesce(1) is sanctioned here because one-file-per-
+    // batch IS the staging contract, not a performance choice.
+    var stamped = Set.empty[java.nio.file.Path]
+    Seq(0, 1, 2).foreach { b =>
+      tagged.filter(col("_b") === b).drop("_b")
+        .coalesce(1)
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(srcDir)
+      val dir = java.nio.file.Paths.get(srcDir)
+      val listing = java.nio.file.Files.list(dir)
+      val fresh =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .filterNot(stamped).toSeq
+        finally listing.close()
+      require(fresh.size == 1,
+        s"late-drop staging batch $b wrote ${fresh.size} files, expected 1")
+      java.nio.file.Files.setLastModifiedTime(fresh.head,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+      stamped += fresh.head
+    }
+    val src = spark.readStream
+      .schema(graft.Tables.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val agg = src
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("sum_value"))
+    drainToTable(agg, queryName, OutputMode.Append)
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy(col("bucket"), col("event_type"))
@@ -223,7 +308,7 @@ object EventStreams {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val src = stagedEventsSource(spark, sfDir, srcDir)(
       _.repartitionByRange(2, col("ts"))) // part-00000 = earlier half
-    stampAscendingMtimes(srcDir) // oldest-first ingestion == time order
+    stampAscendingMtimes(srcDir, 2) // oldest-first ingestion == time order
     drainToTable(sessionize(src, gapMinutes), queryName, OutputMode.Update)
       .groupBy(col("user_id"))
       .agg(max_by(

@@ -44,6 +44,24 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     assert(streamBuckets == batchBuckets)
   }
 
+  test("streaming late data is DROPPED once the watermark passes it") {
+    val out = EventStreams.lateDropOnce(spark, TestSpark.sf, "late_drop_test")
+      .select(col("bucket").cast("long").as("bucket_s")).as[Long].collect()
+    assert(out.nonEmpty)
+    val ts = Tables.events(spark, TestSpark.sf)
+      .agg(min(col("ts")).as("a"), max(col("ts")).as("z"))
+      .collect().head
+    val (a, z) = (ts.getLong(0), ts.getLong(1))
+    val splitSec = (a + (z - a) / 3) / 1000000000L
+    val watermarkSec = z / 1000000000L - 7200L
+    // every emitted hour bucket starts at/after the on-time boundary's
+    // hour (late third absent) and closed before the final watermark
+    assert(out.min >= splitSec / 3600 * 3600,
+      s"late-third bucket leaked: min=${out.min}, split=$splitSec")
+    assert(out.max + 3600 <= watermarkSec,
+      s"unfinalized window emitted: max=${out.max}, wm=$watermarkSec")
+  }
+
   test("streaming dedup EVICTS state past the watermark horizon") {
     // Time-ordered micro-batches (one file per trigger, ascending
     // mtimes): batch1 = keys 1..50 at t0; batch2 = fresh keys at t0+10h,
