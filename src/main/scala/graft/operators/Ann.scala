@@ -243,23 +243,28 @@ object Ann {
     * candidates shrink by orders of magnitude; that is the regime real
     * near-dup pipelines run at. The driver testdata's planted pairs sit at
     * cosine 0.40-0.51 against a near-orthogonal bulk (ρ = ln p₁/ln p₂ ≈
-    * 0.66), the worst case for angular LSH — full recall needs 48 bands
-    * (verified exhaustively vs the exact answer at sf0.01 AND sf0.1:
-    * deterministic planes make recall a checkable fact, worst pair first
-    * collides at band 35) and candidate volume exceeds brute force at
-    * gate scale. The value demonstrated by the oracle gate is recall-
-    * losslessness of the machinery; the pruning value appears at real
-    * thresholds, asserted separately in ScalaTest.
+    * 0.66), the worst case for angular LSH — and candidate volume exceeds
+    * brute force at gate scale. The value demonstrated by the oracle gate
+    * is recall-losslessness of the machinery; the pruning value appears at
+    * real thresholds, asserted separately in ScalaTest.
+    *
+    * `bands = 0` (the default) DERIVES the band count from the threshold
+    * via [[bandsForThreshold]] instead of a hard-coded worst-case 48, so a
+    * θ=0.7 run pays ~25 bands, not 48, while the adversarial θ=0.4 gate
+    * gets 53 — margin above the empirically-needed 35 (the r2 scaladoc's
+    * exhaustive check: worst planted pair first collides at band 35).
     */
   def cosinePairsLsh(corpus: DataFrame, threshold: Double,
-      planesPerBand: Int = 4, bands: Int = 48): DataFrame = {
+      planesPerBand: Int = 4, bands: Int = 0, dim: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
+    val nBands =
+      if (bands > 0) bands else bandsForThreshold(threshold, planesPerBand)
     val v = graft.CacheScope.scoped(corpus.select(col("vec_id"),
       VecFns.toDouble(col("embedding")).as("v")))
     val bandRows = graft.CacheScope.scoped(v
       .select(col("vec_id"),
-        posexplode(expr(s"graft_lshbands(v, $planesPerBand, $bands)"))
+        posexplode(expr(s"graft_lshbands(v, $planesPerBand, $nBands, $dim)"))
           .as(Seq("band_id", "code")))
       ) // read twice by the self-join: uncached, the banded
         // plane-dot map stage would execute once per side
@@ -277,6 +282,22 @@ object Ann {
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Band count for a target miss probability from the standard banding
+    * bound: a pair at cosine ≥ s collides per plane w.p. p = 1 − arccos(s)
+    * /π, per band w.p. p^r, and is missed by ALL b bands w.p. (1 − p^r)^b
+    * ≤ targetMiss ⇒ b = ⌈ln(targetMiss) / ln(1 − p^r)⌉. Monotone in the
+    * threshold: easy (high-s) regimes get few bands, adversarial ones get
+    * many — the knob real pipelines tune by recall, not by constant.
+    */
+  def bandsForThreshold(threshold: Double, planesPerBand: Int,
+      targetMiss: Double = 1e-4): Int = {
+    require(threshold > 0.0 && threshold < 1.0,
+      "angular banding bound needs 0 < threshold < 1")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pBand = math.pow(p, planesPerBand)
+    math.max(1, math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt)
   }
 
   /** Exact all-pairs via broadcast nested loop — r1's q28 implementation,

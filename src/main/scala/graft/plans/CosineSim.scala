@@ -96,7 +96,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lshbands",
       exprs => LshBands(exprs.head,
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int]),
       "built-in")
   }
 }

@@ -22,8 +22,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * bands × dim multiply-adds run in one allocation-free loop. A pure MAP
   * stage: signatures never shuffle.
   */
-case class LshBands(child: Expression, planesPerBand: Int, bands: Int)
-    extends UnaryExpression {
+case class LshBands(child: Expression, planesPerBand: Int, bands: Int,
+    dim: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -34,11 +34,11 @@ case class LshBands(child: Expression, planesPerBand: Int, bands: Int)
   override def prettyName: String = "graft_lshbands"
 
   override def nullSafeEval(v: Any): Any =
-    LshBands.codes(v.asInstanceOf[ArrayData], planesPerBand, bands)
+    LshBands.codes(v.asInstanceOf[ArrayData], planesPerBand, bands, dim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.plans.LshBands.codes($v, $planesPerBand, $bands);")
+      s"${ev.value} = graft.plans.LshBands.codes($v, $planesPerBand, $bands, $dim);")
 
   override protected def withNewChildInternal(newChild: Expression): LshBands =
     copy(child = newChild)
@@ -63,9 +63,20 @@ object LshBands {
       flat
     })
 
-  /** Called from both interpreted eval and generated code. */
-  def codes(v: ArrayData, planesPerBand: Int, bands: Int): GenericArrayData = {
+  /** Called from both interpreted eval and generated code. `expectDim` is
+    * enforced per row: the plane matrix is a function of the dimension, so
+    * a mixed-dimension corpus would silently hash different-length vectors
+    * against DIFFERENT plane sets — cross-length candidate pairs become
+    * impossible and the recall loss is invisible to verify-on-candidates
+    * (r2 ADVICE). Failing loud is the only safe behavior.
+    */
+  def codes(v: ArrayData, planesPerBand: Int, bands: Int,
+      expectDim: Int): GenericArrayData = {
     val dim = v.numElements()
+    require(dim == expectDim,
+      s"graft_lshbands: vector of dimension $dim in a corpus declared " +
+        s"$expectDim-dimensional — mixed dimensions cannot share an LSH " +
+        "plane set")
     val vec = new Array[Double](dim)
     var i = 0
     while (i < dim) { vec(i) = v.getDouble(i); i += 1 }

@@ -32,7 +32,7 @@ class PlansSpec extends AnyFunSuite {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val got = e.select(col("vec_id"),
         VecFns.toDouble(col("embedding")).as("v"))
-      .select(col("vec_id"), expr("graft_lshbands(v, 4, 8)").as("codes"),
+      .select(col("vec_id"), expr("graft_lshbands(v, 4, 8, 64)").as("codes"),
         col("v"))
       .as[(Long, Seq[Long], Seq[Double])].collect()
     val planes = VecFns.hyperplanes(64, 32)

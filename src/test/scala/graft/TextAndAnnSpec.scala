@@ -142,7 +142,34 @@ class TextAndAnnSpec extends AnyFunSuite {
     val lsh = Ann.cosinePairsLsh(e, 0.4)
       .as[(Long, Long)].collect().toSet
     assert(blocked == brute, "chunk-grid must lose/invent nothing")
-    assert(lsh == brute, "48-band LSH must be lossless at threshold 0.4")
+    assert(lsh == brute,
+      "threshold-derived banding must stay lossless at adversarial 0.4")
+  }
+
+  test("banding adapts to the threshold: fewer bands at realistic sims") {
+    // the adversarial 0.4 gate gets MORE than the empirically-needed 35
+    // bands; a realistic 0.7 run pays roughly half the old fixed 48
+    assert(Ann.bandsForThreshold(0.4, 4) >= 48)
+    assert(Ann.bandsForThreshold(0.7, 4) < 48 / 1.5)
+    assert(Ann.bandsForThreshold(0.9, 4) < 15)
+    // monotone: easier thresholds never need more bands
+    val bs = Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+      .map(Ann.bandsForThreshold(_, 4))
+    assert(bs == bs.sorted.reverse)
+  }
+
+  test("LshBands refuses mixed-dimension corpora instead of silent recall loss") {
+    graft.plans.GraftFunctions.register(spark)
+    val mixed = spark.range(4).select(col("id").as("vec_id"),
+      when(col("id") === 3,
+        array((0 until 32).map(i => lit(i.toDouble)): _*))
+        .otherwise(array((0 until 64).map(i => lit(i.toDouble)): _*))
+        .as("v"))
+    val ex = intercept[Exception] {
+      mixed.select(expr("graft_lshbands(v, 4, 8, 64)")).collect()
+    }
+    assert(ex.getMessage.contains("mixed dimensions") ||
+      Option(ex.getCause).exists(_.getMessage.contains("mixed dimensions")))
   }
 
   test("cosine pairs LSH at a realistic threshold: planted near-copies, few bands") {
