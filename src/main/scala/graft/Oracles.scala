@@ -603,7 +603,22 @@ object Oracles {
     "q63_streaming_dedup" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST"""
+      FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""",
+
+    // The grouped-map transform re-expressed as window SQL: running
+    // features over the same (ts, event_id) in-group order the Spark
+    // flatMapGroups pins. Order keys are unique per user, so the default
+    // RANGE frame equals ROWS.
+    "q65_grouped_transform" -> """
+      SELECT user_id, event_id,
+             CAST(row_number() OVER w AS INTEGER) AS seq,
+             CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0)
+                  AS BIGINT) AS gap_us,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  OVER w AS BIGINT) AS clicks_so_far
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      ORDER BY user_id, event_id"""
   )
 
   /** 30-minute-gap sessionization shared by q18 (batch) and q60
