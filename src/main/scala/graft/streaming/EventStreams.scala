@@ -29,6 +29,23 @@ object EventStreams {
       .schema(graft.Tables.eventsSchema) // the ONE events schema (ns→long)
       .parquet(dir)
 
+  /** Session clone with streaming-sized shuffle parallelism for the gate
+    * jobs. A stateful streaming query maintains ONE state store per
+    * shuffle partition and commits every one of them per micro-batch —
+    * at local gate scale (10k events, 2-4 micro-batches) 32 stores are
+    * pure commit overhead, roughly half of each job's wall time. The
+    * store count is a real production knob too (sized to key volume /
+    * throughput, fixed per checkpoint lineage); here the checkpoint is
+    * fresh per run, so resizing is safe. Same SparkContext, own conf +
+    * catalog — the outer session's batch parallelism is untouched.
+    */
+  private def streamingSession(spark: SparkSession,
+      parts: Int = 8): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    ss
+  }
+
   /** Tumbling event-time window counts per event_type with a watermark —
     * the streaming form of [[graft.operators.Events.rollup]].
     */
@@ -129,7 +146,8 @@ object EventStreams {
       queryName: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val srcDir = s"/tmp/graft_stream_src_$queryName"
-    val src = stagedEventsSource(spark, sfDir, srcDir) { ev =>
+    val ss = streamingSession(spark)
+    val src = stagedEventsSource(ss, sfDir, srcDir) { ev =>
       val dups = ev.filter(col("event_id") % 10 === 0)
       ev.withColumn("_b", lit(0))
         .unionByName(dups.withColumn("_b", lit(1)))
@@ -160,7 +178,7 @@ object EventStreams {
   def hourlyRollupOnce(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val src = stagedEventsSource(spark, sfDir,
+    val src = stagedEventsSource(streamingSession(spark), sfDir,
       s"/tmp/graft_stream_src_$queryName")(_.repartition(2))
     val agg = src
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
@@ -202,8 +220,9 @@ object EventStreams {
       queryName: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val ss = streamingSession(spark)
     deleteStagingForTest(java.nio.file.Paths.get(srcDir))
-    val ev = graft.Tables.events(spark, sfDir)
+    val ev = graft.Tables.events(ss, sfDir)
     val bounds = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z"))
     val tagged = ev.crossJoin(broadcast(bounds))
       .withColumn("_b",
@@ -235,7 +254,7 @@ object EventStreams {
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
       stamped += fresh.head
     }
-    val src = spark.readStream
+    val src = ss.readStream
       .schema(graft.Tables.eventsSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
@@ -306,7 +325,7 @@ object EventStreams {
   def sessionizeOnce(spark: SparkSession, sfDir: String, gapMinutes: Int,
       queryName: String): DataFrame = {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
-    val src = stagedEventsSource(spark, sfDir, srcDir)(
+    val src = stagedEventsSource(streamingSession(spark), sfDir, srcDir)(
       _.repartitionByRange(2, col("ts"))) // part-00000 = earlier half
     stampAscendingMtimes(srcDir, 2) // oldest-first ingestion == time order
     drainToTable(sessionize(src, gapMinutes), queryName, OutputMode.Update)
