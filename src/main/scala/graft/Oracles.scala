@@ -618,7 +618,27 @@ object Oracles {
                   OVER w AS BIGINT) AS clicks_so_far
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-      ORDER BY user_id, event_id"""
+      ORDER BY user_id, event_id""",
+
+    // Same portable multiplicative-hash order as q61 — the sample is a
+    // pure function of doc_id, so both engines draw the identical 20.
+    "q66_stratified_sample" -> """
+      SELECT lang, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY ((doc_id % 100003) * 2654435761) % 1000000007,
+                           doc_id) AS INTEGER) AS sample_rank
+      FROM documents
+      QUALIFY sample_rank <= 20
+      ORDER BY lang NULLS FIRST, sample_rank""",
+
+    // The salt provably cancels out of the salted join; the oracle is
+    // the plain join + rollup.
+    "q67_salted_join" -> """
+      SELECT s_nationkey, count(*) AS n_items,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey"""
   )
 
   /** 30-minute-gap sessionization shared by q18 (batch) and q60

@@ -37,4 +37,29 @@ object Skew {
         sum(col("__n")).as("n"),
         sum(col("__s")).cast("double").as("sum_value"))
       .orderBy(col(key))
+
+  /** Salted shuffle JOIN for a skewed fact key: the fact side salts each
+    * row into one of `buckets` sub-keys, the (small-but-not-broadcastable
+    * at scale) build side is REPLICATED across all buckets, and the join
+    * runs on (key, salt) — a hot key's rows land on `buckets` reducers
+    * instead of one. The salt provably cancels out of the result (every
+    * fact row meets exactly one replica of each matching build row), so
+    * the driver gate hash-compares it against a PLAIN join oracle.
+    *
+    * The shuffle-hash hint pins the salted-shuffle plan: at gate size
+    * Spark would otherwise broadcast the dim and salt nothing. This is
+    * the explicit remedy for the cases AQE's skew splitting cannot reach
+    * — streaming joins, a build side above the broadcast ceiling, or a
+    * hot key known in advance.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      factRowKey: String, buckets: Int = 8): DataFrame = {
+    val salted = fact.withColumn("__salt", salt(col(factRowKey), buckets))
+    val replicated = dim
+      .withColumn("__salt",
+        explode(array((0 until buckets).map(lit): _*)))
+    salted.hint("shuffle_hash")
+      .join(replicated, Seq(key, "__salt"))
+      .drop("__salt")
+  }
 }

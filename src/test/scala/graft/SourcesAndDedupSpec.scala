@@ -106,6 +106,23 @@ class SourcesAndDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join plans as a shuffle join on (key, salt), not broadcast") {
+    val fact = Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+    val dim = Tables.supplier(spark, TestSpark.sf)
+      .select("s_suppkey", "s_nationkey")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    val joined = graft.operators.Skew.saltedJoin(fact, dim,
+      key = "l_suppkey", factRowKey = "l_orderkey", buckets = 8)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salted join must stay a shuffle join (hint honored):\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"))
+    // the salt cancels out: row multiset equals the plain join's
+    assert(joined.count() ==
+      fact.join(dim, Seq("l_suppkey")).count())
+  }
+
   test("ORC sink round-trips the pipeline output (third columnar format)") {
     val out = TxnTransform.pipeline("TS0")(TxnView.dirty(spark, TestSpark.sf))
     val path = "/tmp/graft_test_orc_sink"
