@@ -58,8 +58,11 @@ object Skew {
     val replicated = dim
       .withColumn("__salt",
         explode(array((0 until buckets).map(lit): _*)))
-    salted.hint("shuffle_hash")
-      .join(replicated, Seq(key, "__salt"))
+    // hint on the REPLICATED DIM side: the hinted side is the hash-table
+    // build side, and only the dim is small enough to build per task —
+    // hinting the fact would materialize the big side's partitions in
+    // memory
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt"))
       .drop("__salt")
   }
 }

@@ -89,6 +89,24 @@ class GlobalWindowSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("two-phase stratified top-k equals the naive per-stratum window") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val k = 7
+    val got = graft.operators.Sampling
+      .stratifiedTopK(docs, "lang", "doc_id", k)
+      .as[(String, Long, Int)].collect().toSeq
+    val h = pmod(pmod(col("doc_id"), lit(100003L)) * lit(2654435761L),
+      lit(1000000007L))
+    val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+    val naive = docs.select(col("lang"), col("doc_id"))
+      .withColumn("sample_rank", row_number().over(w).cast("int"))
+      .filter(col("sample_rank") <= k)
+      .orderBy(asc_nulls_first("lang"), col("sample_rank"))
+      .as[(String, Long, Int)].collect().toSeq
+    assert(got == naive,
+      "partition-local pruning must not change the exact per-stratum top-k")
+  }
+
   test("no single-partition exchange over data-sized input") {
     val df = spark.range(1000)
       .select(col("id").as("k"), (col("id") % 97).cast("double").as("v"))

@@ -118,6 +118,10 @@ class SourcesAndDedupSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"),
       s"salted join must stay a shuffle join (hint honored):\n$plan")
     assert(!plan.contains("BroadcastHashJoin"))
+    // the hash table must build from the replicated DIM side (the fact
+    // side is unbounded at scale); dim is the right/second join input
+    assert(plan.contains("BuildRight"),
+      s"salted join must build from the dim side:\n$plan")
     // the salt cancels out: row multiset equals the plain join's
     assert(joined.count() ==
       fact.join(dim, Seq("l_suppkey")).count())
