@@ -631,6 +631,16 @@ object Oracles {
       QUALIFY sample_rank <= 20
       ORDER BY lang NULLS FIRST, sample_rank""",
 
+    // Schema-merge parity: legacy rows (even numeric transaction_id)
+    // were written without processed_at, so they alone read back null.
+    "q68_schema_merge" -> s"""$cte
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN TRY_CAST(transaction_id AS BIGINT) % 2 = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy_rows,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_amount
+      FROM cleaned""",
+
     // The salt provably cancels out of the salted join; the oracle is
     // the plain join + rollup.
     "q67_salted_join" -> """
