@@ -127,6 +127,27 @@ class SourcesAndDedupSpec extends AnyFunSuite {
       fact.join(dim, Seq("l_suppkey")).count())
   }
 
+  test("compaction: many small files rewrite to few, content-identical") {
+    // the 100 TB housekeeping op: streaming/incremental writers leave
+    // thousands of tiny files; compaction = read → repartition to target
+    // file count → rewrite. Content parity is the correctness contract.
+    val small = "/tmp/graft_compact_small"
+    val compact = "/tmp/graft_compact_out"
+    val df = Tables.orders(spark, TestSpark.sf)
+    df.repartition(32).write.mode("overwrite").parquet(small)
+    def partFiles(p: String) =
+      new java.io.File(p).listFiles.count(_.getName.startsWith("part-"))
+    assert(partFiles(small) == 32)
+    spark.read.parquet(small).repartition(2)
+      .write.mode("overwrite").parquet(compact)
+    assert(partFiles(compact) == 2)
+    val a = spark.read.parquet(small)
+    val b = spark.read.parquet(compact)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compaction must preserve the exact row multiset")
+  }
+
   test("ORC sink round-trips the pipeline output (third columnar format)") {
     val out = TxnTransform.pipeline("TS0")(TxnView.dirty(spark, TestSpark.sf))
     val path = "/tmp/graft_test_orc_sink"
