@@ -158,6 +158,20 @@ class TextAndAnnSpec extends AnyFunSuite {
     assert(bs == bs.sorted.reverse)
   }
 
+  test("lshBucket refuses mixed-dimension vectors (null-poisoned dot trap)") {
+    val mixed = spark.range(3).select(col("id").as("vec_id"),
+      when(col("id") === 2,
+        array((0 until 16).map(i => lit(i.toDouble)): _*))
+        .otherwise(array((0 until 64).map(i => lit(i.toDouble)): _*))
+        .as("v"))
+    val ex = intercept[Exception] {
+      mixed.select(VecFns.lshBucket(col("v"), 64, 4)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("declared 64-dimensional")))
+  }
+
   test("LshBands refuses mixed-dimension corpora instead of silent recall loss") {
     graft.plans.GraftFunctions.register(spark)
     val mixed = spark.range(4).select(col("id").as("vec_id"),
