@@ -21,7 +21,7 @@ object Bench {
     // smaller than the bench data so no data work is meaningfully
     // pre-done). The warmup's tiny `cleaned` cache entry is dropped so
     // the timed region starts cache-clean.
-    try {
+    try CacheScope.withScope {
       import org.apache.spark.sql.functions._
       val w = spark.read.parquet(s"$sfDir/region.parquet")
       w.groupBy("r_name").count()
@@ -30,7 +30,7 @@ object Bench {
         .count()
       SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    finally { spark.catalog.clearCache(); CacheScope.releaseAll() }
+    finally spark.catalog.clearCache()
     // deterministic name order: per-query numbers stay comparable across
     // rounds (Map iteration order would shift cache-warming effects
     // between arbitrary queries; sorted, the shared staging cache is
@@ -56,7 +56,8 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try {
+        // withScope: per-query operator caches drop with the scope
+        try CacheScope.withScope {
           val df = fn(spark, sfDir)
           if (action == "count") df.count()
           else df.write.format("noop").mode("overwrite").save()
@@ -66,7 +67,7 @@ object Bench {
             // loud + flagged: a throwing query must not masquerade as a
             // plausibly-fast timing (r1 advisor finding)
             System.err.println(s"BENCH FAIL $name: $t"); false
-        } finally CacheScope.releaseAll() // per-query operator caches
+        }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

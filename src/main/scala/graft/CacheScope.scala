@@ -15,35 +15,76 @@ import org.apache.spark.sql.Dataset
   *
   *   - operators call [[scoped]] instead of `.cache()` for any cache whose
   *     lifetime is one query;
-  *   - harnesses (Verify, Bench, tests) call [[releaseAll]] after each
-  *     query's action — every scoped block is dropped, nothing leaks into
-  *     the next query;
+  *   - harnesses (Verify, Bench, tests) wrap each query's build+action in
+  *     [[withScope]] — every cache the body registered is dropped on exit,
+  *     nothing leaks into the next query;
   *   - deliberately session-scoped caches (the shared `cleaned` pipeline
   *     frame reused by q01-q06) keep calling `.cache()` directly and are
   *     exempt.
   *
-  * Thread-safe: Bench/Verify are single-threaded per query but ScalaTest
-  * suites may interleave sessions.
+  * Scopes are per-thread (a ThreadLocal stack of frames), so release is
+  * OWNER-scoped: a harness thread exiting its scope can only ever drop
+  * caches its own query registered, never those of a different in-flight
+  * query on another thread (round-3 advisor finding — the old global
+  * [[releaseAll]] could unpersist a concurrent query's range-partitioned
+  * frame mid-flight, silently re-drawing its sampled boundaries). All
+  * `scoped` calls happen on the driver thread during plan construction /
+  * action, so the registering thread IS the owning harness thread.
+  *
+  * [[scoped]] outside any [[withScope]] falls back to a global registry
+  * drained by [[releaseAll]] — kept for ad-hoc/REPL use; harnesses should
+  * prefer the scope form.
   */
 object CacheScope {
-  private val active = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  private final class Frame {
+    val items = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  }
+  private val frames = new ThreadLocal[List[Frame]] {
+    override def initialValue(): List[Frame] = Nil
+  }
+  private val global = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
 
-  /** Cache `ds` and register it for the next [[releaseAll]]. */
-  def scoped[T](ds: Dataset[T]): Dataset[T] = synchronized {
+  /** Cache `ds` and register it with the innermost [[withScope]] frame on
+    * this thread (global fallback registry if none is open).
+    */
+  def scoped[T](ds: Dataset[T]): Dataset[T] = {
     val c = ds.cache()
-    active += c
+    frames.get() match {
+      case f :: _ => f.items += c
+      case Nil    => synchronized { global += c }
+    }
     c
   }
 
-  /** Unpersist every scoped cache registered since the last call.
-    * Non-blocking: block deletion proceeds asynchronously while the next
-    * query plans.
+  /** Run `body` in a fresh cache scope; on exit (normal or exceptional)
+    * unpersist every cache the body registered via [[scoped]] on this
+    * thread. Non-blocking unpersist: block deletion proceeds
+    * asynchronously while the next query plans. Nestable; exits restore
+    * the outer frame.
     */
-  def releaseAll(): Unit = synchronized {
-    active.foreach(_.unpersist(false))
-    active.clear()
+  def withScope[T](body: => T): T = {
+    val f = new Frame
+    frames.set(f :: frames.get())
+    try body
+    finally {
+      frames.set(frames.get() match { case _ :: tail => tail; case Nil => Nil })
+      f.items.foreach(_.unpersist(false))
+    }
   }
 
-  /** Number of currently-registered (unreleased) scoped caches. */
-  def activeCount: Int = synchronized(active.size)
+  /** Drain the global fallback registry (caches registered outside any
+    * [[withScope]]). Does NOT touch other threads' open scopes.
+    */
+  def releaseAll(): Unit = synchronized {
+    global.foreach(_.unpersist(false))
+    global.clear()
+  }
+
+  /** Registered-and-unreleased caches visible to this thread: its open
+    * frames plus the global fallback registry.
+    */
+  def activeCount: Int = {
+    val inFrames = frames.get().map(_.items.size).sum
+    inFrames + synchronized(global.size)
+  }
 }

@@ -251,8 +251,9 @@ object Ann {
     * `bands = 0` (the default) DERIVES the band count from the threshold
     * via [[bandsForThreshold]] instead of a hard-coded worst-case 48, so a
     * θ=0.7 run pays ~25 bands, not 48, while the adversarial θ=0.4 gate
-    * gets 53 — margin above the empirically-needed 35 (the r2 scaladoc's
-    * exhaustive check: worst planted pair first collides at band 35).
+    * gets 54 (ceil of 53.37 from the banding bound) — margin above the
+    * empirically-needed 35 (the r2 scaladoc's exhaustive check: worst
+    * planted pair first collides at band 35).
     */
   def cosinePairsLsh(corpus: DataFrame, threshold: Double,
       planesPerBand: Int = 4, bands: Int = 0, dim: Int = 64): DataFrame = {

@@ -223,7 +223,24 @@ object EventStreams {
     val ss = streamingSession(spark)
     deleteStagingForTest(java.nio.file.Paths.get(srcDir))
     val ev = graft.Tables.events(ss, sfDir)
-    val bounds = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z"))
+    // Late-drop parity PREMISE (r3 advisor): every earliest-third row must
+    // lie below the final watermark z − 2 h, which holds iff the event-time
+    // span z − a ≥ 3 h. On a narrower dataset Spark would admit rows in
+    // [z − 2 h, a + (z − a)/3) that the oracle's WHERE excludes, surfacing
+    // as a confusing gate diff — so the premise fails LOUD instead. The
+    // assert_true is folded into the consumed `a` column (it returns NULL
+    // on success, so coalesce leaves `a` unchanged); a standalone dropped
+    // check column could legally be pruned before it ever evaluated.
+    val minSpanNs = 3L * 3600L * 1000000000L
+    val bounds = ev.agg(min(col("ts")).as("a0"), max(col("ts")).as("z"))
+      .select(
+        (col("a0") + coalesce(
+          assert_true(col("z") - col("a0") >= lit(minSpanNs),
+            lit("q64 premise violated: event-time span < 3h — late-drop " +
+              "parity needs the earliest third fully below watermark z-2h"))
+            .cast("long"),
+          lit(0L))).as("a"),
+        col("z"))
     val tagged = ev.crossJoin(broadcast(bounds))
       .withColumn("_b",
         when(col("ts") < expr("a + (z - a) div 3"), lit(2))          // late

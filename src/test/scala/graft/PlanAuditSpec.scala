@@ -42,8 +42,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val offenders = Queries.all.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => streaming(name) }
       .flatMap { case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        CacheScope.releaseAll()
+        val plan = CacheScope.withScope {
+          fn(spark, sf).queryExecution.executedPlan.toString
+        }
         val hits = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
           .filter(plan.contains)
         if (hits.nonEmpty && !nestedLoopAllowed.contains(name))
