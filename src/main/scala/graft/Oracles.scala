@@ -648,7 +648,31 @@ object Oracles {
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                AS revenue
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      GROUP BY s_nationkey ORDER BY s_nationkey"""
+      GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    // Exact char-12-gram Jaccard pairs at theta = 7/10, computed the naive
+    // inverted-index way (every gram joins) — the Spark side must get the
+    // SAME pairs through prefix filtering, proving the filter lossless.
+    // Integer-threshold compare (10·∩ ≥ 7·∪) keeps doubles out of the
+    // hash per the float policy; unnest(generate_series) because DuckDB's
+    // generate_series table function rejects lateral column arguments.
+    "q69_chargram_jaccard" -> """
+      WITH g AS (
+        SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 12) AS gram
+        FROM (SELECT doc_id, lower(text) AS t,
+                     unnest(generate_series(1, length(text) - 11)) AS i
+              FROM documents WHERE length(text) >= 12)),
+      sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b
+      FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+      WHERE 10 * n_common >= 7 * (sa.n + sb.n - n_common)
+      ORDER BY doc_a, doc_b"""
   )
 
   /** 30-minute-gap sessionization shared by q18 (batch) and q60

@@ -201,37 +201,49 @@ object TextDedup {
       .join(sizes, Seq("doc_id"))
       .filter(col("rnk") <= col("n_grams") -
         expr(s"($thetaNum * n_grams + ${thetaDen - 1}) div $thetaDen") + 1)
-      .select(col("doc_id"), col("gram"), col("n_grams"))
+      .select(col("doc_id"), col("gram"), col("n_grams"), col("rnk"))
 
-    // Candidates: prefix ∩ prefix on the (rare) gram key, plus the length
-    // filter — J ≥ θ forces den·min(|a|,|b|) ≥ num·max(|a|,|b|).
+    // Candidates: prefix ∩ prefix on the (rare) gram key, pruned INSIDE
+    // the join by two exact filters —
+    //  · length: J ≥ θ forces den·min(|a|,|b|) ≥ num·max(|a|,|b|);
+    //  · positional (PPJoin): matching at ranks (i, j) caps the overlap
+    //    at min(|a|−i, |b|−j) + 1, which must reach the required
+    //    α = ceil(θ·(|a|+|b|)/(1+θ)) = ceil(num·(|a|+|b|)/(num+den)).
+    // Both are cheap integer predicates evaluated inline on join rows,
+    // cutting the set BEFORE the distinct shuffle.
     val cand = prefix.as("x")
       .join(prefix.as("y"),
         col("x.gram") === col("y.gram") &&
           col("x.doc_id") < col("y.doc_id") &&
           lit(thetaDen) * least(col("x.n_grams"), col("y.n_grams")) >=
-            lit(thetaNum) * greatest(col("x.n_grams"), col("y.n_grams")))
+            lit(thetaNum) * greatest(col("x.n_grams"), col("y.n_grams")) &&
+          expr(s"least(x.n_grams - x.rnk, y.n_grams - y.rnk) + 1 >= " +
+            s"($thetaNum * (x.n_grams + y.n_grams) + " +
+            s"${thetaNum + thetaDen - 1}) div ${thetaNum + thetaDen}"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    // Exact verification over candidate docs only.
-    val candDocs = cand
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val g2 = grams.join(candDocs, Seq("doc_id"), "left_semi")
-    val inter = cand
-      .join(g2.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(g2.as("gb"),
-        col("doc_b") === col("gb.doc_id") &&
-          col("ga.gram") === col("gb.gram"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+    // Exact verification WITHOUT a per-candidate gram explode: each doc's
+    // distinct grams collapse to one sorted array row (bounded by doc
+    // length), the candidate pair joins both array rows, and the
+    // intersection size is a single collection op per pair. The first cut
+    // of this verify joined candidates to the exploded gram table —
+    // candidates × grams-per-doc rows (≈1e9 at sf0.1 on this dense-vocab
+    // corpus) — and was 100× slower than the whole query is now.
+    val gramSets = grams.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("gram"))).as("gs"),
+        count(lit(1)).as("n_grams"))
+    val out = cand
+      .join(gramSets.select(col("doc_id").as("doc_a"), col("gs").as("ga"),
+        col("n_grams").as("n_a")), Seq("doc_a"))
+      .join(gramSets.select(col("doc_id").as("doc_b"), col("gs").as("gb"),
+        col("n_grams").as("n_b")), Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("ga"), col("gb"))))
       .filter(lit(thetaDen) * col("n_common") >=
-        lit(thetaNum) * (col("za.n_grams") + col("zb.n_grams") - col("n_common")))
-      .select(col("doc_a"), col("doc_b"), col("n_common"),
-        col("za.n_grams").as("n_a"), col("zb.n_grams").as("n_b"))
+        lit(thetaNum) * (col("n_a") + col("n_b") - col("n_common")))
+    out.select(col("doc_a"), col("doc_b"),
+        col("n_common").cast("long").as("n_common"),
+        col("n_a"), col("n_b"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

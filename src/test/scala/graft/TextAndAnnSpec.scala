@@ -63,6 +63,36 @@ class TextAndAnnSpec extends AnyFunSuite {
     assert(lsh.nonEmpty, "testdata should contain planted near-dups")
   }
 
+  test("char-gram Jaccard prefix filter is lossless vs brute force") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    // Brute baseline: every pair, exact intersection on distinct gram
+    // arrays. n=5 exercises the DENSE-vocab worst case (tiny gram space,
+    // every gram frequent — the regime where a broken prefix bound would
+    // actually lose pairs); n=12 is the registered gate configuration.
+    for (n <- Seq(5, 12)) {
+      def gramArr(c: org.apache.spark.sql.Column) =
+        array_distinct(expr(
+          s"transform(sequence(1, length(t) - ${n - 1}), " +
+            s"i -> substring(t, i, $n))"))
+      val ga = docs.filter(length(col("text")) >= n)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .select(col("doc_id"), gramArr(col("t")).as("gs"))
+      val brute = ga.as("a")
+        .join(ga.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(array_intersect(col("a.gs"), col("b.gs"))).as("inter"),
+          size(col("a.gs")).as("na"), size(col("b.gs")).as("nb"))
+        .filter(lit(10) * col("inter") >=
+          lit(7) * (col("na") + col("nb") - col("inter")))
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val filtered = TextDedup
+        .charGramJaccardJoin(docs, n = n, thetaNum = 7, thetaDen = 10)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(filtered == brute, s"prefix filter lost/added pairs at n=$n")
+      assert(filtered.nonEmpty, s"no qualifying pairs at n=$n — weak test")
+    }
+  }
+
   test("SimHash: exact copies collide; groups contain the planted copies") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val copies = docs.filter(col("doc_id") % 10 === 0)
