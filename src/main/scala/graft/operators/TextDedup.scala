@@ -178,30 +178,47 @@ object TextDedup {
       "threshold must be a rational in (0, 1]")
     import org.apache.spark.sql.expressions.Window
 
-    // Distinct char n-grams per doc. Pure codegen map stage; the length
-    // guard keeps `sequence` ascending (Spark's sequence(1, k) DESCENDS
-    // for k < 1 — it would fabricate grams for short docs).
-    // cached: read by sizes, df, prefix ranking AND the verify join.
-    val grams = graft.CacheScope.scoped(docs
+    // Distinct char n-grams per doc as ONE array row — a pure codegen map
+    // stage (the length guard keeps `sequence` ascending: Spark's
+    // sequence(1, k) DESCENDS for k < 1 and would fabricate grams for
+    // short docs). Set size is map-side `size()`, and the verify step
+    // reads the same arrays — deriving everything from this one cached
+    // frame removed two explode→groupBy round trips over the full gram
+    // table (sizes, gramSets) that the first cut paid.
+    val docGrams = graft.CacheScope.scoped(docs
       .filter(length(col("text")) >= n)
       .select(col("doc_id"), lower(col("text")).as("t"))
       .select(col("doc_id"),
-        explode(array_distinct(expr(
+        array_distinct(expr(
           s"transform(sequence(1, length(t) - ${n - 1}), " +
-            s"i -> substring(t, i, $n))"))).as("gram")))
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+            s"i -> substring(t, i, $n))")).as("gs"))
+      // The candidate machinery runs ENTIRELY on 8-byte hashed gram keys
+      // (distinct'd again — a collision inside one doc would double-count)
+      // instead of n-char strings: cheaper shuffles, long-vs-long join
+      // compares. Lossless: a hash collision can only merge an
+      // intersection gram pair (∩,∪ both −1), two same-side grams (∪ −1),
+      // or a cross-side pair (∩ +1, ∪ −1) — every case RAISES key-space
+      // Jaccard, so running the exact algorithm in key space yields a
+      // SUPERSET of the string-space qualifying pairs, and the verify
+      // step below re-checks candidates on the true string sets.
+      .withColumn("ks", array_distinct(expr(
+        "transform(gs, g -> xxhash64(g))")))
+      .withColumn("n_keys", size(col("ks")).cast("long"))
+      .withColumn("n_grams", size(col("gs")).cast("long")))
+    val keys = docGrams.select(col("doc_id"), col("n_keys"),
+      explode(col("ks")).as("gram"))
+    val df = keys.groupBy("gram").agg(count(lit(1)).as("df"))
 
-    // Rare-first prefix: rank each doc's grams by the global (df, gram)
-    // total order; keep n_grams − ceil(θ·n_grams) + 1 of them. ceil in
+    // Rare-first prefix: rank each doc's keys by the global (df, key)
+    // total order; keep n_keys − ceil(θ·n_keys) + 1 of them. ceil in
     // exact integer arithmetic: ceil(p·n/q) = (p·n + q − 1) div q.
-    val prefix = grams.join(df, Seq("gram"))
+    val prefix = keys.join(df, Seq("gram"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("rnk") <= col("n_grams") -
-        expr(s"($thetaNum * n_grams + ${thetaDen - 1}) div $thetaDen") + 1)
-      .select(col("doc_id"), col("gram"), col("n_grams"), col("rnk"))
+      .filter(col("rnk") <= col("n_keys") -
+        expr(s"($thetaNum * n_keys + ${thetaDen - 1}) div $thetaDen") + 1)
+      .select(col("doc_id"), col("gram"),
+        col("n_keys").as("n_grams"), col("rnk"))
 
     // Candidates: prefix ∩ prefix on the (rare) gram key, pruned INSIDE
     // the join by two exact filters —
@@ -223,20 +240,16 @@ object TextDedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    // Exact verification WITHOUT a per-candidate gram explode: each doc's
-    // distinct grams collapse to one sorted array row (bounded by doc
-    // length), the candidate pair joins both array rows, and the
+    // Exact verification WITHOUT a per-candidate gram explode: the
+    // candidate pair joins both docs' cached array rows and the
     // intersection size is a single collection op per pair. The first cut
     // of this verify joined candidates to the exploded gram table —
     // candidates × grams-per-doc rows (≈1e9 at sf0.1 on this dense-vocab
     // corpus) — and was 100× slower than the whole query is now.
-    val gramSets = grams.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("gram"))).as("gs"),
-        count(lit(1)).as("n_grams"))
     val out = cand
-      .join(gramSets.select(col("doc_id").as("doc_a"), col("gs").as("ga"),
+      .join(docGrams.select(col("doc_id").as("doc_a"), col("gs").as("ga"),
         col("n_grams").as("n_a")), Seq("doc_a"))
-      .join(gramSets.select(col("doc_id").as("doc_b"), col("gs").as("gb"),
+      .join(docGrams.select(col("doc_id").as("doc_b"), col("gs").as("gb"),
         col("n_grams").as("n_b")), Seq("doc_b"))
       .withColumn("n_common", size(array_intersect(col("ga"), col("gb"))))
       .filter(lit(thetaDen) * col("n_common") >=
