@@ -672,7 +672,42 @@ object Oracles {
       JOIN sz sa ON sa.doc_id = doc_a
       JOIN sz sb ON sb.doc_id = doc_b
       WHERE 10 * n_common >= 7 * (sa.n + sb.n - n_common)
-      ORDER BY doc_a, doc_b"""
+      ORDER BY doc_a, doc_b""",
+
+    // Transitive closure of the q69 pair graph by recursive CTE; the
+    // Spark side must reach the same components via hash-min label
+    // propagation. canonical_id = min doc_id of the component.
+    "q70_dedup_clusters" -> """
+      WITH RECURSIVE g AS (
+        SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 12) AS gram
+        FROM (SELECT doc_id, lower(text) AS t,
+                     unnest(generate_series(1, length(text) - 11)) AS i
+              FROM documents WHERE length(text) >= 12)),
+      sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      qpairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE 10 * n_common >= 7 * (sa.n + sb.n - n_common)),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM qpairs
+                UNION ALL SELECT doc_b AS src, doc_a AS dst FROM qpairs),
+      reach AS (
+        SELECT src AS id, src AS comp
+        FROM (SELECT DISTINCT src FROM edges) v
+        UNION
+        SELECT e.dst AS id, r.comp FROM reach r JOIN edges e
+        ON e.src = r.id),
+      comps AS (SELECT id AS doc_id, min(comp) AS canonical_id
+                FROM reach GROUP BY id),
+      szs AS (SELECT canonical_id, count(*) AS cluster_size
+              FROM comps GROUP BY canonical_id)
+      SELECT c.doc_id, c.canonical_id, s.cluster_size
+      FROM comps c JOIN szs s USING (canonical_id)
+      ORDER BY doc_id"""
   )
 
   /** 30-minute-gap sessionization shared by q18 (batch) and q60

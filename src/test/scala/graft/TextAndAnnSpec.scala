@@ -93,6 +93,21 @@ class TextAndAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: chain, triangle, isolated edge, any col names") {
+    import graft.operators.Components
+    // 1-2-3-4-5 chain (diameter 4 — forces multiple propagation rounds,
+    // a clique-ish near-dup cluster would converge in one), a 10-11-12
+    // triangle, and an isolated 20-21 edge. Column names are positional.
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L))
+      .toDF("left_id", "right_id")
+    val got = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == want)
+  }
+
   test("SimHash: exact copies collide; groups contain the planted copies") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val copies = docs.filter(col("doc_id") % 10 === 0)
