@@ -129,6 +129,14 @@ object Oracles {
              count(DISTINCT user_id) AS n_users
       FROM cleaned""",
 
+    // Compaction preserves the exact row multiset, so its aggregate
+    // parity oracle is the same cleaned-CTE aggregate as q07's.
+    "q71_compaction" -> s"""$cte
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
+             count(DISTINCT user_id) AS n_users
+      FROM cleaned""",
+
     "q09_sql_surface" -> s"""$cte
       SELECT status, count(*) AS n,
              CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,

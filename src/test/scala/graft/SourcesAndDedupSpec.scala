@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.sources.CsvSource
+import graft.sources.{Compaction, CsvSource}
 import graft.operators.{Dedup, TxnTransform}
 
 /** S1/S2 CSV ingestion with per-row corrupt capture, and S7 deterministic
@@ -138,11 +138,13 @@ class SourcesAndDedupSpec extends AnyFunSuite {
     def partFiles(p: String) =
       new java.io.File(p).listFiles.count(_.getName.startsWith("part-"))
     assert(partFiles(small) == 32)
-    spark.read.parquet(small).repartition(2)
-      .write.mode("overwrite").parquet(compact)
-    assert(partFiles(compact) == 2)
+    // target = ceil(bytes/2) ⇒ the size-derived file count is exactly 2
+    val bytes = Compaction.dataBytes(spark, small)
+    val b = Compaction.compactParquet(spark, small, compact,
+      targetFileBytes = (bytes + 1) / 2)
+    assert(partFiles(compact) == 2,
+      "file count must derive from input bytes / target size")
     val a = spark.read.parquet(small)
-    val b = spark.read.parquet(compact)
     assert(a.count() == b.count())
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "compaction must preserve the exact row multiset")
