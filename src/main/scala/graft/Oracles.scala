@@ -206,6 +206,18 @@ object Oracles {
               <= b.z - 7200000000000
       GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
 
+    // Batch form of the stream-stream interval join: every view within
+    // 30 min before a click by the same user. Gaps in integer µs
+    // (epoch_us = Spark's `ts div 1000` under ns truncation).
+    "q72_streaming_interval_join" -> """
+      SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+             epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+      FROM events c JOIN events v ON c.user_id = v.user_id
+      WHERE c.event_type = 'click' AND v.event_type = 'view'
+        AND epoch_us(v.ts) >= epoch_us(c.ts) - 1800000000
+        AND epoch_us(v.ts) <= epoch_us(c.ts)
+      ORDER BY click_id, view_id""",
+
     "q17_events_props" -> """
       SELECT json_extract_string(props, '$.k') AS k, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

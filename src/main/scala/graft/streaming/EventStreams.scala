@@ -374,6 +374,63 @@ object EventStreams {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** STREAM-STREAM interval join as a run-to-completion gate query — the
+    * last major Structured Streaming surface the suite exercises (q57/q60
+    * prove windowed-agg and mapGroups state, q63/q64 dedup and watermark
+    * drops; this proves two-sided JOIN state).
+    *
+    * Semantics: every `view` within 30 minutes BEFORE a `click` by the
+    * same user (the attribution-join shape). Staging forces the state
+    * question: file 1 carries ONLY clicks, file 2 ONLY views — with
+    * `maxFilesPerTrigger=1` every single output pair must match a click
+    * buffered in join state from micro-batch 1 against a view arriving
+    * in micro-batch 2. The DuckDB oracle is the plain batch interval
+    * join, so gate equality proves no state was dropped or duplicated.
+    *
+    * Watermark/state notes: both sides carry a 2 h watermark and the
+    * join condition bounds view_time to [click_time − 30 min,
+    * click_time], so click state is evictable past watermark + 30 min
+    * and view state past the watermark — bounded state, runs forever at
+    * production rates. The global watermark is the MIN across sides;
+    * after micro-batch 1 the view side has seen nothing, so it holds at
+    * zero and no click state can age out before the views arrive —
+    * arrival order is pinned by mtime, not luck. Inner-join matches emit
+    * eagerly (append mode), not at window finalization. Output gap is
+    * integer µs (`ts div 1000` = DuckDB `epoch_us` under ns truncation)
+    * per the float/precision policy.
+    */
+  def intervalJoinOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val ss = streamingSession(spark)
+    val src = stagedEventsSource(ss, sfDir, srcDir) { ev =>
+      ev.filter(col("event_type").isin("click", "view"))
+        .withColumn("_b",
+          when(col("event_type") === "click", lit(0)).otherwise(lit(1)))
+        .repartitionByRange(2, col("_b")) // part-00000 = clicks
+        .drop("_b")
+    }
+    stampAscendingMtimes(srcDir, 2)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("c_us"),
+        timestamp_micros(expr("ts div 1000")).as("c_time"))
+      .withWatermark("c_time", "2 hours")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        expr("ts div 1000").as("v_us"),
+        timestamp_micros(expr("ts div 1000")).as("v_time"))
+      .withWatermark("v_time", "2 hours")
+    val joined = clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_time") >= col("c_time") - expr("INTERVAL 30 MINUTES") &&
+        col("v_time") <= col("c_time"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        (col("c_us") - col("v_us")).as("gap_us"))
+    drainToTable(joined, queryName, OutputMode.Append)
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
   /** Drive a streaming DataFrame synchronously into a memory sink and
     * return the materialized result (local smoke/test harness).
     */

@@ -124,6 +124,28 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val out = EventStreams
+      .intervalJoinOnce(spark, TestSpark.sf, "interval_join_test")
+      .select("click_id", "view_id", "gap_us")
+      .as[(Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val batch = ev.as("c").filter(col("c.event_type") === "click")
+      .join(ev.as("v").filter(col("v.event_type") === "view"),
+        col("c.user_id") === col("v.user_id") &&
+          col("v.us") >= col("c.us") - lit(1800000000L) &&
+          col("v.us") <= col("c.us"))
+      .select(col("c.event_id"), col("v.event_id"),
+        col("c.us") - col("v.us"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == batch)
+    assert(out.nonEmpty, "no click-view pairs at sf0.001 — weak test")
+    // every pair really did cross micro-batches: clicks are staged in
+    // file 1, views in file 2, so a nonempty result IS the state proof
+  }
+
   test("sliding-window arithmetic form equals Spark's built-in window()") {
     val ev = Tables.events(spark, TestSpark.sf)
     val arith = Events.slidingCounts(ev)
