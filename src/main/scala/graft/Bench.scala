@@ -29,13 +29,15 @@ object Bench {
           org.apache.spark.sql.expressions.Window.orderBy("r_name")))
         .count()
       SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-      // q69's plan has the suite's largest one-shot codegen bill (~4 s of
-      // Janino/JIT across its six distinct generated stages — measured
-      // 18 s first run vs 6.3 s steady-state at sf0.1). Same hygiene as
-      // the flagship warmup above: compile the classes on sf0.001 (300×
-      // smaller) outside the timed region; no meaningful data work is
-      // pre-done and the caches are dropped below.
-      Queries.all("q69_chargram_jaccard")(spark, "/root/testdata/sf0.001")
+      // The char-gram Jaccard pipeline has the suite's largest one-shot
+      // codegen bill (~4 s of Janino/JIT across six distinct generated
+      // stages — measured 18 s first run vs 6.3 s steady-state at sf0.1).
+      // Same hygiene as the flagship warmup above: compile the classes on
+      // sf0.001 (300× smaller) outside the timed region; q70 is warmed
+      // because it CONTAINS q69's whole plan plus the component-
+      // propagation shapes. No meaningful data work is pre-done and the
+      // caches are dropped below.
+      Queries.all("q70_dedup_clusters")(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     finally spark.catalog.clearCache()

@@ -137,6 +137,15 @@ object Oracles {
              count(DISTINCT user_id) AS n_users
       FROM cleaned""",
 
+    // Dynamic-partition-overwrite upsert parity: only the pending
+    // partition was re-delivered with doubled amounts.
+    "q73_partition_upsert" -> s"""$cte
+      SELECT status, count(*) AS n,
+             CAST(sum(CAST(CASE WHEN status = 'pending' THEN amount * 2
+                           ELSE amount END AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_amount
+      FROM cleaned GROUP BY status ORDER BY status""",
+
     "q09_sql_surface" -> s"""$cte
       SELECT status, count(*) AS n,
              CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,

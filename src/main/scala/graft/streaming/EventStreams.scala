@@ -403,14 +403,37 @@ object EventStreams {
       queryName: String): DataFrame = {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val ss = streamingSession(spark)
-    val src = stagedEventsSource(ss, sfDir, srcDir) { ev =>
-      ev.filter(col("event_type").isin("click", "view"))
-        .withColumn("_b",
-          when(col("event_type") === "click", lit(0)).otherwise(lit(1)))
-        .repartitionByRange(2, col("_b")) // part-00000 = clicks
-        .drop("_b")
+    deleteStagingForTest(java.nio.file.Paths.get(srcDir))
+    // One explicit write per batch (clicks first, then views), NOT
+    // repartitionByRange(2, _b): a range-sampled staging failed in-suite
+    // at sf0.1 while passing standalone — the sampler is the one
+    // context-dependent piece of the staging (r3 already observed it
+    // collapsing small discrete keys), so it is replaced with the
+    // deterministic per-batch write lateDropOnce uses. coalesce(1) is
+    // the staging contract: one file = one micro-batch.
+    val ev = graft.Tables.events(ss, sfDir)
+    var stamped = Set.empty[java.nio.file.Path]
+    Seq("click", "view").zipWithIndex.foreach { case (et, b) =>
+      ev.filter(col("event_type") === et)
+        .coalesce(1)
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(srcDir)
+      val dir = java.nio.file.Paths.get(srcDir)
+      val listing = java.nio.file.Files.list(dir)
+      val fresh =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .filterNot(stamped).toSeq
+        finally listing.close()
+      require(fresh.size == 1,
+        s"interval-join staging batch $et wrote ${fresh.size} files, expected 1")
+      java.nio.file.Files.setLastModifiedTime(fresh.head,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+      stamped += fresh.head
     }
-    stampAscendingMtimes(srcDir, 2)
+    val src = ss.readStream
+      .schema(graft.Tables.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         expr("ts div 1000").as("c_us"),

@@ -150,6 +150,39 @@ class SourcesAndDedupSpec extends AnyFunSuite {
       "compaction must preserve the exact row multiset")
   }
 
+  test("dynamic partition overwrite rewrites ONLY the delivered partition") {
+    val base = "/tmp/graft_test_dyn_overwrite"
+    val df = Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority").as("pk"))
+    df.write.mode("overwrite").partitionBy("pk").parquet(base)
+    def files(pk: String): Set[String] = {
+      val d = new java.io.File(s"$base/pk=$pk")
+      d.listFiles.map(_.getName).filter(_.startsWith("part-")).toSet
+    }
+    val pks = new java.io.File(base).listFiles
+      .filter(_.getName.startsWith("pk=")).map(_.getName.drop(3)).sorted
+    assert(pks.length > 1, "need multiple partitions for this test")
+    val touched = pks.head
+    val before = pks.map(pk => pk -> files(pk)).toMap
+    df.filter(col("pk") === touched)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pk").parquet(base)
+    // untouched partitions: byte-identical file sets; touched: replaced
+    pks.tail.foreach { pk =>
+      assert(files(pk) == before(pk),
+        s"partition $pk was rewritten by an unrelated delivery")
+    }
+    assert(files(touched) != before(touched),
+      "the delivered partition must be replaced")
+    // and a STATIC overwrite of the same single-partition frame would
+    // have dropped every other partition — the mode is the semantics
+    val total = spark.read.parquet(base).count()
+    assert(total == df.count(), "no rows lost or doubled across the upsert")
+  }
+
   test("ORC sink round-trips the pipeline output (third columnar format)") {
     val out = TxnTransform.pipeline("TS0")(TxnView.dirty(spark, TestSpark.sf))
     val path = "/tmp/graft_test_orc_sink"
