@@ -79,6 +79,15 @@ object Components {
       converged = changed == 0
       iter += 1
     }
+    // Non-convergence must fail LOUD: returning the part-propagated
+    // labels would be a silently wrong answer (components larger than
+    // maxIter hops would split). maxIter bounds the diameter, and real
+    // near-dup clusters converge in 2-3 rounds — hitting the bound means
+    // the graph shape assumption broke, not that the answer is "close".
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "component diameter exceeds the bound (use large-star/small-star " +
+        "for adversarial-diameter graphs)")
     labels
   }
 }

@@ -37,8 +37,13 @@ object Compaction {
       targetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
     require(targetFileBytes > 0, "target file size must be positive")
     val bytes = dataBytes(spark, inDir)
-    val parts = math.max(1L,
-      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val partsL = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes)
+    // a pathological target (1 byte against a PB directory) must not
+    // silently truncate through toInt into a wrong-but-plausible count
+    require(partsL <= Int.MaxValue,
+      s"compaction would need $partsL output files — raise targetFileBytes")
+    val parts = partsL.toInt
     spark.read.parquet(inDir)
       .repartition(parts)
       .write.mode("overwrite").parquet(outDir)

@@ -93,6 +93,44 @@ class TextAndAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components agree with union-find on random graphs") {
+    import graft.operators.Components
+    // Deterministic LCG so failures reproduce; three densities around the
+    // percolation threshold give a mix of many small and few giant
+    // components. Reference answer: textbook union-find on the driver.
+    var seed = 0x5DEECE66DL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for (nEdges <- Seq(20, 60, 150)) {
+      val n = 100
+      val edges = Seq.fill(nEdges) {
+        val x = nextInt(n); val y = nextInt(n - 1)
+        (x.toLong, (if (y >= x) y + 1 else y).toLong) // no self-loops
+      }
+      val parent = Array.tabulate(n)(identity)
+      def find(v: Int): Int = {
+        var r = v; while (parent(r) != r) r = parent(r)
+        var c = v
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (s, d) =>
+        val (rs, rd) = (find(s.toInt), find(d.toInt))
+        if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val want = touched.map(v => v -> find(v.toInt).toLong).toMap
+      val got = Components
+        .connectedComponents(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      // union-find roots are minimal per component because unions always
+      // point the larger root at the smaller — same canonical as hash-min
+      assert(got == want, s"mismatch at $nEdges edges")
+    }
+  }
+
   test("connected components: chain, triangle, isolated edge, any col names") {
     import graft.operators.Components
     // 1-2-3-4-5 chain (diameter 4 — forces multiple propagation rounds,
