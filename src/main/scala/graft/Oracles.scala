@@ -596,18 +596,25 @@ object Oracles {
     // columns are null for images since no SQL engine can recompute PNG
     // container bytes. The correlated pixel-sum subquery ranges over the
     // max canvas (24×16) and masks to each image's true w×h.
+    // Image rows decode real PNGs, audio rows decode real PCM WAVs (both
+    // pure-JDK codecs); the oracle recomputes the decoded features from
+    // their closed-form definitions. Byte-level columns stay null for
+    // decoded kinds (no SQL engine can recompute PNG/WAV container
+    // bytes); only video — the one remaining stub — keeps them. The
+    // correlated sums range over constant bounds and mask to the true
+    // extent because DuckDB's range() rejects lateral column arguments.
     "q29_media_features" -> """
       SELECT d.doc_id AS media_id,
              CASE CAST(d.doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                   WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-             CASE WHEN d.doc_id % 3 = 0 THEN NULL
-                  ELSE CAST(octet_length(encode(d.text)) AS BIGINT)
+             CASE WHEN d.doc_id % 3 = 2
+                  THEN CAST(octet_length(encode(d.text)) AS BIGINT)
                   END AS n_bytes,
-             CASE WHEN d.doc_id % 3 = 0 THEN NULL
-                  ELSE md5(d.text) END AS checksum_md5,
+             CASE WHEN d.doc_id % 3 = 2
+                  THEN md5(d.text) END AS checksum_md5,
              CAST(CASE CAST(d.doc_id % 3 AS INTEGER)
                   WHEN 2 THEN octet_length(encode(d.text)) // 100 + 1
-                  WHEN 1 THEN octet_length(encode(d.text)) // 40 + 1
+                  WHEN 1 THEN 40 + d.doc_id % 50
                   ELSE 1 END AS BIGINT) AS frame_estimate,
              CASE WHEN d.doc_id % 3 = 0
                   THEN CAST(8 + d.doc_id % 16 AS BIGINT) END AS width,
@@ -618,7 +625,17 @@ object Oracles {
                        AS BIGINT)
                 FROM range(0, 24) x(r), range(0, 16) y(r)
                 WHERE x.r < 8 + d.doc_id % 16
-                  AND y.r < 8 + d.doc_id % 8) END AS pixel_sum
+                  AND y.r < 8 + d.doc_id % 8) END AS pixel_sum,
+             CASE WHEN d.doc_id % 3 = 1
+                  THEN CAST(8000 + (d.doc_id % 4) * 4000 AS BIGINT)
+                  END AS sample_rate,
+             CASE WHEN d.doc_id % 3 = 1
+                  THEN CAST(40 + d.doc_id % 50 AS BIGINT) END AS n_samples,
+             CASE WHEN d.doc_id % 3 = 1 THEN
+               (SELECT CAST(SUM(CASE WHEN t.i < 40 + d.doc_id % 50
+                       THEN ((d.doc_id*17 + 11*t.i) % 4096) - 2048
+                       ELSE 0 END) AS BIGINT)
+                FROM range(0, 90) t(i)) END AS amplitude_sum
       FROM documents d ORDER BY media_id""",
 
     "q18_sessionize" -> sessionizeOracle,

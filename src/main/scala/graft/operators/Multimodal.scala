@@ -30,17 +30,20 @@ object Multimodal {
       declared_bytes: Long)
 
   /** Decoded features. Byte-level features (n_bytes, checksum_md5) apply
-    * to the raw payload of STUB kinds; for images the content features are
-    * what decode yields — width, height, and the sum of decoded pixel
-    * values — and byte-level columns are null (an encoded container's
-    * size/digest is a storage attribute, not a content feature, and no
-    * SQL oracle can recompute PNG container bytes). `frame_estimate`
-    * stands in for codec output on the stub kinds.
+    * to the raw payload of STUB kinds; for decoded kinds the content
+    * features are what the codec yields — width/height/pixel-sum for
+    * images, sample-rate/sample-count/amplitude-sum for audio — and
+    * byte-level columns are null (an encoded container's size/digest is a
+    * storage attribute, not a content feature, and no SQL oracle can
+    * recompute PNG/WAV container bytes). `frame_estimate` stands in for
+    * codec output on the one remaining stub kind (video); for audio it is
+    * the REAL decoded sample count.
     */
   case class MediaFeatures(media_id: Long, kind: String,
       n_bytes: Option[Long], checksum_md5: Option[String],
       frame_estimate: Long, width: Option[Long], height: Option[Long],
-      pixel_sum: Option[Long])
+      pixel_sum: Option[Long], sample_rate: Option[Long],
+      n_samples: Option[Long], amplitude_sum: Option[Long])
 
   /** Deterministic media table derived from `documents`: kind cycles by
     * id; image rows carry a real PNG payload ([[encodePng]]), audio/video
@@ -58,9 +61,11 @@ object Multimodal {
       col("n_chars").cast("long").as("declared_bytes"))
       .as[MediaRow]
       // payload synthesis is itself partition-batched map work — the
-      // encoder is the same library whose decoder the feature pass uses
+      // encoders are the same libraries whose decoders the feature pass
+      // uses (javax.imageio for PNG, javax.sound.sampled for WAV)
       .mapPartitions(_.map { r =>
         if (r.kind == "image") r.copy(content = encodePng(r.media_id))
+        else if (r.kind == "audio") r.copy(content = encodeWav(r.media_id))
         else r
       })
   }
@@ -91,11 +96,44 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Partition-batched decode. Images go through the real codec
-    * (`ImageIO.read`); per-partition amortization of the codec context is
-    * the entire point of the mapPartitions shape. Audio/video hit the
-    * stub ([[fakeDecode]]) — the integration point where a real
-    * deployment initializes its decoder once per partition.
+  /** Deterministic synthetic WAV: 16-bit signed PCM mono, little-endian;
+    * sample rate 8000 + (id mod 4)·4000 Hz, n = 40 + id mod 50 samples,
+    * sample s(i) = ((id·17 + 11·i) mod 4096) − 2048 (12-bit swing well
+    * inside the 16-bit range). The DuckDB oracle recomputes rate, count,
+    * and amplitude sum from this definition; the Spark side must RECOVER
+    * them from the encoded container — which PCM WAV's losslessness
+    * guarantees. `javax.sound.sampled` ships in the JDK (no native
+    * codecs needed for PCM), the same reason the image path uses
+    * `javax.imageio`.
+    */
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    val rate = (8000 + (id % 4) * 4000).toInt
+    val n = (40 + id % 50).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 17 + 11 * i) % 4096) - 2048).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, 1, 2, rate.toFloat, /*bigEndian=*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Partition-batched decode. Images and audio go through real codecs
+    * (`ImageIO.read`, `AudioSystem.getAudioInputStream`); per-partition
+    * amortization of the codec context is the entire point of the
+    * mapPartitions shape. Video hits the stub ([[fakeDecode]]) — the one
+    * kind this container has no decoder for, and the integration point
+    * where a real deployment initializes its decoder once per partition.
     */
   def decodePartition(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -120,7 +158,26 @@ object Multimodal {
             y += 1
           }
           MediaFeatures(r.media_id, r.kind, None, None, 1L,
-            Some(img.getWidth.toLong), Some(img.getHeight.toLong), Some(sum))
+            Some(img.getWidth.toLong), Some(img.getHeight.toLong), Some(sum),
+            None, None, None)
+        } else if (r.kind == "audio") {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          val fmt = ais.getFormat
+          val n = ais.getFrameLength.toInt
+          val buf = ais.readAllBytes()
+          // reconstruct signed 16-bit little-endian samples: high byte is
+          // sign-extended, low byte masked
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            sum += (buf(2 * i + 1).toInt << 8) | (buf(2 * i) & 0xff)
+            i += 1
+          }
+          MediaFeatures(r.media_id, r.kind, None, None,
+            frame_estimate = n.toLong, width = None, height = None,
+            pixel_sum = None, sample_rate = Some(fmt.getSampleRate.toLong),
+            n_samples = Some(n.toLong), amplitude_sum = Some(sum))
         } else {
           val digest = md.digest(r.content)
           md.reset()
@@ -130,18 +187,18 @@ object Multimodal {
             n_bytes = Some(r.content.length.toLong),
             checksum_md5 = Some(digest.map("%02x".format(_)).mkString),
             frame_estimate = fakeDecode(r.kind, r.content.length.toLong),
-            width = None, height = None, pixel_sum = None)
+            width = None, height = None, pixel_sum = None,
+            sample_rate = None, n_samples = None, amplitude_sum = None)
         }
       }
     }
   }
 
-  /** STUB codec for kinds with no decoder in this container (audio,
-    * video): deterministic frame-count fake.
+  /** STUB codec for the one kind with no decoder in this container
+    * (video): deterministic frame-count fake.
     */
   private def fakeDecode(kind: String, nBytes: Long): Long = kind match {
     case "video" => nBytes / 100L + 1L
-    case "audio" => nBytes / 40L + 1L
     case _       => 1L
   }
 

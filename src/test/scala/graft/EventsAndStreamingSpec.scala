@@ -230,16 +230,31 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     // the PNG payload really is a PNG (magic bytes), not a passthrough
     val payload = Multimodal.encodePng(0L)
     assert(payload.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47))
-    // media_id 1 is AUDIO: stub path keeps byte-level features
+    // media_id 1 is AUDIO: features must come from a real WAV decode and
+    // match the closed-form sample definition (id=1: rate 12000, n=41)
     val row = feats.filter(col("media_id") === 1).collect().head
+    assert(row.getAs[String]("kind") == "audio")
+    assert(row.getAs[Long]("sample_rate") == 12000L)
+    assert(row.getAs[Long]("n_samples") == 41L)
+    val expectAmp = (0 until 41).map(i => ((1L * 17 + 11 * i) % 4096) - 2048).sum
+    assert(row.getAs[Long]("amplitude_sum") == expectAmp)
+    assert(row.getAs[Long]("frame_estimate") == 41L)
+    assert(row.isNullAt(row.fieldIndex("checksum_md5")))
+    assert(row.isNullAt(row.fieldIndex("n_bytes")))
+    assert(row.isNullAt(row.fieldIndex("pixel_sum")))
+    // the WAV payload really is a RIFF/WAVE container, not a passthrough
+    val wav = Multimodal.encodeWav(1L)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    // media_id 2 is VIDEO: the one remaining stub keeps byte features
+    val vid = feats.filter(col("media_id") === 2).collect().head
     val text = Tables.documents(spark, TestSpark.sf)
-      .filter(col("doc_id") === 1).select("text").as[String].collect().head
+      .filter(col("doc_id") === 2).select("text").as[String].collect().head
     val md = java.security.MessageDigest.getInstance("MD5")
     val expect = md.digest(text.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    assert(row.getAs[String]("checksum_md5") == expect)
-    assert(row.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
-    assert(row.getAs[String]("kind") == "audio")
-    assert(row.isNullAt(row.fieldIndex("pixel_sum")))
+    assert(vid.getAs[String]("checksum_md5") == expect)
+    assert(vid.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
+    assert(vid.isNullAt(vid.fieldIndex("sample_rate")))
   }
 }
