@@ -146,6 +146,106 @@ object Oracles {
                AS sum_amount
       FROM cleaned GROUP BY status ORDER BY status""",
 
+    // TF-IDF with rational idf: ranking by tf/df ≡ ranking by tf·N/df
+    // (N constant); score_micro uses exact integer products and one
+    // correctly-rounded IEEE division, so both engines emit identical
+    // bits (ln() would not — see TfIdf scaladoc).
+    "q74_tfidf" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(FLOOR((1000000.0 * tf.tf) / df.df) AS BIGINT)
+                 AS score_micro
+        FROM tf JOIN df USING (term))
+      SELECT doc_id, term, tf, df, score_micro,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score_micro DESC, term) AS INTEGER) AS rank
+      FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""",
+
+    // Plain join — the Bloom pre-filter must not change the result.
+    "q75_bloom_join" -> """
+      SELECT p_brand, count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 5
+      GROUP BY p_brand ORDER BY p_brand""",
+
+    // Row-level MERGE routed by SQL CASE over the same full-outer join;
+    // ×2 and +0.5 are exact in binary FP, so price parity is bit-level.
+    "q76_merge_into" -> """
+      WITH changes AS (
+        SELECT o_orderkey AS key, 'delete' AS op,
+               CAST(NULL AS DOUBLE) AS new_price
+        FROM orders WHERE o_orderkey % 10 IN (0, 1)
+        UNION ALL
+        SELECT o_orderkey, 'update', o_totalprice * 2
+        FROM orders WHERE o_orderkey % 10 IN (2, 3, 4)
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'insert', o_totalprice + 0.5
+        FROM orders WHERE o_orderkey % 10 = 5),
+      merged AS (
+        SELECT COALESCE(o.o_orderkey, c.key) AS key,
+               o.o_totalprice AS old_price, c.op, c.new_price
+        FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.key)
+      SELECT key AS o_orderkey,
+             CASE WHEN op IN ('update', 'insert') THEN new_price
+                  ELSE old_price END AS o_totalprice,
+             CASE WHEN op = 'update' THEN 'update'
+                  WHEN op = 'insert' THEN 'insert'
+                  ELSE 'keep' END AS action
+      FROM merged WHERE op IS DISTINCT FROM 'delete'
+      ORDER BY o_orderkey""",
+
+    // SCD2: lag-flag changes, running-sum versions, collapse runs,
+    // lead closes intervals — operator-for-operator the Scd2 plan.
+    "q77_scd2" -> """
+      WITH seq AS (
+        SELECT o_custkey, o_orderpriority AS prio, o_orderdate, o_orderkey,
+               lag(o_orderpriority) OVER w AS prev_prio
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)),
+      flagged AS (
+        SELECT *, CASE WHEN prev_prio IS NULL OR prev_prio <> prio
+                       THEN 1 ELSE 0 END AS chg
+        FROM seq),
+      versioned AS (
+        SELECT *, CAST(sum(chg) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        FROM flagged),
+      spans AS (
+        SELECT o_custkey, version, min(prio) AS prio,
+               min(o_orderdate) AS valid_from, count(*) AS n_obs
+        FROM versioned GROUP BY o_custkey, version)
+      SELECT o_custkey, version, prio, valid_from,
+             lead(valid_from) OVER wv AS valid_to,
+             CAST(lead(valid_from) OVER wv IS NULL AS BOOLEAN) AS is_current,
+             n_obs
+      FROM spans WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+      ORDER BY o_custkey, version""",
+
+    // Z-order bucket bounding boxes; the interleave SQL is GENERATED from
+    // the same bit spec the Spark expression uses (ZOrder.zvalSql), so
+    // the two sides cannot drift.
+    "q78_zorder" -> s"""
+      WITH coords AS (
+        SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+               CAST(FLOOR(o_totalprice / 256.0) AS BIGINT) AS y
+        FROM orders),
+      z AS (SELECT o_orderkey, x, y,
+                   ${graft.operators.ZOrder.zvalSql("x", "y", 11)} AS zval
+            FROM coords)
+      SELECT zval >> 14 AS bucket, count(*) AS n,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM z GROUP BY 1 ORDER BY 1""",
+
     "q09_sql_surface" -> s"""$cte
       SELECT status, count(*) AS n,
              CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the ANN path that changes the 100 TB memory
+  * math: each d-dim float vector (d·4 bytes) is encoded as m sub-space
+  * centroid ids (m bytes at k ≤ 256), here 64·4 = 256 bytes → 8 bytes
+  * per vector. Search scans CODES, not vectors: a query precomputes a
+  * (m × k) look-up table of sub-distances once, and each corpus vector
+  * costs m table adds (asymmetric distance computation, ADC) instead of
+  * d multiplies. Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011 — public knowledge.
+  *
+  * Determinism policy (rows-only query — double-run Verify must still be
+  * bit-identical): every floating accumulation is fixed-point. Centroid
+  * means are integer sums of floor(x·2^20) micros over counts; ADC
+  * distances are integer sums of floored per-subspace micro-distances.
+  * No partition-order-dependent double addition exists in the operator
+  * (same policy as q62's embedding pooling).
+  *
+  * Scale shape: training touches the corpus twice per Lloyd round
+  * (assign via broadcast centroids, re-mean via one aggregation);
+  * encoding is one broadcast-join pass; search joins the exploded code
+  * table against a BROADCAST per-query LUT (m·k·queries rows) and
+  * aggregates — no vector data moves after encoding, and the shuffle
+  * key space is (query × vector), cut to top-k by per-partition
+  * pre-ranking before the final window.
+  */
+object Pq {
+
+  /** Split embeddings into m subvectors: (vec_id, sub, subvec). */
+  private def subvectors(emb: DataFrame, m: Int, subDim: Int): DataFrame =
+    emb.select(col("vec_id"), explode(array(
+      (0 until m).map(s => struct(lit(s).as("sub"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("subvec"))): _*))
+      .as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"),
+        col("e.subvec").as("subvec"))
+
+  /** Fixed-point micros of a float array (exact integer per component). */
+  private def micros(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
+
+  /** Integer squared-L2 between two micro arrays (exact BIGINT math;
+    * bounded: |x| ≤ ~2^24 micros ⇒ per-term ≤ 2^48, safe at any d).
+    */
+  private def dist2Micro(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Train per-subspace centroids with `iters` Lloyd rounds from a
+    * deterministic hash-ranked seed set. Returns (sub, code, cvec_micro).
+    */
+  private def trainCentroids(sub: DataFrame, m: Int, k: Int,
+      iters: Int): DataFrame = {
+    val wSeed = Window.partitionBy(col("sub"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    var centroids = sub
+      .withColumn("_r", row_number().over(wSeed))
+      .filter(col("_r") <= k)
+      .select(col("sub"), (col("_r") - 1).cast("int").as("code"),
+        micros(col("subvec")).as("cvec_micro"))
+      .cache()
+    centroids.count() // materialize before the loop rewrites the lineage
+
+    for (_ <- 0 until iters) {
+      val assigned = assignCodes(sub, centroids)
+      val next = assigned
+        .select(col("sub"), col("code"),
+          posexplode(col("subvec_micro")).as(Seq("dim", "v")))
+        .groupBy(col("sub"), col("code"), col("dim"))
+        // integer sum / count, floored back to micros: exact, order-free
+        .agg((sum(col("v")) / count(lit(1))).as("mean"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("mean")))),
+          e => floor(e.getField("mean")).cast("long")).as("cvec_micro"))
+        .cache()
+      next.count()
+      centroids.unpersist()
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Nearest centroid per (vec_id, sub): adds subvec_micro + code. */
+  private def assignCodes(sub: DataFrame, centroids: DataFrame): DataFrame =
+    sub
+      .withColumn("subvec_micro", micros(col("subvec")))
+      .join(broadcast(centroids), Seq("sub"))
+      .withColumn("d2", dist2Micro(col("subvec_micro"), col("cvec_micro")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(struct(col("code"), col("subvec_micro")),
+        struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"),
+        col("best.subvec_micro").as("subvec_micro"))
+
+  /** ADC top-k: approximate nearest corpus vectors per query, searched
+    * entirely over PQ codes. Output: query_id, rank, vec_id, adc_micro.
+    */
+  def adcTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, codebook: Int = 16, iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val dims = 64 // driver testdata embedding dimension (TESTDATA.md)
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val subDim = dims / m
+
+    val sub = subvectors(emb, m, subDim).cache()
+    sub.count() // two consumers below (train loop + final encode)
+    val centroids = trainCentroids(sub, m, codebook, iters)
+
+    // corpus → codes (the 8-byte representation the 100 TB scan reads)
+    val codes = assignCodes(sub, centroids)
+      .select(col("vec_id"), col("sub"), col("code"))
+
+    // per-query LUT: distance from each query subvector to each centroid
+    val lut = subvectors(queries, m, subDim)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumn("subvec_micro", micros(col("subvec")))
+      .join(broadcast(centroids), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        dist2Micro(col("subvec_micro"), col("cvec_micro")).as("d2"))
+
+    // ADC: m integer adds per (query, vector) — exact, order-free
+    val scored = codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_micro"))
+
+    // two-phase top-k: per-partition prune before the per-query window
+    // (same shape as Sampling.stratifiedTopK — no giant query task)
+    val wLocal = Window.partitionBy(col("query_id"), col("_pid"))
+      .orderBy(col("adc_micro"), col("vec_id"))
+    val wGlobal = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("vec_id"))
+    val out = scored
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", row_number().over(wLocal))
+      .filter(col("_lrn") <= k)
+      .drop("_pid", "_lrn")
+      .withColumn("rank", row_number().over(wGlobal).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("adc_micro"))
+      .orderBy(col("query_id"), col("rank"))
+    sub.unpersist()
+    out
+  }
+}

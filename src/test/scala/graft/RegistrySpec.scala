@@ -15,7 +15,8 @@ class RegistrySpec extends AnyFunSuite {
     "q27_simhash" -> "bit-level hashing is engine-specific",
     "q35_ann_ivf" -> "learned centroids are engine-internal",
     "q46_approx_percentile" -> "t-digest sketch is engine-specific",
-    "q51_rolling_fp" -> "rolling-hash fingerprint is engine-internal")
+    "q51_rolling_fp" -> "rolling-hash fingerprint is engine-internal",
+    "q79_pq_ann" -> "learned PQ codebooks are engine-internal")
 
   test("every oracle key names an existing query") {
     val orphans = Oracles.all.keySet -- Queries.all.keySet

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFns, VecFns}
-import graft.operators.{Ann, TextDedup}
+import graft.operators.{Ann, Pq, TextDedup}
 
 /** North-star extension operators: text analysis, near-dup dedup (MinHash
   * LSH + SimHash), and embedding similarity search.
@@ -181,6 +181,30 @@ class TextAndAnnSpec extends AnyFunSuite {
     // real regression while leaving noise headroom (review finding: the
     // old 0.05 floor would also have passed a catastrophic regression)
     assert(recall > 0.25, s"IVF recall $recall vs exact baseline")
+  }
+
+  test("PQ ADC: valid ranked output, recall vs exact baseline, determinism") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val pq = Pq.adcTopK(e, q, 5)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(pq.nonEmpty)
+    pq.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // embeddings are unit-norm ⇒ L2 ranking ≡ cosine ranking, so the
+    // exact cosine top-k is the right baseline for ADC's L2 codes
+    val bruteSet = Ann.bruteTopK(e, q, 5).as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val recall = pq.count(r => bruteSet.contains((r._1, r._2))).toDouble /
+      bruteSet.size
+    assert(recall > 0.2, s"PQ recall $recall vs exact baseline")
+    // integer ADC + fixed-point training ⇒ bit-stable across runs
+    val again = Pq.adcTopK(e, q, 5)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(pq.toSeq == again.toSeq, "PQ output is not deterministic")
   }
 
   test("salted aggregation equals direct aggregation (algebraic identity)") {
