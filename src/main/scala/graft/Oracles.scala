@@ -146,6 +146,63 @@ object Oracles {
                AS sum_amount
       FROM cleaned GROUP BY status ORDER BY status""",
 
+    // CDC-apply final state: latest non-error event per user. µs order
+    // key and µs output on both sides (DuckDB reads the ns column
+    // µs-truncated — same convention as every other events oracle).
+    "q82_streaming_cdc_apply" -> """
+      WITH latest AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, ts_us, event_id, event_type, value
+      FROM latest WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id""",
+
+    // Decontamination survivors by the q20-proven fingerprint.
+    "q80_decontaminate" -> """
+      WITH fp AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        FROM documents),
+      bench AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 20 = 3)
+      SELECT doc_id, source FROM fp
+      WHERE NOT EXISTS (SELECT 1 FROM bench b
+                        WHERE b.fingerprint = fp.fingerprint)
+      ORDER BY doc_id""",
+
+    // Survivor corpus from the exact shingle-Jaccard pair closure (the
+    // same exact pair set q26's gate proves the LSH path recovers).
+    "q81_dedup_corpus" -> """
+      WITH RECURSIVE tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+             FROM tok WHERE len(ws) >= 3),
+      qpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                 WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                       >= 0.6),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM qpairs
+                UNION ALL SELECT doc_b, doc_a FROM qpairs),
+      reach AS (
+        SELECT src AS id, src AS comp
+        FROM (SELECT DISTINCT src FROM edges) v
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      comps AS (SELECT id AS doc_id, min(comp) AS canonical_id
+                FROM reach GROUP BY id),
+      dropped AS (SELECT doc_id FROM comps WHERE doc_id <> canonical_id)
+      SELECT d.doc_id,
+             CAST(EXISTS (SELECT 1 FROM comps c WHERE c.doc_id = d.doc_id)
+                  AS BOOLEAN) AS in_cluster
+      FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
+      ORDER BY d.doc_id""",
+
     // TF-IDF with rational idf: ranking by tf/df ≡ ranking by tf·N/df
     // (N constant); score_micro uses exact integer products and one
     // correctly-rounded IEEE division, so both engines emit identical

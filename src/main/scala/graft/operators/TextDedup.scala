@@ -30,6 +30,24 @@ object TextDedup {
   def exactDupGroups(docs: DataFrame): DataFrame =
     Dedup.exactGroups(docs, md5(col("text")), "doc_id")
 
+  /** Benchmark decontamination: drop corpus rows whose normalized
+    * fingerprint ([[graft.functions.TextFns.fingerprint]] — the q20
+    * oracle-proven normalize-then-md5) appears in `benchmark`. The
+    * train/eval-overlap removal every LLM data pipeline runs before
+    * training.
+    *
+    * Scale shape: eval suites are tiny next to a 100 TB corpus, so the
+    * benchmark fingerprint set is BROADCAST and the corpus side is one
+    * shuffle-free anti-join map pass.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val fp = graft.functions.TextFns.fingerprint(col("text"))
+    val bench = benchmark.select(fp.as("_fp")).distinct()
+    corpus.withColumn("_fp", fp)
+      .join(broadcast(bench), Seq("_fp"), "left_anti")
+      .drop("_fp")
+  }
+
   /** MinHash+LSH candidate pairs verified by exact Jaccard.
     *
     * @param numHashes signature length (bands × rowsPerBand)

@@ -454,6 +454,124 @@ object EventStreams {
       .orderBy(col("click_id"), col("view_id"))
   }
 
+  /** Streaming CDC-APPLY as a RUN-TO-COMPLETION gate query: maintain a
+    * keyed serving table from an event stream via `foreachBatch` +
+    * [[graft.operators.Merge.mergeInto]] — the production pattern for
+    * applying a change stream to a lake table. Each micro-batch reduces
+    * to its latest event per user (`max_by` over the (ts, event_id)
+    * total order), a user whose latest event is an `error` becomes a
+    * TOMBSTONE, and the batch merges into the parquet state: update if
+    * the user exists, insert if not, delete on tombstone.
+    *
+    * The stream is staged as two time-halves (earlier half = micro-batch
+    * 1), so the second merge must genuinely UPDATE batch-1 rows, KEEP
+    * users the second half never mentions, and DELETE users whose last
+    * word is an error — the final state equals the latest-non-error-event
+    * per user over the whole table, which is exactly what the DuckDB
+    * oracle computes. State parity across batch boundaries comes from
+    * MERGE semantics, not stream-engine state (complementing q57-q64,
+    * which prove the state-store paths).
+    *
+    * The state table is swapped whole-directory per batch (write next,
+    * atomic move over current) — the local stand-in for a transactional
+    * table format; a production pipeline would key the commit on
+    * `batchId` for exactly-once replay (same idempotence contract).
+    */
+  def cdcApplyOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val stateDir = s"/tmp/graft_cdc_state_$queryName"
+    val nextDir = stateDir + "_next"
+    val ss = streamingSession(spark)
+    Seq(srcDir, stateDir, nextDir).foreach(d =>
+      deleteStagingForTest(java.nio.file.Paths.get(d)))
+
+    val ev = graft.Tables.events(ss, sfDir)
+    val bounds = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("_b",
+        when(col("ts") < expr("a + (z - a) div 2"), lit(0)).otherwise(lit(1)))
+      .drop("a", "z")
+    var stamped = Set.empty[java.nio.file.Path]
+    Seq(0, 1).foreach { b =>
+      tagged.filter(col("_b") === b).drop("_b")
+        .coalesce(1) // staging contract: one file = one micro-batch
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(srcDir)
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
+      val fresh =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .filterNot(stamped).toSeq
+        finally listing.close()
+      require(fresh.size == 1,
+        s"cdc staging batch $b wrote ${fresh.size} files, expected 1")
+      java.nio.file.Files.setLastModifiedTime(fresh.head,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+      stamped += fresh.head
+    }
+
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val payload = Seq("ts_us", "event_id", "event_type", "value")
+
+    val src = ss.readStream
+      .schema(graft.Tables.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt")
+    try {
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val s2 = batch.sparkSession
+          // µs precision on BOTH the order key and the stored timestamp:
+          // DuckDB reads the TIMESTAMP(NANOS) column µs-truncated, so an
+          // ns-precision order key could pick a different latest row
+          // within a shared µs than the oracle's (ts, event_id) order
+          val changes = batch
+            .groupBy(col("user_id"))
+            .agg(max_by(
+              struct(expr("ts div 1000").as("ts_us"), col("event_id"),
+                col("event_type"), col("value")),
+              struct(expr("ts div 1000"), col("event_id"))).as("m"))
+            .select(col("user_id"), col("m.ts_us").as("ts_us"),
+              col("m.event_id").as("event_id"),
+              col("m.event_type").as("event_type"),
+              col("m.value").as("value"),
+              (col("m.event_type") === "error").as("tombstone"))
+          val statePath = java.nio.file.Paths.get(stateDir)
+          val current =
+            if (java.nio.file.Files.exists(statePath))
+              s2.read.schema(stateSchema).parquet(stateDir)
+            else s2.createDataFrame(
+              new java.util.ArrayList[Row](), stateSchema)
+          graft.operators.Merge
+            .mergeInto(current, changes, "user_id", payload)
+            .drop("action")
+            .write.mode("overwrite").parquet(nextDir)
+          deleteStagingForTest(statePath)
+          java.nio.file.Files.move(java.nio.file.Paths.get(nextDir),
+            statePath)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    spark.read.schema(stateSchema).parquet(stateDir)
+      .orderBy(col("user_id"))
+  }
+
   /** Drive a streaming DataFrame synchronously into a memory sink and
     * return the materialized result (local smoke/test harness).
     */

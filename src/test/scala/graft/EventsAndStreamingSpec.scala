@@ -257,4 +257,30 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     assert(vid.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
     assert(vid.isNullAt(vid.fieldIndex("sample_rate")))
   }
+
+  test("streaming CDC-apply state equals batch latest-per-user minus tombstones") {
+    val got = EventStreams
+      .cdcApplyOnce(spark, TestSpark.sf, "cdc_apply_test")
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+    val ev = Tables.events(spark, TestSpark.sf)
+    val expected = ev.groupBy(col("user_id"))
+      .agg(max_by(struct(expr("ts div 1000").as("ts_us"), col("event_id"),
+        col("event_type"), col("value")),
+        struct(expr("ts div 1000"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.ts_us"), col("m.event_id"),
+        col("m.event_type"), col("m.value"))
+      .filter(col("m.event_type") =!= "error")
+      .orderBy(col("user_id"))
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+    assert(got == expected)
+    // cross-batch premise: the two staged halves must share users, or the
+    // MERGE update path was never exercised by this gate
+    val bounds = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("_b",
+        when(col("ts") < expr("a + (z - a) div 2"), 0).otherwise(1))
+    val shared = tagged.filter(col("_b") === 0).select("user_id")
+      .intersect(tagged.filter(col("_b") === 1).select("user_id")).count()
+    assert(shared > 0, "no user spans both halves; update path untested")
+  }
 }

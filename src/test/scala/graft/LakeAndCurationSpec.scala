@@ -123,6 +123,16 @@ class LakeAndCurationSpec extends AnyFunSuite {
     assert(doc1 == Seq("unique", "shared"))
   }
 
+  test("decontaminate drops normalized matches, not just byte-equal text") {
+    val corpus = Seq((1L, "keep me"), (2L, "The  LEAKED, answer!"),
+      (3L, "also kept")).toDF("doc_id", "text")
+    val bench = Seq("the leaked answer").toDF("text")
+    val got = graft.operators.TextDedup.decontaminate(corpus, bench)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L),
+      "case/punct/spacing variants of benchmark text must be dropped")
+  }
+
   // ---------------------------------------------------------- Bloom join
 
   test("bloom prune admits every true match and actually prunes") {

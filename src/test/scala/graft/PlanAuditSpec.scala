@@ -32,12 +32,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "q41_json_roundtrip" -> "single-row aggregate parity frames",
     "q54_orc_roundtrip" -> "single-row aggregate parity frames",
     "q64_streaming_late_drop" -> ("bounds row (min/max ts) broadcast onto " +
-      "the staged stream"))
+      "the staged stream"),
+    "q75_bloom_join" -> ("the ONE-ROW bloom-bits frame is cross-joined " +
+      "(broadcast) onto the fact — the delivery mechanism of the filter, " +
+      "constant-size by construction"))
 
   private val streaming =
     Set("q57_streaming_rollup", "q60_streaming_sessionize",
       "q63_streaming_dedup", "q64_streaming_late_drop",
-      "q72_streaming_interval_join")
+      "q72_streaming_interval_join", "q82_streaming_cdc_apply")
 
   test("no unsanctioned nested-loop or cartesian join in any batch plan") {
     val offenders = Queries.all.toSeq.sortBy(_._1)
