@@ -19,13 +19,31 @@ import org.apache.spark.sql.functions._
   * MapReduce and Beyond", SoCC 2014) with O(log n) rounds; the
   * propagation loop below keeps the same API so that swap stays local.
   *
+  * LINEAGE TRUNCATION, not caching: an iterative loop built with
+  * `.cache()` keeps the full logical plan of every round — and of the
+  * edge PRODUCER. When the producer is a whole similarity join (q70
+  * feeds q69's prefix-filtered join in here; q81 feeds the MinHash-LSH
+  * pipeline), every downstream action pays seconds of DRIVER CPU just
+  * re-canonicalizing that tree for cache lookup: measured at sf0.1, a
+  * `count()` on the cached, fully materialized result frame still took
+  * ~2.5 s, and each consumer of the result re-paid it (q81's emit step:
+  * ~6 s of pure planning). `localCheckpoint` materializes each frame
+  * AND replaces its plan with a leaf (`LogicalRDD`), so per-round and
+  * downstream planning cost is constant — the same reason GraphFrames
+  * checkpoints its iterative lineages. On a multi-executor cluster,
+  * swap `localCheckpoint` for reliable `checkpoint()` (HDFS-backed) if
+  * executor loss must be survivable mid-computation; the frames involved
+  * are O(vertices-in-edges), tiny next to the corpus either way.
+  * Superseded rounds' checkpoint blocks are reclaimed by Spark's
+  * ContextCleaner once the frames are unreferenced (referenceTracking
+  * is on by default); at most the edge set plus two label frames are
+  * ever strongly referenced here.
+  *
   * Per round: one shuffle (neighbor-min aggregate, map-side combined) +
-  * one join back to labels. The convergence probe materializes at most
-  * ONE changed row (`limit(1)` before the count) — it is a Pregel-style
-  * halting vote, not a data collect; each round's label frame is cached
-  * (iterative lineage — Spark would otherwise re-execute the whole prior
-  * chain per round) and the superseded frame is unpersisted eagerly, so
-  * at most two label frames are ever live regardless of round count.
+  * one join back to labels, materialized by the eager checkpoint; the
+  * convergence probe is a `limit(1)` count on the just-materialized leaf
+  * (a Pregel-style halting vote over a precomputed change flag — no
+  * second join, no data collect).
   */
 object Components {
 
@@ -37,27 +55,19 @@ object Components {
     val Seq(a, b) = edges.columns.toSeq.take(2).map(col)
     // Symmetrize in ONE pass (explode of both directions per row), not a
     // UNION of two selects: union branches are separate plan subtrees, so
-    // an expensive uncached edge producer (q70 feeds the whole q69
-    // similarity join in here) would execute once PER BRANCH before the
-    // cache ever fills.
-    val sym = graft.CacheScope.scoped(
-      edges.select(explode(array(
-          struct(a.cast("long").as("src"), b.cast("long").as("dst")),
-          struct(b.cast("long").as("src"), a.cast("long").as("dst"))))
-          .as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    // an expensive uncached edge producer would execute once PER BRANCH
+    // before the checkpoint materializes. The eager localCheckpoint runs
+    // the producer exactly once and truncates its plan out of the loop.
+    val sym = edges.select(explode(array(
+        struct(a.cast("long").as("src"), b.cast("long").as("dst")),
+        struct(b.cast("long").as("src"), a.cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
 
-    var labels = graft.CacheScope.scoped(
-      sym.select(col("src").as("id")).distinct()
-        .withColumn("comp", col("id")))
-    // Prime the caches in ONE job before the loop (Pregel-style init
-    // barrier): the first round's probe otherwise materializes the
-    // vertex init and the neighbor-min aggregate as SIBLING stages that
-    // each recompute the still-uncached edge lineage concurrently — for
-    // an expensive edge producer (q70 feeds the whole q69 similarity
-    // join in here) the cache-fill race duplicates seconds of upstream
-    // work. Measured at sf0.1: 13.5 s → ~9 s for the q70 gate query.
-    labels.count()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -65,17 +75,17 @@ object Components {
         .join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("nid"))
         .agg(min(col("comp")).as("ncomp"))
-      val next = graft.CacheScope.scoped(labels
+      // chg inline: a label only ever DECREASES, so "this round changed
+      // something" ⇔ some neighbor-min undercuts the current label.
+      val next = labels
         .join(neighborMin, col("id") === col("nid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
-            .as("comp")))
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .limit(1).count()
-      labels.unpersist(false) // superseded; scope release tolerates this
-      labels = next
+            .as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
+        .localCheckpoint()
+      val changed = next.filter(col("chg")).limit(1).count()
+      labels = next.drop("chg")
       converged = changed == 0
       iter += 1
     }
