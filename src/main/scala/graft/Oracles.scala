@@ -910,7 +910,119 @@ object Oracles {
               FROM comps GROUP BY canonical_id)
       SELECT c.doc_id, c.canonical_id, s.cluster_size
       FROM comps c JOIN szs s USING (canonical_id)
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // DuckDB cannot read XML; aggregate parity against the cleaned CTE
+    // proves the Spark-side encode→decode cycle lossless (same contract
+    // as the CSV/JSON/ORC roundtrips).
+    "q83_xml_roundtrip" -> s"""$cte
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
+             count(DISTINCT user_id) AS n_users
+      FROM cleaned""",
+
+    // The naive global window cumsum the two-pass packing plan must
+    // equal. `//` is a floor on non-negative operands = Spark's DIV.
+    "q84_pack_sequences" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM t)
+      SELECT CAST(cum_before // 2048 AS BIGINT) AS shard,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY 1 ORDER BY 1""",
+
+    // The identical portable-hash draw and ppm threshold (q61/q66
+    // arithmetic; doc_id ≥ 0 so % == pmod).
+    "q85_weighted_sample" -> """
+      SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT)
+               AS sum_chars
+      FROM documents
+      WHERE ((((doc_id % 100003) * 2654435761) % 1000000007) % 1000000)
+              < least(1000000, n_chars * 2500)
+      GROUP BY lang ORDER BY lang NULLS FIRST""",
+
+    // BM25 in the same exact integer formula (see Bm25.scaladoc):
+    // rational idf (2N-2df+1)/(2df+1), k1=6/5, b=3/4 folded into
+    // 44·ad·tf / (20·ad·tf + 6·ad + 18·dl), one floor division per term.
+    "q86_bm25" -> """
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               string_split(text, ' ') AS toks
+        FROM documents),
+      stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS BIGINT) // count(*) AS ad
+        FROM base),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+        WHERE term IN ('spark', 'hash', 'window')
+        GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      SELECT doc_id,
+             CAST(sum((1000000 * (2*n_docs - 2*df + 1) * 44 * ad * tf)
+                      // ((2*df + 1) * (20*ad*tf + 6*ad + 18*dl)))
+               AS BIGINT) AS score_micro,
+             count(*) AS n_terms
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+      ORDER BY score_micro DESC, doc_id
+      LIMIT 50""",
+
+    // The Spark loop's three rounds unrolled as plain CTEs (aggregates
+    // are not allowed in a recursive CTE term; a fixed-depth unroll is
+    // the standard SQL form of a fixed-iteration kernel). All arithmetic
+    // BIGINT with floor `//` — identical to the DIV fixed-point rounds.
+    "q87_pagerank" -> """
+      WITH pairs AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey + 10000000 AS sp
+        FROM lineitem),
+      edges AS (SELECT p AS src, sp AS dst FROM pairs
+                UNION ALL SELECT sp, p FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+      r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+      r1 AS (
+        SELECT n.id,
+               150000000 + (17 * CAST(coalesce(m.s, 0) AS BIGINT)) // 20 AS r
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS id, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+          FROM edges e JOIN deg d ON e.src = d.src
+          JOIN r0 r ON e.src = r.id GROUP BY 1) m ON n.id = m.id),
+      r2 AS (
+        SELECT n.id,
+               150000000 + (17 * CAST(coalesce(m.s, 0) AS BIGINT)) // 20 AS r
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS id, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+          FROM edges e JOIN deg d ON e.src = d.src
+          JOIN r1 r ON e.src = r.id GROUP BY 1) m ON n.id = m.id),
+      r3 AS (
+        SELECT n.id,
+               150000000 + (17 * CAST(coalesce(m.s, 0) AS BIGINT)) // 20 AS r
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS id, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+          FROM edges e JOIN deg d ON e.src = d.src
+          JOIN r2 r ON e.src = r.id GROUP BY 1) m ON n.id = m.id)
+      SELECT id AS node_id, r AS rank_ppb FROM r3
+      ORDER BY rank_ppb DESC, node_id LIMIT 100""",
+
+    // Typed JSON-path extraction — must equal Spark's variant_get path.
+    "q88_variant_extract" -> """
+      WITH kv AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+        FROM events)
+      SELECT v % 10 AS k_mod, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+      FROM kv GROUP BY 1 ORDER BY 1 NULLS FIRST"""
   )
 
   /** 30-minute-gap sessionization shared by q18 (batch) and q60

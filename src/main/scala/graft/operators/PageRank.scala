@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank in INTEGER fixed-point arithmetic — the graph
+  * centrality primitive behind link-based quality scoring of a web-crawl
+  * training corpus (the reference has no graph surface at all; north-star
+  * extension alongside [[Components]]).
+  *
+  * Why integer fixed-point: the textbook double-valued iteration is not
+  * reproducible across engines or even partitionings (float addition is
+  * order-sensitive), so it could never pass a bit-exact oracle gate. Here
+  * every rank is a BIGINT in parts-per-billion of one unit of mass, and
+  * one round is
+  *
+  *   r'(v) = 150000000 + (17 · Σ_{u→v} (r(u) DIV outdeg(u))) DIV 20
+  *
+  * i.e. damping 0.85 = 17/20 and teleport 0.15·10⁹, with every division
+  * an integral floor DIV. Integer sums are partition-order-free, and
+  * DuckDB's `//` has identical floor semantics on non-negative operands,
+  * so a FIXED number of rounds is exactly reproducible — the oracle
+  * unrolls the same rounds as plain SQL CTEs (aggregates are not allowed
+  * in a recursive CTE term, and an unrolled fixed-depth expansion is the
+  * standard SQL form for a fixed-iteration kernel). The floored
+  * contributions leak ≤ outdeg(u)−1 ppb of mass per vertex per round —
+  * deterministically, identically in both engines; PageRank users care
+  * about ranking stability, not mass conservation to the last ppb.
+  *
+  * Scale shape: per round, ONE data-sized shuffle (the contribution
+  * aggregate, map-side combinable since it is a plain integer SUM over
+  * edges) plus a join of edges against the vertex-sized rank frame; the
+  * rank and degree frames are vertex-sized, edges dominate. The join key
+  * `src` is the same on every round, so at cluster scale pre-partitioning
+  * `edges` by `src` makes every round's join co-located (only the
+  * aggregate output moves). Lineage is truncated per round with
+  * `localCheckpoint` exactly as in [[Components]] — an iterative loop
+  * built on `cache()` re-canonicalizes the whole producer plan every
+  * round (measured seconds of driver CPU at 10 rounds); on a real
+  * cluster swap for HDFS-backed `checkpoint()` if executor loss must be
+  * survivable.
+  *
+  * Dangling vertices (outdeg 0) contribute nothing and their mass
+  * vanishes rather than being redistributed — acceptable for RANKING
+  * (every vertex still receives its in-flow), and exactly mirrored by the
+  * oracle. Callers who need the stochastic-matrix invariant should add a
+  * sink-redistribution term; on the symmetrized graphs this repo feeds in
+  * (q87 bidirects the part↔supplier edges) no dangling vertices exist.
+  */
+object PageRank {
+
+  /** @param edges two-column (src, dst) DIRECTED edge frame; duplicate
+    *              edges count as parallel edges (dedup upstream if that is
+    *              not intended)
+    * @param iters fixed number of rounds (reproducibility requires the
+    *              caller to pin it; no convergence probe on purpose)
+    * @return (node_id, rank_ppb) for every vertex that appears as a src
+    *         or dst
+    */
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val Seq(a, b) = edges.columns.toSeq.take(2).map(col)
+    val e = edges.select(a.cast("long").as("src"), b.cast("long").as("dst"))
+      .localCheckpoint()
+    // one-pass vertex set (union of endpoints, deduped)
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+
+    var ranks = nodes.withColumn("r", lit(1000000000L)).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val contrib = e
+        .join(outdeg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("r DIV deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000000L) +
+            expr("(17 * coalesce(in_mass, 0L)) DIV 20")).as("r"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks.select(col("id").as("node_id"), col("r").as("rank_ppb"))
+  }
+}

@@ -27,8 +27,30 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Portable sample-order hash (see q61): bounded residues, BIGINT-safe. */
-  private def portableHash(idCol: Column): Column =
+  private[operators] def portableHash(idCol: Column): Column =
     pmod((pmod(idCol, lit(100003L)) * lit(2654435761L)), lit(1000000007L))
+
+  /** Deterministic WEIGHTED sampling: keep a row iff its portable hash,
+    * reduced to a uniform draw in [0, 10⁶), falls under the row's weight
+    * in parts-per-million. A row with `weight_ppm ≥ 10⁶` is always kept,
+    * `0` never; expected inclusion probability is weight_ppm/10⁶ — the
+    * quality-weighted corpus subsample ("keep high-quality docs with
+    * certainty, down-weight the rest") that upsampling/downsampling
+    * recipes for LLM training mixes are built on.
+    *
+    * Same multiplicative-hash residue arithmetic as [[stratifiedTopK]] /
+    * q61 — exact BIGINT ops that any engine reproduces, so the oracle
+    * recomputes the identical sample (no engine RNG, no `rand()` whose
+    * stream depends on partitioning). The draw and the weight both live
+    * on the row ⇒ a pure narrow filter: no shuffle, fully pushdown-safe,
+    * trivially parallel at any scale.
+    *
+    * @param weightPpm integral weight column/expression in [0, 10⁶]
+    *                  (values above 10⁶ simply saturate to always-keep)
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightPpm: Column)
+      : DataFrame =
+    df.filter(pmod(portableHash(col(idCol)), lit(1000000L)) < weightPpm)
 
   /** The k rows of each stratum with the smallest (hash, id) order key.
     * Output: stratum column, id column, `sample_rank` (1..k).

@@ -15,6 +15,20 @@ class EventsAndStreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("variant_get extraction agrees with the from_json scalar path " +
+      "and survives malformed / key-missing JSON as null") {
+    val df = Seq("""{"k": 7}""", """{"k": -3, "x": 1}""", """{"x": 9}""",
+      "not json", null: String).toDF("props")
+    val viaVariant = df.select(
+      variant_get(try_parse_json(col("props")), "$.k", "bigint").as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val viaJson = df.select(
+      get_json_object(col("props"), "$.k").cast("long").as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(viaVariant.toSeq == viaJson.toSeq)
+    assert(viaVariant.toSeq == Seq(Some(7L), Some(-3L), None, None, None))
+  }
+
   /** The file-stream source requires a directory; stage the single-file
     * events parquet into one.
     */

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Unit coverage for the round-4 graph / retrieval / packing operators
+  * (q84-q87). Each test checks the DISTRIBUTED plan against an
+  * independent straight-line reference computed in plain Scala or a naive
+  * single-partition Spark plan.
+  */
+class GraphAndRetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------- PageRank
+
+  /** Straight-line reference: the identical integer fixed-point rounds
+    * (Scala `/` on non-negative Longs == floor DIV).
+    */
+  private def simulate(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- edges) in(d) += r(s) / outdeg(s)
+      r = nodes.map(n => n -> (150000000L + 17L * in(n) / 20L)).toMap
+    }
+    r
+  }
+
+  test("PageRank matches the integer reference on a graph with a cycle, " +
+      "a dangling sink, and a source") {
+    // 1→2→3→1 cycle; 3→4 dangling sink (mass leaks, rank still computed);
+    // 5→1 source (never receives mass beyond teleport)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 1L))
+    val got = PageRank.ranks(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == simulate(edges, 3))
+  }
+
+  test("PageRank on a symmetric star gives all leaves equal rank") {
+    val leaves = (2L to 6L)
+    val edges = leaves.flatMap(l => Seq((1L, l), (l, 1L)))
+    val got = PageRank.ranks(edges.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(leaves.map(got).toSet.size == 1, "leaves must tie exactly")
+    assert(got(1L) > got(2L), "hub must outrank leaves")
+    assert(got == simulate(edges, 4))
+  }
+
+  // -------------------------------------------------------------- Packing
+
+  private def packDocs = {
+    // deterministic irregular token counts, including budget-sized spikes
+    (0L until 100L).map(i => (i, (i * 37 % 13) + 1)).toDF("id", "toks")
+  }
+
+  test("packByBudget equals the naive global-window cumsum") {
+    val naive = packDocs
+      .withColumn("cum_before", coalesce(
+        sum(col("toks")).over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard", expr("cum_before DIV 17"))
+      .select("id", "cum_before", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = CacheScope.withScope {
+      Packing.packByBudget(packDocs, "id", "toks", budget = 17L, parts = 7)
+        .select("id", "cum_before", "shard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(got == naive)
+  }
+
+  test("packByBudget is invariant to the range partition count") {
+    def run(parts: Int) = CacheScope.withScope {
+      Packing.packByBudget(packDocs, "id", "toks", budget = 23L, parts)
+        .select("id", "shard")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(run(1) == run(4) && run(4) == run(13))
+  }
+
+  test("packByBudget shards are contiguous in the order key and " +
+      "every shard except the last crosses its boundary with its last doc") {
+    val budget = 29L
+    val rows = CacheScope.withScope {
+      Packing.packByBudget(packDocs, "id", "toks", budget, parts = 5)
+        .select("id", "toks", "shard", "cum_before")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+    }
+    // shard ids non-decreasing along the order key
+    assert(rows.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+    // streaming-cut discipline: a non-final shard k ends because its last
+    // doc pushes the running total past (k+1)·budget — NOT "every shard
+    // sums ≥ budget" (a shard whose predecessor overshot inherits the
+    // overshoot and can hold less than a full budget of its own tokens)
+    val lastShard = rows.map(_._3).max
+    for ((_, toks, shard, cb) <- rows.groupBy(_._3).map(_._2.maxBy(_._1))
+        if shard != lastShard)
+      assert(cb + toks >= (shard + 1) * budget,
+        s"shard $shard must end by crossing its boundary")
+  }
+
+  // ----------------------------------------------------------------- BM25
+
+  test("Bm25.topK matches the integer formula computed straight-line") {
+    val docs = Seq(
+      (1L, "a b a c"), (2L, "a a a a"), (3L, "b c d e"), (4L, "x y z w"))
+    val query = Seq("a", "b")
+    // reference: same rational-idf integer formula
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = docs.size.toLong
+    val ad = toks.values.map(_.size.toLong).sum / n
+    val dfm = query.map(q =>
+      q -> toks.count(_._2.contains(q)).toLong).toMap
+    val expected = docs.flatMap { case (id, _) =>
+      val scores = query.flatMap { q =>
+        val tf = toks(id).count(_ == q).toLong
+        if (tf == 0) None
+        else {
+          val df = dfm(q); val dl = toks(id).size.toLong
+          Some((1000000L * (2 * n - 2 * df + 1) * 44 * ad * tf) /
+            ((2 * df + 1) * (20 * ad * tf + 6 * ad + 18 * dl)))
+        }
+      }
+      if (scores.isEmpty) None
+      else Some((id, scores.sum, scores.size.toLong))
+    }.sortBy { case (id, s, _) => (-s, id) }
+    val got = Bm25.topK(docs.toDF("doc_id", "text"), query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(!got.map(_._1).contains(4L), "doc with no query terms absent")
+  }
+
+  test("Bm25 rewards rarer terms: a unique term outscores a ubiquitous " +
+      "one at equal tf and dl") {
+    val docs = Seq((1L, "rare x"), (2L, "common x"), (3L, "common y"),
+      (4L, "common z")).toDF("doc_id", "text")
+    val got = Bm25.topK(docs, Seq("rare", "common"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) > got(2L))
+  }
+
+  // ------------------------------------------------------- weightedSample
+
+  test("weightedSample keeps everything at 1e6 ppm, nothing at 0, and a " +
+      "deterministic intermediate subset") {
+    val df = (0L until 500L).toDF("id")
+    assert(Sampling.weightedSample(df, "id", lit(1000000L)).count() == 500)
+    assert(Sampling.weightedSample(df, "id", lit(0L)).count() == 0)
+    val half1 = Sampling.weightedSample(df, "id", lit(500000L))
+      .collect().map(_.getLong(0)).toSet
+    val half2 = Sampling.weightedSample(df, "id", lit(500000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(half1 == half2, "same weight ⇒ same sample, every run")
+    assert(half1.nonEmpty && half1.size < 500)
+    // monotone: raising the weight only ADDS rows (nested samples — the
+    // property that makes hash-threshold sampling usable for mix tuning)
+    val more = Sampling.weightedSample(df, "id", lit(750000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(half1.subsetOf(more))
+  }
+}

@@ -193,6 +193,25 @@ class SourcesAndDedupSpec extends AnyFunSuite {
       out.agg(sum(col("amount").cast("decimal(18,2)"))).collect().head)
   }
 
+  test("XML sink round-trips rows exactly, including null fields") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // nulls via Row + explicit schema (CLAUDE.md): an XML writer omits
+    // null elements; the schema'd reader must restore them as null
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("amt", DoubleType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "alpha", 1.25), Row(2L, null, 0.5), Row(3L, "gamma", null)),
+      schema)
+    val path = "/tmp/graft_test_xml_sink"
+    df.write.mode("overwrite").option("rowTag", "row").format("xml")
+      .save(path)
+    val back = spark.read.option("rowTag", "row").schema(schema)
+      .format("xml").load(path)
+    assert(back.collect().toSet == df.collect().toSet)
+  }
+
   test("S4/S6: parquet sink round-trips the pipeline output exactly") {
     val out = TxnTransform.pipeline("TS0")(TxnView.dirty(spark, TestSpark.sf))
     val path = "/tmp/graft_test_parquet_sink"
