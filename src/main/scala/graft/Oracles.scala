@@ -1016,6 +1016,45 @@ object Oracles {
       SELECT id AS node_id, r AS rank_ppb FROM r3
       ORDER BY rank_ppb DESC, node_id LIMIT 100""",
 
+    // The same MLE bigram model computed naively: positional bigram
+    // extraction, conditional counts, one floor division per instance.
+    "q89_bigram_lm" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                 FROM documents),
+      bi AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM t, unnest(generate_series(1, len(tk) - 1)) s(i)),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1)
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum((1000000 * c12) // c1) AS BIGINT) AS score_micro
+      FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    // Identical deterministic PII injection (|| concat, not concat()),
+    // identical engine-agreeing regex subset (character classes +
+    // bounded repetition only), 'g' to match Spark's replace-all.
+    "q90_pii_redact" -> """
+      WITH pii AS (
+        SELECT doc_id, lang,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@example.com or +1-555-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents),
+      red AS (
+        SELECT doc_id, lang, text,
+               regexp_replace(regexp_replace(text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
+        FROM pii)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN clean LIKE '%<EMAIL>%' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_email,
+             CAST(sum(CASE WHEN clean LIKE '%<PHONE>%' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_phone,
+             CAST(sum(length(text) - length(clean)) AS BIGINT) AS len_delta
+      FROM red GROUP BY lang ORDER BY lang NULLS FIRST""",
+
     // Typed JSON-path extraction — must equal Spark's variant_get path.
     "q88_variant_extract" -> """
       WITH kv AS (

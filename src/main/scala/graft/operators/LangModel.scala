@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained MLE bigram language-model scoring — the classic cheap
+  * fluency/quality signal of a data-curation pipeline ("how typical is
+  * this document of the corpus it sits in"; KenLM-style filters are this
+  * plus smoothing). North-star extension next to [[TfIdf]] and [[Bm25]].
+  *
+  * Per adjacent token pair (w1, w2) the conditional MLE is
+  * P(w2|w1) = c(w1,w2) / c(w1,·), and a document's score is the sum over
+  * its bigram INSTANCES of floor(10⁶ · c(w1,w2) / c(w1,·)) — one integral
+  * floor DIV per instance, so the score is exact BIGINT arithmetic any
+  * engine reproduces bit-for-bit (the log-probability form would not be:
+  * `ln` is not cross-engine bit-stable — same policy as TfIdf/Bm25).
+  * Summing floors instead of flooring a sum keeps every intermediate
+  * bounded by 10⁶ · n_bigrams.
+  *
+  * Scale shape: bigrams come from zipping each token array with its own
+  * tail — a per-row map, ONE tokenize pass. The model counts c(w1,w2) are
+  * a map-combinable aggregation; c(w1,·) is derived FROM c(w1,w2) by a
+  * second (vocabulary-sized) aggregation, so raw bigrams are aggregated
+  * once. Model size is O(vocab²) — broadcast to the scoring join (for a
+  * web-scale vocabulary swap the broadcast for a shuffle join on w1,w2;
+  * the derivation is unchanged). The per-doc score aggregation is the
+  * only data-sized shuffle.
+  */
+object LangModel {
+
+  /** (doc_id, n_bigrams, score_micro) per document with ≥ 1 bigram;
+    * deterministic doc_id order.
+    */
+  def bigramScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    // arrays_zip(t[0..n-2], t[1..n-1]) — field names from the aliases
+    val bi = toks.select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // rows of c12 grouped by w1 carry the full continuation mass of w1
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    bi.join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(1000000 * c12) DIV c1")).as("score_micro"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -149,6 +149,41 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
     assert(got(1L) > got(2L))
   }
 
+  // ------------------------------------------------------ bigram LM score
+
+  test("LangModel.bigramScore matches the hand-computed MLE model and " +
+      "drops bigram-less docs") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    // model: c(a,b)=3 c(b,a)=1 c(b,c)=1; c(a,·)=3 c(b,·)=2
+    // doc1 = 1e6·3/3 + 1e6·1//2 + 1e6·3/3 + 1e6·1//2; doc2 = 1e6·3/3
+    val got = LangModel.bigramScore(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 4L, 3000000L), (2L, 1L, 1000000L)))
+  }
+
+  // --------------------------------------------------------------- Redact
+
+  test("Redact.pii scrubs emails and phones, is idempotent, and leaves " +
+      "clean text alone") {
+    val df = Seq(
+      "write to jane.doe+x@mail.example.org today",
+      "call +1-555-0199 or mail a@b.io",
+      "no pii here at all",
+      "<EMAIL> already redacted").toDF("s")
+    val out = df.select(graft.functions.Redact.pii(col("s")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq(
+      "write to <EMAIL> today",
+      "call <PHONE> or mail <EMAIL>",
+      "no pii here at all",
+      "<EMAIL> already redacted"))
+    val twice = df.select(graft.functions.Redact.pii(
+      graft.functions.Redact.pii(col("s"))).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == out, "redaction must be idempotent")
+  }
+
   // ------------------------------------------------------- weightedSample
 
   test("weightedSample keeps everything at 1e6 ppm, nothing at 0, and a " +

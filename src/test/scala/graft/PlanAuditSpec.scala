@@ -35,7 +35,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "the staged stream"),
     "q75_bloom_join" -> ("the ONE-ROW bloom-bits frame is cross-joined " +
       "(broadcast) onto the fact — the delivery mechanism of the filter, " +
-      "constant-size by construction"))
+      "constant-size by construction"),
+    "q86_bm25" -> ("the ONE-ROW corpus-stats frame (N, avg doc length) is " +
+      "broadcast onto the per-term hits — constant-size by construction"))
 
   private val streaming =
     Set("q57_streaming_rollup", "q60_streaming_sessionize",
