@@ -384,6 +384,19 @@ object Oracles {
         AND epoch_us(v.ts) <= epoch_us(c.ts)
       ORDER BY click_id, view_id""",
 
+    // Batch left-outer interval join — streaming state eviction must
+    // reproduce it exactly, nulls included. NULLS FIRST pinned (DuckDB
+    // defaults to NULLS LAST on ASC; Spark to NULLS FIRST).
+    "q91_streaming_outer_join" -> """
+      SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+             epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+      FROM events c LEFT JOIN events v ON c.user_id = v.user_id
+        AND v.event_type = 'view'
+        AND epoch_us(v.ts) >= epoch_us(c.ts) - 1800000000
+        AND epoch_us(v.ts) <= epoch_us(c.ts)
+      WHERE c.event_type = 'click'
+      ORDER BY click_id, view_id NULLS FIRST""",
+
     "q17_events_props" -> """
       SELECT json_extract_string(props, '$.k') AS k, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -454,6 +454,84 @@ object EventStreams {
       .orderBy(col("click_id"), col("view_id"))
   }
 
+  /** LEFT-OUTER stream-stream interval join as a gate query — the state-
+    * EVICTION semantics q72's inner join cannot show: a click with no
+    * view in its 30-minute lookback must still emit (with nulls), and in
+    * streaming that emission happens only when the watermark PASSES the
+    * click's match horizon and its state is evicted. Without that
+    * advancement, unmatched rows sit in the state store forever — so the
+    * staging appends a third micro-batch holding one far-future sentinel
+    * of EACH type (the global watermark is the MIN over both sides'
+    * watermark nodes; advancing only one side would hold everything
+    * back). Batch 3's arrival evicts-and-emits every real unmatched
+    * click; the sentinels themselves (user_id −1) are filtered from the
+    * output and excluded by the oracle, and their own join state is the
+    * only state allowed to die unreported.
+    *
+    * The oracle is the plain BATCH left-outer interval join over the
+    * same events — streaming state eviction must reproduce it exactly,
+    * nulls included. NULLS FIRST is pinned on both sides (Spark's asc
+    * default ≠ DuckDB's).
+    */
+  def outerIntervalJoinOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val ss = streamingSession(spark)
+    deleteStagingForTest(java.nio.file.Paths.get(srcDir))
+    val ev = graft.Tables.events(ss, sfDir)
+    val maxTs = ev.agg(max(col("ts"))).collect().head.getLong(0)
+    val sentinelTs = maxTs + 10L * 86400 * 1000000000L // +10 days, in ns
+    val sentinels = Seq("click", "view").map(et =>
+      (-1L, sentinelTs, -1L, et, 0.0, null: String))
+    import ss.implicits._
+    val batches = Seq[org.apache.spark.sql.DataFrame](
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "view"),
+      sentinels.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props"))
+    var stamped = Set.empty[java.nio.file.Path]
+    batches.zipWithIndex.foreach { case (df, b) =>
+      df.coalesce(1)
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(srcDir)
+      val dir = java.nio.file.Paths.get(srcDir)
+      val listing = java.nio.file.Files.list(dir)
+      val fresh =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .filterNot(stamped).toSeq
+        finally listing.close()
+      require(fresh.size == 1,
+        s"outer-join staging batch $b wrote ${fresh.size} files, expected 1")
+      java.nio.file.Files.setLastModifiedTime(fresh.head,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+      stamped += fresh.head
+    }
+    val src = ss.readStream
+      .schema(graft.Tables.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("c_us"),
+        timestamp_micros(expr("ts div 1000")).as("c_time"))
+      .withWatermark("c_time", "2 hours")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        expr("ts div 1000").as("v_us"),
+        timestamp_micros(expr("ts div 1000")).as("v_time"))
+      .withWatermark("v_time", "2 hours")
+    val joined = clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_time") >= col("c_time") - expr("INTERVAL 30 MINUTES") &&
+        col("v_time") <= col("c_time"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        (col("c_us") - col("v_us")).as("gap_us"))
+    drainToTable(joined, queryName, OutputMode.Append)
+      .filter(col("user_id") >= 0) // drop the watermark sentinels
+      .orderBy(col("click_id"), asc_nulls_first("view_id"))
+  }
+
   /** Streaming CDC-APPLY as a RUN-TO-COMPLETION gate query: maintain a
     * keyed serving table from an event stream via `foreachBatch` +
     * [[graft.operators.Merge.mergeInto]] — the production pattern for

@@ -15,6 +15,19 @@ class EventsAndStreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("outer interval join emits unmatched clicks via watermark " +
+      "eviction and drops the sentinels") {
+    val out = EventStreams.outerIntervalJoinOnce(spark, TestSpark.sf,
+      "test_outer_join").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(0) >= 0), "sentinels must not surface")
+    val unmatched = out.count(_.isNullAt(2))
+    assert(unmatched > 0,
+      "some clicks must emit with null view_id — the eviction path")
+    // every unmatched row nulls BOTH view columns
+    assert(out.filter(_.isNullAt(2)).forall(_.isNullAt(3)))
+  }
+
   test("variant_get extraction agrees with the from_json scalar path " +
       "and survives malformed / key-missing JSON as null") {
     val df = Seq("""{"k": 7}""", """{"k": -3, "x": 1}""", """{"x": 9}""",
