@@ -384,6 +384,28 @@ object Oracles {
         AND epoch_us(v.ts) <= epoch_us(c.ts)
       ORDER BY click_id, view_id""",
 
+    // Per-session batch aggregation (q18's oracle rolls sessions up per
+    // user; this one keeps session granularity). No closed-by label on
+    // purpose — see sessionEmit scaladoc.
+    "q92_streaming_session_timeout" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      flagged AS (
+        SELECT user_id, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      sess AS (
+        SELECT user_id, us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+             count(*) AS n_events,
+             CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS span_seconds
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_idx""",
+
     // Batch left-outer interval join — streaming state eviction must
     // reproduce it exactly, nulls included. NULLS FIRST pinned (DuckDB
     // defaults to NULLS LAST on ASC; Spark to NULLS FIRST).

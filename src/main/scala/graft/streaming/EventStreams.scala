@@ -330,6 +330,140 @@ object EventStreams {
       .toDF()
   }
 
+  private[streaming] case class TimedSessionState(firstUs: Long,
+    lastUs: Long, nEvents: Long, closedCount: Long)
+  private[streaming] case class TimedSession(user_id: Long,
+    session_idx: Long, n_events: Long, span_seconds: Long)
+
+  /** Per-SESSION emission driven by `GroupStateTimeout.EventTimeTimeout` —
+    * the state-expiry surface none of q57-q91 exercises: a user's FINAL
+    * session has no later event to close it, so it can only emit when the
+    * WATERMARK passes `last + gap` and the timer fires. Mid-batch gap
+    * closures emit inline from the data path; every session emits exactly
+    * once, in Append mode.
+    *
+    * Two correctness subtleties, both load-bearing:
+    *
+    *  - A timer may fire for a session whose user has MORE events in later
+    *    batches (the watermark is global, the user merely quiet): with the
+    *    time-range-split staging this is provably safe — timer-fire means
+    *    `last < watermark − gap ≤ max(prev batch) − delay − gap`, and any
+    *    later event satisfies `us ≥ max(prev batch)`, so `us − last >
+    *    delay + gap > gap`: the batch oracle closes that session at the
+    *    same boundary. The timer is EARLY knowledge, never wrong.
+    *  - `state.remove()` on timer-fire would reset the per-user session
+    *    NUMBERING when that user reappears. The state instead becomes a
+    *    counter-carrying TOMBSTONE (nEvents = 0, no new timer) so a
+    *    reappearing user continues at idx+1 — per-key state shrinks to
+    *    one counter, it does not grow with sessions.
+    *
+    * A `closed_by` label (gap vs timeout) is deliberately NOT emitted:
+    * whether a non-final session closes via the data path or an early
+    * timer depends on batch layout, which no batch oracle can know. The
+    * timeout path is still gate-proven: without it, every user's final
+    * session would be missing from the output entirely.
+    */
+  def sessionEmit(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      // the watermarked column must SURVIVE into the grouped Dataset —
+      // project it away and Spark rejects the event-time timeout
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_time"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TimedSessionState, TimedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[TimedSessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            val out =
+              if (st.nEvents > 0L)
+                Iterator.single(TimedSession(user, st.closedCount + 1,
+                  st.nEvents, (st.lastUs - st.firstUs) / 1000000L))
+              else Iterator.empty
+            state.update(TimedSessionState(0L, 0L, 0L,
+              st.closedCount + (if (st.nEvents > 0L) 1L else 0L)))
+            out // tombstone: no new timer; next event resumes numbering
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var st = state.getOption
+              .getOrElse(TimedSessionState(0L, 0L, 0L, 0L))
+            val closed = scala.collection.mutable.Buffer.empty[TimedSession]
+            sorted.foreach { us =>
+              if (st.nEvents == 0L)
+                st = TimedSessionState(us, us, 1L, st.closedCount)
+              else if (us - st.lastUs > gapUs) {
+                closed += TimedSession(user, st.closedCount + 1,
+                  st.nEvents, (st.lastUs - st.firstUs) / 1000000L)
+                st = TimedSessionState(us, us, 1L, st.closedCount + 1)
+              } else
+                st = st.copy(lastUs = us, nEvents = st.nEvents + 1L)
+            }
+            state.update(st)
+            // ms epoch; +1 so the fire point is strictly past last+gap
+            state.setTimeoutTimestamp(st.lastUs / 1000L + gapUs / 1000L + 1L)
+            closed.iterator
+          }
+      }
+      .toDF()
+  }
+
+  /** [[sessionEmit]] as a RUN-TO-COMPLETION gate query: two time-range-
+    * split micro-batches (state carries across), then a far-future
+    * sentinel batch whose only job is to push the watermark past every
+    * real `last + gap` so the final no-data batch fires every remaining
+    * timer. Oracle = the batch per-session aggregation; final sessions
+    * exist in the output ONLY via the EventTimeTimeout path.
+    */
+  def sessionEmitOnce(spark: SparkSession, sfDir: String, gapMinutes: Int,
+      queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val ss = streamingSession(spark)
+    deleteStagingForTest(java.nio.file.Paths.get(srcDir))
+    val ev = graft.Tables.events(ss, sfDir)
+    ev.repartitionByRange(2, col("ts"))
+      .write.mode("overwrite").parquet(srcDir)
+    stampAscendingMtimes(srcDir, 2)
+    // sentinel batch: one far-future event of a sentinel user per side of
+    // nothing — a single row suffices (one watermark node here)
+    val maxTs = ev.agg(max(col("ts"))).collect().head.getLong(0)
+    import ss.implicits._
+    val before = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
+      try l.iterator().asScala.map(_.getFileName.toString).toSet
+      finally l.close()
+    }
+    Seq((-1L, maxTs + 10L * 86400 * 1000000000L, -1L, "sentinel", 0.0,
+      null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "props_v", "props")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("props_v").as("value"), col("props"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val dir = java.nio.file.Paths.get(srcDir)
+    val listing = java.nio.file.Files.list(dir)
+    val fresh =
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          !before(p.getFileName.toString)).toSeq
+      finally listing.close()
+    require(fresh.size == 1,
+      s"sentinel staging wrote ${fresh.size} files, expected 1")
+    java.nio.file.Files.setLastModifiedTime(fresh.head,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L + 600000L))
+    val src = ss.readStream
+      .schema(graft.Tables.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    drainToTable(sessionEmit(src, gapMinutes), queryName, OutputMode.Append)
+      .filter(col("user_id") >= 0) // the sentinel's own session is noise
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   /** The stateful sessionizer as a RUN-TO-COMPLETION streaming job, gate-
     * comparable to batch q18: the input is staged as two TIME-RANGE-split
     * files with forced modification-time order (FileStreamSource ingests

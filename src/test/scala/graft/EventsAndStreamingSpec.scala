@@ -28,6 +28,24 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     assert(out.filter(_.isNullAt(2)).forall(_.isNullAt(3)))
   }
 
+  test("sessionEmit numbers sessions contiguously per user and emits " +
+      "every user's final session via the event-time timer") {
+    val out = EventStreams.sessionEmitOnce(spark, TestSpark.sf, 30,
+      "test_session_timeout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val users = graft.Tables.events(spark, TestSpark.sf)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == users,
+      "every user's final session must emit — the timeout-only path")
+    out.groupBy(_._1).foreach { case (u, rows) =>
+      val idxs = rows.map(_._2).sorted.toSeq
+      assert(idxs == (1L to idxs.size).toSeq,
+        s"user $u session numbering must be contiguous from 1 " +
+          "(tombstone states preserve the counter across timer fires)")
+    }
+  }
+
   test("variant_get extraction agrees with the from_json scalar path " +
       "and survives malformed / key-missing JSON as null") {
     val df = Seq("""{"k": 7}""", """{"k": -3, "x": 1}""", """{"x": 9}""",
