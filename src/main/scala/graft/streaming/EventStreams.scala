@@ -429,20 +429,19 @@ object EventStreams {
     ev.repartitionByRange(2, col("ts"))
       .write.mode("overwrite").parquet(srcDir)
     stampAscendingMtimes(srcDir, 2)
-    // sentinel batch: one far-future event of a sentinel user per side of
-    // nothing — a single row suffices (one watermark node here)
-    val maxTs = ev.agg(max(col("ts"))).collect().head.getLong(0)
-    import ss.implicits._
+    // sentinel batch: one far-future event of a sentinel user (one
+    // watermark node here, so a single row suffices) — built
+    // declaratively from the 1-row max aggregate, no driver collect
     val before = {
       val l = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
       try l.iterator().asScala.map(_.getFileName.toString).toSet
       finally l.close()
     }
-    Seq((-1L, maxTs + 10L * 86400 * 1000000000L, -1L, "sentinel", 0.0,
-      null: String))
-      .toDF("event_id", "ts", "user_id", "event_type", "props_v", "props")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("props_v").as("value"), col("props"))
+    ev.agg(max(col("ts")).as("mx"))
+      .select(lit(-1L).as("event_id"),
+        (col("mx") + lit(10L * 86400 * 1000000000L)).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
       .coalesce(1).write.mode("append").parquet(srcDir)
     val dir = java.nio.file.Paths.get(srcDir)
     val listing = java.nio.file.Files.list(dir)
@@ -613,16 +612,19 @@ object EventStreams {
     val ss = streamingSession(spark)
     deleteStagingForTest(java.nio.file.Paths.get(srcDir))
     val ev = graft.Tables.events(ss, sfDir)
-    val maxTs = ev.agg(max(col("ts"))).collect().head.getLong(0)
-    val sentinelTs = maxTs + 10L * 86400 * 1000000000L // +10 days, in ns
-    val sentinels = Seq("click", "view").map(et =>
-      (-1L, sentinelTs, -1L, et, 0.0, null: String))
-    import ss.implicits._
+    // sentinel batch built declaratively from the 1-row max aggregate (no
+    // driver-side collect): one far-future event per SIDE — the global
+    // watermark is the min over both watermark nodes
+    val sentinels = ev.agg(max(col("ts")).as("mx"))
+      .select(explode(array(lit("click"), lit("view"))).as("event_type"),
+        (col("mx") + lit(10L * 86400 * 1000000000L)).as("ts"))
+      .select(lit(-1L).as("event_id"), col("ts"), lit(-1L).as("user_id"),
+        col("event_type"), lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
     val batches = Seq[org.apache.spark.sql.DataFrame](
       ev.filter(col("event_type") === "click"),
       ev.filter(col("event_type") === "view"),
-      sentinels.toDF("event_id", "ts", "user_id", "event_type", "value",
-        "props"))
+      sentinels)
     var stamped = Set.empty[java.nio.file.Path]
     batches.zipWithIndex.foreach { case (df, b) =>
       df.coalesce(1)
