@@ -1051,6 +1051,24 @@ object Oracles {
       SELECT id AS node_id, r AS rank_ppb FROM r3
       ORDER BY rank_ppb DESC, node_id LIMIT 100""",
 
+    // Naive rebuild of both gram sets (positional word-13-grams) and the
+    // overlap drop; list slice t[i:i+12] is inclusive = 13 words.
+    "q93_ngram_decontaminate" -> """
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+      eg AS (
+        SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS gram
+        FROM tk, unnest(generate_series(1, len(t) - 12)) s(i)
+        WHERE doc_id % 20 = 3 AND len(t) >= 13),
+      cg AS (
+        SELECT doc_id, array_to_string(t[i:i+12], ' ') AS gram
+        FROM tk, unnest(generate_series(1, len(t) - 12)) s(i)
+        WHERE len(t) >= 13),
+      hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram))
+      SELECT d.doc_id, d.lang FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM hit)
+      ORDER BY d.doc_id""",
+
     // The same MLE bigram model computed naively: positional bigram
     // extraction, conditional counts, one floor division per instance.
     "q89_bigram_lm" -> """

@@ -48,6 +48,41 @@ object TextDedup {
       .drop("_fp")
   }
 
+  /** Word-n-gram OVERLAP decontamination — the industry-standard stronger
+    * form of [[decontaminate]] (GPT-3-style 13-gram rule): drop any
+    * corpus document that shares even ONE n-gram of words with the
+    * benchmark set, catching partial quotations and embedded eval items
+    * that a whole-document fingerprint misses.
+    *
+    * Scale shape: benchmark n-grams are DISTINCT'd and broadcast (eval
+    * suites are tiny next to a training corpus); the corpus side is a
+    * per-row generator (transform over sequence + concat_ws — pure
+    * codegen, one scan) feeding a broadcast LEFT SEMI join to find
+    * contaminated ids, then a broadcast-able anti join drops them. No
+    * corpus-sized shuffle anywhere. At web scale the broadcast gram set
+    * swaps for a bloom filter ([[graft.operators.BloomJoin]]) with an
+    * exact semi-join confirm — same two-sided shape.
+    *
+    * Grams join on their STRING form, not a hash: exactness is the
+    * contract (the DuckDB oracle rebuilds the identical gram sets), and
+    * the benchmark side is small enough that key width is irrelevant.
+    */
+  def ngramDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 13): DataFrame = {
+    require(n >= 1, "n must be positive")
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n) // guard: sequence(0, neg) descends
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $n), i -> " +
+          "concat_ws(' ', slice(t, i + 1, " + n + ")))")).as("gram"))
+    val bench = grams(benchmark).select(col("gram")).distinct()
+    val contaminated = grams(corpus)
+      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** MinHash+LSH candidate pairs verified by exact Jaccard.
     *
     * @param numHashes signature length (bands × rowsPerBand)

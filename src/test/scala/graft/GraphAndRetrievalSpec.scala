@@ -184,6 +184,25 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
     assert(twice == out, "redaction must be idempotent")
   }
 
+  // -------------------------------------------------- ngramDecontaminate
+
+  test("ngramDecontaminate drops on a single shared n-gram, keeps " +
+      "shorter overlaps and short docs") {
+    val words = (1 to 20).map(i => s"w$i")
+    val bench = Seq((100L, words.mkString(" "))).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares words 3..15 = one full 13-gram → dropped
+      (1L, ("x " + words.slice(2, 15).mkString(" ") + " y")),
+      // only a 12-gram overlap → kept
+      (2L, ("x " + words.slice(2, 14).mkString(" ") + " y")),
+      // fewer than 13 tokens total → structurally uncontaminable
+      (3L, words.take(5).mkString(" ")),
+      (4L, "entirely different tokens only")).toDF("doc_id", "text")
+    val kept = graft.operators.TextDedup.ngramDecontaminate(corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
   // ------------------------------------------------------- weightedSample
 
   test("weightedSample keeps everything at 1e6 ppm, nothing at 0, and a " +
