@@ -1051,6 +1051,14 @@ object Oracles {
       SELECT id AS node_id, r AS rank_ppb FROM r3
       ORDER BY rank_ppb DESC, node_id LIMIT 100""",
 
+    // The batch join + rollup the streaming enrich must converge to.
+    "q94_streaming_enrich" -> """
+      SELECT c.c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1 ORDER BY 1 NULLS FIRST""",
+
     // Naive rebuild of both gram sets (positional word-13-grams) and the
     // overlap drop; list slice t[i:i+12] is inclusive = 13 words.
     "q93_ngram_decontaminate" -> """

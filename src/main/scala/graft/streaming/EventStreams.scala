@@ -330,6 +330,32 @@ object EventStreams {
       .toDF()
   }
 
+  /** Stream-STATIC broadcast enrichment as a RUN-TO-COMPLETION gate
+    * query (previously spec-only): each micro-batch of the event stream
+    * joins the static customer dimension (broadcast — the stateless
+    * enrich every serving pipeline starts with), and a Complete-mode
+    * aggregate proves the enriched state merges across the two staged
+    * micro-batches. Oracle = the plain batch join + rollup.
+    */
+  def enrichOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val ss = streamingSession(spark)
+    deleteStagingForTest(java.nio.file.Paths.get(srcDir))
+    val src = stagedEventsSource(ss, sfDir, srcDir)(
+      _.repartitionByRange(2, col("ts")))
+    stampAscendingMtimes(srcDir, 2)
+    val dim = graft.Tables.customer(ss, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val agg = src.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+    drainToTable(agg, queryName, OutputMode.Complete)
+      .orderBy(col("c_mktsegment"))
+  }
+
   private[streaming] case class TimedSessionState(firstUs: Long,
     lastUs: Long, nEvents: Long, closedCount: Long)
   private[streaming] case class TimedSession(user_id: Long,
