@@ -203,6 +203,57 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  // ------------------------------------- randomized cross-checks (props)
+
+  private def scCheck(name: String)(prop: org.scalacheck.Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("PageRank equals the integer reference on random sparse digraphs") {
+    import org.scalacheck.{Gen, Prop}
+    val genEdges = for {
+      n <- Gen.chooseNum(2, 12)
+      m <- Gen.chooseNum(1, 25)
+      es <- Gen.listOfN(m, for {
+        s <- Gen.chooseNum(0, n - 1); d <- Gen.chooseNum(0, n - 1)
+      } yield (s.toLong, d.toLong))
+    } yield es.distinct // parallel edges out of scope for the reference
+    scCheck("pagerank-random")(Prop.forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val got = PageRank.ranks(edges.toDF("src", "dst"), iters = 2)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == simulate(edges, 2)
+      }
+    })
+  }
+
+  test("packByBudget equals the naive cumsum for random sizes and budgets") {
+    import org.scalacheck.{Gen, Prop}
+    val genCase = for {
+      n <- Gen.chooseNum(1, 80)
+      budget <- Gen.chooseNum(1L, 50L)
+      toks <- Gen.listOfN(n, Gen.chooseNum(0L, 60L)) // incl. 0 and >budget
+    } yield (toks, budget)
+    scCheck("packing-random")(Prop.forAll(genCase) { case (toks, budget) =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "toks")
+      val naive = df.withColumn("cb", coalesce(
+          sum(col("toks")).over(org.apache.spark.sql.expressions.Window
+            .orderBy("id").rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .withColumn("shard", expr(s"cb DIV $budget"))
+        .select("id", "shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = CacheScope.withScope {
+        Packing.packByBudget(df, "id", "toks", budget, parts = 3)
+          .select("id", "shard").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      got == naive
+    })
+  }
+
   // ------------------------------------------------------- weightedSample
 
   test("weightedSample keeps everything at 1e6 ppm, nothing at 0, and a " +
