@@ -1117,11 +1117,15 @@ object Oracles {
       FROM red GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     // Typed JSON-path extraction — must equal Spark's variant_get path.
+    // ((v%10)+10)%10 mirrors Spark's pmod for NEGATIVE k too (DuckDB %
+    // keeps the dividend's sign): k is arbitrary payload, so the parity
+    // must not lean on the current fixtures' k >= 0.
     "q88_variant_extract" -> """
       WITH kv AS (
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
         FROM events)
-      SELECT v % 10 AS k_mod, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+      SELECT ((v % 10) + 10) % 10 AS k_mod, count(*) AS n,
+             CAST(sum(v) AS BIGINT) AS sum_v
       FROM kv GROUP BY 1 ORDER BY 1 NULLS FIRST"""
   )
 

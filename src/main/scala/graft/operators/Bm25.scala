@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
   * not the corpus); document length comes from `size(split(...))` — a
   * per-row map, no second shuffle; df and the 1-row corpus stats frame
   * are broadcast; the final top-k is `orderBy.limit` = TakeOrdered (tree
-  * top-k, no global sort). One corpus scan, one hit-sized shuffle.
+  * top-k, no global sort). Two narrow corpus scans (a toks-free stats
+  * pass + the tokenize pass, cheaper than caching the tokenized corpus),
+  * one hit-sized shuffle.
   */
 object Bm25 {
 
@@ -41,17 +43,21 @@ object Bm25 {
     */
   def topK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val base = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"),
-      split(col("text"), " ").as("toks"))
     // corpus stats: one aggregate row (N docs, integral avg doc length)
-    val stats = base.agg(count(lit(1)).as("n_docs"),
-      expr("sum(dl) DIV count(1)").as("ad"))
-    val tf = base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+    // over a toks-free projection — a narrow second scan, cheaper than
+    // caching the tokenized corpus just to share it with tf
+    val stats = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), expr("sum(dl) DIV count(1)").as("ad"))
+    // tf feeds BOTH dfreq and the score join — pinned so the hit
+    // aggregation runs once (CLAUDE.md self-join rule); hit-sized, tiny
+    val tf = graft.CacheScope.scoped(docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     // one row per (doc, term) ⇒ rows-per-term IS the document frequency
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")

@@ -116,6 +116,40 @@ object EventStreams {
     * SEPARATE files — if range sampling ever collapsed them, the test
     * would silently degrade to within-batch semantics. Now it fails loud.
     */
+  /** Current part files of a staging dir — the starting `stamped` set for
+    * [[writeStampedBatch]] when earlier staging wrote files another way.
+    */
+  private def listPartFiles(srcDir: String): Set[java.nio.file.Path] = {
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
+    try listing.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSet
+    finally listing.close()
+  }
+
+  /** Write `df` into `srcDir` as EXACTLY ONE new part file (coalesce(1)
+    * IS the staging contract — one file = one micro-batch — not a
+    * performance choice) and pin its mtime to slot `idx` of the same
+    * 1000000000000L + idx·60000 scheme [[stampAscendingMtimes]] uses, so
+    * FileStreamSource ingests the staged batches in slot order. Fails
+    * loud if the write lands more or fewer than one new file (the
+    * cross-batch premise of every *Once gate query). Returns the updated
+    * stamped-file set; the first call (empty set, idx 0) wipes the
+    * directory.
+    */
+  private def writeStampedBatch(srcDir: String, df: DataFrame, idx: Int,
+      stamped: Set[java.nio.file.Path], label: String)
+      : Set[java.nio.file.Path] = {
+    df.coalesce(1)
+      .write.mode(if (stamped.isEmpty && idx == 0) "overwrite" else "append")
+      .parquet(srcDir)
+    val fresh = (listPartFiles(srcDir) -- stamped).toSeq
+    require(fresh.size == 1,
+      s"$label staging batch $idx wrote ${fresh.size} files, expected 1")
+    java.nio.file.Files.setLastModifiedTime(fresh.head,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L + idx * 60000L))
+    stamped ++ fresh
+  }
+
   private def stampAscendingMtimes(srcDir: String, expectParts: Int): Unit = {
     val dir = java.nio.file.Paths.get(srcDir)
     val listing = java.nio.file.Files.list(dir)
@@ -253,23 +287,9 @@ object EventStreams {
     // partition (observed: bounds [≤1, ≤2] → two files), silently merging
     // micro-batches. coalesce(1) is sanctioned here because one-file-per-
     // batch IS the staging contract, not a performance choice.
-    var stamped = Set.empty[java.nio.file.Path]
-    Seq(0, 1, 2).foreach { b =>
-      tagged.filter(col("_b") === b).drop("_b")
-        .coalesce(1)
-        .write.mode(if (b == 0) "overwrite" else "append").parquet(srcDir)
-      val dir = java.nio.file.Paths.get(srcDir)
-      val listing = java.nio.file.Files.list(dir)
-      val fresh =
-        try listing.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("part-"))
-          .filterNot(stamped).toSeq
-        finally listing.close()
-      require(fresh.size == 1,
-        s"late-drop staging batch $b wrote ${fresh.size} files, expected 1")
-      java.nio.file.Files.setLastModifiedTime(fresh.head,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
-      stamped += fresh.head
+    Seq(0, 1, 2).foldLeft(Set.empty[java.nio.file.Path]) { (st, b) =>
+      writeStampedBatch(srcDir, tagged.filter(col("_b") === b).drop("_b"),
+        b, st, "late-drop")
     }
     val src = ss.readStream
       .schema(graft.Tables.eventsSchema)
@@ -457,29 +477,16 @@ object EventStreams {
     stampAscendingMtimes(srcDir, 2)
     // sentinel batch: one far-future event of a sentinel user (one
     // watermark node here, so a single row suffices) — built
-    // declaratively from the 1-row max aggregate, no driver collect
-    val before = {
-      val l = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
-      try l.iterator().asScala.map(_.getFileName.toString).toSet
-      finally l.close()
-    }
-    ev.agg(max(col("ts")).as("mx"))
-      .select(lit(-1L).as("event_id"),
-        (col("mx") + lit(10L * 86400 * 1000000000L)).as("ts"),
-        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-        lit(0.0).as("value"), lit(null).cast("string").as("props"))
-      .coalesce(1).write.mode("append").parquet(srcDir)
-    val dir = java.nio.file.Paths.get(srcDir)
-    val listing = java.nio.file.Files.list(dir)
-    val fresh =
-      try listing.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-") &&
-          !before(p.getFileName.toString)).toSeq
-      finally listing.close()
-    require(fresh.size == 1,
-      s"sentinel staging wrote ${fresh.size} files, expected 1")
-    java.nio.file.Files.setLastModifiedTime(fresh.head,
-      java.nio.file.attribute.FileTime.fromMillis(1000000000000L + 600000L))
+    // declaratively from the 1-row max aggregate, no driver collect;
+    // slot 10 lands its mtime after the two range-split batches
+    writeStampedBatch(srcDir,
+      ev.agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("event_id"),
+          (col("mx") + lit(10L * 86400 * 1000000000L)).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props")),
+      idx = 10, stamped = listPartFiles(srcDir),
+      label = "session-timeout sentinel")
     val src = ss.readStream
       .schema(graft.Tables.eventsSchema)
       .option("maxFilesPerTrigger", 1)
@@ -571,24 +578,11 @@ object EventStreams {
     // deterministic per-batch write lateDropOnce uses. coalesce(1) is
     // the staging contract: one file = one micro-batch.
     val ev = graft.Tables.events(ss, sfDir)
-    var stamped = Set.empty[java.nio.file.Path]
-    Seq("click", "view").zipWithIndex.foreach { case (et, b) =>
-      ev.filter(col("event_type") === et)
-        .coalesce(1)
-        .write.mode(if (b == 0) "overwrite" else "append").parquet(srcDir)
-      val dir = java.nio.file.Paths.get(srcDir)
-      val listing = java.nio.file.Files.list(dir)
-      val fresh =
-        try listing.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("part-"))
-          .filterNot(stamped).toSeq
-        finally listing.close()
-      require(fresh.size == 1,
-        s"interval-join staging batch $et wrote ${fresh.size} files, expected 1")
-      java.nio.file.Files.setLastModifiedTime(fresh.head,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
-      stamped += fresh.head
-    }
+    Seq("click", "view").zipWithIndex
+      .foldLeft(Set.empty[java.nio.file.Path]) { case (st, (et, b)) =>
+        writeStampedBatch(srcDir, ev.filter(col("event_type") === et),
+          b, st, "interval-join")
+      }
     val src = ss.readStream
       .schema(graft.Tables.eventsSchema)
       .option("maxFilesPerTrigger", 1)
@@ -651,22 +645,8 @@ object EventStreams {
       ev.filter(col("event_type") === "click"),
       ev.filter(col("event_type") === "view"),
       sentinels)
-    var stamped = Set.empty[java.nio.file.Path]
-    batches.zipWithIndex.foreach { case (df, b) =>
-      df.coalesce(1)
-        .write.mode(if (b == 0) "overwrite" else "append").parquet(srcDir)
-      val dir = java.nio.file.Paths.get(srcDir)
-      val listing = java.nio.file.Files.list(dir)
-      val fresh =
-        try listing.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("part-"))
-          .filterNot(stamped).toSeq
-        finally listing.close()
-      require(fresh.size == 1,
-        s"outer-join staging batch $b wrote ${fresh.size} files, expected 1")
-      java.nio.file.Files.setLastModifiedTime(fresh.head,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
-      stamped += fresh.head
+    batches.zipWithIndex.foldLeft(Set.empty[java.nio.file.Path]) {
+      case (st, (df, b)) => writeStampedBatch(srcDir, df, b, st, "outer-join")
     }
     val src = ss.readStream
       .schema(graft.Tables.eventsSchema)
@@ -733,22 +713,9 @@ object EventStreams {
       .withColumn("_b",
         when(col("ts") < expr("a + (z - a) div 2"), lit(0)).otherwise(lit(1)))
       .drop("a", "z")
-    var stamped = Set.empty[java.nio.file.Path]
-    Seq(0, 1).foreach { b =>
-      tagged.filter(col("_b") === b).drop("_b")
-        .coalesce(1) // staging contract: one file = one micro-batch
-        .write.mode(if (b == 0) "overwrite" else "append").parquet(srcDir)
-      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
-      val fresh =
-        try listing.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("part-"))
-          .filterNot(stamped).toSeq
-        finally listing.close()
-      require(fresh.size == 1,
-        s"cdc staging batch $b wrote ${fresh.size} files, expected 1")
-      java.nio.file.Files.setLastModifiedTime(fresh.head,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
-      stamped += fresh.head
+    Seq(0, 1).foldLeft(Set.empty[java.nio.file.Path]) { (st, b) =>
+      writeStampedBatch(srcDir, tagged.filter(col("_b") === b).drop("_b"),
+        b, st, "cdc")
     }
 
     val stateSchema = org.apache.spark.sql.types.StructType(Seq(
