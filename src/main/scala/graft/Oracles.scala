@@ -1051,6 +1051,23 @@ object Oracles {
       SELECT id AS node_id, r AS rank_ppb FROM r3
       ORDER BY rank_ppb DESC, node_id LIMIT 100""",
 
+    // Same positional trigram build, distinct-vs-total counts, one
+    // floor division.
+    "q95_repetition" -> """
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+      tri AS (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        FROM tk, unnest(generate_series(1, len(t) - 2)) s(i)
+        WHERE len(t) >= 3),
+      per AS (
+        SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS n_uniq
+        FROM tri GROUP BY doc_id)
+      SELECT doc_id, CAST(n_tri AS BIGINT) AS n_grams,
+             CAST((1000000 * (n_tri - n_uniq)) // n_tri AS BIGINT)
+               AS dup_ppm
+      FROM per ORDER BY doc_id""",
+
     // The batch join + rollup the streaming enrich must converge to.
     "q94_streaming_enrich" -> """
       SELECT c.c_mktsegment, count(*) AS n,

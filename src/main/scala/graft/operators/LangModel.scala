@@ -28,6 +28,38 @@ import org.apache.spark.sql.functions._
   */
 object LangModel {
 
+  /** Within-document REPETITION metric (Gopher-style quality rule "drop
+    * docs whose duplicate n-gram fraction exceeds θ"): per doc,
+    * dup_ppm = ⌊10⁶ · (n_grams − n_distinct_grams) / n_grams⌋ over word
+    * n-grams. Integer-exact (one floor DIV), so oracle-gateable; the
+    * complement of the CORPUS-level dedup family — it catches a doc that
+    * repeats ITSELF (looping generation, boilerplate stutter), which no
+    * inter-document comparison sees.
+    *
+    * Scale shape: the gram generator is a pure codegen map
+    * (transform/sequence/concat_ws — same generator as
+    * [[TextDedup.ngramDecontaminate]]); one (doc, gram) aggregation with
+    * map-side distinct partials. Docs with fewer than n tokens have no
+    * gram and are absent (structurally incapable of repetition at that
+    * order).
+    *
+    * Output: (doc_id, n_grams, dup_ppm), doc_id order.
+    */
+  def repetitionPpm(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be positive")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n) // guard: sequence(0, neg) descends
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $n), i -> " +
+          s"concat_ws(' ', slice(t, i + 1, $n)))")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_uniq"))
+      .select(col("doc_id"), col("n_grams"),
+        expr("(1000000 * (n_grams - n_uniq)) DIV n_grams").as("dup_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** (doc_id, n_bigrams, score_micro) per document with ≥ 1 bigram;
     * deterministic doc_id order.
     */

@@ -184,6 +184,19 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
     assert(twice == out, "redaction must be idempotent")
   }
 
+  // --------------------------------------------------------- repetition
+
+  test("repetitionPpm: all-unique docs score 0, a fully looping doc " +
+      "scores the exact closed form, short docs are absent") {
+    val docs = Seq(
+      (1L, "a b c d e"),          // 3 trigrams, all unique → 0
+      (2L, "x y x y x y x y"),    // 6 trigrams, 2 distinct → 1e6*4/6
+      (3L, "a b")).toDF("doc_id", "text") // < 3 tokens → absent
+    val got = LangModel.repetitionPpm(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, 0L), (2L, 6L, 666666L)))
+  }
+
   // -------------------------------------------------- ngramDecontaminate
 
   test("ngramDecontaminate drops on a single shared n-gram, keeps " +
