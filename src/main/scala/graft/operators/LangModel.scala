@@ -66,16 +66,21 @@ object LangModel {
   def bigramScore(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
     // arrays_zip(t[0..n-2], t[1..n-1]) — field names from the aliases
-    // bi feeds the model counts AND the scoring probe — without the pin
-    // Spark embeds the tokenize+explode subtree once per consumer (three
-    // corpus scans; the CLAUDE.md self-join rule). Scope-cached so the
-    // harness releases it with the query.
-    val bi = graft.CacheScope.scoped(
-      toks.select(col("doc_id"), explode(arrays_zip(
-          slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
-          slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2")))
-    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val bi = toks.select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // `bi` has three consumers (model counts, continuation mass, scoring
+    // probe). Pin the VOCAB²-sized model frame, not the corpus×tokens-
+    // sized bigram stream: caching c12 collapses c1 and the probe join
+    // onto one materialized tiny frame, so the tokenize map stage runs
+    // twice (model build + probe) instead of three times — while caching
+    // `bi` itself would materialize a frame LARGER than the corpus, the
+    // wrong trade at 100 TB (and measurably slower at gate scale). The
+    // producer is deterministic (no sampling), so skipping its cache is
+    // a pure cost choice, not a correctness risk.
+    val c12 = graft.CacheScope.scoped(
+      bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     // rows of c12 grouped by w1 carry the full continuation mass of w1
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     bi.join(broadcast(c12), Seq("w1", "w2"))
