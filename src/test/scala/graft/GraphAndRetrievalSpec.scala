@@ -115,13 +115,23 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "a b a c"), (2L, "a a a a"), (3L, "b c d e"), (4L, "x y z w"))
     val query = Seq("a", "b")
-    // reference: same rational-idf integer formula
+    val got = Bm25.topK(docs.toDF("doc_id", "text"), query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == bm25Reference(docs, query))
+    assert(!got.map(_._1).contains(4L), "doc with no query terms absent")
+  }
+
+  /** Straight-line BM25 reference (same integer formula as the operator
+    * scaladoc); shared by the hand-case and the randomized property.
+    */
+  private def bm25Reference(docs: Seq[(Long, String)], query: Seq[String])
+      : Seq[(Long, Long, Long)] = {
     val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
     val n = docs.size.toLong
     val ad = toks.values.map(_.size.toLong).sum / n
     val dfm = query.map(q =>
       q -> toks.count(_._2.contains(q)).toLong).toMap
-    val expected = docs.flatMap { case (id, _) =>
+    docs.flatMap { case (id, _) =>
       val scores = query.flatMap { q =>
         val tf = toks(id).count(_ == q).toLong
         if (tf == 0) None
@@ -134,10 +144,56 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
       if (scores.isEmpty) None
       else Some((id, scores.sum, scores.size.toLong))
     }.sortBy { case (id, s, _) => (-s, id) }
-    val got = Bm25.topK(docs.toDF("doc_id", "text"), query, k = 10)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(got == expected)
-    assert(!got.map(_._1).contains(4L), "doc with no query terms absent")
+  }
+
+  test("Bm25 matches the straight-line formula on random small corpora") {
+    import org.scalacheck.{Gen, Prop}
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val genCorpus = for {
+      nDocs <- Gen.chooseNum(1, 10)
+      docs <- Gen.listOfN(nDocs, Gen.chooseNum(1, 15)
+        .flatMap(len => Gen.listOfN(len, Gen.oneOf(vocab))))
+      qn <- Gen.chooseNum(1, 3)
+      q <- Gen.pick(qn, vocab)
+    } yield (docs.zipWithIndex.map { case (ws, i) =>
+      (i.toLong, ws.mkString(" ")) }, q.toSeq)
+    scCheck("bm25-random")(Prop.forAll(genCorpus) { case (docs, query) =>
+      val got = CacheScope.withScope {
+        Bm25.topK(docs.toDF("doc_id", "text"), query, k = 50)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq
+      }
+      got == bm25Reference(docs, query).take(50)
+    })
+  }
+
+  test("bigramScore matches a straight-line model on random corpora") {
+    import org.scalacheck.{Gen, Prop}
+    val vocab = Vector("a", "b", "c")
+    val genCorpus = for {
+      nDocs <- Gen.chooseNum(1, 8)
+      docs <- Gen.listOfN(nDocs, Gen.chooseNum(1, 12)
+        .flatMap(len => Gen.listOfN(len, Gen.oneOf(vocab))))
+    } yield docs.zipWithIndex.map { case (ws, i) =>
+      (i.toLong, ws.mkString(" ")) }
+    scCheck("bigram-random")(Prop.forAll(genCorpus) { docs =>
+      val bis = docs.map { case (id, t) =>
+        id -> t.split(" ").toSeq.sliding(2).filter(_.size == 2)
+          .map(p => (p(0), p(1))).toSeq }
+      val c12 = bis.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+      val c1 = c12.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+      val expected = bis.flatMap { case (id, bs) =>
+        if (bs.isEmpty) None
+        else Some((id, bs.size.toLong,
+          bs.map(b => 1000000L * c12(b) / c1(b._1)).sum))
+      }.sortBy(_._1)
+      val got = CacheScope.withScope {
+        LangModel.bigramScore(docs.toDF("doc_id", "text"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq
+      }
+      got == expected
+    })
   }
 
   test("Bm25 rewards rarer terms: a unique term outscores a ubiquitous " +
