@@ -996,7 +996,7 @@ object Oracles {
         FROM documents),
       stats AS (
         SELECT count(*) AS n_docs,
-               CAST(sum(dl) AS BIGINT) // count(*) AS ad
+               CAST(sum(dl) AS BIGINT) // greatest(count(*), 1) AS ad
         FROM base),
       tf AS (
         SELECT doc_id, dl, term, count(*) AS tf
@@ -1018,13 +1018,17 @@ object Oracles {
     // are not allowed in a recursive CTE term; a fixed-depth unroll is
     // the standard SQL form of a fixed-iteration kernel). All arithmetic
     // BIGINT with floor `//` — identical to the DIV fixed-point rounds.
+    // nodes = src UNION dst, mirroring PageRank.ranks's vertex-set
+    // definition: on q87's bidirected graph the two coincide, but an
+    // asymmetric edge set must not silently drop pure-sink vertices
+    // from the oracle side only.
     "q87_pagerank" -> """
       WITH pairs AS (
         SELECT DISTINCT l_partkey AS p, l_suppkey + 10000000 AS sp
         FROM lineitem),
       edges AS (SELECT p AS src, sp AS dst FROM pairs
                 UNION ALL SELECT sp, p FROM pairs),
-      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
       r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
       r1 AS (

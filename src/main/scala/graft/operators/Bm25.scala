@@ -48,7 +48,12 @@ object Bm25 {
     // caching the tokenized corpus just to share it with tf
     val stats = docs
       .select(size(split(col("text"), " ")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), expr("sum(dl) DIV count(1)").as("ad"))
+      // greatest(count,1): an EMPTY corpus must yield an empty result,
+      // not an ANSI DIVIDE_BY_ZERO from the avg-doc-length division —
+      // sum(dl) is NULL there, so ad is NULL and no score row exists to
+      // consume it (tf is empty too). Non-empty corpora are unaffected.
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(dl) DIV greatest(count(1), 1)").as("ad"))
     // tf feeds BOTH dfreq and the score join — pinned so the hit
     // aggregation runs once (CLAUDE.md self-join rule); hit-sized, tiny
     val tf = graft.CacheScope.scoped(docs

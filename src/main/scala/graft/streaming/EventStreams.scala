@@ -376,6 +376,12 @@ object EventStreams {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Event-time timer sentinel for tombstoned sessions: 9999-12-31T23:59:59Z
+    * in ms — far past any event-time watermark a real corpus can reach, so
+    * the timer never fires again until real data re-arms it.
+    */
+  private[streaming] val FarFutureTimeoutMs = 253402300799000L
+
   private[streaming] case class TimedSessionState(firstUs: Long,
     lastUs: Long, nEvents: Long, closedCount: Long)
   private[streaming] case class TimedSession(user_id: Long,
@@ -434,7 +440,20 @@ object EventStreams {
               else Iterator.empty
             state.update(TimedSessionState(0L, 0L, 0L,
               st.closedCount + (if (st.nEvents > 0L) 1L else 0L)))
-            out // tombstone: no new timer; next event resumes numbering
+            // Park the timer at a far-future sentinel: without a re-set
+            // the EXPIRED timestamp persists in the state store, so the
+            // tombstone would re-enter this branch on every later
+            // micro-batch (harmless to output — nEvents == 0 emits
+            // nothing — but a redundant timer fire per batch per quiet
+            // user). The sentinel fires never; a returning user's data
+            // path overwrites it with a real `last + gap` timer.
+            // NOTE for reuse outside the gate harness: tombstones are
+            // PERMANENT per-user state (one counter each, kept so session
+            // numbering survives quiet periods). A deployment that needs
+            // hard eviction should state.remove() here and accept that
+            // session_idx restarts for returning users.
+            state.setTimeoutTimestamp(FarFutureTimeoutMs)
+            out // tombstone: no live timer; next event resumes numbering
           } else {
             val sorted = rows.map(_._2).toSeq.sorted
             var st = state.getOption

@@ -196,6 +196,13 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
     })
   }
 
+  test("Bm25 on an empty corpus returns empty, not ANSI DIVIDE_BY_ZERO") {
+    // the corpus-stats aggregate divides by count(1); with zero docs that
+    // is NULL DIV 0, which ANSI mode turns into an error unless guarded
+    val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    assert(Bm25.topK(empty, Seq("spark"), k = 5).count() === 0L)
+  }
+
   test("Bm25 rewards rarer terms: a unique term outscores a ubiquitous " +
       "one at equal tf and dl") {
     val docs = Seq((1L, "rare x"), (2L, "common x"), (3L, "common y"),
