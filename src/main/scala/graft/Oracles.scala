@@ -28,6 +28,28 @@ object Oracles {
   val cte: String =
     s"WITH transactions AS (${TxnView.selectSql}), cleaned AS ($cleanedSelect)"
 
+  /** Naive 13-gram-overlap decontamination — shared verbatim by q93
+    * (exact broadcast path) and q97 (bloom-filtered path): the two Spark
+    * plans implement the SAME contract, so gating both against one SQL
+    * text is the proof that the bloom pass plus exact confirm loses and
+    * fabricates nothing. List slice t[i:i+12] is inclusive = 13 words.
+    */
+  private val ngramDecontamSql: String = """
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+      eg AS (
+        SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS gram
+        FROM tk, unnest(generate_series(1, len(t) - 12)) s(i)
+        WHERE doc_id % 20 = 3 AND len(t) >= 13),
+      cg AS (
+        SELECT doc_id, array_to_string(t[i:i+12], ' ') AS gram
+        FROM tk, unnest(generate_series(1, len(t) - 12)) s(i)
+        WHERE len(t) >= 13),
+      hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram))
+      SELECT d.doc_id, d.lang FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM hit)
+      ORDER BY d.doc_id"""
+
   /** Hourly event rollup shared by q16 (batch) and q57 (streaming form):
     * a 1-hour tumbling window's start is date_trunc('hour', ts).
     */
@@ -1014,6 +1036,17 @@ object Oracles {
       ORDER BY score_micro DESC, doc_id
       LIMIT 50""",
 
+    // The q96 chain graph's transitive closure in closed form: customers
+    // chained consecutively within each residue class mod 4, so every
+    // id's component is its class's minimum — an analytic oracle for a
+    // graph whose diameter (~|customer|/4) no naive SQL closure could
+    // recurse through cheaply.
+    "q96_chain_components" -> """
+      SELECT CAST(c_custkey AS BIGINT) AS id,
+             CAST(min(c_custkey) OVER (PARTITION BY c_custkey % 4)
+               AS BIGINT) AS comp
+      FROM customer ORDER BY id""",
+
     // The Spark loop's three rounds unrolled as plain CTEs (aggregates
     // are not allowed in a recursive CTE term; a fixed-depth unroll is
     // the standard SQL form of a fixed-iteration kernel). All arithmetic
@@ -1072,6 +1105,27 @@ object Oracles {
                AS dup_ppm
       FROM per ORDER BY doc_id""",
 
+    // q98's visit partition in closed form: rebuild the staged batch
+    // assignment arithmetically (the CASE mirrors visitEmitOnce's batchOf
+    // expression), then gaps-and-islands — consecutive batch ids per user
+    // collapse into one visit (b - row_number is constant within a run).
+    "q98_streaming_ttl_visits" -> """
+      WITH pb AS (
+        SELECT user_id,
+               CASE user_id % 3 WHEN 0 THEN (event_id % 2) * 2
+                                WHEN 1 THEN 1
+                                ELSE event_id % 3 END AS b,
+               count(*) AS n, min(event_id) AS mn
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT user_id, b, n, mn,
+               b - row_number() OVER (PARTITION BY user_id ORDER BY b) AS g
+        FROM pb)
+      SELECT user_id, CAST(min(mn) AS BIGINT) AS first_event_id,
+             CAST(sum(n) AS BIGINT) AS n_events
+      FROM r GROUP BY user_id, g
+      ORDER BY user_id, first_event_id""",
+
     // The batch join + rollup the streaming enrich must converge to.
     "q94_streaming_enrich" -> """
       SELECT c.c_mktsegment, count(*) AS n,
@@ -1081,22 +1135,11 @@ object Oracles {
       GROUP BY 1 ORDER BY 1 NULLS FIRST""",
 
     // Naive rebuild of both gram sets (positional word-13-grams) and the
-    // overlap drop; list slice t[i:i+12] is inclusive = 13 words.
-    "q93_ngram_decontaminate" -> """
-      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
-                  FROM documents),
-      eg AS (
-        SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS gram
-        FROM tk, unnest(generate_series(1, len(t) - 12)) s(i)
-        WHERE doc_id % 20 = 3 AND len(t) >= 13),
-      cg AS (
-        SELECT doc_id, array_to_string(t[i:i+12], ' ') AS gram
-        FROM tk, unnest(generate_series(1, len(t) - 12)) s(i)
-        WHERE len(t) >= 13),
-      hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram))
-      SELECT d.doc_id, d.lang FROM documents d
-      WHERE d.doc_id NOT IN (SELECT doc_id FROM hit)
-      ORDER BY d.doc_id""",
+    // overlap drop — see ngramDecontamSql; shared with q97.
+    "q93_ngram_decontaminate" -> ngramDecontamSql,
+
+    // The bloom path must equal the exact path row-for-row: same oracle.
+    "q97_ngram_decontaminate_bloom" -> ngramDecontamSql,
 
     // The same MLE bigram model computed naively: positional bigram
     // extraction, conditional counts, one floor division per instance.

@@ -96,8 +96,121 @@ object Components {
     // the graph shape assumption broke, not that the answer is "close".
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds — " +
-        "component diameter exceeds the bound (use large-star/small-star " +
-        "for adversarial-diameter graphs)")
+        "component diameter exceeds the bound (use " +
+        "connectedComponentsStars for adversarial-diameter graphs)")
     labels
+  }
+
+  /** Cluster assignment from a pair table: the (doc_id, canonical_id,
+    * cluster_size) shape a dedup pipeline keeps, factored out of the q70
+    * gate so a REAL deployment can feed it a MATERIALIZED pair table
+    * (q69's / q26's output written once, read here) instead of
+    * recomputing the similarity join — at 100 TB the join is hours of
+    * work and its pairs are the natural checkpoint artifact. The gate
+    * queries stay hermetic by composing this with the live join; the
+    * production path is `dedupClusters(spark.read.parquet(pairsPath))`.
+    *
+    * Input: two columns, positional (doc_a, doc_b). Output columns are
+    * the q70 contract; only documents that appear in some pair appear
+    * (singletons never entered the pair table).
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val comps = connectedComponents(pairs, maxIter)
+    val sizes = comps.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, Seq("comp"))
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"),
+        col("cluster_size"))
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contractions (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014 — the public construction this file's scaladoc
+    * has promised since round 3): the adversarial-DIAMETER path.
+    * [[connectedComponents]]'s hash-min propagation needs one round per
+    * hop of component diameter — right for near-clique dedup graphs
+    * (2-3 rounds), hopeless for a 10⁶-node chain. The star alternation
+    * contracts by pointer-jumping instead, converging in O(log² n) rounds
+    * worst case and ~log₂(diameter) in practice, each round a constant
+    * number of edge-sized keyed shuffles.
+    *
+    * One round (edges kept canonically oriented src > dst, distinct):
+    *
+    *  - large-star(u): m = min(Γ(u) ∪ {u}); every STRICTLY LARGER
+    *    neighbor v > u re-attaches to m. As dataframes: symmetrize, one
+    *    map-combined min aggregate per u, join back, filter v > u, emit
+    *    (v, m). Output stays oriented (m ≤ u < v) and never grows: one
+    *    output edge per input directed edge with v > u = the input
+    *    undirected count.
+    *  - small-star(u): on the oriented view, m = min(Γ⁻(u) ∪ {u}) over
+    *    the SMALLER-OR-EQUAL neighbors; they and u re-attach to m. Same
+    *    aggregate+join shape; output (v, m) for v ≠ m plus (u, m).
+    *
+    * The fixpoint of both operations is a forest of stars whose centers
+    * are the component minima — each round's output is localCheckpoint'd
+    * (same lineage-truncation argument as the propagation loop above) and
+    * convergence is edge-set stability: equal counts plus an empty
+    * one-sided EXCEPT over the two materialized leaves (both sides are
+    * distinct sets, so count-equality makes one direction sufficient).
+    *
+    * Scale: per round, two min-aggregates and two joins over the current
+    * edge set — all keyed, all map-side combinable, no explode beyond the
+    * initial symmetrize, edge count monotonically non-increasing after
+    * the first round. This is the published 100 TB-scale algorithm for
+    * graphs whose diameter is not bounded by construction.
+    *
+    * @return (id, comp) over every vertex incident to an input edge —
+    *         the same contract as [[connectedComponents]].
+    */
+  def connectedComponentsStars(edges: DataFrame,
+      maxIter: Int = 40): DataFrame = {
+    val Seq(a, b) = edges.columns.toSeq.take(2).map(col)
+    // vertex universe from the RAW edges (self-loops contribute their
+    // endpoint even though the star loop drops the loop edge itself) —
+    // mirrors the propagation path's vertex definition
+    val verts = edges
+      .select(explode(array(a.cast("long"), b.cast("long"))).as("id"))
+      .distinct()
+      .localCheckpoint()
+    var cur = edges
+      .filter(a.cast("long") =!= b.cast("long"))
+      .select(greatest(a.cast("long"), b.cast("long")).as("src"),
+        least(a.cast("long"), b.cast("long")).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = cur.isEmpty // a loop-free edgeless graph is done
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetric view
+      val sym = cur.select(col("src").as("u"), col("dst").as("v"))
+        .union(cur.select(col("dst").as("u"), col("src").as("v")))
+      val lmin = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // m ≤ u < v ⇒ output is already oriented (src > dst), loop-free
+      val large = sym.join(lmin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star on the oriented output: per src u, m = min over its
+      // (strictly smaller) dst neighbors; u and every dst ≠ m re-attach
+      val smin = large.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val joined = large.join(smin, Seq("src"))
+      val next = joined.filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(joined.select(col("src"), col("m").as("dst")))
+        .distinct()
+        .localCheckpoint()
+      converged = next.count() == cur.count() &&
+        next.except(cur).limit(1).count() == 0
+      cur = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStars did not converge within $maxIter " +
+        "rounds — O(log² n) bounds this for any graph; raise maxIter")
+    val labels = cur.select(col("src").as("id"), col("dst").as("comp"))
+    verts.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 }

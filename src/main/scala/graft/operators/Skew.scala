@@ -50,7 +50,10 @@ object Skew {
     * Spark would otherwise broadcast the dim and salt nothing. This is
     * the explicit remedy for the cases AQE's skew splitting cannot reach
     * — streaming joins, a build side above the broadcast ceiling, or a
-    * hot key known in advance.
+    * hot key known in advance. PlanAuditSpec's AQE skew test runs the
+    * SAME hot-key dataset through both remedies: AQE's runtime split
+    * (`skew=true` on the sort-merge join) and this salted join, asserting
+    * they produce identical aggregates.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       factRowKey: String, buckets: Int = 8): DataFrame = {

@@ -95,6 +95,46 @@ object EventStreams {
     df.sparkSession.table(queryName)
   }
 
+  /** [[drainToTable]] for PROCESSING-TIME-timeout queries, where NO
+    * built-in run-to-completion mechanism exists: a stateful operator
+    * with `ProcessingTimeTimeout` reports "should run another batch"
+    * unconditionally (the engine must keep scheduling batches to service
+    * wall-clock timers), so Trigger.AvailableNow plans empty micro-batches
+    * forever AND `processAllAvailable()` never unblocks (the no-new-data
+    * signal it waits on is only raised when the engine decides no further
+    * batch is needed) — both verified as hard hangs on this exact query.
+    * The terminating form: default trigger, poll the query's cumulative
+    * `numInputRows` until every staged source row is committed — data
+    * batches always emit a progress event on commit, and the commit of
+    * the final (sentinel) data batch includes the timer emissions it
+    * fired — then `stop()`. Empty timer-service batches between poll and
+    * stop can only fire the sentinel key's own timer, which the caller
+    * filters; the drained output is deterministic. (Idle batches emit
+    * rate-limited progress events, so the 100-entry recentProgress
+    * window cannot evict the data batches' entries before the poll sees
+    * them.)
+    */
+  private def drainToTableManual(df: DataFrame, queryName: String,
+      mode: OutputMode, expectedInputRows: Long): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    try {
+      val q = df.writeStream.format("memory").queryName(queryName)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      while (q.recentProgress.map(_.numInputRows).sum < expectedInputRows) {
+        require(System.nanoTime() < deadline,
+          s"$queryName: drain did not consume $expectedInputRows staged " +
+            "rows within 300 s")
+        Thread.sleep(50)
+      }
+      q.stop()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    df.sparkSession.table(queryName)
+  }
+
   /** Test hook: recursive staging-dir cleanup (no-op if absent). */
   private[graft] def deleteStagingForTest(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root)) deleteRecursively(root)
@@ -476,6 +516,114 @@ object EventStreams {
           }
       }
       .toDF()
+  }
+
+  private[streaming] case class VisitState(firstEventId: Long,
+    nEvents: Long)
+  private[streaming] case class Visit(user_id: Long, first_event_id: Long,
+    n_events: Long)
+
+  /** Per-key TTL state eviction via `GroupStateTimeout.ProcessingTimeTimeout`
+    * — the wall-clock-driven expiry surface q92's event-time timer cannot
+    * show (serving caches, presence tracking, "forget quiet keys after N
+    * minutes of PROCESSING time" jobs — state that must die even when no
+    * watermark advances because no data flows).
+    *
+    * Contract: a VISIT is a maximal run of consecutive micro-batches
+    * containing the key. While data keeps arriving the state accumulates
+    * (first_event_id = min, n_events summed) and the data path re-arms the
+    * TTL; the first trigger in which the key is QUIET past the TTL fires
+    * the timer, emits the visit, and `state.remove()`s — hard eviction,
+    * deliberately unlike [[sessionEmit]]'s tombstones, because this
+    * operator's identity key is first_event_id, not a session counter.
+    *
+    * Determinism under a 1 ms TTL: micro-batch processing timestamps are
+    * wall-clock at batch planning, and consecutive AvailableNow batches
+    * are separated by checkpoint commits (≥ tens of ms), so "quiet for
+    * one batch ⇒ timer fires on the next trigger" holds on any real run —
+    * the output is then purely a function of the staged batch layout,
+    * which is what lets a batch oracle predict it exactly. The data path
+    * re-arms the TTL on EVERY invocation: with processing-time timeouts
+    * an un-re-set expired timestamp would survive a data batch and close
+    * the visit the trigger after data just arrived.
+    */
+  def visitEmit(events: DataFrame, ttlMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[VisitState, Visit](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (user, rows, state: GroupState[VisitState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove() // hard eviction at the TTL boundary
+            Iterator.single(Visit(user, st.firstEventId, st.nEvents))
+          } else {
+            var st = state.getOption.getOrElse(VisitState(Long.MaxValue, 0L))
+            rows.foreach { case (_, eid) =>
+              st = VisitState(math.min(st.firstEventId, eid),
+                st.nEvents + 1L)
+            }
+            state.update(st)
+            state.setTimeoutDuration(ttlMs)
+            Iterator.empty
+          }
+      }
+      .toDF()
+  }
+
+  /** [[visitEmit]] as a RUN-TO-COMPLETION gate query. The staged batch
+    * layout PLANTS all three TTL behaviors by user cohort (user_id mod 3):
+    * cohort 0's events land in batches 0 and 2 only — the quiet middle
+    * batch fires its timer, so those users emit TWO visits; cohort 1 is
+    * single-batch (one visit, closed by a later trigger); cohort 2 spans
+    * all three batches (one MERGED visit — proof the data path re-arms
+    * the TTL and state survives while data flows). A sentinel 4th batch
+    * (user −1, filtered from the output) exists only to trigger one more
+    * micro-batch so the final real batch's timers fire before the query
+    * terminates — same pattern as q92's watermark sentinel. The oracle
+    * reconstructs the batch assignment arithmetically and groups
+    * consecutive-batch runs per user (gaps-and-islands), so every emitted
+    * (user, first_event_id, n_events) row is predicted exactly.
+    */
+  def visitEmitOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val ss = streamingSession(spark)
+    deleteStagingForTest(java.nio.file.Paths.get(srcDir))
+    val ev = graft.Tables.events(ss, sfDir)
+    // batch id: cohort 0 → events alternate batches 0/2 (gap at 1);
+    // cohort 1 → batch 1 only; cohort 2 → spread over all three
+    val batchOf = expr(
+      """CASE pmod(user_id, 3) WHEN 0 THEN pmod(event_id, 2) * 2
+                               WHEN 1 THEN 1
+                               ELSE pmod(event_id, 3) END""")
+    var stamped = Set.empty[java.nio.file.Path]
+    for (b <- 0 to 2)
+      stamped = writeStampedBatch(srcDir, ev.filter(batchOf === b),
+        idx = b, stamped = stamped, label = "visit-ttl")
+    writeStampedBatch(srcDir,
+      ev.agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("event_id"), col("mx").as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props")),
+      idx = 3, stamped = stamped, label = "visit-ttl sentinel")
+    val src = ss.readStream
+      .schema(graft.Tables.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    // staged rows = the whole events table (cohort filters partition it)
+    // + the 1-row sentinel; the count is harness bookkeeping over the
+    // tiny staged directory, not operator work
+    val stagedRows = ss.read.schema(graft.Tables.eventsSchema)
+      .parquet(srcDir).count()
+    drainToTableManual(visitEmit(src, ttlMs = 1L), queryName,
+        OutputMode.Append, expectedInputRows = stagedRows)
+      .filter(col("user_id") >= 0) // only the sentinel's timer can leak
+      .orderBy(col("user_id"), col("first_event_id"))
   }
 
   /** [[sessionEmit]] as a RUN-TO-COMPLETION gate query: two time-range-

@@ -46,6 +46,55 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("visitEmit drops state at the TTL boundary: a quiet batch splits " +
+      "visits, continuous data merges them, eviction is hard") {
+    val out = EventStreams.visitEmitOnce(spark, TestSpark.sf,
+      "test_ttl_visits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val byUser = out.groupBy(_._1)
+    val events = graft.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // straight-line reference: rebuild the staged batch assignment, then
+    // gaps-and-islands per user — exactly the oracle's construction
+    def batchOf(u: Long, e: Long): Long = (u % 3) match {
+      case 0 => (e % 2) * 2
+      case 1 => 1
+      case _ => e % 3
+    }
+    byUser.foreach { case (u, visits) =>
+      val evs = events.filter(_._1 == u)
+      val perBatch = evs.groupBy(e => batchOf(u, e._2)).toSeq.sortBy(_._1)
+      val expected = perBatch
+        .foldLeft(List.empty[List[(Long, Array[(Long, Long)])]]) {
+          case (acc, (b, rows)) => acc match {
+            case (hd @ ((pb, _) :: _)) :: tl if b == pb + 1 =>
+              ((b, rows) :: hd) :: tl // consecutive batch: extend the run
+            case _ => List((b, rows)) :: acc // gap: a new visit begins
+          }
+        }
+        .map { run =>
+          val all = run.flatMap(_._2)
+          (all.map(_._2).min, all.size.toLong)
+        }.toSet
+      assert(visits.map(v => (v._2, v._3)).toSet == expected,
+        s"user $u: visits must equal the batch-layout islands")
+      // cohort shape: the gap cohort splits (quiet batch fired the
+      // timer and EVICTED), the continuous cohorts merge (data re-armed
+      // the TTL so an expired timer never survived a data batch)
+      // sentinel -2: "no previous batch" must not look adjacent to batch 0
+      val wantRuns = perBatch.map(_._1) match {
+        case bs => bs.zip(-2L +: bs).count { case (b, p) => b != p + 1 }
+      }
+      assert(visits.length == wantRuns,
+        s"user $u: expected $wantRuns visit(s), got ${visits.length}")
+      if (u % 3 == 0 && perBatch.size == 2)
+        assert(visits.length == 2,
+          s"user $u (gap cohort): state did not drop at the TTL boundary")
+    }
+  }
+
   test("variant_get extraction agrees with the from_json scalar path " +
       "and survives malformed / key-missing JSON as null") {
     val df = Seq("""{"k": 7}""", """{"k": -3, "x": 1}""", """{"x": 9}""",

@@ -279,6 +279,49 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("bloom-filtered ngram decontamination equals the exact path on " +
+      "the planted fixture and at a deliberately tiny filter") {
+    val words = (1 to 20).map(i => s"w$i")
+    val bench = Seq((100L, words.mkString(" "))).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, ("x " + words.slice(2, 15).mkString(" ") + " y")),
+      (2L, ("x " + words.slice(2, 14).mkString(" ") + " y")),
+      (3L, words.take(5).mkString(" ")),
+      (4L, "entirely different tokens only")).toDF("doc_id", "text")
+    val exact = graft.operators.TextDedup
+      .ngramDecontaminate(corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    // default sizing
+    val bloom = graft.operators.TextDedup
+      .ngramDecontaminateBloom(corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloom == exact)
+    // 64-bit filter: nearly every probe is a false POSITIVE — the exact
+    // confirm join must still remove them all (losslessness does not
+    // depend on filter quality, only cost does)
+    val saturated = graft.operators.TextDedup
+      .ngramDecontaminateBloom(corpus, bench, mBits = 64, k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(saturated == exact)
+  }
+
+  test("dedupClusters from a MATERIALIZED pair table equals the hermetic " +
+      "live-join composition (the 100 TB reuse path)") {
+    import graft.operators.Components
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    val live = Components.dedupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val path = "/tmp/graft_test_pairs_reuse"
+    pairs.write.mode("overwrite").parquet(path)
+    val reused = Components.dedupClusters(spark.read.parquet(path))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reused == live)
+    assert(live == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
+  }
+
   // ------------------------------------- randomized cross-checks (props)
 
   private def scCheck(name: String)(prop: org.scalacheck.Prop): Unit = {

@@ -37,14 +37,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "(broadcast) onto the fact — the delivery mechanism of the filter, " +
       "constant-size by construction"),
     "q86_bm25" -> ("the ONE-ROW corpus-stats frame (N, avg doc length) is " +
-      "broadcast onto the per-term hits — constant-size by construction"))
+      "broadcast onto the per-term hits — constant-size by construction"),
+    "q97_ngram_decontaminate_bloom" -> ("the ONE-ROW bloom-bits frame is " +
+      "cross-joined (broadcast) onto the corpus gram stream — same " +
+      "sanctioned delivery mechanism as q75"))
 
   private val streaming =
     Set("q57_streaming_rollup", "q60_streaming_sessionize",
       "q63_streaming_dedup", "q64_streaming_late_drop",
       "q72_streaming_interval_join", "q82_streaming_cdc_apply",
       "q91_streaming_outer_join", "q92_streaming_session_timeout",
-      "q94_streaming_enrich")
+      "q94_streaming_enrich", "q98_streaming_ttl_visits")
 
   test("no unsanctioned nested-loop or cartesian join in any batch plan") {
     val offenders = Queries.all.toSeq.sortBy(_._1)
@@ -66,6 +69,54 @@ class PlanAuditSpec extends AnyFunSuite {
   test("allowlisted nested-loop queries still exist in the registry") {
     val gone = nestedLoopAllowed.keySet -- Queries.all.keySet
     assert(gone.isEmpty, s"allowlist entries for dead queries: $gone")
+  }
+
+  test("AQE splits a skewed join partition at runtime, and the result " +
+      "matches Skew.saltedJoin's manual remedy") {
+    import org.apache.spark.sql.functions._
+    // own session: thresholds lowered so gate-scale data trips the
+    // optimizer the way a hot key trips it at 100 TB; broadcast disabled
+    // because a broadcastable dim side would make skew moot (AQE's
+    // preferred fix) — this pins the sort-merge path the salted join is
+    // the manual remedy for
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    ss.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "131072")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // hot key 0 carries 200k rows; 50 cold keys carry ~1.2k each.
+    // payload is hashed so shuffle compression can't erase the skew.
+    val fact = ss.range(0, 260000).select(
+      when(col("id") < 200000, 0L)
+        .otherwise(pmod(col("id"), lit(50L)) + 1).as("k"),
+      xxhash64(col("id")).as("payload"))
+    val dim = ss.range(0, 51).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("tag"))
+    // DECIMAL sum: 260k hashed longs overflow BIGINT under ANSI
+    val agg = fact.join(dim, Seq("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("payload").cast("decimal(28,0)")).as("s"))
+    val row = agg.collect().head
+    assert(row.getLong(0) == 260000L, "every fact row joins exactly once")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE must mark the hot join partition as skewed and split it:\n" +
+        plan.linesIterator.filter(_.contains("SortMergeJoin"))
+          .mkString("\n"))
+    // the manual remedy gives the identical aggregate on the same data
+    val salted = graft.operators.Skew
+      .saltedJoin(fact, dim, key = "k", factRowKey = "payload")
+      .agg(count(lit(1)).as("n"),
+        sum(col("payload").cast("decimal(28,0)")).as("s"))
+      .collect().head
+    assert(salted.getLong(0) == row.getLong(0) &&
+      salted.getDecimal(1) == row.getDecimal(1),
+      "salted join and AQE-split join must agree")
   }
 
   test("the flagship pipeline pushes its filters and prunes its columns") {

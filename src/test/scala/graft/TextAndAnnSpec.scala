@@ -146,6 +146,59 @@ class TextAndAnnSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("star-contraction components agree with hash-min and union-find " +
+      "on random sparse graphs") {
+    import graft.operators.Components
+    var seed = 0x2545F4914F6CDD1DL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for (nEdges <- Seq(15, 60, 150)) {
+      val n = 80
+      val edges = Seq.fill(nEdges) {
+        val x = nextInt(n); val y = nextInt(n - 1)
+        (x.toLong, (if (y >= x) y + 1 else y).toLong)
+      }.toDF("src", "dst")
+      val viaStars = Components.connectedComponentsStars(edges)
+        .as[(Long, Long)].collect().toMap
+      val viaHashMin = Components.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(viaStars == viaHashMin, s"mismatch at $nEdges edges")
+    }
+  }
+
+  test("star contraction converges on a chain whose diameter exceeds " +
+      "hash-min's round bound; hash-min refuses it loudly") {
+    import graft.operators.Components
+    // a single 301-node path: diameter 300 ≫ hash-min's default 50-round
+    // bound (one hop per round); the star alternation pointer-jumps it
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponentsStars(chain)
+      .as[(Long, Long)].collect()
+    assert(got.length == 301 && got.forall(_._2 == 0L),
+      "all chain nodes must collapse to component 0")
+    val refused = intercept[IllegalArgumentException] {
+      Components.connectedComponents(chain).count()
+    }
+    assert(refused.getMessage.contains("did not converge"),
+      s"hash-min must refuse the long chain, got: ${refused.getMessage}")
+  }
+
+  test("star-contraction components: chain, triangle, isolated edge, " +
+      "self-loop vertex, any column names") {
+    import graft.operators.Components
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L), (30L, 30L))
+      .toDF("left_id", "right_id")
+    val got = Components.connectedComponentsStars(edges)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L)
+    assert(got == want)
+  }
+
   test("SimHash: exact copies collide; groups contain the planted copies") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val copies = docs.filter(col("doc_id") % 10 === 0)
