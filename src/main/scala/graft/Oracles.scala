@@ -1036,6 +1036,26 @@ object Oracles {
       ORDER BY score_micro DESC, doc_id
       LIMIT 50""",
 
+    // Image-format features in closed form: format by the planted id
+    // cycle, resolution by the raster definition, pixel sum by the q29
+    // correlated-sum construction (constant range bounds + mask, since
+    // DuckDB range() rejects lateral column arguments) — and NULL for
+    // JPEG, whose lossy decode makes pixel content un-oracle-able while
+    // resolution stays exact.
+    "q99_image_formats" -> """
+      SELECT d.doc_id AS media_id,
+             CASE CAST(d.doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+                  WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format,
+             CAST(8 + d.doc_id % 16 AS BIGINT) AS width,
+             CAST(8 + d.doc_id % 8 AS BIGINT) AS height,
+             CASE WHEN d.doc_id % 3 <> 2 THEN
+               (SELECT CAST(SUM((d.doc_id*31 + 7*x.r + 13*y.r) % 256)
+                       AS BIGINT)
+                FROM range(0, 24) x(r), range(0, 16) y(r)
+                WHERE x.r < 8 + d.doc_id % 16
+                  AND y.r < 8 + d.doc_id % 8) END AS pixel_sum
+      FROM documents d ORDER BY media_id""",
+
     // The q96 chain graph's transitive closure in closed form: customers
     // chained consecutively within each residue class mod 4, so every
     // id's component is its class's minimum — an analytic oracle for a

