@@ -1161,6 +1161,94 @@ object Oracles {
     // The bloom path must equal the exact path row-for-row: same oracle.
     "q97_ngram_decontaminate_bloom" -> ngramDecontamSql,
 
+    // Naive boilerplate rebuild: plant the identical header, cut every
+    // document into 10-word segments by list slicing (constant-bound
+    // index cross join + mask — range() rejects lateral column args),
+    // collect segments held by >= 10 distinct docs, and reassemble each
+    // document from its surviving segments in order. string_agg skips
+    // NULLs in both engines; coalesce('') keeps fully-boilerplate docs.
+    "q100_boilerplate" -> """
+      WITH corpus AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0
+            THEN 'subscribe now to our newsletter and click here to unsubscribe '
+                 || text
+            ELSE text END AS text
+        FROM documents),
+      t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+      segs AS (
+        SELECT doc_id, s.i AS seg_idx,
+               array_to_string(ws[(s.i*10+1):(s.i*10+10)], ' ') AS seg
+        FROM t, (SELECT r FROM range(0, 32) u(r)) s(i)
+        WHERE s.i*10 < len(ws)),
+      bl AS (SELECT seg FROM segs
+             GROUP BY seg HAVING count(DISTINCT doc_id) >= 10),
+      j AS (SELECT s.doc_id, s.seg_idx, s.seg, b.seg AS bseg
+            FROM segs s LEFT JOIN bl b ON s.seg = b.seg)
+      SELECT doc_id,
+        coalesce(string_agg(CASE WHEN bseg IS NULL THEN seg END,
+          ' ' ORDER BY seg_idx), '') AS clean_text,
+        CAST(count(CASE WHEN bseg IS NULL THEN 1 END) AS INTEGER)
+          AS kept_segments,
+        CAST(count(bseg) AS INTEGER) AS dropped_segments
+      FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    // The funnel re-derived naively from the q22/q23 oracle expressions
+    // (language marker counts, the exact double quality formula), then
+    // ranked per source with the doc_id tiebreak and capped at 10.
+    "q101_curation_funnel" -> """
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws,
+              CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                AS n_char
+            FROM documents),
+      c AS (SELECT doc_id, source,
+              CAST(len(list_filter(ws, x -> list_contains(
+                ['the','a','of','and','is','in'], x))) AS INTEGER) AS n_en,
+              CAST(len(list_filter(ws, x -> list_contains(
+                ['el','la','de','los','y','que'], x))) AS INTEGER) AS n_es,
+              CAST(len(list_filter(ws, x -> list_contains(
+                ['le','la','de','les','et','un'], x))) AS INTEGER) AS n_fr,
+              CAST(len(list_filter(ws, x -> list_contains(
+                ['der','die','das','und','ein','ist'], x))) AS INTEGER)
+                AS n_de,
+              CAST(len(ws) AS INTEGER) AS n_tokens,
+              least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+                (CAST(len(list_filter(ws, x -> list_contains(
+                  ['the','a','of','and','is','in'], x))) AS DOUBLE)
+                  / CAST(len(ws) AS DOUBLE)) * 0.3 +
+                least((n_char / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0) * 0.2
+                AS quality_score
+            FROM t),
+      lp AS (SELECT *,
+              CASE WHEN n_en >= n_es AND n_en >= n_fr AND n_en >= n_de
+                        AND n_en > 0 THEN 'en'
+                   WHEN n_es >= n_fr AND n_es >= n_de AND n_es > 0 THEN 'es'
+                   WHEN n_fr >= n_de AND n_fr > 0 THEN 'fr'
+                   WHEN n_de > 0 THEN 'de'
+                   ELSE 'unknown' END AS predicted_lang
+             FROM c),
+      ranked AS (SELECT doc_id, source, predicted_lang, quality_score,
+              CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY quality_score DESC, doc_id) AS INTEGER) AS q_rank
+             FROM lp
+             WHERE predicted_lang <> 'unknown' AND n_tokens >= 30)
+      SELECT doc_id, source, predicted_lang, quality_score, q_rank
+      FROM ranked WHERE q_rank <= 10
+      ORDER BY source, q_rank""",
+
+    // The band join DuckDB can afford to run natively as an inequality
+    // join (its IEJoin handles it at oracle scale); µs floor matches the
+    // engine's ns→µs parquet read truncation.
+    "q102_band_join" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS eu FROM events)
+      SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b,
+             b.eu - a.eu AS delta_us
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id
+       AND (a.eu < b.eu OR (a.eu = b.eu AND a.event_id < b.event_id))
+       AND b.eu - a.eu <= CAST(30*60 AS BIGINT) * 1000000
+      ORDER BY user_id, id_a, id_b""",
+
     // The same MLE bigram model computed naively: positional bigram
     // extraction, conditional counts, one floor division per instance.
     "q89_bigram_lm" -> """

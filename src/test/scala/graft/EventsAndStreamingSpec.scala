@@ -416,4 +416,41 @@ class EventsAndStreamingSpec extends AnyFunSuite {
       .intersect(tagged.filter(col("_b") === 1).select("user_id")).count()
     assert(shared > 0, "no user spans both halves; update path untested")
   }
+
+  test("band join: binned equi-join equals the naive theta-join at " +
+      "sf0.001, and boundary/bucket/tie cases land exactly once") {
+    import graft.operators.RangeJoin
+    val band = 30L * 60 * 1000000
+    val ev = Tables.events(spark, TestSpark.sf)
+    val got = RangeJoin.selfBandJoin(ev, band)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val e = ev.select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("tu"))
+    val naive = e.as("a")
+      .join(e.as("b"), col("a.user_id") === col("b.user_id") &&
+        (col("a.tu") < col("b.tu") ||
+          (col("a.tu") === col("b.tu") &&
+            col("a.event_id") < col("b.event_id"))) &&
+        col("b.tu") - col("a.tu") <= band)
+      .select(col("a.user_id"), col("a.event_id"), col("b.event_id"),
+        col("b.tu") - col("a.tu"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == naive, "binned join must equal the naive theta-join")
+    assert(got.nonEmpty)
+    // synthetic edges: band = 10 µs (ts below in NANOS).
+    //  u1: Δ exactly == band (in), Δ == band+1 µs (out)
+    //  u2: pair crossing a bucket boundary (9 µs → 12 µs, Δ=3)
+    //  u3: equal timestamps — tie must appear once, id-ordered
+    val syn = Seq(
+      (1L, 0L, 1L), (2L, 10000L, 1L), (3L, 21001000L, 1L),
+      (4L, 21001000L + 11000L, 1L),
+      (5L, 9000L, 2L), (6L, 12000L, 2L),
+      (8L, 5000L, 3L), (7L, 5000L, 3L))
+      .toDF("event_id", "ts", "user_id")
+    val pairs = RangeJoin.selfBandJoin(syn, 10L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 1L, 2L, 10L), (2L, 5L, 6L, 3L),
+      (3L, 7L, 8L, 0L)),
+      s"boundary semantics: got $pairs")
+  }
 }

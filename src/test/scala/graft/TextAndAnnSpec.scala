@@ -398,4 +398,54 @@ class TextAndAnnSpec extends AnyFunSuite {
       bruteSet.size
     assert(recall > 0.0) // random 64-d data: buckets thin the candidates
   }
+
+  test("boilerplate removal: planted header deleted everywhere, " +
+      "clean docs untouched, sub-threshold repeats kept, " +
+      "all-boilerplate doc survives empty") {
+    import graft.operators.Curation
+    val hdr = Curation.header
+    // 12 carrier docs (>= minDocs=10), 8 clean, a sub-threshold segment
+    // in 3 docs, and one doc that IS the header alone
+    val rows = (0L until 12L).map(i => (i, s"$hdr alpha beta doc$i")) ++
+      (12L until 20L).map(i => (i, s"plain content words doc$i")) ++
+      (20L until 23L).map(i =>
+        (i, "rare repeated ten word segment shared by just three docs")) :+
+      (23L, hdr)
+    val docs = rows.toDF("doc_id", "text")
+    val out = Curation.removeBoilerplate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 24, "every input doc must survive as a row")
+    (0L until 12L).foreach { i =>
+      assert(out(i).getAs[String]("clean_text") == s"alpha beta doc$i" &&
+        out(i).getAs[Int]("dropped_segments") == 1,
+        s"doc $i: exactly the header segment must be dropped")
+    }
+    (12L until 23L).foreach { i =>
+      assert(out(i).getAs[Int]("dropped_segments") == 0,
+        s"doc $i: clean and sub-threshold docs must be untouched")
+    }
+    assert(out(23L).getAs[String]("clean_text") == "" &&
+      out(23L).getAs[Int]("kept_segments") == 0,
+      "an all-boilerplate doc must survive with empty text, not vanish")
+  }
+
+  test("curation funnel: per-source cap holds, ranks contiguous, " +
+      "quality non-increasing within source, no unknown-lang survivors") {
+    import graft.operators.Curation
+    val out = Curation
+      .curateCorpus(Tables.documents(spark, TestSpark.sf),
+        minTokens = 10, capPerSource = 3)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("predicted_lang") != "unknown"))
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val ranked = rows.sortBy(_.getAs[Int]("q_rank"))
+      assert(ranked.length <= 3, s"$src: cap exceeded")
+      assert(ranked.map(_.getAs[Int]("q_rank")).toSeq ==
+        (1 to ranked.length), s"$src: ranks must be contiguous from 1")
+      val qs = ranked.map(_.getAs[Double]("quality_score")).toSeq
+      assert(qs.zip(qs.drop(1)).forall { case (a, b) => a >= b },
+        s"$src: quality must be non-increasing in rank")
+    }
+  }
 }
