@@ -40,7 +40,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "broadcast onto the per-term hits — constant-size by construction"),
     "q97_ngram_decontaminate_bloom" -> ("the ONE-ROW bloom-bits frame is " +
       "cross-joined (broadcast) onto the corpus gram stream — same " +
-      "sanctioned delivery mechanism as q75"))
+      "sanctioned delivery mechanism as q75"),
+    "q100_boilerplate" -> ("the ONE-ROW boilerplate-set frame (bounded by " +
+      "total_segments/minDocs) is cross-joined (broadcast) onto the " +
+      "per-doc segment arrays — same sanctioned delivery mechanism as " +
+      "q75/q97"))
 
   private val streaming =
     Set("q57_streaming_rollup", "q60_streaming_sessionize",
