@@ -858,6 +858,10 @@ object Oracles {
     // sessions as the batch window computation.
     "q60_streaming_sessionize" -> sessionizeOracle,
 
+    // The v2-API sessionizer must equal the v1 and batch forms: same
+    // oracle as q60/q18.
+    "q103_streaming_tws_sessionize" -> sessionizeOracle,
+
     // Streaming dedup drops the planted later-batch duplicates, so the
     // drained aggregates equal the RAW table's (no duplicates in it).
     "q63_streaming_dedup" -> """

@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming forms of the event operators (SURVEY.md §2.5
   * "event-stream ops — Structured Streaming variant").
@@ -679,6 +679,86 @@ object EventStreams {
       _.repartitionByRange(2, col("ts"))) // part-00000 = earlier half
     stampAscendingMtimes(srcDir, 2) // oldest-first ingestion == time order
     drainToTable(sessionize(src, gapMinutes), queryName, OutputMode.Update)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("n_events"), col("n_sessions"), col("span_seconds")),
+        col("n_events")).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.n_sessions").as("n_sessions"),
+        col("m.span_seconds").as("span_seconds"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The sessionizer's per-user fold on the `transformWithState` API —
+    * Spark 4's replacement for `*GroupsWithState` (SPARK-46815, "arbitrary
+    * stateful processing v2"): state is declared as named typed handles
+    * (here one `ValueState[SessionState]`) instead of a single opaque
+    * blob, timers are first-class, and the operator REQUIRES the RocksDB
+    * state-store provider — the changelog-checkpointing store that is the
+    * 100 TB answer to state larger than executor heap. The fold itself is
+    * identical to [[sessionize]]'s, which is the point: q103 gates this
+    * engine surface against the SAME oracle as q60, proving old API, new
+    * API, and the batch form agree row-for-row.
+    */
+  private class SessionizeProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, (Long, Long), SessionUpdate] {
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[SessionUpdate] = {
+      // same local sort + fold as the flatMapGroupsWithState form: batch
+      // rows arrive unordered, cross-batch order is the file layout's job
+      val sorted = rows.map(_._2).toSeq.sorted
+      var s =
+        if (st.exists()) st.get()
+        else SessionState(Long.MinValue, Long.MinValue, 0L, 0L)
+      sorted.foreach { us =>
+        val newSession = s.nSessions == 0L || us - s.lastUs > gapUs
+        s = SessionState(if (s.nEvents == 0L) us else s.firstUs, us,
+          s.nEvents + 1L, s.nSessions + (if (newSession) 1L else 0L))
+      }
+      st.update(s)
+      Iterator.single(SessionUpdate(user, s.nEvents, s.nSessions,
+        (s.lastUs - s.firstUs) / 1000000L))
+    }
+  }
+
+  /** [[sessionize]] re-expressed on `transformWithState`. */
+  def sessionizeTws(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionizeProcessor(gapUs),
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** [[sessionizeOnce]] on the v2 state API: same two time-range-split
+    * micro-batches, same last-update extraction — only the stateful
+    * operator (and its mandatory RocksDB store) differs.
+    */
+  def sessionizeTwsOnce(spark: SparkSession, sfDir: String,
+      gapMinutes: Int, queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val ss = streamingSession(spark)
+    // transformWithState refuses any other provider; scoped to this
+    // session clone, the outer harness sessions are untouched
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val src = stagedEventsSource(ss, sfDir, srcDir)(
+      _.repartitionByRange(2, col("ts")))
+    stampAscendingMtimes(srcDir, 2)
+    drainToTable(sessionizeTws(src, gapMinutes), queryName,
+      OutputMode.Update)
       .groupBy(col("user_id"))
       .agg(max_by(
         struct(col("n_events"), col("n_sessions"), col("span_seconds")),

@@ -218,6 +218,26 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("transformWithState sessionizer (v2 state API, RocksDB store) " +
+      "agrees with the batch sessionizer") {
+    val batch = Events.sessionize(Tables.events(spark, TestSpark.sf), 30)
+      .select("user_id", "n_events", "n_sessions")
+      .as[(Long, Long, Long)].collect().toSet
+    // transformWithState mandates the RocksDB provider; scope it to a
+    // session clone so the shared test session keeps the default store
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val stream = EventStreams.runToMemory(
+      EventStreams.sessionizeTws(
+        EventStreams.source(ss, eventsDir), 30),
+      "tws_sessions", OutputMode.Update())
+    val got = stream.select("user_id", "n_events", "n_sessions")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == batch)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val out = EventStreams
       .intervalJoinOnce(spark, TestSpark.sf, "interval_join_test")

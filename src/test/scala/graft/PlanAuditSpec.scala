@@ -51,7 +51,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q63_streaming_dedup", "q64_streaming_late_drop",
       "q72_streaming_interval_join", "q82_streaming_cdc_apply",
       "q91_streaming_outer_join", "q92_streaming_session_timeout",
-      "q94_streaming_enrich", "q98_streaming_ttl_visits")
+      "q94_streaming_enrich", "q98_streaming_ttl_visits",
+      "q103_streaming_tws_sessionize")
 
   test("no unsanctioned nested-loop or cartesian join in any batch plan") {
     val offenders = Queries.all.toSeq.sortBy(_._1)
