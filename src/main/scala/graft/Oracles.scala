@@ -1240,6 +1240,19 @@ object Oracles {
       FROM ranked WHERE q_rank <= 10
       ORDER BY source, q_rank""",
 
+    // Heavy hitters rebuilt naively: the CMS+confirm route must equal
+    // the plain GROUP BY ... HAVING on the identical tailed corpus.
+    "q104_heavy_hitters" -> """
+      WITH corpus AS (
+        SELECT text || ' r' || CAST(doc_id AS VARCHAR) || 'a r'
+                    || CAST(doc_id AS VARCHAR) || 'b r'
+                    || CAST(doc_id AS VARCHAR) || 'c' AS text
+        FROM documents),
+      w AS (SELECT unnest(string_split(text, ' ')) AS word FROM corpus)
+      SELECT word, count(*) AS cnt FROM w GROUP BY word
+      HAVING count(*) >= 100
+      ORDER BY cnt DESC, word""",
+
     // The band join DuckDB can afford to run natively as an inequality
     // join (its IEJoin handles it at oracle scale); µs floor matches the
     // engine's ns→µs parquet read truncation.

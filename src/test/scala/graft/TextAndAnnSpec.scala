@@ -429,6 +429,25 @@ class TextAndAnnSpec extends AnyFunSuite {
       "an all-boilerplate doc must survive with empty text, not vanish")
   }
 
+  test("CMS heavy hitters: lossless vs naive GROUP BY, candidates are " +
+      "a superset (one-sided error), tiny sketch still exact") {
+    import graft.operators.Sketches
+    val words = Tables.documents(spark, TestSpark.sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val naive = words.groupBy("word").count()
+      .filter(col("count") >= 50).as[(String, Long)].collect().toSet
+    val got = Sketches.heavyHitters(words, 50L)
+      .as[(String, Long)].collect().toSet
+    assert(got == naive, "CMS+confirm must equal the naive answer")
+    assert(got.nonEmpty)
+    // a deliberately saturated 8-cell sketch: every word collides, the
+    // candidate set degrades to ~everything, the confirm still prunes it
+    // to the exact answer — correctness never depends on sizing
+    val tiny = Sketches.heavyHitters(words, 50L, w = 8, d = 2)
+      .as[(String, Long)].collect().toSet
+    assert(tiny == naive, "a saturated sketch must still confirm exactly")
+  }
+
   test("curation funnel: per-source cap holds, ranks contiguous, " +
       "quality non-increasing within source, no unknown-lang survivors") {
     import graft.operators.Curation
