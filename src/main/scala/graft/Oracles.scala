@@ -1240,6 +1240,20 @@ object Oracles {
       FROM ranked WHERE q_rank <= 10
       ORDER BY source, q_rank""",
 
+    // The binaryFile roundtrip in closed form: every shard is a PNG of
+    // the deterministic raster, so format/resolution/pixel-sum all fold
+    // to the q99 construction with no lossy branch.
+    "q105_binaryfile_roundtrip" -> """
+      SELECT d.doc_id AS media_id, 'png' AS format,
+             CAST(8 + d.doc_id % 16 AS BIGINT) AS width,
+             CAST(8 + d.doc_id % 8 AS BIGINT) AS height,
+             (SELECT CAST(SUM((d.doc_id*31 + 7*x.r + 13*y.r) % 256)
+                     AS BIGINT)
+              FROM range(0, 24) x(r), range(0, 16) y(r)
+              WHERE x.r < 8 + d.doc_id % 16
+                AND y.r < 8 + d.doc_id % 8) AS pixel_sum
+      FROM documents d ORDER BY media_id""",
+
     // Heavy hitters rebuilt naively: the CMS+confirm route must equal
     // the plain GROUP BY ... HAVING on the identical tailed corpus.
     "q104_heavy_hitters" -> """

@@ -313,6 +313,70 @@ object Multimodal {
   def imageFormatFeatures(docs: DataFrame): DataFrame =
     sniffDecodeImages(imageTable(docs)).toDF()
 
+  // ------------------------------------------- binaryFile source breadth
+
+  /** Media-shard ingestion through Spark's `binaryFile` SOURCE: scatter
+    * one encoded PNG per doc onto the filesystem (executor-side NIO —
+    * one file per row is the binary-shard layout binaryFile exists for;
+    * no sink format covers it, so the imperative write is the honest
+    * shape, like the codec mapPartitions), then scan the directory back
+    * as (path, content) rows, recover the id FROM THE PATH (a shard's
+    * only trustworthy self-description), and run the real decode.
+    *
+    * Scale: the scan parallelizes over files with
+    * `spark.sql.files.maxPartitionBytes` packing, the same pruned-scan
+    * machinery as parquet (pathGlobFilter prunes non-media droppings);
+    * decode stays a map stage. Small-file pressure is the known cost of
+    * the layout — the compaction answer is q71's, applied to shards.
+    */
+  /** The scatter half: executor-side write of one encoded PNG per doc id
+    * into a fresh `dir`.
+    */
+  def scatterPngShards(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.streaming.EventStreams.deleteStagingForTest(
+      java.nio.file.Paths.get(dir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val dirStr = dir // capture the STRING: nio Path is not serializable
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val base = java.nio.file.Paths.get(dirStr)
+        it.map { id =>
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(renderImage(id), "png", out)
+          java.nio.file.Files.write(
+            base.resolve(f"img_$id%08d.png"), out.toByteArray)
+          id
+        }
+      }.count() // materialize the scatter before any scan plans
+    ()
+  }
+
+  /** The scan half: binaryFile source over the shard dir (glob prunes
+    * non-media droppings — manifests, checksums), id recovered from the
+    * path, real decode.
+    */
+  def scanShardFeatures(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val scanned = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("media_id"),
+        col("content"))
+      .as[ImageRow]
+    sniffDecodeImages(scanned).toDF()
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        col("pixel_sum"))
+  }
+
+  def binaryRoundtripFeatures(docs: DataFrame, dir: String): DataFrame = {
+    scatterPngShards(docs, dir)
+    scanShardFeatures(docs.sparkSession, dir)
+  }
+
   /** Feature table: decode + per-kind rollup stays fully relational after
     * the map stage.
     */

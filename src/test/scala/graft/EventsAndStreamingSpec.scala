@@ -367,6 +367,28 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     assert(jpegBytes.take(2).map(_ & 0xff).toSeq == Seq(0xff, 0xd8))
   }
 
+  test("binaryFile roundtrip: features survive the filesystem hop and " +
+      "the glob prunes foreign droppings in the shard dir") {
+    val dir = "/tmp/graft_binshard_spec"
+    val docs = Tables.documents(spark, TestSpark.sf).limit(20)
+    Multimodal.scatterPngShards(docs, dir)
+    // a non-media dropping (manifest, checksum file...) must be invisible
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir).resolve("_manifest.json"),
+      "{}".getBytes)
+    val feats = Multimodal.scanShardFeatures(spark, dir).collect()
+    assert(feats.length == docs.count(),
+      "pathGlobFilter must prune non-PNG files from the scan")
+    feats.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[String]("format") == "png" &&
+        r.getAs[Long]("width") == 8 + id % 16 &&
+        r.getAs[Long]("height") == 8 + id % 8 &&
+        !r.isNullAt(r.fieldIndex("pixel_sum")),
+        s"shard $id must decode losslessly after the filesystem hop")
+    }
+  }
+
   test("multimodal: features are deterministic and checksum matches payload") {
     val feats = Multimodal.features(Tables.documents(spark, TestSpark.sf))
     // media_id 0 is an IMAGE: features must come from a real PNG decode
