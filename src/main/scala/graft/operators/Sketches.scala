@@ -24,12 +24,16 @@ import org.apache.spark.sql.functions._
   * set is a SUPERSET of the true heavy hitters and the exact confirm
   * pass removes every false positive. Identical output to the naive
   * GROUP BY — which is exactly what the q104 oracle proves. Sizing only
-  * moves the candidate volume: keep w ≳ a few × N/threshold so expected
-  * collision mass per cell (N/w) sits far below the threshold, and d at
-  * 4 so a tail word must collide with heavy cells in EVERY row to
-  * survive the min (probability (vocab_heavy/w)^d). Defaults hold to
-  * ~3M tokens per mille-of-threshold; callers at larger N raise w — the
-  * array is d·w longs (512 KB at defaults), broadcast once.
+  * moves the candidate volume: a tail word becomes a false candidate
+  * only by colliding with heavy-mass cells in EVERY row (probability
+  * ≈ (vocab_heavy/w)^d), so d = 4 with w in the thousands keeps the
+  * confirm stream at heavy-hitters + noise. The array is d·w longs
+  * (128 KB at defaults) broadcast once — sized small deliberately: the
+  * probe reads d cells per occurrence, and the bloom-join measurements
+  * (BloomJoin scaladoc) showed per-probe cost jumping ~10× once the
+  * broadcast array outgrows cache. Callers with much larger heavy
+  * vocabularies raise w; false candidates only ever cost confirm
+  * volume, never correctness.
   */
 object Sketches {
 
@@ -45,18 +49,27 @@ object Sketches {
     * map-side, and exact-count only the survivors. The word frame feeds
     * both passes — pinned per CLAUDE.md's self-join rule.
     */
-  def heavyHitters(words: DataFrame, threshold: Long, w: Int = 16384,
+  def heavyHitters(words: DataFrame, threshold: Long, w: Int = 4096,
       d: Int = 4): DataFrame = {
     require(threshold >= 1, "threshold must be positive")
     require(w >= 2 && d >= 1, "degenerate sketch dimensions")
+    val spark = words.sparkSession
     val pinned = graft.CacheScope.scoped(words.select(col("word")))
-    val cms = pinned
-      .select(explode(array(cells(col("word"), w, d): _*)).as("cell"))
-      .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
-      .agg(map_from_entries(collect_list(struct(col("cell"), col("cnt"))))
-        .as("m"))
-      .select(transform(sequence(lit(0L), lit(d.toLong * w - 1)),
-        i => coalesce(element_at(col("m"), i), lit(0L))).as("cms"))
+    // Dense one-row array WITHOUT per-index map lookups: left-join the
+    // cell counts onto the full [0, d·w) domain, sorted-collect, extract
+    // positionally. The tempting transform(sequence, i -> element_at(m,
+    // i)) form is O((d·w)²) — Spark map element_at is a LINEAR scan, and
+    // at d·w = 64k that one task burned 160 s at sf0.1 (bench-caught);
+    // this build is n·log n in the sketch size and O(1) in the corpus.
+    val cms = spark.range(d.toLong * w).select(col("id").as("cell"))
+      .join(pinned
+        .select(explode(array(cells(col("word"), w, d): _*)).as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("cnt")),
+        Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("cnt"))))
+        .as("e"))
+      .select(transform(col("e"), s => s.getField("cnt")).as("cms"))
     val minEst = least(cells(col("word"), w, d)
       .map(c => element_at(col("cms"), c.cast("int") + 1)): _*)
     pinned

@@ -44,7 +44,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q100_boilerplate" -> ("the ONE-ROW boilerplate-set frame (bounded by " +
       "total_segments/minDocs) is cross-joined (broadcast) onto the " +
       "per-doc segment arrays — same sanctioned delivery mechanism as " +
-      "q75/q97"))
+      "q75/q97"),
+    "q104_heavy_hitters" -> ("the ONE-ROW dense CMS array is the semi-" +
+      "join build side (the probe is the join condition, so the 512 KB " +
+      "array never lands in output rows) — same sanctioned delivery " +
+      "mechanism as q75/q97"))
 
   private val streaming =
     Set("q57_streaming_rollup", "q60_streaming_sessionize",
