@@ -238,6 +238,35 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("state-store READER: the sessionizer's checkpointed state, read " +
+      "back as a batch DataFrame, equals the batch sessionizer") {
+    // the operational surface behind streaming state: inspect / audit /
+    // migrate state without replaying the stream (Spark 4 statestore
+    // source). Drain with a RETAINED checkpoint, then read the store.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_state_read")
+    try {
+      val q = EventStreams.sessionize(
+          EventStreams.source(spark, eventsDir), 30)
+        .writeStream.format("noop")
+        .outputMode(OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.awaitTermination()
+      val state = spark.read.format("statestore").load(ckpt.toString)
+      val got = state
+        .select(col("key.value").as("user_id"),
+          col("value.groupState.nEvents").as("n_events"),
+          col("value.groupState.nSessions").as("n_sessions"))
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = Events.sessionize(Tables.events(spark, TestSpark.sf), 30)
+        .select("user_id", "n_events", "n_sessions")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == batch,
+        "state rows must equal the batch sessionizer's final per-user state")
+    } finally EventStreams.deleteStagingForTest(ckpt)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val out = EventStreams
       .intervalJoinOnce(spark, TestSpark.sf, "interval_join_test")
