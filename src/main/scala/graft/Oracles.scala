@@ -1254,6 +1254,19 @@ object Oracles {
                 AND y.r < 8 + d.doc_id % 8) AS pixel_sum
       FROM documents d ORDER BY media_id""",
 
+    // Interval overlap as DuckDB's native inequality join (closed ends;
+    // point-touch counts with overlap 0); same µs floor as q102.
+    "q106_overlap_join" -> """
+      WITH iv AS (SELECT event_id AS id, event_type AS k,
+                         epoch_us(ts) AS s,
+                         epoch_us(ts) + (event_id % 7 + 1) * 300000000 AS e
+                  FROM events)
+      SELECT a.k AS event_type, a.id AS id_a, b.id AS id_b,
+             least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+      FROM iv a JOIN iv b
+        ON a.k = b.k AND a.id < b.id AND a.s <= b.e AND b.s <= a.e
+      ORDER BY event_type, id_a, id_b""",
+
     // Heavy hitters rebuilt naively: the CMS+confirm route must equal
     // the plain GROUP BY ... HAVING on the identical tailed corpus.
     "q104_heavy_hitters" -> """

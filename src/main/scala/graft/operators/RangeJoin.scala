@@ -33,6 +33,57 @@ object RangeJoin {
     * The µs frame feeds both join sides — pinned per CLAUDE.md's
     * self-join rule so the scan/projection runs once.
     */
+  /** Interval OVERLAP self-join: all pairs of same-key intervals that
+    * intersect (closed ends; point-touch counts, overlap_us = 0) — the
+    * interval×interval generalization of the point band join below, under
+    * the same bucketing discipline. Precondition: every interval's length
+    * is ≤ `maxLenUs` (enforced; the bound is what makes the bucket
+    * scheme exact). Expects (key, id, s, e) with µs endpoints; output
+    * (key, id_a, id_b, overlap_us), id_a < id_b.
+    *
+    * Bucket width W = maxLenUs, so an interval spans at most TWO buckets
+    * (bounded 2× dup — no data-dependent explode). Overlapping pairs
+    * share the bucket of their overlap's START (greatest(s_a, s_b) lies
+    * inside both intervals), so the join matches there; the attribution
+    * predicate `bkt = greatest(s_a, s_b) div W` kills every other shared
+    * bucket — each qualifying pair lands exactly once, no dedup pass.
+    * One keyed equi-shuffle; the naive form is a per-key O(n²)
+    * inequality theta-join.
+    */
+  def overlapJoin(intervals: DataFrame, maxLenUs: Long): DataFrame = {
+    require(maxLenUs >= 1, "max interval length must be positive")
+    // the bound is a correctness premise, so violations must be LOUD —
+    // a silent filter would quietly change the join's semantics. The
+    // assert threads through a USED column (a free-standing check column
+    // would be pruned away and never run).
+    val base = graft.CacheScope.scoped(intervals
+      .select(col("key"), col("id"),
+        when(assert_true(col("e") >= col("s") &&
+            col("e") - col("s") <= lit(maxLenUs),
+          concat(lit("overlapJoin premise: interval outside (0, maxLen]: "),
+            col("id"))).isNull, col("s")).as("s"),
+        col("e")))
+    val left = base
+      .select(col("key"), col("id").as("id_a"), col("s").as("sa"),
+        col("e").as("ea"))
+      .withColumn("bkt", explode(sequence(
+        expr(s"sa div ${maxLenUs}L"), expr(s"ea div ${maxLenUs}L"))))
+    val right = base
+      .select(col("key").as("k_r"), col("id").as("id_b"),
+        col("s").as("sb"), col("e").as("eb"))
+      .withColumn("bkt_r", explode(sequence(
+        expr(s"sb div ${maxLenUs}L"), expr(s"eb div ${maxLenUs}L"))))
+    left
+      .join(right, col("key") === col("k_r") &&
+        col("bkt") === col("bkt_r"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea") &&
+        col("bkt") === expr(s"greatest(sa, sb) div ${maxLenUs}L"))
+      .select(col("key"), col("id_a"), col("id_b"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+          .as("overlap_us"))
+  }
+
   def selfBandJoin(events: DataFrame, bandUs: Long): DataFrame = {
     require(bandUs >= 1, "band must be positive")
     val base = graft.CacheScope.scoped(events

@@ -488,6 +488,46 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     assert(shared > 0, "no user spans both halves; update path untested")
   }
 
+  test("overlap join: binned form equals the naive theta-join, " +
+      "containment/touch/bucket-crossing land once, premise is loud") {
+    import graft.operators.RangeJoin
+    val maxLen = 35L * 60 * 1000000
+    val iv = Tables.events(spark, TestSpark.sf).select(
+      col("event_type").as("key"), col("event_id").as("id"),
+      expr("ts div 1000").as("s"),
+      (expr("ts div 1000") +
+        (pmod(col("event_id"), lit(7L)) + 1) * 300000000L).as("e"))
+    val got = RangeJoin.overlapJoin(iv, maxLen)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val naive = iv.as("a")
+      .join(iv.as("b"), col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id") && col("a.s") <= col("b.e") &&
+        col("b.s") <= col("a.e"))
+      .select(col("a.key"), col("a.id"), col("b.id"),
+        least(col("a.e"), col("b.e")) - greatest(col("a.s"), col("b.s")))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty)
+    // synthetic edges at maxLen = 100 µs: containment, point-touch
+    // (overlap 0), and a pair meeting across the bucket boundary
+    val syn = Seq(("k", 1L, 0L, 100L), ("k", 2L, 50L, 70L),
+      ("k", 3L, 100L, 180L), ("k", 4L, 95L, 150L))
+      .toDF("key", "id", "s", "e")
+    val pairs = RangeJoin.overlapJoin(syn, 100L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(pairs == Set(("k", 1L, 2L, 20L), ("k", 1L, 3L, 0L),
+      ("k", 1L, 4L, 5L), ("k", 3L, 4L, 50L)),
+      s"overlap semantics: got $pairs")
+    // an interval longer than the bound must fail LOUDLY, never be
+    // silently dropped
+    val bad = Seq(("k", 9L, 0L, 200L)).toDF("key", "id", "s", "e")
+    val err = intercept[Exception] {
+      RangeJoin.overlapJoin(bad, 100L).collect()
+    }
+    assert(err.toString.contains("premise") ||
+      Option(err.getCause).exists(_.toString.contains("premise")),
+      s"expected the loud premise failure, got: $err")
+  }
+
   test("band join: binned equi-join equals the naive theta-join at " +
       "sf0.001, and boundary/bucket/tie cases land exactly once") {
     import graft.operators.RangeJoin
