@@ -1254,6 +1254,42 @@ object Oracles {
                 AND y.r < 8 + d.doc_id % 8) AS pixel_sum
       FROM documents d ORDER BY media_id""",
 
+    // Shared runs rebuilt naively: identical twin planting, positional
+    // 13-grams by list slicing (constant-bound index + mask), gram
+    // equi-join, diagonal islands via row_number, run = islands + 12.
+    "q107_shared_runs" -> """
+      WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+      corpus AS (
+        SELECT doc_id, ws FROM base
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               list_concat(ws[1:25],
+                 string_split('twin' || CAST(doc_id AS VARCHAR) ||
+                   ' filler padding words here to break any accidental run',
+                   ' ')) AS ws
+        FROM base WHERE doc_id % 5 = 0),
+      grams AS (
+        SELECT doc_id, s.i AS pos,
+               array_to_string(ws[s.i:(s.i+12)], ' ') AS g
+        FROM corpus, (SELECT r FROM range(1, 128) u(r)) s(i)
+        WHERE s.i + 12 <= len(ws)),
+      m AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, a.pos - b.pos AS diag
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+      isl AS (
+        SELECT doc_a, doc_b, diag,
+               pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                       ORDER BY pa) AS grp
+        FROM m),
+      runs AS (
+        SELECT doc_a, doc_b, CAST(count(*) + 12 AS BIGINT) AS run_tokens
+        FROM isl GROUP BY doc_a, doc_b, diag, grp)
+      SELECT doc_a, doc_b, max(run_tokens) AS max_run_tokens,
+             CAST(count(*) AS BIGINT) AS n_runs
+      FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""",
+
     // Interval overlap as DuckDB's native inequality join (closed ends;
     // point-touch counts with overlap 0); same µs floor as q102.
     "q106_overlap_join" -> """

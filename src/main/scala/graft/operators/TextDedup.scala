@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -383,5 +384,61 @@ object TextDedup {
         sort_array(collect_list(col("doc_id"))).as("doc_ids"))
       .filter(col("group_size") >= 2)
       .orderBy(col("canonical_id"))
+  }
+
+  /** Longest shared token RUN per document pair — the contamination-
+    * forensics view behind exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): not
+    * just WHETHER two documents share an n-gram (q93's boolean) but the
+    * LENGTH of every maximal shared run, which is what separates a stock
+    * phrase from a lifted paragraph.
+    *
+    * Construction: positional n-grams (codegen transform+slice, exploded
+    * with their start position), equi-join on the gram — two documents'
+    * matching grams lie on DIAGONALS (pa − pb constant), and k
+    * consecutive matching grams on one diagonal are exactly a shared run
+    * of k + n − 1 tokens. Runs fall out as gaps-and-islands per
+    * (pair, diagonal): pa − row_number() groups each maximal
+    * consecutive stretch.
+    *
+    * Output: (doc_a, doc_b, max_run_tokens, n_runs) per pair sharing at
+    * least one n-gram.
+    *
+    * Scale: the gram join is keyed on the gram (string form — exactness
+    * is the contract and the oracle rebuilds identical sets; at web
+    * scale swap in 8-byte gram hashes with q69's collision-superset
+    * argument); the island window partitions by (pair, diagonal) — never
+    * global. A promiscuous gram (boilerplate) inflates the join the same
+    * way any hot key does — at 100 TB, cap or drop grams above a df
+    * ceiling first (they cannot START a meaningful unique run) or run
+    * [[Curation.removeBoilerplate]] upstream, the same discipline as
+    * q26's bucket cap.
+    */
+  def sharedRuns(corpus: DataFrame, n: Int = 13): DataFrame = {
+    require(n >= 2, "a 1-gram run is just a shared word; use n >= 2")
+    val grams = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - lit(n - 1)),
+        i => struct(i.as("pos"),
+          array_join(slice(col("ws"), i, lit(n)), " ").as("g")))).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.g").as("g"))
+    val matches = grams.as("a")
+      .join(grams.as("b"), col("a.g") === col("b.g") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+      .distinct()
+    matches
+      .withColumn("grp", col("pa") - row_number().over(Window
+        .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("pa"))))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + (n - 1)).as("run_tokens"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("run_tokens")).as("max_run_tokens"),
+        count(lit(1)).as("n_runs"))
   }
 }

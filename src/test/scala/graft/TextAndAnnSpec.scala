@@ -429,6 +429,49 @@ class TextAndAnnSpec extends AnyFunSuite {
       "an all-boilerplate doc must survive with empty text, not vanish")
   }
 
+  test("shared runs: diagonal islands find exact run lengths, split " +
+      "runs count separately, sub-n overlap is invisible") {
+    val A = (1 to 13).map(i => s"a$i").mkString(" ")
+    val B = (1 to 14).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$A cee $B"),
+      (2L, s"$A dee $B"),
+      // 12 shared tokens only — below n, must be invisible
+      (3L, (1 to 12).map(i => s"a$i").mkString(" ") + " zz " +
+        (1 to 12).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val runs = TextDedup.sharedRuns(docs, n = 13)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(runs.toSeq == Seq((1L, 2L, 14L, 2L)),
+      s"expected one pair, max run 14, two islands; got ${runs.toSeq}")
+    // gate-shape sanity at sf0.001: every planted twin pair surfaces
+    // with exactly its 25-token run
+    val base = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text"))
+    val twins = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(array_join(slice(split(col("text"), " "), 1, 25), " "),
+          lit(" twin"), col("doc_id").cast("string"),
+          lit(" filler padding words here to break any accidental run"))
+          .as("text"))
+    val out = TextDedup.sharedRuns(base.unionByName(twins))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // the planted run is min(25, doc length): short docs clamp the slice
+    val wantLens = base.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .as[(Long, Int)].collect()
+    wantLens.foreach { case (d, nw) =>
+      val want = math.min(25, nw).toLong
+      if (want >= 13)
+        assert(out.get((d, d + 1000000L)).contains(want),
+          s"twin of $d: expected a $want-token run, got " +
+            out.get((d, d + 1000000L)))
+      else assert(!out.contains((d, d + 1000000L)),
+        s"twin of $d shares < 13 tokens and must be invisible")
+    }
+  }
+
   test("CMS heavy hitters: lossless vs naive GROUP BY, candidates are " +
       "a superset (one-sided error), tiny sketch still exact") {
     import graft.operators.Sketches
