@@ -1254,6 +1254,25 @@ object Oracles {
                 AND y.r < 8 + d.doc_id % 8) AS pixel_sum
       FROM documents d ORDER BY media_id""",
 
+    // Triangles rebuilt naively: same co-purchase edge derivation, three
+    // id-ordered edge joins (u < v < w), per-node count via 3-way union.
+    "q108_triangles" -> """
+      WITH ol AS (SELECT o.o_custkey AS c, l.l_partkey AS p
+                  FROM lineitem l
+                  JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      e AS (SELECT a.c AS u, b.c AS v
+            FROM ol a JOIN ol b ON a.p = b.p AND a.c < b.c
+            GROUP BY 1, 2 HAVING count(DISTINCT a.p) >= 3),
+      t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM e e1
+            JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+      n AS (SELECT x AS node FROM t
+            UNION ALL SELECT y FROM t
+            UNION ALL SELECT z FROM t)
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM n GROUP BY node ORDER BY node""",
+
     // Shared runs rebuilt naively: identical twin planting, positional
     // 13-grams by list slicing (constant-bound index + mask), gram
     // equi-join, diagonal islands via row_number, run = islands + 12.

@@ -392,4 +392,39 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(half1.subsetOf(more))
   }
+
+  test("triangles: K4 + pendant counts exactly, orientation equals the " +
+      "naive triple-join on a hashed random graph") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // K4 on {1,2,3,4}: 4 triangles, each node in 3; pendant 5 and the
+    // triangle-free edge (5,6) must not appear at all
+    val k4 = (for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)) :+
+      (4L, 5L) :+ (5L, 6L)
+    val got = Triangles.perNodeTriangles(k4.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 counts: got $got")
+    // pseudo-random sparse graph: edge (i, j) kept by a hash predicate —
+    // deterministic, no RNG state
+    val verts = 60L
+    val rnd = (for (u <- 1L until verts; v <- (u + 1) to verts)
+      yield (u, v)).toDF("u", "v")
+      .filter(pmod(xxhash64(col("u"), col("v")), lit(7L)) === 0)
+    val oriented = Triangles.perNodeTriangles(rnd)
+      .as[(Long, Long)].collect().toMap
+    val e = rnd.cache()
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e1.u") === col("e2.u") &&
+        col("e1.v") < col("e2.v"))
+      .join(e.as("e3"), col("e3.u") === col("e1.v") &&
+        col("e3.v") === col("e2.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v")))
+        .as("node"))
+      .groupBy("node").count()
+      .as[(Long, Long)].collect().toMap
+    e.unpersist()
+    assert(oriented == naive && naive.nonEmpty,
+      "degree-oriented counting must equal the naive triple-join")
+  }
 }
