@@ -28,6 +28,30 @@ object Oracles {
   val cte: String =
     s"WITH transactions AS (${TxnView.selectSql}), cleaned AS ($cleanedSelect)"
 
+  /** Per-session gaps-and-islands — shared verbatim by q92 (v1
+    * EventTimeTimeout) and q109 (v2 transformWithState timers): both
+    * streaming forms implement the same contract, so one SQL text gating
+    * both proves the timer-API migration changes nothing.
+    */
+  private val timedSessionSql: String = """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      flagged AS (
+        SELECT user_id, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      sess AS (
+        SELECT user_id, us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+             count(*) AS n_events,
+             CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS span_seconds
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_idx"""
+
   /** Naive 13-gram-overlap decontamination — shared verbatim by q93
     * (exact broadcast path) and q97 (bloom-filtered path): the two Spark
     * plans implement the SAME contract, so gating both against one SQL
@@ -409,24 +433,10 @@ object Oracles {
     // Per-session batch aggregation (q18's oracle rolls sessions up per
     // user; this one keeps session granularity). No closed-by label on
     // purpose — see sessionEmit scaladoc.
-    "q92_streaming_session_timeout" -> """
-      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-      flagged AS (
-        SELECT user_id, us,
-               CASE WHEN lag(us) OVER w IS NULL
-                      OR us - lag(us) OVER w > 1800000000
-                    THEN 1 ELSE 0 END AS new_s
-        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
-      sess AS (
-        SELECT user_id, us,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY us
-                 ROWS UNBOUNDED PRECEDING) AS sid
-        FROM flagged)
-      SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
-             count(*) AS n_events,
-             CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS span_seconds
-      FROM sess GROUP BY user_id, sid
-      ORDER BY user_id, session_idx""",
+    "q92_streaming_session_timeout" -> timedSessionSql,
+
+    // The v2-timer form must equal the v1-timeout form: same oracle.
+    "q109_streaming_tws_timer" -> timedSessionSql,
 
     // Batch left-outer interval join — streaming state eviction must
     // reproduce it exactly, nulls included. NULLS FIRST pinned (DuckDB

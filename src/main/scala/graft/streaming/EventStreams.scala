@@ -518,6 +518,124 @@ object EventStreams {
       .toDF()
   }
 
+  /** [[sessionEmit]]'s per-SESSION Append emission on the v2 state API,
+    * with EVENT-TIME TIMERS — the timer half of `transformWithState`
+    * that q103 (state only) does not exercise. Semantics are q92's,
+    * bit-for-bit (same fold, same tombstone numbering, same +1 ms
+    * boundary), so q109 gates against q92's identical oracle.
+    *
+    * Two places the v2 API is structurally better than v1's timeout:
+    * timers are a SET per key (registerTimer/deleteTimer/listTimers), so
+    * the data path deletes the stale timer explicitly instead of
+    * overwriting THE timeout; and a fired timer is consumed by the
+    * engine, so q92's far-future-sentinel parking (needed because v1's
+    * expired timestamp PERSISTS and re-fires every batch) has no v2
+    * counterpart — the tombstone simply registers nothing.
+    */
+  private class SessionEmitProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, (Long, Long, java.sql.Timestamp),
+        TimedSession] {
+    @transient private var st: ValueState[TimedSessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TimedSessionState]("session",
+        org.apache.spark.sql.Encoders.product[TimedSessionState],
+        TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[TimedSession] = {
+      val sorted = rows.map(_._2).toSeq.sorted
+      var s =
+        if (st.exists()) st.get()
+        else TimedSessionState(0L, 0L, 0L, 0L)
+      val closed = scala.collection.mutable.Buffer.empty[TimedSession]
+      sorted.foreach { us =>
+        if (s.nEvents == 0L)
+          s = TimedSessionState(us, us, 1L, s.closedCount)
+        else if (us - s.lastUs > gapUs) {
+          closed += TimedSession(user, s.closedCount + 1,
+            s.nEvents, (s.lastUs - s.firstUs) / 1000000L)
+          s = TimedSessionState(us, us, 1L, s.closedCount + 1)
+        } else
+          s = s.copy(lastUs = us, nEvents = s.nEvents + 1L)
+      }
+      st.update(s)
+      // v2 timers accumulate per key — retire the stale one, then arm
+      // strictly past last + gap (ms epoch), exactly as the v1 form
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(s.lastUs / 1000L + gapUs / 1000L + 1L)
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TimedSession] = {
+      val s = st.get()
+      val out =
+        if (s.nEvents > 0L)
+          Iterator.single(TimedSession(user, s.closedCount + 1,
+            s.nEvents, (s.lastUs - s.firstUs) / 1000000L))
+        else Iterator.empty
+      // counter-carrying tombstone, same as q92: numbering survives
+      // quiet users; no new timer — fired timers are engine-consumed
+      st.update(TimedSessionState(0L, 0L, 0L,
+        s.closedCount + (if (s.nEvents > 0L) 1L else 0L)))
+      out
+    }
+  }
+
+  /** [[sessionEmit]] on `transformWithState` with event-time timers. */
+  def sessionEmitTws(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_time"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionEmitProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** [[sessionEmitOnce]]'s staging (range-split batches + far-future
+    * sentinel) over [[sessionEmitTws]], with the RocksDB provider the v2
+    * operator mandates.
+    */
+  def sessionEmitTwsOnce(spark: SparkSession, sfDir: String,
+      gapMinutes: Int, queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val ss = streamingSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    deleteStagingForTest(java.nio.file.Paths.get(srcDir))
+    val ev = graft.Tables.events(ss, sfDir)
+    ev.repartitionByRange(2, col("ts"))
+      .write.mode("overwrite").parquet(srcDir)
+    stampAscendingMtimes(srcDir, 2)
+    writeStampedBatch(srcDir,
+      ev.agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("event_id"),
+          (col("mx") + lit(10L * 86400 * 1000000000L)).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props")),
+      idx = 10, stamped = listPartFiles(srcDir),
+      label = "tws session-timeout sentinel")
+    val src = ss.readStream
+      .schema(graft.Tables.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    drainToTable(sessionEmitTws(src, gapMinutes), queryName,
+      OutputMode.Append)
+      .filter(col("user_id") >= 0) // the sentinel's own session is noise
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   private[streaming] case class VisitState(firstEventId: Long,
     nEvents: Long)
   private[streaming] case class Visit(user_id: Long, first_event_id: Long,

@@ -238,6 +238,18 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("v2 event-time timers: sessionEmitTwsOnce equals sessionEmitOnce " +
+      "row-for-row under the same staged layout") {
+    val v2 = EventStreams.sessionEmitTwsOnce(spark, TestSpark.sf, 30,
+      "tws_timer_spec")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val v1 = EventStreams.sessionEmitOnce(spark, TestSpark.sf, 30,
+      "v1_timer_spec")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(v2 == v1 && v2.nonEmpty,
+      "timer-API migration must not change a single session row")
+  }
+
   test("state-store READER: the sessionizer's checkpointed state, read " +
       "back as a batch DataFrame, equals the batch sessionizer") {
     // the operational surface behind streaming state: inspect / audit /
