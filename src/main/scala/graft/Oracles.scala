@@ -438,6 +438,17 @@ object Oracles {
     // The v2-timer form must equal the v1-timeout form: same oracle.
     "q109_streaming_tws_timer" -> timedSessionSql,
 
+    // The streaming ListState last-K ranking must equal the batch
+    // recency window over the full event set.
+    "q110_streaming_lastk" -> """
+      WITH ranked AS (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+        FROM events)
+      SELECT user_id, CAST(rk AS BIGINT) AS rk, event_id
+      FROM ranked WHERE rk <= 5 ORDER BY user_id, rk""",
+
     // Batch left-outer interval join — streaming state eviction must
     // reproduce it exactly, nulls included. NULLS FIRST pinned (DuckDB
     // defaults to NULLS LAST on ASC; Spark to NULLS FIRST).
@@ -871,6 +882,10 @@ object Oracles {
     // The v2-API sessionizer must equal the v1 and batch forms: same
     // oracle as q60/q18.
     "q103_streaming_tws_sessionize" -> sessionizeOracle,
+
+    // Bootstrap handoff: batch-state(first half) + stream(second half)
+    // must equal sessionizing the full history — same oracle again.
+    "q111_streaming_bootstrap" -> sessionizeOracle,
 
     // Streaming dedup drops the planted later-batch duplicates, so the
     // drained aggregates equal the RAW table's (no duplicates in it).

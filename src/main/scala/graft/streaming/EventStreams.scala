@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming forms of the event operators (SURVEY.md §2.5
   * "event-stream ops — Structured Streaming variant").
@@ -634,6 +634,201 @@ object EventStreams {
       OutputMode.Append)
       .filter(col("user_id") >= 0) // the sentinel's own session is noise
       .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** The batch→streaming STATE HANDOFF: a sessionizer that starts from
+    * batch-computed per-user state (`StatefulProcessorWithInitialState`)
+    * instead of replaying history — the migration path every long-lived
+    * pipeline eventually needs (bootstrap a new streaming job from a
+    * backfill; replace a v1 checkpoint whose format a v2 operator cannot
+    * read). `handleInitialState` seeds the ValueState before any input;
+    * the fold is [[sessionize]]'s, so a first streamed event within the
+    * gap of the bootstrap's lastUs CONTINUES the open session and one
+    * beyond it opens a new one — exactly the full-history semantics,
+    * which is what the q111 gate proves: batch-state(first half) +
+    * stream(second half) ≡ batch(everything), on q60's oracle.
+    */
+  private class BootstrapSessionizeProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long), SessionUpdate, SessionState] {
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInitialState(user: Long, initial: SessionState,
+        timerValues: TimerValues): Unit =
+      st.update(initial)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[SessionUpdate] = {
+      val sorted = rows.map(_._2).toSeq.sorted
+      var s =
+        if (st.exists()) st.get()
+        else SessionState(Long.MinValue, Long.MinValue, 0L, 0L)
+      sorted.foreach { us =>
+        val newSession = s.nSessions == 0L || us - s.lastUs > gapUs
+        s = SessionState(if (s.nEvents == 0L) us else s.firstUs, us,
+          s.nEvents + 1L, s.nSessions + (if (newSession) 1L else 0L))
+      }
+      st.update(s)
+      Iterator.single(SessionUpdate(user, s.nEvents, s.nSessions,
+        (s.lastUs - s.firstUs) / 1000000L))
+    }
+  }
+
+  /** [[sessionize]] with a batch-computed initial state: events strictly
+    * before the midpoint feed a BATCH derivation of each user's
+    * SessionState (min/max µs, count, 1 + gap breaks); only the late
+    * half streams, in two range-split micro-batches. The final answer
+    * unions the bootstrap rows (users the stream never touched keep
+    * their batch state) with the drained updates and takes each user's
+    * last state by the strictly-growing n_events.
+    */
+  def sessionizeBootstrapOnce(spark: SparkSession, sfDir: String,
+      gapMinutes: Int, queryName: String): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val ss = streamingSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    import ss.implicits._
+    val ev = graft.Tables.events(ss, sfDir)
+    // deterministic halves off the 1-row bounds aggregate (q64 pattern —
+    // no driver collect)
+    val bounds = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z"))
+    val tagged = graft.CacheScope.scoped(ev.crossJoin(broadcast(bounds))
+      .withColumn("early", col("ts") < expr("a + (z - a) div 2")))
+    val initState = graft.CacheScope.scoped(tagged.filter(col("early"))
+      .select(col("user_id"), expr("ts div 1000").as("us"))
+      .withColumn("brk", when(col("us") -
+        lag(col("us"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us"))) > gapUs, 1L)
+        .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("firstUs"), max(col("us")).as("lastUs"),
+        count(lit(1)).as("nEvents"),
+        (sum(col("brk")) + 1L).as("nSessions")))
+    val initKv = initState
+      .as[(Long, Long, Long, Long, Long)]
+      .map(r => (r._1, SessionState(r._2, r._3, r._4, r._5)))
+      .groupByKey(_._1).mapValues(_._2)
+    deleteStagingForTest(java.nio.file.Paths.get(srcDir))
+    tagged.filter(!col("early"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartitionByRange(2, col("ts"))
+      .write.mode("overwrite").parquet(srcDir)
+    stampAscendingMtimes(srcDir, 2)
+    val src = ss.readStream
+      .schema(graft.Tables.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val streamed = src
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new BootstrapSessionizeProcessor(gapUs),
+        TimeMode.None(), OutputMode.Update(), initKv)
+      .toDF()
+    val updates = drainToTable(streamed, queryName, OutputMode.Update)
+    val bootRows = initState.select(col("user_id"),
+      col("nEvents").as("n_events"), col("nSessions").as("n_sessions"),
+      // integer div — `/` on longs is DOUBLE division in Spark SQL
+      expr("(lastUs - firstUs) div 1000000").as("span_seconds"))
+    updates.unionByName(bootRows)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("n_events"), col("n_sessions"), col("span_seconds")),
+        col("n_events")).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.n_sessions").as("n_sessions"),
+        col("m.span_seconds").as("span_seconds"))
+      .orderBy(col("user_id"))
+  }
+
+  private[streaming] case class RecentEv(us: Long, id: Long)
+  private[streaming] case class RecentRow(user_id: Long, rk: Long,
+    event_id: Long, top_id: Long)
+
+  /** Last-K-per-key via the v2 ListState handle — the bounded-buffer
+    * state shape (recent activity, fraud windows, dedup rings) that a
+    * ValueState blob forces you to hand-serialize: ListState stores the
+    * elements natively in RocksDB, `appendValue` is a pure append (no
+    * read-modify-write of the whole buffer on the happy path), and the
+    * K-truncation rewrite happens only when the buffer actually
+    * overflows. State per key is O(K) by construction.
+    */
+  private class LastKProcessor(k: Int)
+      extends StatefulProcessor[Long, (Long, Long, Long), RecentRow] {
+    @transient private var st: ListState[RecentEv] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[RecentEv]("recent",
+        org.apache.spark.sql.Encoders.product[RecentEv], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[RecentRow] = {
+      val incoming = rows.map(r => RecentEv(r._2, r._3)).toSeq
+      val merged = (st.get().toSeq ++ incoming)
+        .sortBy(e => (-e.us, -e.id)).take(k)
+      st.put(merged.toArray)
+      // every row carries this emission's rank-1 id: with time-ordered
+      // staging it increases strictly per user across batches, so the
+      // harness can select the FINAL ranking without batch metadata
+      merged.iterator.zipWithIndex.map { case (e, i) =>
+        RecentRow(user, i + 1L, e.id, merged.head.id)
+      }
+    }
+  }
+
+  /** Last K events per user (recency rank 1 = newest; (ts, id) order).
+    * Update mode re-emits a user's full ranking on every batch that
+    * touches them; the final answer is the last emission per (user, rk).
+    */
+  def lastKEvents(events: DataFrame, k: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new LastKProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** [[lastKEvents]] as a two-micro-batch gate job: range-split staging
+    * proves the ListState buffer carries ranks across the batch
+    * boundary; the final ranking per user is the one from the LAST batch
+    * that touched them (every user's newest event decides, so max_by on
+    * the rank-1 event id per user picks the final emission).
+    */
+  def lastKEventsOnce(spark: SparkSession, sfDir: String, k: Int,
+      queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val ss = streamingSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val src = stagedEventsSource(ss, sfDir, srcDir)(
+      _.repartitionByRange(2, col("ts")))
+    stampAscendingMtimes(srcDir, 2)
+    val updates = graft.CacheScope.scoped(
+      drainToTable(lastKEvents(src, k), queryName, OutputMode.Update))
+    // final emission per user = the one whose carried top_id is maximal
+    // (strictly increasing across batches under time-ordered staging)
+    val fin = updates.groupBy(col("user_id").as("u2"))
+      .agg(max(col("top_id")).as("m"))
+    updates
+      .join(fin, col("user_id") === col("u2") &&
+        col("top_id") === col("m"), "left_semi")
+      .select(col("user_id"), col("rk"), col("event_id"))
+      .orderBy(col("user_id"), col("rk"))
   }
 
   private[streaming] case class VisitState(firstEventId: Long,

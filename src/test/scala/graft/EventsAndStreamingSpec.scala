@@ -250,6 +250,38 @@ class EventsAndStreamingSpec extends AnyFunSuite {
       "timer-API migration must not change a single session row")
   }
 
+  test("ListState last-K: streamed two-batch ranking equals the batch " +
+      "recency window, buffer truncated to K") {
+    val k = 5
+    val got = EventStreams.lastKEventsOnce(spark, TestSpark.sf, k,
+      "lastk_spec").as[(Long, Long, Long)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(expr("ts div 1000").desc, col("event_id").desc)
+    val batch = Tables.events(spark, TestSpark.sf)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("user_id"), col("rk"), col("event_id"))
+      .orderBy(col("user_id"), col("rk"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == batch && got.nonEmpty)
+    assert(got.groupBy(_._1).values.forall(_.length <= k),
+      "the ListState buffer must stay truncated to K")
+  }
+
+  test("initial-state bootstrap: batch-state + streamed tail equals " +
+      "the batch sessionizer over the full history") {
+    val got = EventStreams.sessionizeBootstrapOnce(spark, TestSpark.sf,
+      30, "bootstrap_spec")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val batch = Events.sessionize(Tables.events(spark, TestSpark.sf), 30)
+      .select("user_id", "n_events", "n_sessions", "span_seconds")
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == batch && got.nonEmpty,
+      "the state handoff must reproduce full-history sessions exactly")
+  }
+
   test("state-store READER: the sessionizer's checkpointed state, read " +
       "back as a batch DataFrame, equals the batch sessionizer") {
     // the operational surface behind streaming state: inspect / audit /
