@@ -438,6 +438,12 @@ object Oracles {
     // The v2-timer form must equal the v1-timeout form: same oracle.
     "q109_streaming_tws_timer" -> timedSessionSql,
 
+    // The MapState tallies must equal the plain batch GROUP BY.
+    "q112_streaming_type_counts" -> """
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""",
+
     // The streaming ListState last-K ranking must equal the batch
     // recency window over the full event set.
     "q110_streaming_lastk" -> """

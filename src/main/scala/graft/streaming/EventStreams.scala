@@ -831,6 +831,74 @@ object EventStreams {
       .orderBy(col("user_id"), col("rk"))
   }
 
+  private[streaming] case class TypeCount(user_id: Long,
+    event_type: String, n: Long)
+
+  /** Per-key sub-keyed counters via the v2 MapState handle — the state
+    * shape (per-user per-dimension tallies, feature accumulators) where
+    * a ValueState would force deserializing the WHOLE map to bump one
+    * entry: MapState reads and writes the single touched sub-key in
+    * RocksDB. Completes the v2 handle surface (Value q103, timers q109,
+    * List q110, initial state q111, Map here).
+    */
+  private class TypeCountProcessor
+      extends StatefulProcessor[Long, (Long, String), TypeCount] {
+    @transient private var st: org.apache.spark.sql.streaming.MapState[
+      String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      rows.foreach { r =>
+        val t = r._2
+        st.updateValue(t,
+          (if (st.containsKey(t)) st.getValue(t) else 0L) + 1L)
+      }
+      // emit the full tally; counts only grow, so the harness's final
+      // answer is the max per (user, type)
+      st.iterator().map { case (t, n) => TypeCount(user, t, n) }.toSeq
+        .iterator
+    }
+  }
+
+  /** Streaming per-(user, event_type) counts on MapState. */
+  def typeCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** [[typeCounts]] as a two-micro-batch gate job: the RocksDB map
+    * carries per-type tallies across the boundary; monotone counts make
+    * the final answer max(n) per (user, type).
+    */
+  def typeCountsOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val ss = streamingSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val src = stagedEventsSource(ss, sfDir, srcDir)(
+      _.repartitionByRange(2, col("ts")))
+    stampAscendingMtimes(srcDir, 2)
+    drainToTable(typeCounts(src), queryName, OutputMode.Update)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   private[streaming] case class VisitState(firstEventId: Long,
     nEvents: Long)
   private[streaming] case class Visit(user_id: Long, first_event_id: Long,

@@ -57,7 +57,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q91_streaming_outer_join", "q92_streaming_session_timeout",
       "q94_streaming_enrich", "q98_streaming_ttl_visits",
       "q103_streaming_tws_sessionize", "q109_streaming_tws_timer",
-      "q110_streaming_lastk", "q111_streaming_bootstrap")
+      "q110_streaming_lastk", "q111_streaming_bootstrap",
+      "q112_streaming_type_counts")
 
   test("no unsanctioned nested-loop or cartesian join in any batch plan") {
     val offenders = Queries.all.toSeq.sortBy(_._1)
