@@ -269,6 +269,18 @@ class EventsAndStreamingSpec extends AnyFunSuite {
       "the ListState buffer must stay truncated to K")
   }
 
+  test("MapState tallies: streamed two-batch per-type counts equal " +
+      "the batch GROUP BY") {
+    val got = EventStreams.typeCountsOnce(spark, TestSpark.sf,
+      "typecounts_spec").as[(Long, String, Long)].collect().toSeq
+    val batch = Tables.events(spark, TestSpark.sf)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("event_type"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("initial-state bootstrap: batch-state + streamed tail equals " +
       "the batch sessionizer over the full history") {
     val got = EventStreams.sessionizeBootstrapOnce(spark, TestSpark.sf,
