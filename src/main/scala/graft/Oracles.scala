@@ -438,6 +438,9 @@ object Oracles {
     // The v2-timer form must equal the v1-timeout form: same oracle.
     "q109_streaming_tws_timer" -> timedSessionSql,
 
+    // The native session_window form must equal the stateful forms.
+    "q113_session_window" -> timedSessionSql,
+
     // The MapState tallies must equal the plain batch GROUP BY.
     "q112_streaming_type_counts" -> """
       SELECT user_id, event_type, count(*) AS n

