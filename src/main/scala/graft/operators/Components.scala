@@ -193,18 +193,29 @@ object Components {
       val lmin = sym.groupBy(col("u"))
         .agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      // m ≤ u < v ⇒ output is already oriented (src > dst), loop-free
+      // m ≤ u < v ⇒ output is already oriented (src > dst), loop-free.
+      // localCheckpoint: `large` feeds BOTH the small-star min aggregate
+      // and the re-attach join below — uncached, the large-star join
+      // (the round's dominant work) would execute once per consumer
       val large = sym.join(lmin, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
         .distinct()
+        .localCheckpoint()
       // small-star on the oriented output: per src u, m = min over its
-      // (strictly smaller) dst neighbors; u and every dst ≠ m re-attach
+      // (strictly smaller) dst neighbors; u and every dst ≠ m re-attach.
+      // Both output rows per edge come from ONE explode pass (the
+      // union-of-two-branches form executed the small-star join once
+      // per branch — this file's own hash-min scaladoc warns union
+      // branches are separate plan subtrees)
       val smin = large.groupBy(col("src")).agg(min(col("dst")).as("m"))
-      val joined = large.join(smin, Seq("src"))
-      val next = joined.filter(col("dst") =!= col("m"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .union(joined.select(col("src"), col("m").as("dst")))
+      val next = large.join(smin, Seq("src"))
+        .select(explode(array(
+          when(col("dst") =!= col("m"),
+            struct(col("dst").as("src"), col("m").as("dst"))),
+          struct(col("src").as("src"), col("m").as("dst")))).as("e"))
+        .filter(col("e").isNotNull)
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct()
         .localCheckpoint()
       // star-forest probe: a vertex that is both endpoint kinds, or a

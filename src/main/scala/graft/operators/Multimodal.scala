@@ -360,12 +360,17 @@ object Multimodal {
   def scanShardFeatures(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
+    // try_cast + null-drop, not cast: the glob only excludes non-*.png
+    // files, so a foreign `preview.png` would make regexp_extract
+    // return "" and an ANSI cast would crash the whole scan — foreign
+    // files must be INVISIBLE, not fatal (spec plants one)
     val scanned = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.png").load(dir)
       .select(
-        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
-          .cast("long").as("media_id"),
+        expr("try_cast(regexp_extract(path, 'img_(\\\\d+)\\\\.png$', 1)" +
+          " AS LONG)").as("media_id"),
         col("content"))
+      .filter(col("media_id").isNotNull)
       .as[ImageRow]
     sniffDecodeImages(scanned).toDF()
       .select(col("media_id"), col("format"), col("width"), col("height"),

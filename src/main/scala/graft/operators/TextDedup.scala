@@ -416,14 +416,17 @@ object TextDedup {
     */
   def sharedRuns(corpus: DataFrame, n: Int = 13): DataFrame = {
     require(n >= 2, "a 1-gram run is just a shared word; use n >= 2")
-    val grams = corpus
+    // pinned: the gram generator feeds BOTH sides of the self-join
+    // (CLAUDE.md self-join rule) — unpinned, the corpus-wide
+    // split+slice+explode would execute twice
+    val grams = graft.CacheScope.scoped(corpus
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("ws")) - lit(n - 1)),
         i => struct(i.as("pos"),
           array_join(slice(col("ws"), i, lit(n)), " ").as("g")))).as("x"))
-      .select(col("doc_id"), col("x.pos").as("pos"), col("x.g").as("g"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.g").as("g")))
     val matches = grams.as("a")
       .join(grams.as("b"), col("a.g") === col("b.g") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -122,14 +122,20 @@ object EventStreams {
         .outputMode(mode)
         .option("checkpointLocation", ckpt.toString)
         .start()
-      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
-      while (q.recentProgress.map(_.numInputRows).sum < expectedInputRows) {
-        require(System.nanoTime() < deadline,
-          s"$queryName: drain did not consume $expectedInputRows staged " +
-            "rows within 300 s")
-        Thread.sleep(50)
-      }
-      q.stop()
+      // stop() in a finally: a deadline throw mid-poll must not leave
+      // the query running (it would keep committing to a checkpoint the
+      // outer finally is deleting — the fs race then masks the real
+      // timeout diagnostic)
+      try {
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        while (q.recentProgress.map(_.numInputRows).sum
+            < expectedInputRows) {
+          require(System.nanoTime() < deadline,
+            s"$queryName: drain did not consume $expectedInputRows " +
+              "staged rows within 300 s")
+          Thread.sleep(50)
+        }
+      } finally q.stop()
       q.awaitTermination()
     } finally deleteRecursively(ckpt)
     df.sparkSession.table(queryName)
@@ -751,7 +757,7 @@ object EventStreams {
 
   private[streaming] case class RecentEv(us: Long, id: Long)
   private[streaming] case class RecentRow(user_id: Long, rk: Long,
-    event_id: Long, top_id: Long)
+    event_id: Long, emit_seq: Long)
 
   /** Last-K-per-key via the v2 ListState handle — the bounded-buffer
     * state shape (recent activity, fraud windows, dedup rings) that a
@@ -764,10 +770,14 @@ object EventStreams {
   private class LastKProcessor(k: Int)
       extends StatefulProcessor[Long, (Long, Long, Long), RecentRow] {
     @transient private var st: ListState[RecentEv] = _
+    @transient private var seq: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       st = getHandle.getListState[RecentEv]("recent",
         org.apache.spark.sql.Encoders.product[RecentEv], TTLConfig.NONE)
+      seq = getHandle.getValueState[Long]("seq",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(user: Long,
         rows: Iterator[(Long, Long, Long)],
@@ -776,11 +786,15 @@ object EventStreams {
       val merged = (st.get().toSeq ++ incoming)
         .sortBy(e => (-e.us, -e.id)).take(k)
       st.put(merged.toArray)
-      // every row carries this emission's rank-1 id: with time-ordered
-      // staging it increases strictly per user across batches, so the
-      // harness can select the FINAL ranking without batch metadata
+      // every row carries a per-key emission sequence number (a second
+      // ValueState, strictly increasing per invocation) so the harness
+      // selects the FINAL ranking with no batch metadata and NO data
+      // assumptions (an id/time-correlation selection would silently
+      // keep a stale ranking on corpora where ids don't follow time)
+      val n = (if (seq.exists()) seq.get() else 0L) + 1L
+      seq.update(n)
       merged.iterator.zipWithIndex.map { case (e, i) =>
-        RecentRow(user, i + 1L, e.id, merged.head.id)
+        RecentRow(user, i + 1L, e.id, n)
       }
     }
   }
@@ -820,13 +834,13 @@ object EventStreams {
     stampAscendingMtimes(srcDir, 2)
     val updates = graft.CacheScope.scoped(
       drainToTable(lastKEvents(src, k), queryName, OutputMode.Update))
-    // final emission per user = the one whose carried top_id is maximal
-    // (strictly increasing across batches under time-ordered staging)
+    // final emission per user = max emit_seq (strictly monotone per key
+    // by construction — no data assumptions)
     val fin = updates.groupBy(col("user_id").as("u2"))
-      .agg(max(col("top_id")).as("m"))
+      .agg(max(col("emit_seq")).as("m"))
     updates
       .join(fin, col("user_id") === col("u2") &&
-        col("top_id") === col("m"), "left_semi")
+        col("emit_seq") === col("m"), "left_semi")
       .select(col("user_id"), col("rk"), col("event_id"))
       .orderBy(col("user_id"), col("rk"))
   }

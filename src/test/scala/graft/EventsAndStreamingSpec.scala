@@ -475,10 +475,15 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     val dir = "/tmp/graft_binshard_spec"
     val docs = Tables.documents(spark, TestSpark.sf).limit(20)
     Multimodal.scatterPngShards(docs, dir)
-    // a non-media dropping (manifest, checksum file...) must be invisible
+    // non-media droppings must be invisible — both a non-png file (the
+    // glob's job) and a foreign .png whose name doesn't carry an id
+    // (try_cast's job: an ANSI cast would crash the scan on it)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir).resolve("_manifest.json"),
       "{}".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir).resolve("preview.png"),
+      Array[Byte](0x42, 0x4f, 0x47, 0x55, 0x53))
     val feats = Multimodal.scanShardFeatures(spark, dir).collect()
     assert(feats.length == docs.count(),
       "pathGlobFilter must prune non-PNG files from the scan")

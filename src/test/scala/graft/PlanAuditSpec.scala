@@ -46,7 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-doc segment arrays — same sanctioned delivery mechanism as " +
       "q75/q97"),
     "q104_heavy_hitters" -> ("the ONE-ROW dense CMS array is the semi-" +
-      "join build side (the probe is the join condition, so the 512 KB " +
+      "join build side (the probe is the join condition, so the 128 KB " +
       "array never lands in output rows) — same sanctioned delivery " +
       "mechanism as q75/q97"))
 
