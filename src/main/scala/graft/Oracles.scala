@@ -400,6 +400,11 @@ object Oracles {
     // micro-batches; the final windows must equal the batch rollup.
     "q57_streaming_rollup" -> eventsHourlyOracle,
 
+    // The chained dedup→window query must ALSO equal the plain batch
+    // rollup: the dedup state deletes exactly the planted stream-side
+    // copies, leaving the raw table's aggregate.
+    "q114_streaming_dedup_rollup" -> eventsHourlyOracle,
+
     // Late-data drop: the hourly rollup over ONLY the on-time two-thirds
     // of the event-time range (the earliest third arrives after the
     // watermark passed it and must be absent), windows cut at the final

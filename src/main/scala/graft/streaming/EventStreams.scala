@@ -1182,6 +1182,58 @@ object EventStreams {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** TWO CHAINED STATEFUL OPERATORS in one streaming query — dedup state
+    * feeding windowed-aggregation state (the multi-stateful pipeline
+    * Spark only supports with event-time Append semantics): duplicates
+    * planted in a SECOND micro-batch can only die in the dedup
+    * operator's cross-batch state, and the surviving stream flows
+    * directly into hourly window state that finalizes on watermark
+    * advance. A far-future sentinel third batch pushes the watermark
+    * past every real window so Append mode flushes them all; the
+    * sentinel's own window never finalizes (and is filtered anyway).
+    * Oracle = the plain batch hourly rollup over the raw table — dedup
+    * must delete exactly the planted copies and the chained window state
+    * must merge batching-invariantly.
+    */
+  def dedupRollupOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val ss = streamingSession(spark)
+    deleteStagingForTest(java.nio.file.Paths.get(srcDir))
+    val ev = graft.Tables.events(ss, sfDir)
+    // batch 1 = originals, batch 2 = the planted duplicate copies
+    val dups = ev.filter(col("event_id") % 10 === 0)
+    ev.withColumn("_b", lit(0))
+      .unionByName(dups.withColumn("_b", lit(1)))
+      .repartitionByRange(2, col("_b"))
+      .drop("_b")
+      .write.mode("overwrite").parquet(srcDir)
+    stampAscendingMtimes(srcDir, 2)
+    writeStampedBatch(srcDir,
+      ev.agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("event_id"),
+          (col("mx") + lit(10L * 86400 * 1000000000L)).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props")),
+      idx = 10, stamped = listPartFiles(srcDir),
+      label = "dedup-rollup watermark sentinel")
+    val src = ss.readStream
+      .schema(graft.Tables.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val chained = dedupedStream(src)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("sum_value"))
+    drainToTable(chained, queryName, OutputMode.Append)
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** STREAM-STREAM interval join as a run-to-completion gate query — the
     * last major Structured Streaming surface the suite exercises (q57/q60
     * prove windowed-agg and mapGroups state, q63/q64 dedup and watermark

@@ -287,6 +287,23 @@ class EventsAndStreamingSpec extends AnyFunSuite {
       "one microsecond past the gap must split the session")
   }
 
+  test("chained stateful operators: dedup state feeding window state " +
+      "equals the batch rollup, with real cross-batch duplicates") {
+    // premise: the plant actually produces duplicates to kill
+    val nDups = Tables.events(spark, TestSpark.sf)
+      .filter(col("event_id") % 10 === 0).count()
+    assert(nDups > 0, "no planted duplicates; the chain premise is void")
+    val got = EventStreams.dedupRollupOnce(spark, TestSpark.sf,
+      "dedup_rollup_spec")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+    val batch = Events.rollup(Tables.events(spark, TestSpark.sf), "hour")
+      .select(col("bucket"), col("event_type"), col("n"),
+        col("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+    assert(got == batch && got.nonEmpty,
+      "the dedup→window chain must reproduce the raw batch rollup")
+  }
+
   test("MapState tallies: streamed two-batch per-type counts equal " +
       "the batch GROUP BY") {
     val got = EventStreams.typeCountsOnce(spark, TestSpark.sf,
