@@ -405,6 +405,24 @@ object Oracles {
     // copies, leaving the raw table's aggregate.
     "q114_streaming_dedup_rollup" -> eventsHourlyOracle,
 
+    // v2 TTL expiry: per-(user, staged half) counts with emissions
+    // numbered by presence order — the µs midpoint split mirrors the
+    // staging exactly (min/max commute with the ns→µs read truncation).
+    "q115_streaming_ttl_state" -> """
+      WITH bounds AS (SELECT epoch_us(min(ts)) AS a, epoch_us(max(ts)) AS z
+                      FROM events),
+      e AS (SELECT user_id,
+              CASE WHEN epoch_us(ts) < a + (z - a) // 2 THEN 0 ELSE 1 END
+                AS half
+            FROM events, bounds),
+      c AS (SELECT user_id, half, count(*) AS n_events
+            FROM e GROUP BY 1, 2)
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY half)
+               AS BIGINT) AS seq,
+             n_events
+      FROM c ORDER BY user_id, seq""",
+
     // Late-data drop: the hourly rollup over ONLY the on-time two-thirds
     // of the event-time range (the earliest third arrives after the
     // watermark passed it and must be absent), windows cut at the final

@@ -755,6 +755,101 @@ object EventStreams {
       .orderBy(col("user_id"))
   }
 
+  private[streaming] case class VisitTick(user_id: Long, seq: Long,
+    n_events: Long)
+
+  /** TTLConfig-based state expiry on the v2 handles — the declarative
+    * counterpart of q98's hand-rolled ProcessingTimeTimeout eviction:
+    * the TTL'd counter state silently EXPIRES between micro-batches
+    * (batch spacing ≫ the 1 ms TTL — q98's determinism argument), while
+    * the `TTLConfig.NONE` sequence state in the SAME processor persists.
+    * The emission READS the (possibly expired) counter before adding the
+    * batch: if expiry ever failed, the second batch would emit
+    * early+late instead of late and the gate hash would catch it — the
+    * eviction is load-bearing, not decorative.
+    */
+  private class TtlVisitProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, (Long, Long), VisitTick] {
+    @transient private var cnt: ValueState[Long] = _
+    @transient private var seq: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cnt = getHandle.getValueState[Long]("visit",
+        org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+      seq = getHandle.getValueState[Long]("seq",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[VisitTick] = {
+      val prior = if (cnt.exists()) cnt.get() else 0L // expired ⇒ absent
+      val n = prior + rows.size
+      cnt.update(n)
+      val s = (if (seq.exists()) seq.get() else 0L) + 1L
+      seq.update(s)
+      Iterator.single(VisitTick(user, s, n))
+    }
+  }
+
+  /** Per-batch visit counts under v2 TTL state expiry, as a two-batch
+    * gate job: the staged halves split at the µs midpoint (the SAME
+    * arithmetic the oracle runs), and each batch's emission must count
+    * ONLY its own rows — the TTL'd counter from the prior batch must be
+    * gone. seq (no TTL) numbers each user's emissions 1, 2, ...
+    */
+  def ttlVisitCountsOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val ss = streamingSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    import ss.implicits._
+    // µs midpoint split, identical to the oracle's (min/max commute with
+    // the ns→µs truncation, so both sides see the same halves). Each
+    // half is written as its OWN stamped batch — a 2-partition
+    // repartitionByRange on the ~50/50 flag can land both halves in one
+    // range partition (sampling picks the upper value as the boundary)
+    // and break the cross-batch premise.
+    deleteStagingForTest(java.nio.file.Paths.get(srcDir))
+    val ev = graft.Tables.events(ss, sfDir)
+    val bounds = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z"))
+    val tagged = graft.CacheScope.scoped(ev.crossJoin(broadcast(bounds))
+      .withColumn("_early", expr("(ts div 1000) < (a div 1000) + " +
+        "(((z div 1000) - (a div 1000)) div 2)")))
+    val cols6 = Seq(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    var stamped = Set.empty[java.nio.file.Path]
+    stamped = writeStampedBatch(srcDir,
+      tagged.filter(col("_early")).select(cols6: _*),
+      idx = 0, stamped = stamped, label = "ttl-state early half")
+    writeStampedBatch(srcDir,
+      tagged.filter(!col("_early")).select(cols6: _*),
+      idx = 1, stamped = stamped, label = "ttl-state late half")
+    val src = ss.readStream
+      .schema(graft.Tables.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val ticks = src
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      // ProcessingTime mode: TTLConfig is only legal there (NoTime
+      // refuses it) — and like every processing-time stateful operator
+      // (q98), the engine then keeps scheduling batches, so AvailableNow
+      // never terminates; the input-rows-polling drain is the
+      // run-to-completion mechanism
+      .transformWithState(new TtlVisitProcessor(1L),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+      .toDF()
+    val stagedRows = ss.read.schema(graft.Tables.eventsSchema)
+      .parquet(srcDir).count()
+    drainToTableManual(ticks, queryName, OutputMode.Update,
+        expectedInputRows = stagedRows)
+      .orderBy(col("user_id"), col("seq"))
+  }
+
   private[streaming] case class RecentEv(us: Long, id: Long)
   private[streaming] case class RecentRow(user_id: Long, rk: Long,
     event_id: Long, emit_seq: Long)

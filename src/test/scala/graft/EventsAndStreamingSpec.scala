@@ -287,6 +287,32 @@ class EventsAndStreamingSpec extends AnyFunSuite {
       "one microsecond past the gap must split the session")
   }
 
+  test("v2 TTL state expiry: per-batch counts are batch-local (the " +
+      "TTL'd counter died between batches) while no-TTL seq persists") {
+    val got = EventStreams.ttlVisitCountsOnce(spark, TestSpark.sf,
+      "ttl_state_spec").as[(Long, Long, Long)].collect().toSeq
+    val ev = Tables.events(spark, TestSpark.sf)
+    val bounds = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z"))
+    val batch = ev.crossJoin(broadcast(bounds))
+      .withColumn("half", when(expr("(ts div 1000) < (a div 1000) + " +
+        "(((z div 1000) - (a div 1000)) div 2)"), 0).otherwise(1))
+      .groupBy(col("user_id"), col("half"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("seq", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("half"))).cast("long"))
+      .select(col("user_id"), col("seq"), col("n"))
+      .orderBy(col("user_id"), col("seq"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == batch && got.nonEmpty,
+      "each emission must count ONLY its own batch: expired counter " +
+        "reads as absent, persistent seq numbers emissions")
+    // if TTL expiry had failed, the late emission would carry
+    // early+late — assert some user provably has batch-local counts
+    assert(got.groupBy(_._1).values.exists(_.length == 2),
+      "no user spans both halves; the expiry premise is untested")
+  }
+
   test("chained stateful operators: dedup state feeding window state " +
       "equals the batch rollup, with real cross-batch duplicates") {
     // premise: the plant actually produces duplicates to kill

@@ -58,7 +58,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q94_streaming_enrich", "q98_streaming_ttl_visits",
       "q103_streaming_tws_sessionize", "q109_streaming_tws_timer",
       "q110_streaming_lastk", "q111_streaming_bootstrap",
-      "q112_streaming_type_counts", "q114_streaming_dedup_rollup")
+      "q112_streaming_type_counts", "q114_streaming_dedup_rollup",
+      "q115_streaming_ttl_state")
 
   test("no unsanctioned nested-loop or cartesian join in any batch plan") {
     val offenders = Queries.all.toSeq.sortBy(_._1)
