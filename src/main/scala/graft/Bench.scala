@@ -140,7 +140,35 @@ object Bench {
     // speedup in cross-round comparisons (its per-query entry remains,
     // flagged by `failed`)
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // Repo-side artifact (r5 VERDICT #5): both r4 and r5 driver BENCH
+    // records truncated to an unparseable tail, so cross-round per-query
+    // tables kept depending on a lossy channel. The same JSON line is
+    // written to bench_rNN.json in the repo root; the round number comes
+    // from SPARK_GRAFT_ROUND or, for the driver's env-less run, from the
+    // committed BENCH_rNN.json artifacts (max + 1 = the round in flight).
+    try {
+      val repo = java.nio.file.Paths.get("/root/repo")
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val listing = java.nio.file.Files.list(repo)
+        val prev =
+          try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala.map(_.getFileName.toString)
+              .collect { case rx(n) => n.toInt }.maxOption.getOrElse(0)
+          } finally listing.close()
+        prev + 1
+      }
+      java.nio.file.Files.write(
+        repo.resolve(f"bench_r$round%02d.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch {
+      case t: Throwable => // the artifact must never fail the bench run
+        System.err.println(s"BENCH artifact write skipped: $t")
+    }
     spark.stop()
   }
 }

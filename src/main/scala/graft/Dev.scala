@@ -16,11 +16,11 @@ object Dev {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (q <- Seq("q01_pipeline", "q11_region_revenue", "q12_priority_agg",
-        "q24_ann_topk", "q26_neardup_lsh")) {
+    for (q <- Seq("q116_streaming_restart")) {
       println(s"\n======== $q ========")
-      println(Queries.all(q)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      val t0 = System.nanoTime()
+      val n = CacheScope.withScope { Queries.all(q)(spark, dir).count() }
+      println(f"DEVOK $q: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     spark.stop()
   }

@@ -83,6 +83,27 @@ object Oracles {
       FROM events GROUP BY 1, 2
       ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
 
+  /** Exact top-k cosine contract shared by q24 (brute-force) and q35
+    * (IVF, exhaustive probe): every 50th vector queries the rest, top-5
+    * by (sim DESC, neighbor_id). The cosine is the explicit
+    * dot/(sqrt·sqrt) IEEE op sequence CosineSim executes.
+    */
+  private val annTopKOracle: String = """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id % 50 = 0),
+      c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+                   list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv))) AS sim
+                 FROM c JOIN q ON query_id <> neighbor_id)
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+      QUALIFY rank <= 5 ORDER BY query_id, rank"""
+
   /** Exact cosine-pairs contract shared by q28 (blocked-exact path) and
     * q52 (LSH-banded path): every (a<b) pair with cosine >= 0.4. The
     * cosine is the explicit dot/(sqrt·sqrt) shape CosineSim executes.
@@ -404,6 +425,9 @@ object Oracles {
     // rollup: the dedup state deletes exactly the planted stream-side
     // copies, leaving the raw table's aggregate.
     "q114_streaming_dedup_rollup" -> eventsHourlyOracle,
+    // exactly-once across restart: two query instances, one checkpoint,
+    // must still equal the plain batch rollup
+    "q116_streaming_restart" -> eventsHourlyOracle,
 
     // v2 TTL expiry: per-(user, staged half) counts with emissions
     // numbered by presence order — the µs midpoint split mirrors the
@@ -828,21 +852,13 @@ object Oracles {
     // op sequence CosineSim executes — instead of list_cosine_similarity,
     // whose internal op order is DuckDB's own (r1 advisor: a ~1-ulp
     // near-tie could flip a rank nondeterministically).
-    "q24_ann_topk" -> """
-      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-                 FROM embeddings WHERE vec_id % 50 = 0),
-      c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-            FROM embeddings),
-      scored AS (SELECT query_id, neighbor_id,
-                   list_dot_product(qv, cv) /
-                     (sqrt(list_dot_product(qv, qv)) *
-                      sqrt(list_dot_product(cv, cv))) AS sim
-                 FROM c JOIN q ON query_id <> neighbor_id)
-      SELECT query_id, neighbor_id,
-             CAST(row_number() OVER (PARTITION BY query_id
-                  ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
-      FROM scored
-      QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "q24_ann_topk" -> annTopKOracle,
+
+    // IVF with an exhaustive probe must equal the exact top-k — the
+    // learned centroids route, they never filter, so the indexed path's
+    // answer is engine-independent (same shared-oracle discipline as
+    // q28/q52: the scale machinery must lose nothing).
+    "q35_ann_ivf" -> annTopKOracle,
 
     "q28_cosine_pairs" -> cosinePairsOracle,
 
@@ -857,42 +873,44 @@ object Oracles {
       SELECT CAST(12 AS BIGINT) AS n_clean, CAST(3 AS BIGINT) AS n_corrupt,
              CAST(7 AS BIGINT) AS n_pipeline""",
 
-    // Image rows (doc_id % 3 = 0) are REAL PNGs round-tripped through
-    // javax.imageio; the oracle recomputes the decoded features from the
-    // closed-form pixel definition (Multimodal.encodePng) — byte-level
-    // columns are null for images since no SQL engine can recompute PNG
-    // container bytes. The correlated pixel-sum subquery ranges over the
-    // max canvas (24×16) and masks to each image's true w×h.
-    // Image rows decode real PNGs, audio rows decode real PCM WAVs (both
-    // pure-JDK codecs); the oracle recomputes the decoded features from
-    // their closed-form definitions. Byte-level columns stay null for
-    // decoded kinds (no SQL engine can recompute PNG/WAV container
-    // bytes); only video — the one remaining stub — keeps them. The
-    // correlated sums range over constant bounds and mask to the true
-    // extent because DuckDB's range() rejects lateral column arguments.
+    // Every kind now decodes through a REAL pure-JDK codec: image rows
+    // are PNGs, audio rows PCM WAVs, video rows multi-frame animated
+    // GIFs (javax.imageio sequence API; the 256-gray palette makes the
+    // roundtrip lossless). The oracle recomputes every decoded feature
+    // from its closed-form definition (Multimodal.encodePng/encodeWav/
+    // encodeGif); byte-level columns are null for all decoded kinds —
+    // no SQL engine can recompute PNG/WAV/GIF container bytes. The
+    // correlated sums range over constant bounds (24×16 canvas, 6
+    // frames, 90 samples) and mask to the true extent because DuckDB's
+    // range() rejects lateral column arguments. Video pixel_sum spans
+    // ALL frames; per-frame checksums are gated separately (q117).
     "q29_media_features" -> """
       SELECT d.doc_id AS media_id,
              CASE CAST(d.doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                   WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-             CASE WHEN d.doc_id % 3 = 2
-                  THEN CAST(octet_length(encode(d.text)) AS BIGINT)
-                  END AS n_bytes,
-             CASE WHEN d.doc_id % 3 = 2
-                  THEN md5(d.text) END AS checksum_md5,
+             CAST(NULL AS BIGINT) AS n_bytes,
+             CAST(NULL AS VARCHAR) AS checksum_md5,
              CAST(CASE CAST(d.doc_id % 3 AS INTEGER)
-                  WHEN 2 THEN octet_length(encode(d.text)) // 100 + 1
+                  WHEN 2 THEN 2 + d.doc_id % 4
                   WHEN 1 THEN 40 + d.doc_id % 50
                   ELSE 1 END AS BIGINT) AS frame_estimate,
-             CASE WHEN d.doc_id % 3 = 0
+             CASE WHEN d.doc_id % 3 <> 1
                   THEN CAST(8 + d.doc_id % 16 AS BIGINT) END AS width,
-             CASE WHEN d.doc_id % 3 = 0
+             CASE WHEN d.doc_id % 3 <> 1
                   THEN CAST(8 + d.doc_id % 8 AS BIGINT) END AS height,
              CASE WHEN d.doc_id % 3 = 0 THEN
                (SELECT CAST(SUM((d.doc_id*31 + 7*x.r + 13*y.r) % 256)
                        AS BIGINT)
                 FROM range(0, 24) x(r), range(0, 16) y(r)
                 WHERE x.r < 8 + d.doc_id % 16
-                  AND y.r < 8 + d.doc_id % 8) END AS pixel_sum,
+                  AND y.r < 8 + d.doc_id % 8)
+             WHEN d.doc_id % 3 = 2 THEN
+               (SELECT CAST(SUM((d.doc_id*31 + 7*x.r + 13*y.r + 97*f.r)
+                       % 256) AS BIGINT)
+                FROM range(0, 24) x(r), range(0, 16) y(r), range(0, 6) f(r)
+                WHERE x.r < 8 + d.doc_id % 16
+                  AND y.r < 8 + d.doc_id % 8
+                  AND f.r < 2 + d.doc_id % 4) END AS pixel_sum,
              CASE WHEN d.doc_id % 3 = 1
                   THEN CAST(8000 + (d.doc_id % 4) * 4000 AS BIGINT)
                   END AS sample_rate,
@@ -904,6 +922,24 @@ object Oracles {
                        ELSE 0 END) AS BIGINT)
                 FROM range(0, 90) t(i)) END AS amplitude_sum
       FROM documents d ORDER BY media_id""",
+
+    // Per-frame GIF gate: one row per (video, frame), checksum from the
+    // same closed form with the 97·f frame term. The frame grain is
+    // what a training pipeline samples/filters at, and it is strictly
+    // stronger than q29's whole-file sum — frame-order or per-frame
+    // content bugs that cancel in a total cannot cancel per-row.
+    "q117_video_frames" -> """
+      SELECT d.doc_id AS media_id, CAST(f.r AS BIGINT) AS frame_idx,
+             CAST(8 + d.doc_id % 16 AS BIGINT) AS width,
+             CAST(8 + d.doc_id % 8 AS BIGINT) AS height,
+             (SELECT CAST(SUM((d.doc_id*31 + 7*x.r + 13*y.r + 97*f.r)
+                     % 256) AS BIGINT)
+              FROM range(0, 24) x(r), range(0, 16) y(r)
+              WHERE x.r < 8 + d.doc_id % 16
+                AND y.r < 8 + d.doc_id % 8) AS frame_sum
+      FROM documents d, range(0, 6) f(r)
+      WHERE d.doc_id % 3 = 2 AND f.r < 2 + d.doc_id % 4
+      ORDER BY media_id, frame_idx""",
 
     "q18_sessionize" -> sessionizeOracle,
 

@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * container ships) and features come from DECODING them — resolution and
   * a pixel checksum, verifiable against the DuckDB oracle because PNG is
   * lossless and the synthetic pixel content is a closed-form function of
-  * the id. Audio/video remain a deterministic STUB (no such codecs here);
-  * see [[decodePartition]] for the integration point.
+  * the id. Audio decodes real PCM WAV via `javax.sound.sampled`, and
+  * video decodes real MULTI-FRAME animated GIF via the `javax.imageio`
+  * sequence reader — GIF's 256-entry palette holds every gray level, so
+  * an 8-bit grayscale raster roundtrips losslessly and per-frame pixel
+  * checksums are oracle-checkable in closed form, exactly like PNG.
   *
   * Scale notes: payload decode runs as `mapPartitions` over the binary
   * column — a pure map stage, no shuffle, batch-amortized per partition
@@ -29,15 +32,17 @@ object Multimodal {
   case class MediaRow(media_id: Long, kind: String, content: Array[Byte],
       declared_bytes: Long)
 
-  /** Decoded features. Byte-level features (n_bytes, checksum_md5) apply
-    * to the raw payload of STUB kinds; for decoded kinds the content
-    * features are what the codec yields — width/height/pixel-sum for
-    * images, sample-rate/sample-count/amplitude-sum for audio — and
-    * byte-level columns are null (an encoded container's size/digest is a
-    * storage attribute, not a content feature, and no SQL oracle can
-    * recompute PNG/WAV container bytes). `frame_estimate` stands in for
-    * codec output on the one remaining stub kind (video); for audio it is
-    * the REAL decoded sample count.
+  /** Decoded features — every kind now runs a REAL codec. The content
+    * features are what the codec yields: width/height/pixel-sum for
+    * images (1 frame) and video (summed across decoded GIF frames),
+    * sample-rate/sample-count/amplitude-sum for audio. Byte-level
+    * columns (n_bytes, checksum_md5) are null for decoded kinds — an
+    * encoded container's size/digest is a storage attribute, not a
+    * content feature, and no SQL oracle can recompute PNG/GIF/WAV
+    * container bytes; the fields stay in the schema as the ingest
+    * contract for kinds a deployment cannot decode. `frame_estimate` is
+    * the REAL decoded frame count for video, the sample count for audio,
+    * and 1 for still images.
     */
   case class MediaFeatures(media_id: Long, kind: String,
       n_bytes: Option[Long], checksum_md5: Option[String],
@@ -46,9 +51,10 @@ object Multimodal {
       n_samples: Option[Long], amplitude_sum: Option[Long])
 
   /** Deterministic media table derived from `documents`: kind cycles by
-    * id; image rows carry a real PNG payload ([[encodePng]]), audio/video
-    * carry the UTF-8 text bytes as an opaque stand-in. Stands in for
-    * `spark.read.format("binaryFile")` or parquet shards of real media.
+    * id; every row carries a REAL encoded payload — PNG ([[encodePng]]),
+    * PCM WAV ([[encodeWav]]), or multi-frame animated GIF
+    * ([[encodeGif]]). Stands in for `spark.read.format("binaryFile")` or
+    * parquet shards of real media.
     */
   def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
@@ -62,11 +68,11 @@ object Multimodal {
       .as[MediaRow]
       // payload synthesis is itself partition-batched map work — the
       // encoders are the same libraries whose decoders the feature pass
-      // uses (javax.imageio for PNG, javax.sound.sampled for WAV)
+      // uses (javax.imageio for PNG/GIF, javax.sound.sampled for WAV)
       .mapPartitions(_.map { r =>
         if (r.kind == "image") r.copy(content = encodePng(r.media_id))
         else if (r.kind == "audio") r.copy(content = encodeWav(r.media_id))
-        else r
+        else r.copy(content = encodeGif(r.media_id))
       })
   }
 
@@ -128,18 +134,100 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Partition-batched decode. Images and audio go through real codecs
-    * (`ImageIO.read`, `AudioSystem.getAudioInputStream`); per-partition
-    * amortization of the codec context is the entire point of the
-    * mapPartitions shape. Video hits the stub ([[fakeDecode]]) — the one
-    * kind this container has no decoder for, and the integration point
-    * where a real deployment initializes its decoder once per partition.
+  /** Deterministic synthetic "video": a multi-frame ANIMATED GIF with
+    * nf = 2 + id mod 4 frames of the [[renderImage]] geometry (width
+    * 8 + id%16, height 8 + id%8) and per-frame gray
+    * p(x,y,f) = (id·31 + 7x + 13y + 97f) mod 256. Written through the
+    * JDK's GIF `ImageWriter` sequence API over an 8-bit IDENTITY
+    * grayscale palette — GIF's local color table holds all 256 grays, so
+    * the raster roundtrips losslessly (probed: encode→decode pixel sums
+    * match bit-exact) and the DuckDB oracle can recompute every frame's
+    * checksum from the closed form, the same contract as PNG (q29).
+    */
+  private[graft] def encodeGif(id: Long): Array[Byte] = {
+    val nf = (2 + id % 4).toInt
+    val w = (8 + id % 16).toInt
+    val h = (8 + id % 8).toInt
+    val grays = Array.tabulate[Byte](256)(i => i.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            ((id * 31 + 7 * x + 13 * y + 97 * f) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** One decoded GIF frame: full-raster dimensions + exact gray pixel
+    * sum. Read through `getRGB & 0xff` (a palette LOOKUP, not the raw
+    * index) so the checksum is exact even if a writer reorders the
+    * color table.
+    */
+  private[graft] case class GifFrame(frame_idx: Long, width: Long,
+      height: Long, frame_sum: Long)
+
+  /** Multi-frame GIF decode via the `javax.imageio` sequence reader:
+    * `getNumImages(true)` walks the container's image blocks, `read(i)`
+    * decodes each frame's raster.
+    */
+  private[graft] def decodeGifFrames(bytes: Array[Byte]): Seq[GifFrame] = {
+    val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n).map { i =>
+        val img = reader.read(i)
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += img.getRGB(x, y) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        GifFrame(i.toLong, img.getWidth.toLong, img.getHeight.toLong, sum)
+      }
+    } finally reader.dispose()
+  }
+
+  /** Partition-batched decode. Every kind goes through a real codec:
+    * `ImageIO.read` for PNG stills, `AudioSystem.getAudioInputStream`
+    * for PCM WAV, and the GIF sequence reader ([[decodeGifFrames]]) for
+    * multi-frame video. Per-partition amortization of the codec context
+    * is the entire point of the mapPartitions shape.
     */
   def decodePartition(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         if (r.kind == "image") {
           val img = javax.imageio.ImageIO.read(
@@ -179,27 +267,19 @@ object Multimodal {
             pixel_sum = None, sample_rate = Some(fmt.getSampleRate.toLong),
             n_samples = Some(n.toLong), amplitude_sum = Some(sum))
         } else {
-          val digest = md.digest(r.content)
-          md.reset()
-          MediaFeatures(
-            media_id = r.media_id,
-            kind = r.kind,
-            n_bytes = Some(r.content.length.toLong),
-            checksum_md5 = Some(digest.map("%02x".format(_)).mkString),
-            frame_estimate = fakeDecode(r.kind, r.content.length.toLong),
-            width = None, height = None, pixel_sum = None,
+          // video: real multi-frame GIF decode — frame count from the
+          // container, dimensions from frame 0, pixel sum across ALL
+          // frames (the oracle recomputes all three in closed form)
+          val frames = decodeGifFrames(r.content)
+          MediaFeatures(r.media_id, r.kind, n_bytes = None,
+            checksum_md5 = None, frame_estimate = frames.size.toLong,
+            width = frames.headOption.map(_.width),
+            height = frames.headOption.map(_.height),
+            pixel_sum = Some(frames.map(_.frame_sum).sum),
             sample_rate = None, n_samples = None, amplitude_sum = None)
         }
       }
     }
-  }
-
-  /** STUB codec for the one kind with no decoder in this container
-    * (video): deterministic frame-count fake.
-    */
-  private def fakeDecode(kind: String, nBytes: Long): Long = kind match {
-    case "video" => nBytes / 100L + 1L
-    case _       => 1L
   }
 
   // ------------------------------------------------ image format breadth
@@ -212,9 +292,12 @@ object Multimodal {
   /** Sniffed + decoded image features. `pixel_sum` is None for lossy
     * containers (JPEG decode is approximate by design; resolution is
     * still exact) — the honest feature split, mirrored by the oracle.
+    * All three features are None when the payload is undecodable
+    * (`ImageIO.read` returns null): an unknown-magic shard must surface
+    * as a classified row, not crash the scan.
     */
-  case class ImageFeatures(media_id: Long, format: String, width: Long,
-      height: Long, pixel_sum: Option[Long])
+  case class ImageFeatures(media_id: Long, format: String,
+      width: Option[Long], height: Option[Long], pixel_sum: Option[Long])
 
   /** The shared deterministic raster behind every image container:
     * width 8 + id%16, height 8 + id%8, gray p(x,y) = (id·31+7x+13y) mod
@@ -284,26 +367,32 @@ object Multimodal {
         else "unknown"
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(c))
-      val sum =
-        if (fmt == "png" || fmt == "bmp") {
-          // raw raster samples, band 0: the synthetic content is gray
-          // (all bands equal), so band order differences between the
-          // PNG and BMP readers cannot perturb the checksum
-          val raster = img.getRaster
-          var s = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              s += raster.getSample(x, y, 0)
-              x += 1
+      // ImageIO.read returns NULL (no exception) for undecodable bytes —
+      // precisely the payload class the sniff exists to classify, so it
+      // must yield a row with null features, never an NPE on the scan
+      if (img == null) ImageFeatures(r.media_id, fmt, None, None, None)
+      else {
+        val sum =
+          if (fmt == "png" || fmt == "bmp") {
+            // raw raster samples, band 0: the synthetic content is gray
+            // (all bands equal), so band order differences between the
+            // PNG and BMP readers cannot perturb the checksum
+            val raster = img.getRaster
+            var s = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                s += raster.getSample(x, y, 0)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
-          }
-          Some(s)
-        } else None
-      ImageFeatures(r.media_id, fmt, img.getWidth.toLong,
-        img.getHeight.toLong, sum)
+            Some(s)
+          } else None
+        ImageFeatures(r.media_id, fmt, Some(img.getWidth.toLong),
+          Some(img.getHeight.toLong), sum)
+      }
     })
   }
 
@@ -387,4 +476,34 @@ object Multimodal {
     */
   def features(docs: DataFrame): DataFrame =
     decodePartition(fromDocuments(docs)).toDF()
+
+  // ------------------------------------------------ video frame breadth
+
+  /** PER-FRAME video gate (q117): the video subset of the media table,
+    * each animated-GIF payload sniffed from MAGIC BYTES ("GIF8" — a
+    * shard's self-description is never trusted, same discipline as q99)
+    * and decoded frame-by-frame through the sequence reader. One output
+    * row per (media_id, frame_idx) with the frame's dimensions and
+    * exact gray-pixel checksum — the granularity at which a training
+    * pipeline samples/filters frames, and a strictly stronger gate than
+    * a whole-file aggregate: a frame-order or frame-content bug that
+    * cancels in a total sum cannot cancel per-row. Non-GIF payloads
+    * yield zero rows (classified out, never a crash). Same
+    * partition-batched flatMap shape as [[decodePartition]].
+    */
+  def videoFrameFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val c = encodeGif(id)
+        val isGif = c.length >= 4 && c(0) == 'G' && c(1) == 'I' &&
+          c(2) == 'F' && c(3) == '8'
+        if (!isGif) Iterator.empty
+        else decodeGifFrames(c).iterator.map(fr =>
+          (id, fr.frame_idx, fr.width, fr.height, fr.frame_sum))
+      })
+      .toDF("media_id", "frame_idx", "width", "height", "frame_sum")
+  }
 }

@@ -24,15 +24,6 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** All same-user event pairs within `bandUs` microseconds, time-ordered
-    * (event_id tiebreak on equal timestamps). Expects the raw `events`
-    * frame ([[graft.Tables.events]]; `ts` is epoch NANOS — truncated to µs
-    * here, the same floor DuckDB applies reading TIMESTAMP(NANOS)).
-    * Output: (user_id, id_a, id_b, delta_us), a ≺ b.
-    *
-    * The µs frame feeds both join sides — pinned per CLAUDE.md's
-    * self-join rule so the scan/projection runs once.
-    */
   /** Interval OVERLAP self-join: all pairs of same-key intervals that
     * intersect (closed ends; point-touch counts, overlap_us = 0) — the
     * interval×interval generalization of the point band join below, under
@@ -60,7 +51,7 @@ object RangeJoin {
       .select(col("key"), col("id"),
         when(assert_true(col("e") >= col("s") &&
             col("e") - col("s") <= lit(maxLenUs),
-          concat(lit("overlapJoin premise: interval outside (0, maxLen]: "),
+          concat(lit("overlapJoin premise: interval length outside [0, maxLen]: "),
             col("id"))).isNull, col("s")).as("s"),
         col("e")))
     val left = base
@@ -84,6 +75,15 @@ object RangeJoin {
           .as("overlap_us"))
   }
 
+  /** All same-user event pairs within `bandUs` microseconds, time-ordered
+    * (event_id tiebreak on equal timestamps). Expects the raw `events`
+    * frame ([[graft.Tables.events]]; `ts` is epoch NANOS — truncated to µs
+    * here, the same floor DuckDB applies reading TIMESTAMP(NANOS)).
+    * Output: (user_id, id_a, id_b, delta_us), a ≺ b.
+    *
+    * The µs frame feeds both join sides — pinned per CLAUDE.md's
+    * self-join rule so the scan/projection runs once.
+    */
   def selfBandJoin(events: DataFrame, bandUs: Long): DataFrame = {
     require(bandUs >= 1, "band must be positive")
     val base = graft.CacheScope.scoped(events

@@ -31,6 +31,49 @@ object TextDedup {
   def exactDupGroups(docs: DataFrame): DataFrame =
     Dedup.exactGroups(docs, md5(col("text")), "doc_id")
 
+  /** Prefix-BLOCKED edit-distance near-dup join over an (id, name)
+    * frame: all pairs (id_a < id_b) sharing a `prefixLen`-char block
+    * with levenshtein ≤ `maxDist`. Output (id_a, id_b, edit_dist).
+    *
+    * Blocking PREMISE, loud (r5 VERDICT): the per-block O(block²) DP is
+    * bounded only while blocks stay small. On a skewed name distribution
+    * (everything sharing one prefix) the join would go quadratic
+    * SILENTLY — so the max block size is computed as a one-row aggregate
+    * with `assert_true` folded into a CONSUMED column, broadcast onto
+    * the probe side (the q64 bounds-frame discipline; a free-standing
+    * check column would be pruned away and never evaluate). A violating
+    * input fails the job naming the size, and the caller decides the
+    * modeling answer (longer prefix, secondary blocking key, LSH).
+    *
+    * The probe side is round-robin repartitioned: a small single-file
+    * scan otherwise runs the whole DP workload in ONE task (measured
+    * 84 s single-core vs ~4 s spread at sf0.1). On a real cluster the
+    * fact side arrives in many splits anyway — this pins the property.
+    */
+  def blockedEditPairs(names: DataFrame, prefixLen: Int, maxDist: Int,
+      maxBlock: Long): DataFrame = {
+    val spark = names.sparkSession
+    val c = names.select(col("id"), col("name"),
+      substring(col("name"), 1, prefixLen).as("blk"))
+    val blkChk = c.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      .agg(max(col("bn")).as("mb"))
+      .select((coalesce(
+        assert_true(col("mb") <= maxBlock,
+          concat(lit("blockedEditPairs premise: name-prefix block of "),
+            col("mb"),
+            lit(s" rows exceeds $maxBlock — blocking no longer bounds " +
+              "the O(block²) edit-distance join"))).cast("long"),
+        lit(0L)) + col("mb")).as("_mb"))
+    c.repartition(spark.sessionState.conf.numShufflePartitions)
+      .crossJoin(broadcast(blkChk))
+      .as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("edit_dist", levenshtein(col("a.name"), col("b.name")))
+      .filter(col("edit_dist") <= maxDist && col("_mb") > 0)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("edit_dist"))
+  }
+
   /** Benchmark decontamination: drop corpus rows whose normalized
     * fingerprint ([[graft.functions.TextFns.fingerprint]] — the q20
     * oracle-proven normalize-then-md5) appears in `benchmark`. The

@@ -22,6 +22,43 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** Co-occurrence edge derivation from a (key, item) incidence frame:
+    * all (u, v) item pairs (u < v) sharing at least `minShared` distinct
+    * keys. Incidence is grouped by key (ONE keyed shuffle), each key's
+    * pairs are generated MAP-SIDE from the sorted distinct-item array
+    * (one row per (key, pair) by construction — count(*) IS the
+    * distinct-key count, no expand+dedup), then a map-combinable count.
+    *
+    * PREMISE, loud (r5 VERDICT): pair volume per key is C(k, 2) — a
+    * single hot key (a part bought by 100k customers) would emit ~5G
+    * pairs and dominate the job silently. `maxPerKey` bounds it; the
+    * assert threads through the USED array column (a free-standing
+    * check column would be pruned and never run), so a violating key
+    * fails the job with its id instead of going quadratic. Keys above
+    * the cap are a MODELING decision (drop, sample, or CMS-prefilter —
+    * REPORT.md discusses the options), never a silent cost.
+    */
+  def coOccurrenceEdges(incidence: DataFrame, minShared: Int,
+      maxPerKey: Int): DataFrame = {
+    require(maxPerKey >= 2, "maxPerKey must be at least 2")
+    val byKey = incidence.groupBy(col("key"))
+      .agg(sort_array(collect_set(col("item"))).as("cs"))
+      .filter(size(col("cs")) >= 2)
+    val capped = byKey.select(
+      when(assert_true(size(col("cs")) <= maxPerKey,
+        concat(lit(s"coOccurrenceEdges premise: key exceeds $maxPerKey " +
+          "items (C(k,2) pair bound): key "), col("key").cast("string"),
+          lit(" has "), size(col("cs")).cast("string"))).isNull,
+        col("cs")).as("cs"))
+    capped
+      .select(explode(flatten(transform(col("cs"), (x, i) =>
+        transform(slice(col("cs"), i + lit(2), size(col("cs"))),
+          y => struct(x.as("u"), y.as("v")))))).as("pr"))
+      .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
+      .agg(count(lit(1)).as("np"))
+      .filter(col("np") >= minShared).select("u", "v")
+  }
+
   /** (node, n_triangles) for every node of `edges` ((u, v), u < v,
     * distinct) that closes at least one triangle. The edge frame is read
     * by the degree count, the orientation, and the closure probe —

@@ -103,20 +103,40 @@ object EventStreams {
     * forever AND `processAllAvailable()` never unblocks (the no-new-data
     * signal it waits on is only raised when the engine decides no further
     * batch is needed) — both verified as hard hangs on this exact query.
-    * The terminating form: default trigger, poll the query's cumulative
-    * `numInputRows` until every staged source row is committed — data
-    * batches always emit a progress event on commit, and the commit of
-    * the final (sentinel) data batch includes the timer emissions it
-    * fired — then `stop()`. Empty timer-service batches between poll and
-    * stop can only fire the sentinel key's own timer, which the caller
-    * filters; the drained output is deterministic. (Idle batches emit
-    * rate-limited progress events, so the 100-entry recentProgress
-    * window cannot evict the data batches' entries before the poll sees
-    * them.)
+    * The terminating form: default trigger, ACCUMULATE the query's
+    * `numInputRows` in a [[StreamingQueryListener]] until every staged
+    * source row is committed — data batches always emit a progress event
+    * on commit, and the commit of the final (sentinel) data batch
+    * includes the timer emissions it fired — then `stop()`. Empty
+    * timer-service batches between poll and stop can only fire the
+    * sentinel key's own timer, which the caller filters; the drained
+    * output is deterministic. A listener (not `recentProgress`): the
+    * ring buffer keeps only 100 entries, so its sum is correct only
+    * while the no-data-progress rate limit keeps idle entries sparse —
+    * an accumulator has no such coupling to an unrelated conf (r5
+    * ADVICE).
     */
   private def drainToTableManual(df: DataFrame, queryName: String,
       mode: OutputMode, expectedInputRows: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val spark = df.sparkSession
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    // match on query NAME (known before start()) — the listener bus is
+    // async, so matching on an id captured after start() would race the
+    // first commit's event
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == queryName) {
+          seen.addAndGet(e.progress.numInputRows); ()
+        }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
     try {
       val q = df.writeStream.format("memory").queryName(queryName)
         .outputMode(mode)
@@ -128,8 +148,7 @@ object EventStreams {
       // timeout diagnostic)
       try {
         val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
-        while (q.recentProgress.map(_.numInputRows).sum
-            < expectedInputRows) {
+        while (seen.get() < expectedInputRows) {
           require(System.nanoTime() < deadline,
             s"$queryName: drain did not consume $expectedInputRows " +
               "staged rows within 300 s")
@@ -137,7 +156,10 @@ object EventStreams {
         }
       } finally q.stop()
       q.awaitTermination()
-    } finally deleteRecursively(ckpt)
+    } finally {
+      spark.streams.removeListener(listener)
+      deleteRecursively(ckpt)
+    }
     df.sparkSession.table(queryName)
   }
 
@@ -227,14 +249,19 @@ object EventStreams {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val ss = streamingSession(spark)
-    val src = stagedEventsSource(ss, sfDir, srcDir) { ev =>
-      val dups = ev.filter(col("event_id") % 10 === 0)
-      ev.withColumn("_b", lit(0))
-        .unionByName(dups.withColumn("_b", lit(1)))
-        .repartitionByRange(2, col("_b")) // part-00000 = originals
-        .drop("_b")
-    }
-    stampAscendingMtimes(srcDir, 2)
+    deleteStagingForTest(java.nio.file.Paths.get(srcDir))
+    // batch 0 = originals, batch 1 = the planted copies — explicit
+    // per-half writeStampedBatch, not repartitionByRange on the flag
+    // (the q115 range-sampler gotcha; see dedupRollupOnce)
+    val ev = graft.Tables.events(ss, sfDir)
+    Seq(ev, ev.filter(col("event_id") % 10 === 0)).zipWithIndex
+      .foldLeft(Set.empty[java.nio.file.Path]) { case (st, (half, b)) =>
+        writeStampedBatch(srcDir, half, b, st, "dedup")
+      }
+    val src = ss.readStream
+      .schema(graft.Tables.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
     val table = drainToTable(
       dedupedStream(src).select("event_id", "event_type", "value"),
       queryName, OutputMode.Append)
@@ -1297,21 +1324,23 @@ object EventStreams {
     val ss = streamingSession(spark)
     deleteStagingForTest(java.nio.file.Paths.get(srcDir))
     val ev = graft.Tables.events(ss, sfDir)
-    // batch 1 = originals, batch 2 = the planted duplicate copies
+    // batch 1 = originals, batch 2 = the planted duplicate copies — one
+    // explicit writeStampedBatch per half, NOT repartitionByRange on the
+    // flag: the range sampler can pick the upper flag value as the
+    // boundary and land both halves in one file (the q115 gotcha —
+    // CLAUDE.md; r5 ADVICE flagged this site as the last holdout)
     val dups = ev.filter(col("event_id") % 10 === 0)
-    ev.withColumn("_b", lit(0))
-      .unionByName(dups.withColumn("_b", lit(1)))
-      .repartitionByRange(2, col("_b"))
-      .drop("_b")
-      .write.mode("overwrite").parquet(srcDir)
-    stampAscendingMtimes(srcDir, 2)
+    val stamped = Seq(ev, dups).zipWithIndex
+      .foldLeft(Set.empty[java.nio.file.Path]) { case (st, (half, b)) =>
+        writeStampedBatch(srcDir, half, b, st, "dedup-rollup")
+      }
     writeStampedBatch(srcDir,
       ev.agg(max(col("ts")).as("mx"))
         .select(lit(-1L).as("event_id"),
           (col("mx") + lit(10L * 86400 * 1000000000L)).as("ts"),
           lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
           lit(0.0).as("value"), lit(null).cast("string").as("props")),
-      idx = 10, stamped = listPartFiles(srcDir),
+      idx = 10, stamped = stamped,
       label = "dedup-rollup watermark sentinel")
     val src = ss.readStream
       .schema(graft.Tables.eventsSchema)
@@ -1326,6 +1355,103 @@ object EventStreams {
       .filter(col("event_type") =!= "sentinel")
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  /** CHECKPOINT-RESTART RECOVERY at the gate — the one Spark capability
+    * the suite's single-run queries could not prove: exactly-once output
+    * across a QUERY RESTART. The [[dedupRollupOnce]] chained-stateful
+    * pipeline (dedup state → hourly window state) runs as TWO separate
+    * `StreamingQuery` instances over the SAME checkpoint:
+    *
+    *   - run 1 sees only the originals file, drains (AvailableNow) and
+    *     terminates — offsets, BOTH operators' state stores, and any
+    *     already-finalized windows are committed to checkpoint + sink;
+    *   - the duplicate copies and the watermark sentinel are staged
+    *     ONLY AFTER run 1 is gone;
+    *   - run 2 is a fresh query on the same checkpoint: it must NOT
+    *     re-read the originals (offset log), must kill every planted
+    *     copy against dedup state RESTORED from the checkpoint (the
+    *     copies' originals were seen only by run 1), must resume the
+    *     watermark (a reset watermark would re-admit copies older than
+    *     it AND re-finalize nothing), and must flush the surviving
+    *     window state when the sentinel advances the watermark.
+    *
+    * The sink is a PARQUET FILE SINK, not the memory sink: the memory
+    * sink is explicitly not fault-tolerant (rows emitted before the
+    * restart would vanish with the run-1 query object), while the file
+    * sink's `_spark_metadata` commit log is the production exactly-once
+    * contract — the read-back at the end goes through that log, so a
+    * re-committed or orphaned batch file would surface as duplicate
+    * rows and break the hash. Oracle = the SAME batch hourly rollup as
+    * q114/q16: equality proves no row was lost, duplicated, or
+    * re-processed across the restart. The stop point is a batch
+    * boundary (the only deterministic kill point a gate query can pin);
+    * mid-batch crash recovery reduces to the same offset-log/state-
+    * store/sink-log replay this gates.
+    */
+  def dedupRollupRestartOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val outDir = s"/tmp/graft_stream_out_$queryName"
+    val ckptDir = s"/tmp/graft_stream_restart_ckpt_$queryName"
+    val ss = streamingSession(spark)
+    Seq(srcDir, outDir, ckptDir).foreach(d =>
+      deleteStagingForTest(java.nio.file.Paths.get(d)))
+    val ev = graft.Tables.events(ss, sfDir)
+
+    // One full drain of the chained pipeline against the SHARED
+    // checkpoint + file sink; each call is an independent query instance
+    // (the restart = calling it twice with more files staged in between).
+    def runInstance(): Unit = {
+      val src = ss.readStream
+        .schema(graft.Tables.eventsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val chained = dedupedStream(src)
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("sum_value"))
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("n"), col("sum_value"))
+      val q = chained.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // run 1: originals only
+    val stamped =
+      writeStampedBatch(srcDir, ev, 0, Set.empty, s"$queryName originals")
+    runInstance()
+    // staged strictly after run 1 terminated: the planted copies (their
+    // originals live only in run-1's checkpointed dedup state) + the
+    // far-future sentinel that flushes every real window
+    val stamped2 = writeStampedBatch(srcDir,
+      ev.filter(col("event_id") % 10 === 0), 1, stamped,
+      s"$queryName planted copies")
+    writeStampedBatch(srcDir,
+      ev.agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("event_id"),
+          (col("mx") + lit(10L * 86400 * 1000000000L)).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props")),
+      idx = 10, stamped = stamped2,
+      label = s"$queryName watermark sentinel")
+    // run 2: fresh query instance, SAME checkpoint
+    runInstance()
+
+    // read back through the sink's _spark_metadata commit log — the
+    // exactly-once boundary this gate exists to prove
+    ss.read.parquet(outDir)
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("bucket"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("bucket"), col("event_type"))
   }
 

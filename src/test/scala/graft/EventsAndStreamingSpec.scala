@@ -330,6 +330,33 @@ class EventsAndStreamingSpec extends AnyFunSuite {
       "the dedup→window chain must reproduce the raw batch rollup")
   }
 
+  test("checkpoint restart: two query instances over one checkpoint " +
+      "reproduce the batch rollup exactly once") {
+    val name = "restart_spec"
+    val got = EventStreams.dedupRollupRestartOnce(spark, TestSpark.sf, name)
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+    val batch = Events.rollup(Tables.events(spark, TestSpark.sf), "hour")
+      .select(col("bucket"), col("event_type"), col("n"),
+        col("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+    assert(got == batch && got.nonEmpty,
+      "restart must neither lose nor duplicate rows vs the batch rollup")
+    // restart premise, loud: run 2 must have CONTINUED run 1's batch
+    // lineage in the shared checkpoint. Run 1 (one staged file) commits
+    // at most 2 batches (data + trailing no-data); >= 3 commits means a
+    // second instance picked up the same commit log rather than
+    // starting a lineage of its own.
+    val commitsDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_restart_ckpt_$name/commits")
+    val listing = java.nio.file.Files.list(commitsDir)
+    val ids =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq
+      finally listing.close()
+    assert(ids.size >= 3,
+      s"expected >= 3 committed batches across the two instances: $ids")
+  }
+
   test("MapState tallies: streamed two-batch per-type counts equal " +
       "the batch GROUP BY") {
     val got = EventStreams.typeCountsOnce(spark, TestSpark.sf,
@@ -572,16 +599,39 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     val wav = Multimodal.encodeWav(1L)
     assert(new String(wav.take(4), "US-ASCII") == "RIFF")
     assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
-    // media_id 2 is VIDEO: the one remaining stub keeps byte features
+    // media_id 2 is VIDEO: features must come from a real multi-frame
+    // GIF decode and match the closed-form per-frame pixel definition
+    // (id=2: 4 frames, 10×10)
     val vid = feats.filter(col("media_id") === 2).collect().head
-    val text = Tables.documents(spark, TestSpark.sf)
-      .filter(col("doc_id") === 2).select("text").as[String].collect().head
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val expect = md.digest(text.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    assert(vid.getAs[String]("checksum_md5") == expect)
-    assert(vid.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
+    assert(vid.getAs[String]("kind") == "video")
+    assert(vid.getAs[Long]("frame_estimate") == 4L)
+    assert(vid.getAs[Long]("width") == 10L)
+    assert(vid.getAs[Long]("height") == 10L)
+    val expectVid = (for (f <- 0 until 4; x <- 0 until 10; y <- 0 until 10)
+      yield (2L * 31 + 7 * x + 13 * y + 97 * f) % 256).sum
+    assert(vid.getAs[Long]("pixel_sum") == expectVid)
+    assert(vid.isNullAt(vid.fieldIndex("checksum_md5")))
+    assert(vid.isNullAt(vid.fieldIndex("n_bytes")))
     assert(vid.isNullAt(vid.fieldIndex("sample_rate")))
+    // the GIF payload really is a GIF container, not a passthrough
+    val gif = Multimodal.encodeGif(2L)
+    assert(new String(gif.take(4), "US-ASCII") == "GIF8")
+    // per-frame grain (q117): frame checksums match the closed form
+    // frame by frame, and a frame-order swap could not cancel
+    val frames = Multimodal.videoFrameFeatures(
+      Tables.documents(spark, TestSpark.sf))
+      .filter(col("media_id") === 2)
+      .orderBy(col("frame_idx")).collect()
+    assert(frames.length == 4)
+    frames.zipWithIndex.foreach { case (fr, f) =>
+      val expectFrame = (for (x <- 0 until 10; y <- 0 until 10)
+        yield (2L * 31 + 7 * x + 13 * y + 97 * f) % 256).sum
+      assert(fr.getAs[Long]("frame_sum") == expectFrame &&
+        fr.getAs[Long]("width") == 10L && fr.getAs[Long]("height") == 10L,
+        s"frame $f must decode to its own closed-form checksum")
+    }
+    assert(frames.map(_.getAs[Long]("frame_sum")).distinct.length > 1,
+      "frames must differ (the 97·f term) or per-frame gating is vacuous")
   }
 
   test("streaming CDC-apply state equals batch latest-per-user minus tombstones") {

@@ -427,4 +427,40 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
     assert(oriented == naive && naive.nonEmpty,
       "degree-oriented counting must equal the naive triple-join")
   }
+
+  test("coOccurrenceEdges: pairs match the naive self-join, and a " +
+      "planted hot key fails LOUD at the cap instead of going quadratic") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // keys 1..20 each touch a hash-chosen handful of 15 items
+    val inc = (for (k <- 1L to 20L; i <- 1L to 15L) yield (k, i))
+      .toDF("key", "item")
+      .filter(pmod(xxhash64(col("key"), col("item")), lit(3L)) === 0)
+      .cache()
+    val got = Triangles.coOccurrenceEdges(inc, minShared = 2,
+      maxPerKey = 15).as[(Long, Long)].collect().toSet
+    val naive = inc.as("a")
+      .join(inc.as("b"), col("a.key") === col("b.key") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item"), col("b.item"))
+      .agg(countDistinct(col("a.key")).as("nk"))
+      .filter(col("nk") >= 2)
+      .select(col("a.item"), col("b.item"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == naive && naive.nonEmpty,
+      "map-side pair generation must equal the naive keyed self-join")
+    // ONE hot key over the cap: the premise must surface as a loud
+    // failure naming the key, not as silent quadratic work
+    val hot = inc.unionByName(
+      (1L to 40L).map(i => (99L, 1000L + i)).toDF("key", "item"))
+    val ex = intercept[Exception] {
+      Triangles.coOccurrenceEdges(hot, minShared = 2, maxPerKey = 15)
+        .count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("coOccurrenceEdges premise")),
+      s"expected the loud premise message, got: ${msgs(ex).mkString(" | ")}")
+    inc.unpersist()
+  }
 }

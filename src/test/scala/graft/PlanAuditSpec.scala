@@ -48,7 +48,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q104_heavy_hitters" -> ("the ONE-ROW dense CMS array is the semi-" +
       "join build side (the probe is the join condition, so the 128 KB " +
       "array never lands in output rows) — same sanctioned delivery " +
-      "mechanism as q75/q97"))
+      "mechanism as q75/q97"),
+    "q50_name_neardup" -> ("the ONE-ROW max-block-size premise frame is " +
+      "cross-joined (broadcast) onto the probe side — the r5-VERDICT " +
+      "loud blocking guard, same bounds-frame mechanism as q64"))
 
   private val streaming =
     Set("q57_streaming_rollup", "q60_streaming_sessionize",
@@ -59,7 +62,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q103_streaming_tws_sessionize", "q109_streaming_tws_timer",
       "q110_streaming_lastk", "q111_streaming_bootstrap",
       "q112_streaming_type_counts", "q114_streaming_dedup_rollup",
-      "q115_streaming_ttl_state")
+      "q115_streaming_ttl_state", "q116_streaming_restart")
 
   test("no unsanctioned nested-loop or cartesian join in any batch plan") {
     val offenders = Queries.all.toSeq.sortBy(_._1)

@@ -13,7 +13,6 @@ class RegistrySpec extends AnyFunSuite {
     "q15_approx_distinct" -> "HLL sketch is engine-specific",
     "q25_ann_lsh" -> "bucket membership is engine-specific float folding",
     "q27_simhash" -> "bit-level hashing is engine-specific",
-    "q35_ann_ivf" -> "learned centroids are engine-internal",
     "q46_approx_percentile" -> "t-digest sketch is engine-specific",
     "q51_rolling_fp" -> "rolling-hash fingerprint is engine-internal",
     "q79_pq_ann" -> "learned PQ codebooks are engine-internal")

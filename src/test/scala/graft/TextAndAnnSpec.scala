@@ -236,6 +236,17 @@ class TextAndAnnSpec extends AnyFunSuite {
     assert(recall > 0.25, s"IVF recall $recall vs exact baseline")
   }
 
+  test("ANN IVF exhaustive probe (nprobe = nCells) equals the exact " +
+      "brute-force top-k — the q35 gate's premise") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val ivf = Ann.ivfTopK(e, q, 5, nprobe = 8)
+      .as[(Long, Long, Int)].collect().toSeq
+    val brute = Ann.bruteTopK(e, q, 5).as[(Long, Long, Int)].collect().toSeq
+    assert(ivf == brute && brute.nonEmpty,
+      "with every cell probed, learned centroids must be output-invisible")
+  }
+
   test("PQ ADC: valid ranked output, recall vs exact baseline, determinism") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val q = e.filter(col("vec_id") % 50 === 0)
@@ -509,5 +520,42 @@ class TextAndAnnSpec extends AnyFunSuite {
       assert(qs.zip(qs.drop(1)).forall { case (a, b) => a >= b },
         s"$src: quality must be non-increasing in rank")
     }
+  }
+
+  test("blockedEditPairs: equals the unblocked quadratic join on a " +
+      "mixed fixture, and a skewed prefix block fails LOUD at the cap") {
+    val names = Seq(
+      (1L, "alpha-store-001"), (2L, "alpha-store-002"), // dist 1
+      (3L, "alpha-store-0xx"),                          // dist 2 to both
+      (4L, "beta-store-0001"), (5L, "beta-store-0002"),
+      (6L, "gamma-warehouse"), (7L, "delta-warehouse")  // diff blocks
+    ).toDF("id", "name").cache()
+    val got = TextDedup.blockedEditPairs(names, prefixLen = 5,
+      maxDist = 2, maxBlock = 10L)
+      .as[(Long, Long, Int)].collect().toSet
+    // oracle: the naive unblocked quadratic join, then the SAME block
+    // restriction — blocking is a recall contract, not a distance one
+    val naive = names.as("a").join(names.as("b"),
+        col("a.id") < col("b.id") &&
+          substring(col("a.name"), 1, 5) === substring(col("b.name"), 1, 5))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.name"), col("b.name")).as("d"))
+      .filter(col("d") <= 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == naive && naive.nonEmpty,
+      s"blocked join must equal the naive blocked form: $got vs $naive")
+    // every name in ONE prefix block, block > cap: must fail naming the
+    // size, never silently run the quadratic DP
+    val skew = (1L to 12L).map(i => (i, f"same-prefix-$i%03d"))
+      .toDF("id", "name")
+    val ex = intercept[Exception] {
+      TextDedup.blockedEditPairs(skew, prefixLen = 5, maxDist = 2,
+        maxBlock = 10L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("blockedEditPairs premise")),
+      s"expected the loud premise, got: ${msgs(ex).mkString(" | ")}")
+    names.unpersist()
   }
 }
