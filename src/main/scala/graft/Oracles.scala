@@ -450,19 +450,20 @@ object Oracles {
     // Late-data drop: the hourly rollup over ONLY the on-time two-thirds
     // of the event-time range (the earliest third arrives after the
     // watermark passed it and must be absent), windows cut at the final
-    // watermark z − 2 h. Chunk boundary uses the same integral-ns floor
-    // division as the Spark staging (`div` / `//` both floor here).
+    // watermark z − 2 h. Chunk boundary uses the same integral-µs floor
+    // division as the Spark staging (`div` / `//` both floor here;
+    // epoch_us = the normalized `ts_us` exactly).
     "q64_streaming_late_drop" -> """
-      WITH b AS (SELECT epoch_ns(min(ts)) AS a, epoch_ns(max(ts)) AS z
+      WITH b AS (SELECT epoch_us(min(ts)) AS a, epoch_us(max(ts)) AS z
                  FROM events)
       SELECT date_trunc('hour', e.ts) AS bucket, e.event_type,
              count(*) AS n,
              CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
                AS sum_value
       FROM events e, b
-      WHERE epoch_ns(e.ts) >= b.a + (b.z - b.a) // 3
-        AND epoch_ns(date_trunc('hour', e.ts)) + 3600000000000
-              <= b.z - 7200000000000
+      WHERE epoch_us(e.ts) >= b.a + (b.z - b.a) // 3
+        AND epoch_us(date_trunc('hour', e.ts)) + 3600000000
+              <= b.z - 7200000000
       GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
 
     // Batch form of the stream-stream interval join: every view within

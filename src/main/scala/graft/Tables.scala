@@ -19,14 +19,14 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Reading with an explicit
-    * schema that maps the INT64 physical type to LongType sidesteps the
-    * logical-type check without any session-wide legacy conf; `ts` arrives
-    * as raw epoch nanoseconds (see [[graft.operators.Events]] for the
-    * truncating conversion that matches DuckDB's ns→µs read behavior).
+  /** Raw read schema for the TIMESTAMP(NANOS) fallback: Spark's parquet
+    * reader rejects ns-annotated INT64 outright ([PARQUET_TYPE_ILLEGAL]),
+    * so that physical layout is read by mapping the INT64 to LongType
+    * (raw epoch nanoseconds), sidestepping the logical-type check without
+    * any session-wide legacy conf. Only [[events]] may use this — every
+    * consumer sees the NORMALIZED frame it returns.
     */
-  private[graft] val eventsSchema =
+  private[graft] val eventsRawNsSchema =
     "event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
       "value DOUBLE, props STRING"
 
@@ -37,8 +37,55 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame =
-    s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
+
+  /** The events table, NORMALIZED: the parquet footer's timestamp unit is
+    * detected per read and the frame always arrives as
+    * `(event_id, ts TIMESTAMP(µs), user_id, event_type, value, props,
+    * ts_us LONG)` — `ts_us` is exact integer epoch microseconds (the
+    * engine-portable precision every events oracle uses via DuckDB's
+    * `epoch_us`), `ts` is `timestamp_micros(ts_us)`.
+    *
+    * Unit detection (this is the ONE place a physical time unit exists;
+    * no consumer may divide `ts` by anything):
+    *  - native probe: `spark.read.parquet` resolves the footer's logical
+    *    type — MICROS/MILLIS arrive as TimestampType and `unix_micros`
+    *    is exact;
+    *  - TIMESTAMP(NANOS) makes that probe THROW (Spark has no ns type),
+    *    which identifies the layout: re-read via [[eventsRawNsSchema]]
+    *    (raw INT64 ns) and floor-divide ONCE — the same ns→µs truncation
+    *    DuckDB applies, so both unit layouts hash identically downstream
+    *    (pinned by TimeUnitSpec against hand-written µs and ns fixtures).
+    *
+    * A 100 TB deployment meets mixed-unit parquet on day one; detecting
+    * from the footer (a metadata-only probe, no data scan) instead of
+    * assuming a unit is what makes every events-family operator survive a
+    * producer-side schema migration.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val withUs = scala.util.Try(s.read.parquet(path).schema("ts").dataType) match {
+      case scala.util.Success(TimestampType) =>
+        // isAdjustedToUTC=true MICROS/MILLIS: unix_micros is the exact
+        // stored integer (no session-TZ math on UTC-instant timestamps)
+        s.read.parquet(path).withColumn("ts_us", unix_micros(col("ts")))
+      case scala.util.Success(TimestampNTZType) =>
+        // isAdjustedToUTC=false footer (arrives NTZ under Spark 4's
+        // default inference): the NTZ-epoch diff recovers the stored
+        // integer TZ-independently — a cast to TimestampType would shift
+        // by the session timezone, which DuckDB's naive read does not
+        s.read.parquet(path).withColumn("ts_us", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"))
+      case _ =>
+        // TIMESTAMP(NANOS) annotation (the native probe THROWS — Spark
+        // has no ns type) or unannotated INT64: raw-INT64 read, one
+        // floor division — the same ns→µs truncation DuckDB applies
+        s.read.schema(eventsRawNsSchema).parquet(path)
+          .withColumn("ts_us", expr("ts div 1000"))
+    }
+    withUs.withColumn("ts", timestamp_micros(col("ts_us")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -4,6 +4,23 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** A thrown query must stay VISIBLE in the record: write a marker
+    * result (one `_graft_error` row) so the downstream compare reports a
+    * schema-mismatch FAIL for this name instead of the row silently
+    * VANISHING from the correctness file — which is how q64's r6
+    * regression hid (it threw, no output dir was created, and the
+    * driver record simply had no row to flag).
+    */
+  private[graft] def writeErrorMarker(spark: SparkSession, outDir: String,
+      name: String, e: Throwable): Unit =
+    try {
+      import spark.implicits._
+      Seq(Option(e.getMessage).getOrElse(e.getClass.getName))
+        .toDF("_graft_error")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    } catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,6 +42,7 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        writeErrorMarker(spark, outDir, name, e)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

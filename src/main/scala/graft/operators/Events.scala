@@ -10,10 +10,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * lag-gap sessionization. Batch forms here; the Structured Streaming
   * variants live in [[graft.streaming]].
   *
-  * `ts` arrives as raw epoch NANOSECONDS (see [[graft.Tables.events]]);
-  * `withEventTime` converts to a µs-precision TimestampType by truncating
-  * integer division — the same floor DuckDB applies when reading
-  * TIMESTAMP(NANOS) parquet, so oracle comparisons are exact.
+  * Inputs are the NORMALIZED events frame from [[graft.Tables.events]]:
+  * the physical parquet time unit is detected and erased there (the one
+  * place a unit exists), so these operators see exact integer epoch-µs
+  * `ts_us` plus its µs-precision TimestampType `ts` and never divide by
+  * a unit themselves — oracle comparisons stay exact under both µs- and
+  * ns-annotated source files.
   *
   * Scale notes: rollups are hash aggregations with map-side combine — one
   * shuffle keyed on (bucket, type), no skew risk at 100 TB because bucket
@@ -23,12 +25,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Events {
 
-  /** Truncating ns→µs conversion to a real timestamp column `ts` (plus the
-    * raw µs long kept as `ts_us` for exact integer gap arithmetic).
+  /** Ensure the (ts TIMESTAMP, ts_us LONG) pair exists: a pass-through
+    * for frames from [[graft.Tables.events]] (already normalized); for a
+    * hand-built frame carrying only a µs TimestampType `ts`, derives the
+    * exact integer form. No unit arithmetic here — that lives solely in
+    * the Tables reader.
     */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    if (df.columns.contains("ts_us")) df
+    else df.withColumn("ts_us", unix_micros(col("ts")))
 
   private val dec6 = DecimalType(18, 6)
 

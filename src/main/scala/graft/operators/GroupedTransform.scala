@@ -37,17 +37,17 @@ object GroupedTransform {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .select(col("user_id"), col("event_id"), col("ts_us").as("ts"),
+        col("event_type"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
         val evs = it.toArray
-        // order and gaps in MICROseconds (each ns value floored to µs
-        // first): DuckDB's TIMESTAMP_NS surface truncates to µs, so µs is
-        // the finest engine-portable precision (the epoch_us convention
-        // every events oracle here uses)
+        // order and gaps in exact integer MICROseconds (`ts_us` from the
+        // normalized [[graft.Tables.events]] read — the epoch_us
+        // convention every events oracle here uses)
         java.util.Arrays.sort(evs,
-          Ordering.by((e: Ev) => (e.ts / 1000L, e.event_id)))
+          Ordering.by((e: Ev) => (e.ts, e.event_id)))
         val out = new Array[Out](evs.length)
         var clicks = 0L
         var i = 0
@@ -55,7 +55,7 @@ object GroupedTransform {
           val e = evs(i)
           if (e.event_type == "click") clicks += 1
           val gapUs =
-            if (i == 0) 0L else e.ts / 1000L - evs(i - 1).ts / 1000L
+            if (i == 0) 0L else e.ts - evs(i - 1).ts
           out(i) = Out(uid, e.event_id, i + 1, gapUs, clicks)
           i += 1
         }

@@ -76,9 +76,9 @@ object RangeJoin {
   }
 
   /** All same-user event pairs within `bandUs` microseconds, time-ordered
-    * (event_id tiebreak on equal timestamps). Expects the raw `events`
-    * frame ([[graft.Tables.events]]; `ts` is epoch NANOS — truncated to µs
-    * here, the same floor DuckDB applies reading TIMESTAMP(NANOS)).
+    * (event_id tiebreak on equal timestamps). Expects the NORMALIZED
+    * `events` frame ([[graft.Tables.events]]; `ts_us` is exact integer
+    * epoch-µs regardless of the file's physical unit).
     * Output: (user_id, id_a, id_b, delta_us), a ≺ b.
     *
     * The µs frame feeds both join sides — pinned per CLAUDE.md's
@@ -88,7 +88,7 @@ object RangeJoin {
     require(bandUs >= 1, "band must be positive")
     val base = graft.CacheScope.scoped(events
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("tu")))
+        col("ts_us").as("tu")))
     val left = base
       .select(col("user_id"), col("event_id").as("id_a"), col("tu").as("ta"))
       .withColumn("bkt",

@@ -21,12 +21,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
   */
 object EventStreams {
 
-  /** Streaming source over an events parquet directory (ts arrives as raw
-    * epoch nanos — same explicit-schema read as [[graft.Tables.events]]).
+  /** Schema of STAGED micro-batch files: exact integer epoch-µs `ts_us`,
+    * never a physical-unit column. Staging always writes frames derived
+    * from [[graft.Tables.events]] (where the parquet footer's unit is
+    * detected and erased), so streaming readers are unit-free by
+    * construction — a µs- or ns-annotated source table stages
+    * identically.
+    */
+  private[graft] val stagedSchema =
+    "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, " +
+      "value DOUBLE, props STRING"
+
+  /** Streaming source over a STAGED events directory (µs-normalized
+    * files — see [[stagedSchema]]).
     */
   def source(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(graft.Tables.eventsSchema) // the ONE events schema (ns→long)
+      .schema(stagedSchema) // the ONE staged-events schema (µs always)
       .parquet(dir)
 
   /** Session clone with streaming-sized shuffle parallelism for the gate
@@ -52,7 +63,7 @@ object EventStreams {
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -62,15 +73,15 @@ object EventStreams {
     * `shape` (the resulting FILE layout is the micro-batch plan:
     * FileStreamSource ingests directories in production, and with
     * `maxFilesPerTrigger=1` each staged file becomes one micro-batch).
-    * The rewrite lands `ts` as physical INT64, so the streaming reads
-    * sidestep the TIMESTAMP(NANOS) quirk by construction.
+    * The rewrite lands the normalized `ts_us` LONG, so the streaming
+    * reads are unit-free by construction ([[stagedSchema]]).
     */
   private def stagedEventsSource(spark: SparkSession, sfDir: String,
       srcDir: String)(shape: DataFrame => DataFrame): DataFrame = {
-    shape(graft.Tables.events(spark, sfDir))
+    shape(requireSpanHours(graft.Tables.events(spark, sfDir), srcDir))
       .write.mode("overwrite").parquet(srcDir)
     spark.readStream
-      .schema(graft.Tables.eventsSchema)
+      .schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
   }
@@ -174,6 +185,39 @@ object EventStreams {
     finally walk.close()
   }
 
+  /** Staging premise guard for the gate queries: the staged events'
+    * event-time span must cover ≥ `minHours` hours, or the query REFUSES
+    * instead of draining to a wrong answer. The r6 unit shift collapsed
+    * event time 1000× and most staged drains emitted confidently wrong
+    * rows (only q64's existing span guard tripped) — watermark, gap, and
+    * window semantics all silently degenerate when months of data
+    * collapse into minutes, so semantic drift must fail LOUD at staging.
+    *
+    * 24 h is a GATE premise (the driver corpus spans months; a 1000×
+    * collapse of anything under ~3 years lands below it), not a library
+    * constraint — production callers stage their own sources and never
+    * pass through these *Once harness entrypoints.
+    *
+    * Folded into the consumed `ts_us` column via assert_true (+0 on
+    * success) exactly like q64's guard: a free-standing check column
+    * could legally be pruned before it ever evaluated.
+    */
+  private def requireSpanHours(ev: DataFrame, label: String,
+      minHours: Long = 24L): DataFrame = {
+    val minSpanUs = minHours * 3600L * 1000000L
+    val bounds = ev.agg(min(col("ts_us")).as("_a"), max(col("ts_us")).as("_z"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("ts_us",
+        (col("ts_us") + coalesce(
+          assert_true(col("_z") - col("_a") >= lit(minSpanUs),
+            lit(s"$label premise violated: staged event-time span < " +
+              s"$minHours h — semantic drift (wrong time unit? collapsed " +
+              "event time?); refusing to drain a wrong answer"))
+            .cast("long"),
+          lit(0L))))
+      .drop("_a", "_z")
+  }
+
   /** Pin micro-batch ARRIVAL ORDER without data-dependent driver logic:
     * staged part files are stamped with ascending modification times in
     * part-number order (range partition ids are ascending in the range
@@ -253,13 +297,13 @@ object EventStreams {
     // batch 0 = originals, batch 1 = the planted copies — explicit
     // per-half writeStampedBatch, not repartitionByRange on the flag
     // (the q115 range-sampler gotcha; see dedupRollupOnce)
-    val ev = graft.Tables.events(ss, sfDir)
+    val ev = requireSpanHours(graft.Tables.events(ss, sfDir), queryName)
     Seq(ev, ev.filter(col("event_id") % 10 === 0)).zipWithIndex
       .foldLeft(Set.empty[java.nio.file.Path]) { case (st, (half, b)) =>
         writeStampedBatch(srcDir, half, b, st, "dedup")
       }
     val src = ss.readStream
-      .schema(graft.Tables.eventsSchema)
+      .schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val table = drainToTable(
@@ -288,7 +332,7 @@ object EventStreams {
     val src = stagedEventsSource(streamingSession(spark), sfDir,
       s"/tmp/graft_stream_src_$queryName")(_.repartition(2))
     val agg = src
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "2 hours")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -317,7 +361,7 @@ object EventStreams {
     * (end ≤ z − 2 h). The DuckDB oracle is the same hourly rollup
     * computed over ONLY the on-time two-thirds, windows cut at the final
     * watermark — late rows excluded by construction, so equality proves
-    * the drop. Chunk boundaries are integral ns arithmetic (a + (z−a)
+    * the drop. Chunk boundaries are integral µs arithmetic (a + (z−a)
     * div 3) identical on both sides; boundary hour windows may hold both
     * on-time and late rows, and only their on-time rows count — on the
     * Spark side because the window was finalized before file 3 arrived,
@@ -329,7 +373,7 @@ object EventStreams {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val ss = streamingSession(spark)
     deleteStagingForTest(java.nio.file.Paths.get(srcDir))
-    val ev = graft.Tables.events(ss, sfDir)
+    val ev = requireSpanHours(graft.Tables.events(ss, sfDir), queryName)
     // Late-drop parity PREMISE (r3 advisor): every earliest-third row must
     // lie below the final watermark z − 2 h, which holds iff the event-time
     // span z − a ≥ 3 h. On a narrower dataset Spark would admit rows in
@@ -338,11 +382,11 @@ object EventStreams {
     // assert_true is folded into the consumed `a` column (it returns NULL
     // on success, so coalesce leaves `a` unchanged); a standalone dropped
     // check column could legally be pruned before it ever evaluated.
-    val minSpanNs = 3L * 3600L * 1000000000L
-    val bounds = ev.agg(min(col("ts")).as("a0"), max(col("ts")).as("z"))
+    val minSpanUs = 3L * 3600L * 1000000L
+    val bounds = ev.agg(min(col("ts_us")).as("a0"), max(col("ts_us")).as("z"))
       .select(
         (col("a0") + coalesce(
-          assert_true(col("z") - col("a0") >= lit(minSpanNs),
+          assert_true(col("z") - col("a0") >= lit(minSpanUs),
             lit("q64 premise violated: event-time span < 3h — late-drop " +
               "parity needs the earliest third fully below watermark z-2h"))
             .cast("long"),
@@ -350,9 +394,9 @@ object EventStreams {
         col("z"))
     val tagged = ev.crossJoin(broadcast(bounds))
       .withColumn("_b",
-        when(col("ts") < expr("a + (z - a) div 3"), lit(2))          // late
-          .when(col("ts") >= expr("a + ((z - a) div 3) * 2"), lit(1)) // newest
-          .otherwise(lit(0)))                                         // middle
+        when(col("ts_us") < expr("a + (z - a) div 3"), lit(2))          // late
+          .when(col("ts_us") >= expr("a + ((z - a) div 3) * 2"), lit(1)) // newest
+          .otherwise(lit(0)))                                            // middle
       .drop("a", "z")
     // One explicit append write PER BATCH, mtime-stamped in write order —
     // NOT repartitionByRange(3, _b): RangePartitioner samples its bounds
@@ -365,11 +409,11 @@ object EventStreams {
         b, st, "late-drop")
     }
     val src = ss.readStream
-      .schema(graft.Tables.eventsSchema)
+      .schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val agg = src
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "2 hours")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -398,7 +442,7 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), col("ts_us"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
@@ -436,7 +480,7 @@ object EventStreams {
     val ss = streamingSession(spark)
     deleteStagingForTest(java.nio.file.Paths.get(srcDir))
     val src = stagedEventsSource(ss, sfDir, srcDir)(
-      _.repartitionByRange(2, col("ts")))
+      _.repartitionByRange(2, col("ts_us")))
     stampAscendingMtimes(srcDir, 2)
     val dim = graft.Tables.customer(ss, sfDir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
@@ -493,12 +537,11 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "2 hours")
       // the watermarked column must SURVIVE into the grouped Dataset —
       // project it away and Spark rejects the event-time timeout
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-        col("event_time"))
+      .select(col("user_id"), col("ts_us"), col("event_time"))
       .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[TimedSessionState, TimedSession](
@@ -624,10 +667,9 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "2 hours")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-        col("event_time"))
+      .select(col("user_id"), col("ts_us"), col("event_time"))
       .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .transformWithState(new SessionEmitProcessor(gapUs),
@@ -647,20 +689,20 @@ object EventStreams {
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
     deleteStagingForTest(java.nio.file.Paths.get(srcDir))
-    val ev = graft.Tables.events(ss, sfDir)
-    ev.repartitionByRange(2, col("ts"))
+    val ev = requireSpanHours(graft.Tables.events(ss, sfDir), queryName)
+    ev.repartitionByRange(2, col("ts_us"))
       .write.mode("overwrite").parquet(srcDir)
     stampAscendingMtimes(srcDir, 2)
     writeStampedBatch(srcDir,
-      ev.agg(max(col("ts")).as("mx"))
+      ev.agg(max(col("ts_us")).as("mx"))
         .select(lit(-1L).as("event_id"),
-          (col("mx") + lit(10L * 86400 * 1000000000L)).as("ts"),
+          (col("mx") + lit(10L * 86400 * 1000000L)).as("ts_us"),
           lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
           lit(0.0).as("value"), lit(null).cast("string").as("props")),
       idx = 10, stamped = listPartFiles(srcDir),
       label = "tws session-timeout sentinel")
     val src = ss.readStream
-      .schema(graft.Tables.eventsSchema)
+      .schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     drainToTable(sessionEmitTws(src, gapMinutes), queryName,
@@ -728,14 +770,14 @@ object EventStreams {
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
     import ss.implicits._
-    val ev = graft.Tables.events(ss, sfDir)
+    val ev = requireSpanHours(graft.Tables.events(ss, sfDir), queryName)
     // deterministic halves off the 1-row bounds aggregate (q64 pattern —
     // no driver collect)
-    val bounds = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z"))
+    val bounds = ev.agg(min(col("ts_us")).as("a"), max(col("ts_us")).as("z"))
     val tagged = graft.CacheScope.scoped(ev.crossJoin(broadcast(bounds))
-      .withColumn("early", col("ts") < expr("a + (z - a) div 2")))
+      .withColumn("early", col("ts_us") < expr("a + (z - a) div 2")))
     val initState = graft.CacheScope.scoped(tagged.filter(col("early"))
-      .select(col("user_id"), expr("ts div 1000").as("us"))
+      .select(col("user_id"), col("ts_us").as("us"))
       .withColumn("brk", when(col("us") -
         lag(col("us"), 1).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("user_id")).orderBy(col("us"))) > gapUs, 1L)
@@ -750,17 +792,17 @@ object EventStreams {
       .groupByKey(_._1).mapValues(_._2)
     deleteStagingForTest(java.nio.file.Paths.get(srcDir))
     tagged.filter(!col("early"))
-      .select(col("event_id"), col("ts"), col("user_id"),
+      .select(col("event_id"), col("ts_us"), col("user_id"),
         col("event_type"), col("value"), col("props"))
-      .repartitionByRange(2, col("ts"))
+      .repartitionByRange(2, col("ts_us"))
       .write.mode("overwrite").parquet(srcDir)
     stampAscendingMtimes(srcDir, 2)
     val src = ss.readStream
-      .schema(graft.Tables.eventsSchema)
+      .schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val streamed = src
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), col("ts_us"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new BootstrapSessionizeProcessor(gapUs),
@@ -833,19 +875,18 @@ object EventStreams {
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
     import ss.implicits._
-    // µs midpoint split, identical to the oracle's (min/max commute with
-    // the ns→µs truncation, so both sides see the same halves). Each
+    // µs midpoint split, identical to the oracle's (`ts_us` IS epoch_us,
+    // so both sides see the same halves). Each
     // half is written as its OWN stamped batch — a 2-partition
     // repartitionByRange on the ~50/50 flag can land both halves in one
     // range partition (sampling picks the upper value as the boundary)
     // and break the cross-batch premise.
     deleteStagingForTest(java.nio.file.Paths.get(srcDir))
-    val ev = graft.Tables.events(ss, sfDir)
-    val bounds = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z"))
+    val ev = requireSpanHours(graft.Tables.events(ss, sfDir), queryName)
+    val bounds = ev.agg(min(col("ts_us")).as("a"), max(col("ts_us")).as("z"))
     val tagged = graft.CacheScope.scoped(ev.crossJoin(broadcast(bounds))
-      .withColumn("_early", expr("(ts div 1000) < (a div 1000) + " +
-        "(((z div 1000) - (a div 1000)) div 2)")))
-    val cols6 = Seq(col("event_id"), col("ts"), col("user_id"),
+      .withColumn("_early", expr("ts_us < a + ((z - a) div 2)")))
+    val cols6 = Seq(col("event_id"), col("ts_us"), col("user_id"),
       col("event_type"), col("value"), col("props"))
     var stamped = Set.empty[java.nio.file.Path]
     stamped = writeStampedBatch(srcDir,
@@ -855,7 +896,7 @@ object EventStreams {
       tagged.filter(!col("_early")).select(cols6: _*),
       idx = 1, stamped = stamped, label = "ttl-state late half")
     val src = ss.readStream
-      .schema(graft.Tables.eventsSchema)
+      .schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val ticks = src
@@ -870,7 +911,7 @@ object EventStreams {
       .transformWithState(new TtlVisitProcessor(1L),
         TimeMode.ProcessingTime(), OutputMode.Update())
       .toDF()
-    val stagedRows = ss.read.schema(graft.Tables.eventsSchema)
+    val stagedRows = ss.read.schema(stagedSchema)
       .parquet(srcDir).count()
     drainToTableManual(ticks, queryName, OutputMode.Update,
         expectedInputRows = stagedRows)
@@ -929,7 +970,7 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("user_id"), expr("ts div 1000").as("us"),
+      .select(col("user_id"), col("ts_us").as("us"),
         col("event_id"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
@@ -952,7 +993,7 @@ object EventStreams {
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
     val src = stagedEventsSource(ss, sfDir, srcDir)(
-      _.repartitionByRange(2, col("ts")))
+      _.repartitionByRange(2, col("ts_us")))
     stampAscendingMtimes(srcDir, 2)
     val updates = graft.CacheScope.scoped(
       drainToTable(lastKEvents(src, k), queryName, OutputMode.Update))
@@ -1027,7 +1068,7 @@ object EventStreams {
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
     val src = stagedEventsSource(ss, sfDir, srcDir)(
-      _.repartitionByRange(2, col("ts")))
+      _.repartitionByRange(2, col("ts_us")))
     stampAscendingMtimes(srcDir, 2)
     drainToTable(typeCounts(src), queryName, OutputMode.Update)
       .groupBy(col("user_id"), col("event_type"))
@@ -1111,7 +1152,7 @@ object EventStreams {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val ss = streamingSession(spark)
     deleteStagingForTest(java.nio.file.Paths.get(srcDir))
-    val ev = graft.Tables.events(ss, sfDir)
+    val ev = requireSpanHours(graft.Tables.events(ss, sfDir), queryName)
     // batch id: cohort 0 → events alternate batches 0/2 (gap at 1);
     // cohort 1 → batch 1 only; cohort 2 → spread over all three
     val batchOf = expr(
@@ -1123,19 +1164,19 @@ object EventStreams {
       stamped = writeStampedBatch(srcDir, ev.filter(batchOf === b),
         idx = b, stamped = stamped, label = "visit-ttl")
     writeStampedBatch(srcDir,
-      ev.agg(max(col("ts")).as("mx"))
-        .select(lit(-1L).as("event_id"), col("mx").as("ts"),
+      ev.agg(max(col("ts_us")).as("mx"))
+        .select(lit(-1L).as("event_id"), col("mx").as("ts_us"),
           lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
           lit(0.0).as("value"), lit(null).cast("string").as("props")),
       idx = 3, stamped = stamped, label = "visit-ttl sentinel")
     val src = ss.readStream
-      .schema(graft.Tables.eventsSchema)
+      .schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     // staged rows = the whole events table (cohort filters partition it)
     // + the 1-row sentinel; the count is harness bookkeeping over the
     // tiny staged directory, not operator work
-    val stagedRows = ss.read.schema(graft.Tables.eventsSchema)
+    val stagedRows = ss.read.schema(stagedSchema)
       .parquet(srcDir).count()
     drainToTableManual(visitEmit(src, ttlMs = 1L), queryName,
         OutputMode.Append, expectedInputRows = stagedRows)
@@ -1155,8 +1196,8 @@ object EventStreams {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val ss = streamingSession(spark)
     deleteStagingForTest(java.nio.file.Paths.get(srcDir))
-    val ev = graft.Tables.events(ss, sfDir)
-    ev.repartitionByRange(2, col("ts"))
+    val ev = requireSpanHours(graft.Tables.events(ss, sfDir), queryName)
+    ev.repartitionByRange(2, col("ts_us"))
       .write.mode("overwrite").parquet(srcDir)
     stampAscendingMtimes(srcDir, 2)
     // sentinel batch: one far-future event of a sentinel user (one
@@ -1164,15 +1205,15 @@ object EventStreams {
     // declaratively from the 1-row max aggregate, no driver collect;
     // slot 10 lands its mtime after the two range-split batches
     writeStampedBatch(srcDir,
-      ev.agg(max(col("ts")).as("mx"))
+      ev.agg(max(col("ts_us")).as("mx"))
         .select(lit(-1L).as("event_id"),
-          (col("mx") + lit(10L * 86400 * 1000000000L)).as("ts"),
+          (col("mx") + lit(10L * 86400 * 1000000L)).as("ts_us"),
           lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
           lit(0.0).as("value"), lit(null).cast("string").as("props")),
       idx = 10, stamped = listPartFiles(srcDir),
       label = "session-timeout sentinel")
     val src = ss.readStream
-      .schema(graft.Tables.eventsSchema)
+      .schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     drainToTable(sessionEmit(src, gapMinutes), queryName, OutputMode.Append)
@@ -1193,7 +1234,7 @@ object EventStreams {
       queryName: String): DataFrame = {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val src = stagedEventsSource(streamingSession(spark), sfDir, srcDir)(
-      _.repartitionByRange(2, col("ts"))) // part-00000 = earlier half
+      _.repartitionByRange(2, col("ts_us"))) // part-00000 = earlier half
     stampAscendingMtimes(srcDir, 2) // oldest-first ingestion == time order
     drainToTable(sessionize(src, gapMinutes), queryName, OutputMode.Update)
       .groupBy(col("user_id"))
@@ -1250,7 +1291,7 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), col("ts_us"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new SessionizeProcessor(gapUs),
@@ -1272,7 +1313,7 @@ object EventStreams {
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
     val src = stagedEventsSource(ss, sfDir, srcDir)(
-      _.repartitionByRange(2, col("ts")))
+      _.repartitionByRange(2, col("ts_us")))
     stampAscendingMtimes(srcDir, 2)
     drainToTable(sessionizeTws(src, gapMinutes), queryName,
       OutputMode.Update)
@@ -1300,7 +1341,7 @@ object EventStreams {
     */
   def dedupedStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
@@ -1323,7 +1364,7 @@ object EventStreams {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val ss = streamingSession(spark)
     deleteStagingForTest(java.nio.file.Paths.get(srcDir))
-    val ev = graft.Tables.events(ss, sfDir)
+    val ev = requireSpanHours(graft.Tables.events(ss, sfDir), queryName)
     // batch 1 = originals, batch 2 = the planted duplicate copies — one
     // explicit writeStampedBatch per half, NOT repartitionByRange on the
     // flag: the range sampler can pick the upper flag value as the
@@ -1335,15 +1376,15 @@ object EventStreams {
         writeStampedBatch(srcDir, half, b, st, "dedup-rollup")
       }
     writeStampedBatch(srcDir,
-      ev.agg(max(col("ts")).as("mx"))
+      ev.agg(max(col("ts_us")).as("mx"))
         .select(lit(-1L).as("event_id"),
-          (col("mx") + lit(10L * 86400 * 1000000000L)).as("ts"),
+          (col("mx") + lit(10L * 86400 * 1000000L)).as("ts_us"),
           lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
           lit(0.0).as("value"), lit(null).cast("string").as("props")),
       idx = 10, stamped = stamped,
       label = "dedup-rollup watermark sentinel")
     val src = ss.readStream
-      .schema(graft.Tables.eventsSchema)
+      .schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val chained = dedupedStream(src)
@@ -1399,14 +1440,14 @@ object EventStreams {
     val ss = streamingSession(spark)
     Seq(srcDir, outDir, ckptDir).foreach(d =>
       deleteStagingForTest(java.nio.file.Paths.get(d)))
-    val ev = graft.Tables.events(ss, sfDir)
+    val ev = requireSpanHours(graft.Tables.events(ss, sfDir), queryName)
 
     // One full drain of the chained pipeline against the SHARED
     // checkpoint + file sink; each call is an independent query instance
     // (the restart = calling it twice with more files staged in between).
     def runInstance(): Unit = {
       val src = ss.readStream
-        .schema(graft.Tables.eventsSchema)
+        .schema(stagedSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir)
       val chained = dedupedStream(src)
@@ -1437,9 +1478,9 @@ object EventStreams {
       ev.filter(col("event_id") % 10 === 0), 1, stamped,
       s"$queryName planted copies")
     writeStampedBatch(srcDir,
-      ev.agg(max(col("ts")).as("mx"))
+      ev.agg(max(col("ts_us")).as("mx"))
         .select(lit(-1L).as("event_id"),
-          (col("mx") + lit(10L * 86400 * 1000000000L)).as("ts"),
+          (col("mx") + lit(10L * 86400 * 1000000L)).as("ts_us"),
           lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
           lit(0.0).as("value"), lit(null).cast("string").as("props")),
       idx = 10, stamped = stamped2,
@@ -1477,7 +1518,7 @@ object EventStreams {
     * zero and no click state can age out before the views arrive —
     * arrival order is pinned by mtime, not luck. Inner-join matches emit
     * eagerly (append mode), not at window finalization. Output gap is
-    * integer µs (`ts div 1000` = DuckDB `epoch_us` under ns truncation)
+    * integer µs (the staged `ts_us` = DuckDB `epoch_us` exactly)
     * per the float/precision policy.
     */
   def intervalJoinOnce(spark: SparkSession, sfDir: String,
@@ -1492,25 +1533,25 @@ object EventStreams {
     // collapsing small discrete keys), so it is replaced with the
     // deterministic per-batch write lateDropOnce uses. coalesce(1) is
     // the staging contract: one file = one micro-batch.
-    val ev = graft.Tables.events(ss, sfDir)
+    val ev = requireSpanHours(graft.Tables.events(ss, sfDir), queryName)
     Seq("click", "view").zipWithIndex
       .foldLeft(Set.empty[java.nio.file.Path]) { case (st, (et, b)) =>
         writeStampedBatch(srcDir, ev.filter(col("event_type") === et),
           b, st, "interval-join")
       }
     val src = ss.readStream
-      .schema(graft.Tables.eventsSchema)
+      .schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        expr("ts div 1000").as("c_us"),
-        timestamp_micros(expr("ts div 1000")).as("c_time"))
+        col("ts_us").as("c_us"),
+        timestamp_micros(col("ts_us")).as("c_time"))
       .withWatermark("c_time", "2 hours")
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
-        expr("ts div 1000").as("v_us"),
-        timestamp_micros(expr("ts div 1000")).as("v_time"))
+        col("ts_us").as("v_us"),
+        timestamp_micros(col("ts_us")).as("v_time"))
       .withWatermark("v_time", "2 hours")
     val joined = clicks.join(views,
       col("c_user") === col("v_user") &&
@@ -1546,14 +1587,14 @@ object EventStreams {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val ss = streamingSession(spark)
     deleteStagingForTest(java.nio.file.Paths.get(srcDir))
-    val ev = graft.Tables.events(ss, sfDir)
+    val ev = requireSpanHours(graft.Tables.events(ss, sfDir), queryName)
     // sentinel batch built declaratively from the 1-row max aggregate (no
     // driver-side collect): one far-future event per SIDE — the global
     // watermark is the min over both watermark nodes
-    val sentinels = ev.agg(max(col("ts")).as("mx"))
+    val sentinels = ev.agg(max(col("ts_us")).as("mx"))
       .select(explode(array(lit("click"), lit("view"))).as("event_type"),
-        (col("mx") + lit(10L * 86400 * 1000000000L)).as("ts"))
-      .select(lit(-1L).as("event_id"), col("ts"), lit(-1L).as("user_id"),
+        (col("mx") + lit(10L * 86400 * 1000000L)).as("ts_us"))
+      .select(lit(-1L).as("event_id"), col("ts_us"), lit(-1L).as("user_id"),
         col("event_type"), lit(0.0).as("value"),
         lit(null).cast("string").as("props"))
     val batches = Seq[org.apache.spark.sql.DataFrame](
@@ -1564,18 +1605,18 @@ object EventStreams {
       case (st, (df, b)) => writeStampedBatch(srcDir, df, b, st, "outer-join")
     }
     val src = ss.readStream
-      .schema(graft.Tables.eventsSchema)
+      .schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        expr("ts div 1000").as("c_us"),
-        timestamp_micros(expr("ts div 1000")).as("c_time"))
+        col("ts_us").as("c_us"),
+        timestamp_micros(col("ts_us")).as("c_time"))
       .withWatermark("c_time", "2 hours")
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
-        expr("ts div 1000").as("v_us"),
-        timestamp_micros(expr("ts div 1000")).as("v_time"))
+        col("ts_us").as("v_us"),
+        timestamp_micros(col("ts_us")).as("v_time"))
       .withWatermark("v_time", "2 hours")
     val joined = clicks.join(views,
       col("c_user") === col("v_user") &&
@@ -1622,11 +1663,11 @@ object EventStreams {
     Seq(srcDir, stateDir, nextDir).foreach(d =>
       deleteStagingForTest(java.nio.file.Paths.get(d)))
 
-    val ev = graft.Tables.events(ss, sfDir)
-    val bounds = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z"))
+    val ev = requireSpanHours(graft.Tables.events(ss, sfDir), queryName)
+    val bounds = ev.agg(min(col("ts_us")).as("a"), max(col("ts_us")).as("z"))
     val tagged = ev.crossJoin(broadcast(bounds))
       .withColumn("_b",
-        when(col("ts") < expr("a + (z - a) div 2"), lit(0)).otherwise(lit(1)))
+        when(col("ts_us") < expr("a + (z - a) div 2"), lit(0)).otherwise(lit(1)))
       .drop("a", "z")
     Seq(0, 1).foldLeft(Set.empty[java.nio.file.Path]) { (st, b) =>
       writeStampedBatch(srcDir, tagged.filter(col("_b") === b).drop("_b"),
@@ -1647,7 +1688,7 @@ object EventStreams {
     val payload = Seq("ts_us", "event_id", "event_type", "value")
 
     val src = ss.readStream
-      .schema(graft.Tables.eventsSchema)
+      .schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt")
@@ -1655,16 +1696,15 @@ object EventStreams {
       val q = src.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val s2 = batch.sparkSession
-          // µs precision on BOTH the order key and the stored timestamp:
-          // DuckDB reads the TIMESTAMP(NANOS) column µs-truncated, so an
-          // ns-precision order key could pick a different latest row
-          // within a shared µs than the oracle's (ts, event_id) order
+          // µs precision on BOTH the order key and the stored timestamp
+          // (`ts_us` is the staged exact-µs column — the same epoch_us
+          // integers the oracle's (ts, event_id) latest-row order uses)
           val changes = batch
             .groupBy(col("user_id"))
             .agg(max_by(
-              struct(expr("ts div 1000").as("ts_us"), col("event_id"),
+              struct(col("ts_us"), col("event_id"),
                 col("event_type"), col("value")),
-              struct(expr("ts div 1000"), col("event_id"))).as("m"))
+              struct(col("ts_us"), col("event_id"))).as("m"))
             .select(col("user_id"), col("m.ts_us").as("ts_us"),
               col("m.event_id").as("event_id"),
               col("m.event_type").as("event_type"),

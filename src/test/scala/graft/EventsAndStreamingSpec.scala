@@ -109,16 +109,14 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     assert(viaVariant.toSeq == Seq(Some(7L), Some(-3L), None, None, None))
   }
 
-  /** The file-stream source requires a directory; stage the single-file
-    * events parquet into one.
+  /** The file-stream source requires a directory of STAGED (µs-normalized)
+    * files; write the events table through the normalizing Tables read.
     */
   private lazy val eventsDir: String = {
     val dir = java.nio.file.Paths.get("/tmp/graft_stream_events")
-    java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
-      dir.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    EventStreams.deleteStagingForTest(dir)
+    graft.Tables.events(spark, TestSpark.sf)
+      .write.mode("overwrite").parquet(dir.toString)
     dir.toString
   }
 
@@ -143,11 +141,11 @@ class EventsAndStreamingSpec extends AnyFunSuite {
       .select(col("bucket").cast("long").as("bucket_s")).as[Long].collect()
     assert(out.nonEmpty)
     val ts = Tables.events(spark, TestSpark.sf)
-      .agg(min(col("ts")).as("a"), max(col("ts")).as("z"))
+      .agg(min(col("ts_us")).as("a"), max(col("ts_us")).as("z"))
       .collect().head
     val (a, z) = (ts.getLong(0), ts.getLong(1))
-    val splitSec = (a + (z - a) / 3) / 1000000000L
-    val watermarkSec = z / 1000000000L - 7200L
+    val splitSec = (a + (z - a) / 3) / 1000000L
+    val watermarkSec = z / 1000000L - 7200L
     // every emitted hour bucket starts at/after the on-time boundary's
     // hour (late third absent) and closed before the final watermark
     assert(out.min >= splitSec / 3600 * 3600,
@@ -168,10 +166,10 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     val srcDir = java.nio.file.Paths.get("/tmp/graft_stream_evict")
     graft.streaming.EventStreams.deleteStagingForTest(srcDir)
     java.nio.file.Files.createDirectories(srcDir)
-    val t0 = 1700000000L * 1000000000L // epoch NANOS (schema's raw ts)
-    val h = 3600L * 1000000000L
+    val t0 = 1700000000L * 1000000L // epoch MICROS (the staged unit)
+    val h = 3600L * 1000000L
     def mk(ids: Range, at: Long) = ids.toDF("event_id")
-      .select(col("event_id").cast("long"), lit(at).as("ts"),
+      .select(col("event_id").cast("long"), lit(at).as("ts_us"),
         lit(1L).as("user_id"), lit("click").as("event_type"),
         lit(1.0).as("value"), lit("""{"k":1}""").as("props"))
     Seq(mk(1 to 50, t0), mk(1000 to 1040, t0 + 10 * h),
@@ -189,7 +187,7 @@ class EventsAndStreamingSpec extends AnyFunSuite {
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       graft.streaming.EventStreams.deleteStagingForTest(sub)
     }
-    val src = spark.readStream.schema(Tables.eventsSchema)
+    val src = spark.readStream.schema(EventStreams.stagedSchema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
     val out = EventStreams.runToMemory(
       EventStreams.dedupedStream(src).select("event_id"),
@@ -257,7 +255,7 @@ class EventsAndStreamingSpec extends AnyFunSuite {
       "lastk_spec").as[(Long, Long, Long)].collect().toSeq
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
-      .orderBy(expr("ts div 1000").desc, col("event_id").desc)
+      .orderBy(col("ts_us").desc, col("event_id").desc)
     val batch = Tables.events(spark, TestSpark.sf)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -271,17 +269,18 @@ class EventsAndStreamingSpec extends AnyFunSuite {
 
   test("session_window boundary: an exactly-gap-later event CONTINUES " +
       "the session (fold convention), one microsecond beyond splits it") {
-    val gapNs = 30L * 60 * 1000000000L
-    val mk = (rows: Seq[(Long, Long)]) => rows.map { case (id, ns) =>
-      (id, ns, 1L, "t", 0.0, null.asInstanceOf[String])
-    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val gapUs = 30L * 60 * 1000000L
+    val mk = (rows: Seq[(Long, Long)]) => rows.map { case (id, us) =>
+      (id, us, 1L, "t", 0.0, null.asInstanceOf[String])
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
     val atGap = Events.sessionWindows(
-      mk(Seq((1L, 0L), (2L, gapNs))), 30)
+      mk(Seq((1L, 0L), (2L, gapUs))), 30)
       .select("session_idx").as[Long].collect()
     assert(atGap.toSeq == Seq(1L),
       "diff == gap must stay ONE session, matching the stateful fold")
     val past = Events.sessionWindows(
-      mk(Seq((1L, 0L), (2L, gapNs + 1000L))), 30)
+      mk(Seq((1L, 0L), (2L, gapUs + 1L))), 30)
       .select("session_idx").as[Long].collect().sorted
     assert(past.toSeq == Seq(1L, 2L),
       "one microsecond past the gap must split the session")
@@ -292,10 +291,10 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     val got = EventStreams.ttlVisitCountsOnce(spark, TestSpark.sf,
       "ttl_state_spec").as[(Long, Long, Long)].collect().toSeq
     val ev = Tables.events(spark, TestSpark.sf)
-    val bounds = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z"))
+    val bounds = ev.agg(min(col("ts_us")).as("a"), max(col("ts_us")).as("z"))
     val batch = ev.crossJoin(broadcast(bounds))
-      .withColumn("half", when(expr("(ts div 1000) < (a div 1000) + " +
-        "(((z div 1000) - (a div 1000)) div 2)"), 0).otherwise(1))
+      .withColumn("half",
+        when(expr("ts_us < a + ((z - a) div 2)"), 0).otherwise(1))
       .groupBy(col("user_id"), col("half"))
       .agg(count(lit(1)).as("n"))
       .withColumn("seq", row_number().over(
@@ -418,7 +417,7 @@ class EventsAndStreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     val ev = Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts div 1000").as("us"))
+        col("ts_us").as("us"))
     val batch = ev.as("c").filter(col("c.event_type") === "click")
       .join(ev.as("v").filter(col("v.event_type") === "view"),
         col("c.user_id") === col("v.user_id") &&
@@ -640,9 +639,9 @@ class EventsAndStreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, String, Double)].collect().toSeq
     val ev = Tables.events(spark, TestSpark.sf)
     val expected = ev.groupBy(col("user_id"))
-      .agg(max_by(struct(expr("ts div 1000").as("ts_us"), col("event_id"),
+      .agg(max_by(struct(col("ts_us"), col("event_id"),
         col("event_type"), col("value")),
-        struct(expr("ts div 1000"), col("event_id"))).as("m"))
+        struct(col("ts_us"), col("event_id"))).as("m"))
       .select(col("user_id"), col("m.ts_us"), col("m.event_id"),
         col("m.event_type"), col("m.value"))
       .filter(col("m.event_type") =!= "error")
@@ -651,10 +650,10 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     assert(got == expected)
     // cross-batch premise: the two staged halves must share users, or the
     // MERGE update path was never exercised by this gate
-    val bounds = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z"))
+    val bounds = ev.agg(min(col("ts_us")).as("a"), max(col("ts_us")).as("z"))
     val tagged = ev.crossJoin(broadcast(bounds))
       .withColumn("_b",
-        when(col("ts") < expr("a + (z - a) div 2"), 0).otherwise(1))
+        when(col("ts_us") < expr("a + (z - a) div 2"), 0).otherwise(1))
     val shared = tagged.filter(col("_b") === 0).select("user_id")
       .intersect(tagged.filter(col("_b") === 1).select("user_id")).count()
     assert(shared > 0, "no user spans both halves; update path untested")
@@ -666,8 +665,8 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     val maxLen = 35L * 60 * 1000000
     val iv = Tables.events(spark, TestSpark.sf).select(
       col("event_type").as("key"), col("event_id").as("id"),
-      expr("ts div 1000").as("s"),
-      (expr("ts div 1000") +
+      col("ts_us").as("s"),
+      (col("ts_us") +
         (pmod(col("event_id"), lit(7L)) + 1) * 300000000L).as("e"))
     val got = RangeJoin.overlapJoin(iv, maxLen)
       .as[(String, Long, Long, Long)].collect().toSet
@@ -700,6 +699,31 @@ class EventsAndStreamingSpec extends AnyFunSuite {
       s"expected the loud premise failure, got: $err")
   }
 
+  test("staging premise guard: a collapsed-time corpus REFUSES to drain " +
+      "instead of emitting wrong rows (the r6 failure mode, made loud)") {
+    val dir = "/tmp/graft_narrow_span_sf"
+    val root = java.nio.file.Paths.get(dir)
+    EventStreams.deleteStagingForTest(root)
+    java.nio.file.Files.createDirectories(root)
+    // ~50 min event-time span — what months of data collapse to under a
+    // wrong-unit read; every premise-guarded gate query must refuse
+    (1 to 100).toDF("event_id")
+      .select(col("event_id").cast("long"),
+        timestamp_micros(lit(1700000000L * 1000000L) +
+          col("event_id").cast("long") * 30000000L).as("ts"),
+        (col("event_id") % 7).cast("long").as("user_id"),
+        lit("click").as("event_type"), lit(1.0).as("value"),
+        lit(null).cast("string").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[Throwable] {
+      EventStreams.dedupOnce(spark, dir, "narrow_span_guard_test")
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString("\n")
+    assert(chain.contains("premise violated"),
+      s"expected the loud span-premise refusal, got: $chain")
+  }
+
   test("band join: binned equi-join equals the naive theta-join at " +
       "sf0.001, and boundary/bucket/tie cases land exactly once") {
     import graft.operators.RangeJoin
@@ -708,7 +732,7 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     val got = RangeJoin.selfBandJoin(ev, band)
       .as[(Long, Long, Long, Long)].collect().toSet
     val e = ev.select(col("user_id"), col("event_id"),
-      expr("ts div 1000").as("tu"))
+      col("ts_us").as("tu"))
     val naive = e.as("a")
       .join(e.as("b"), col("a.user_id") === col("b.user_id") &&
         (col("a.tu") < col("b.tu") ||
@@ -720,16 +744,16 @@ class EventsAndStreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == naive, "binned join must equal the naive theta-join")
     assert(got.nonEmpty)
-    // synthetic edges: band = 10 µs (ts below in NANOS).
+    // synthetic edges: band = 10 µs (ts_us below in MICROS).
     //  u1: Δ exactly == band (in), Δ == band+1 µs (out)
     //  u2: pair crossing a bucket boundary (9 µs → 12 µs, Δ=3)
     //  u3: equal timestamps — tie must appear once, id-ordered
     val syn = Seq(
-      (1L, 0L, 1L), (2L, 10000L, 1L), (3L, 21001000L, 1L),
-      (4L, 21001000L + 11000L, 1L),
-      (5L, 9000L, 2L), (6L, 12000L, 2L),
-      (8L, 5000L, 3L), (7L, 5000L, 3L))
-      .toDF("event_id", "ts", "user_id")
+      (1L, 0L, 1L), (2L, 10L, 1L), (3L, 21001L, 1L),
+      (4L, 21001L + 11L, 1L),
+      (5L, 9L, 2L), (6L, 12L, 2L),
+      (8L, 5L, 3L), (7L, 5L, 3L))
+      .toDF("event_id", "ts_us", "user_id")
     val pairs = RangeJoin.selfBandJoin(syn, 10L)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(pairs == Set((1L, 1L, 2L, 10L), (2L, 5L, 6L, 3L),
