@@ -108,6 +108,23 @@ object Bench {
     // safe; per-run CacheScope keeps cache state identical across passes.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
       .max(1)
+    // Same-box CALIBRATION probe: a fixed-cost full scan + exact-decimal
+    // aggregate over lineitem (scan/decode-bound, no shuffle — the same
+    // resources ambient noise hits). Its min-of-3 time rides along in the
+    // JSON as "calib" so cross-round totals can be read against a
+    // constant-work yardstick: if calib moved with the totals, the window
+    // was noisy; if calib is flat and totals moved, the suite changed.
+    val calib = {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")),
+            sum(col("l_quantity").cast("decimal(18,2)")), count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
     val results = selected.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -141,7 +158,7 @@ object Bench {
     // flagged by `failed`)
     val total = results.collect { case (_, v, true) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"calib":$calib,"sf":"$sfDir"}"""
     println(line)
     // Repo-side artifact (r5 VERDICT #5): both r4 and r5 driver BENCH
     // records truncated to an unparseable tail, so cross-round per-query
