@@ -203,20 +203,8 @@ object EventStreams {
     * could legally be pruned before it ever evaluated.
     */
   private def requireSpanHours(ev: DataFrame, label: String,
-      minHours: Long = 24L): DataFrame = {
-    val minSpanUs = minHours * 3600L * 1000000L
-    val bounds = ev.agg(min(col("ts_us")).as("_a"), max(col("ts_us")).as("_z"))
-    ev.crossJoin(broadcast(bounds))
-      .withColumn("ts_us",
-        (col("ts_us") + coalesce(
-          assert_true(col("_z") - col("_a") >= lit(minSpanUs),
-            lit(s"$label premise violated: staged event-time span < " +
-              s"$minHours h — semantic drift (wrong time unit? collapsed " +
-              "event time?); refusing to drain a wrong answer"))
-            .cast("long"),
-          lit(0L))))
-      .drop("_a", "_z")
-  }
+      minHours: Long = 24L): DataFrame =
+    graft.operators.Events.requireSpanHours(ev, label, minHours)
 
   /** Pin micro-batch ARRIVAL ORDER without data-dependent driver logic:
     * staged part files are stamped with ascending modification times in

@@ -715,13 +715,23 @@ class EventsAndStreamingSpec extends AnyFunSuite {
         lit("click").as("event_type"), lit(1.0).as("value"),
         lit(null).cast("string").as("props"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val e = intercept[Throwable] {
+    def refusal(body: => Unit): String = {
+      val e = intercept[Throwable](body)
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => String.valueOf(t.getMessage)).mkString("\n")
+    }
+    // streaming gate: refuses at staging
+    val streamMsg = refusal {
       EventStreams.dedupOnce(spark, dir, "narrow_span_guard_test")
     }
-    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-      .map(t => String.valueOf(t.getMessage)).mkString("\n")
-    assert(chain.contains("premise violated"),
-      s"expected the loud span-premise refusal, got: $chain")
+    assert(streamMsg.contains("premise violated"),
+      s"expected the loud span-premise refusal, got: $streamMsg")
+    // batch ts-dependent gates: refuse at the scan, same guard
+    val batchMsg = refusal {
+      Queries.all("q16_events_hourly")(spark, dir).collect()
+    }
+    assert(batchMsg.contains("premise violated"),
+      s"expected the batch-gate refusal, got: $batchMsg")
   }
 
   test("band join: binned equi-join equals the naive theta-join at " +
