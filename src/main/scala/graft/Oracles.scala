@@ -468,7 +468,7 @@ object Oracles {
 
     // Batch form of the stream-stream interval join: every view within
     // 30 min before a click by the same user. Gaps in integer µs
-    // (epoch_us = Spark's `ts div 1000` under ns truncation).
+    // (epoch_us = the normalized `ts_us` exactly).
     "q72_streaming_interval_join" -> """
       SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
              epoch_us(c.ts) - epoch_us(v.ts) AS gap_us

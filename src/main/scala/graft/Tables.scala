@@ -65,24 +65,45 @@ object Tables {
     val path = s"$d/events.parquet"
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val withUs = scala.util.Try(s.read.parquet(path).schema("ts").dataType) match {
-      case scala.util.Success(TimestampType) =>
+    // one footer read: the probed frame is REUSED by the typed branches
+    val probe = scala.util.Try {
+      val df = s.read.parquet(path); (df, df.schema("ts").dataType)
+    }
+    val withUs = probe match {
+      case scala.util.Success((df, TimestampType)) =>
         // isAdjustedToUTC=true MICROS/MILLIS: unix_micros is the exact
         // stored integer (no session-TZ math on UTC-instant timestamps)
-        s.read.parquet(path).withColumn("ts_us", unix_micros(col("ts")))
-      case scala.util.Success(TimestampNTZType) =>
+        df.withColumn("ts_us", unix_micros(col("ts")))
+      case scala.util.Success((df, TimestampNTZType)) =>
         // isAdjustedToUTC=false footer (arrives NTZ under Spark 4's
         // default inference): the NTZ-epoch diff recovers the stored
         // integer TZ-independently — a cast to TimestampType would shift
         // by the session timezone, which DuckDB's naive read does not
-        s.read.parquet(path).withColumn("ts_us", expr(
+        df.withColumn("ts_us", expr(
           "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"))
-      case _ =>
-        // TIMESTAMP(NANOS) annotation (the native probe THROWS — Spark
-        // has no ns type) or unannotated INT64: raw-INT64 read, one
-        // floor division — the same ns→µs truncation DuckDB applies
+      case scala.util.Success((_, other)) =>
+        // an unannotated INT64 (or any non-timestamp type) carries NO
+        // declared unit — guessing nanos here would be the exact r6
+        // failure mode in reverse (an epoch-µs raw long shrunk 1000×).
+        // Historical ns files are ANNOTATED (they land in the Failure
+        // branch below), so refusing loses nothing.
+        throw new IllegalArgumentException(
+          s"$path: events.ts has type $other — a parquet TIMESTAMP " +
+            "annotation (MICROS/MILLIS/NANOS) is required; refusing to " +
+            "guess the physical unit of a raw integer column")
+      case scala.util.Failure(e)
+          if String.valueOf(e.getMessage).contains("NANOS") =>
+        // TIMESTAMP(NANOS) annotation: Spark has no ns type, so the
+        // probe throws [PARQUET_TYPE_ILLEGAL] naming the NANOS logical
+        // type (message match pinned by TimeUnitSpec) → raw-INT64 read,
+        // one floor division — the same ns→µs truncation DuckDB applies
         s.read.schema(eventsRawNsSchema).parquet(path)
           .withColumn("ts_us", expr("ts div 1000"))
+      case scala.util.Failure(e) =>
+        // any OTHER probe failure (missing file/column, corrupt footer,
+        // FS error) is a real error — routing it into the ns read would
+        // bury the diagnostic under wrong-looking data
+        throw e
     }
     withUs.withColumn("ts", timestamp_micros(col("ts_us")))
   }

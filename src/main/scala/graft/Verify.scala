@@ -19,7 +19,13 @@ object Verify {
       Seq(Option(e.getMessage).getOrElse(e.getClass.getName))
         .toDF("_graft_error")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-    } catch { case _: Throwable => () }
+    } catch {
+      case t: Throwable =>
+        // the marker write itself failing must not be silent — that
+        // re-opens the vanishing-row hole the marker exists to close
+        System.err.println(
+          s"[verify] $name: error-marker write ALSO failed: $t")
+    }
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

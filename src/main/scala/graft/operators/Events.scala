@@ -51,8 +51,13 @@ object Events {
   def requireSpanHours(ev: DataFrame, label: String,
       minHours: Long = 24L): DataFrame = {
     val minSpanUs = minHours * 3600L * 1000000L
-    val bounds = ev.agg(min(col("ts_us")).as("_a"), max(col("ts_us")).as("_z"))
-    ev.crossJoin(broadcast(bounds))
+    // the guard consumes `ev` on BOTH sides (bounds aggregate + main
+    // frame) — the CLAUDE.md self-join rule applies: cache it so a
+    // guarded gate query scans events once, not once per side per
+    // action (scope-released by the harness's CacheScope.withScope)
+    val evC = graft.CacheScope.scoped(ev)
+    val bounds = evC.agg(min(col("ts_us")).as("_a"), max(col("ts_us")).as("_z"))
+    evC.crossJoin(broadcast(bounds))
       .withColumn("ts_us",
         (col("ts_us") + coalesce(
           assert_true(col("_z") - col("_a") >= lit(minSpanUs),

@@ -77,8 +77,8 @@ object EventStreams {
     * reads are unit-free by construction ([[stagedSchema]]).
     */
   private def stagedEventsSource(spark: SparkSession, sfDir: String,
-      srcDir: String)(shape: DataFrame => DataFrame): DataFrame = {
-    shape(requireSpanHours(graft.Tables.events(spark, sfDir), srcDir))
+      srcDir: String, label: String)(shape: DataFrame => DataFrame): DataFrame = {
+    shape(requireSpanHours(graft.Tables.events(spark, sfDir), label))
       .write.mode("overwrite").parquet(srcDir)
     spark.readStream
       .schema(stagedSchema)
@@ -318,7 +318,7 @@ object EventStreams {
       queryName: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val src = stagedEventsSource(streamingSession(spark), sfDir,
-      s"/tmp/graft_stream_src_$queryName")(_.repartition(2))
+      s"/tmp/graft_stream_src_$queryName", queryName)(_.repartition(2))
     val agg = src
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "2 hours")
@@ -467,7 +467,7 @@ object EventStreams {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val ss = streamingSession(spark)
     deleteStagingForTest(java.nio.file.Paths.get(srcDir))
-    val src = stagedEventsSource(ss, sfDir, srcDir)(
+    val src = stagedEventsSource(ss, sfDir, srcDir, queryName)(
       _.repartitionByRange(2, col("ts_us")))
     stampAscendingMtimes(srcDir, 2)
     val dim = graft.Tables.customer(ss, sfDir)
@@ -980,7 +980,7 @@ object EventStreams {
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
-    val src = stagedEventsSource(ss, sfDir, srcDir)(
+    val src = stagedEventsSource(ss, sfDir, srcDir, queryName)(
       _.repartitionByRange(2, col("ts_us")))
     stampAscendingMtimes(srcDir, 2)
     val updates = graft.CacheScope.scoped(
@@ -1055,7 +1055,7 @@ object EventStreams {
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
-    val src = stagedEventsSource(ss, sfDir, srcDir)(
+    val src = stagedEventsSource(ss, sfDir, srcDir, queryName)(
       _.repartitionByRange(2, col("ts_us")))
     stampAscendingMtimes(srcDir, 2)
     drainToTable(typeCounts(src), queryName, OutputMode.Update)
@@ -1221,7 +1221,7 @@ object EventStreams {
   def sessionizeOnce(spark: SparkSession, sfDir: String, gapMinutes: Int,
       queryName: String): DataFrame = {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
-    val src = stagedEventsSource(streamingSession(spark), sfDir, srcDir)(
+    val src = stagedEventsSource(streamingSession(spark), sfDir, srcDir, queryName)(
       _.repartitionByRange(2, col("ts_us"))) // part-00000 = earlier half
     stampAscendingMtimes(srcDir, 2) // oldest-first ingestion == time order
     drainToTable(sessionize(src, gapMinutes), queryName, OutputMode.Update)
@@ -1300,7 +1300,7 @@ object EventStreams {
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
-    val src = stagedEventsSource(ss, sfDir, srcDir)(
+    val src = stagedEventsSource(ss, sfDir, srcDir, queryName)(
       _.repartitionByRange(2, col("ts_us")))
     stampAscendingMtimes(srcDir, 2)
     drainToTable(sessionizeTws(src, gapMinutes), queryName,

@@ -51,7 +51,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "mechanism as q75/q97"),
     "q50_name_neardup" -> ("the ONE-ROW max-block-size premise frame is " +
       "cross-joined (broadcast) onto the probe side — the r5-VERDICT " +
-      "loud blocking guard, same bounds-frame mechanism as q64"))
+      "loud blocking guard, same bounds-frame mechanism as q64"),
+    // the 8 ts-VALUE-dependent batch gates: Events.requireSpanHours
+    // broadcasts the ONE-ROW (min, max) ts_us bounds frame onto the
+    // events scan — the r6-VERDICT collapsed-time refusal, same
+    // bounds-frame mechanism as q64/q50
+    "q16_events_hourly" -> "requireSpanHours 1-row bounds broadcast",
+    "q18_sessionize" -> "requireSpanHours 1-row bounds broadcast",
+    "q30_events_sliding" -> "requireSpanHours 1-row bounds broadcast",
+    "q31_asof_join" -> "requireSpanHours 1-row bounds broadcast",
+    "q65_grouped_transform" -> "requireSpanHours 1-row bounds broadcast",
+    "q102_band_join" -> "requireSpanHours 1-row bounds broadcast",
+    "q106_overlap_join" -> "requireSpanHours 1-row bounds broadcast",
+    "q113_session_window" -> "requireSpanHours 1-row bounds broadcast")
 
   private val streaming =
     Set("q57_streaming_rollup", "q60_streaming_sessionize",

@@ -105,6 +105,34 @@ class TimeUnitSpec extends AnyFunSuite {
     assert(normalized(ms) == expectMs)
   }
 
+  test("the NANOS fallback is routed by the probe's error message (the " +
+      "match Tables.events keys on), and a raw-INT64 ts refuses loudly") {
+    // pin the native-probe failure shape for an ns-annotated footer:
+    // the message must name the NANOS logical type, or the fallback
+    // match in Tables.events would silently stop routing
+    writeFixture("/tmp/graft_unit_ns", TimeUnit.NANOS, adjustedToUtc = true)
+    val e = intercept[Throwable] {
+      spark.read.parquet("/tmp/graft_unit_ns/events.parquet").schema
+    }
+    assert(String.valueOf(e.getMessage).contains("NANOS"),
+      s"probe failure no longer names NANOS: ${e.getMessage}")
+
+    // an UNANNOTATED INT64 ts has no declared unit: Tables.events must
+    // refuse (guessing nanos would be the r6 failure mode in reverse)
+    val raw = java.nio.file.Paths.get("/tmp/graft_unit_rawlong")
+    graft.streaming.EventStreams.deleteStagingForTest(raw)
+    java.nio.file.Files.createDirectories(raw)
+    rows.map { case (id, tsNs, uid, et, v, props) =>
+      (id, tsNs / 1000L, uid, et, v, props)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite")
+      .parquet("/tmp/graft_unit_rawlong/events.parquet")
+    val r = intercept[IllegalArgumentException] {
+      Tables.events(spark, "/tmp/graft_unit_rawlong").collect()
+    }
+    assert(r.getMessage.contains("refusing to guess"))
+  }
+
   test("a unit-migrated producer changes no event-operator answer: " +
       "hourly rollup over the ns and µs fixtures is identical") {
     import org.apache.spark.sql.functions.col
