@@ -1,9 +1,12 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Scratch probe main for interactive development (not part of the driver
-  * contract; run with `sbt 'runMain graft.Dev'`).
+  * contract; run with `sbt 'runMain graft.Dev'`). Writes the probed
+  * queries' outputs + oracle_sql.json like Verify, so
+  * `tools/check.py <out> <sf> <query...>` gates just the subset.
   */
 object Dev {
   def main(args: Array[String]): Unit = {
@@ -15,13 +18,31 @@ object Dev {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    for (q <- Seq("q116_streaming_restart")) {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outDir = "/tmp/dev_out"
+    val qs = Seq("q118_embedding_dedup", "q119_event_funnel",
+      "q120_cohort_retention", "q121_mixture_sample", "q122_doc_chunks",
+      "q123_event_pattern", "q124_hard_negatives", "q125_streaming_full_outer_join")
+    new java.io.File(outDir).mkdirs()
+    for (q <- qs) {
       println(s"\n======== $q ========")
       val t0 = System.nanoTime()
-      val n = CacheScope.withScope { Queries.all(q)(spark, dir).count() }
+      val n = CacheScope.withScope {
+        val df = Queries.all(q)(spark, dir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$q")
+        spark.read.parquet(s"$outDir/$q").count()
+      }
       println(f"DEVOK $q: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.filter(kv => qs.contains(kv._1))
+      .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

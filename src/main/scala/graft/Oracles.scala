@@ -270,6 +270,139 @@ object Oracles {
       WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
       ORDER BY d.doc_id""",
 
+    // Survivors of the EMBEDDING-space closure: exact O(n²) cosine
+    // pairs (the same formula the q28/q52 gates prove the LSH path
+    // recovers losslessly) → recursive reachability → canonical-or-
+    // singleton survivors, mirroring q81's text-space contract.
+    "q118_embedding_dedup" -> """
+      WITH RECURSIVE pv AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      qpairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM pv a JOIN pv b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+      edges AS (SELECT vec_a AS src, vec_b AS dst FROM qpairs
+                UNION ALL SELECT vec_b, vec_a FROM qpairs),
+      reach AS (
+        SELECT src AS id, src AS comp
+        FROM (SELECT DISTINCT src FROM edges) v
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      comps AS (SELECT id AS vec_id, min(comp) AS canonical_id
+                FROM reach GROUP BY id),
+      dropped AS (SELECT vec_id FROM comps WHERE vec_id <> canonical_id)
+      SELECT v.vec_id,
+             CAST(EXISTS (SELECT 1 FROM comps c WHERE c.vec_id = v.vec_id)
+                  AS BOOLEAN) AS in_cluster
+      FROM embeddings v
+      WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.vec_id = v.vec_id)
+      ORDER BY v.vec_id""",
+
+    // Ordered funnel: step k+1's time is the first qualifying event
+    // STRICTLY after step k's — chained min CTEs on epoch_us (= the
+    // normalized ts_us exactly); lag sums are exact integer µs.
+    "q119_event_funnel" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      s1 AS (SELECT user_id, min(us) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+      SELECT * FROM (
+        SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users,
+               CAST(0 AS BIGINT) AS total_lag_us FROM s1
+        UNION ALL
+        SELECT 2, 'click', count(*),
+               CAST(COALESCE(sum(t2 - t1), 0) AS BIGINT)
+        FROM s2 JOIN s1 USING (user_id)
+        UNION ALL
+        SELECT 3, 'purchase', count(*),
+               CAST(COALESCE(sum(t3 - t1), 0) AS BIGINT)
+        FROM s3 JOIN s1 USING (user_id)
+      ) ORDER BY step""",
+
+    // Cohort retention on exact integer UTC-day indices (epoch_us
+    // floor-div one day of µs = the engine-portable day bucket).
+    "q120_cohort_retention" -> """
+      WITH d AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day_idx FROM events),
+      c AS (SELECT user_id, min(day_idx) AS cohort_day FROM d GROUP BY 1)
+      SELECT cohort_day, day_idx - cohort_day AS day_offset,
+             count(*) AS n_users
+      FROM d JOIN c USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Mixture rebalancing: per-source ppm rate = (10⁶ · min source
+    // mass) floor-div source mass, keep = the q85 portable-hash draw —
+    // all BIGINT-exact, so both engines draw the identical sample.
+    "q121_mixture_sample" -> """
+      WITH st AS (SELECT source, sum(n_chars) AS toks
+                  FROM documents GROUP BY 1),
+      m AS (SELECT min(toks) AS mn FROM st),
+      w AS (SELECT source, (1000000 * mn) // toks AS weight_ppm FROM st, m)
+      SELECT d.doc_id, d.source, CAST(w.weight_ppm AS BIGINT) AS weight_ppm
+      FROM documents d JOIN w USING (source)
+      WHERE ((d.doc_id % 100003) * 2654435761) % 1000000007 % 1000000
+            < w.weight_ppm
+      ORDER BY d.doc_id""",
+
+    // Sliding-window chunking: starts = {0, 20, …} below the token
+    // count; 1-based inclusive list slice clamps the trailing chunk
+    // exactly like Spark's slice(); fingerprints are md5 of the
+    // space-rejoined chunk (q20's portable-fingerprint convention).
+    "q122_doc_chunks" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+      st AS (SELECT doc_id, ws, len(ws) AS n_tok FROM tok),
+      ch AS (SELECT doc_id, ws, n_tok,
+               unnest(range(0, n_tok, 20)) AS start_tok FROM st)
+      SELECT doc_id, CAST(start_tok // 20 AS INTEGER) AS chunk_idx,
+             CAST(start_tok AS BIGINT) AS start_tok,
+             CAST(least(40, n_tok - start_tok) AS BIGINT) AS chunk_tokens,
+             md5(array_to_string(ws[start_tok + 1 : start_tok + 40], ' '))
+               AS chunk_fp
+      FROM ch ORDER BY doc_id, chunk_idx""",
+
+    // Adjacent-pair pattern: lead() over the (epoch_us, event_id)-
+    // ordered per-user timeline — the same deterministic tiebreak the
+    // engine's window uses.
+    "q123_event_pattern" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               lead(event_type) OVER w AS next_type,
+               lead(epoch_us(ts)) OVER w AS next_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      SELECT user_id, count(*) AS n_matches,
+             CAST(sum(next_us - us) AS BIGINT) AS total_gap_us
+      FROM e WHERE event_type = 'error' AND next_type = 'purchase'
+        AND next_us - us <= 600000000
+      GROUP BY 1 ORDER BY 1""",
+
+    // Hard negatives: q24's exact top-k contract restricted to
+    // label-mismatched neighbors (same dot/(sqrt·sqrt) IEEE sequence,
+    // same (sim DESC, neighbor_id) ranking).
+    "q124_hard_negatives" -> """
+      WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                        CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id % 50 = 0),
+      c AS (SELECT vec_id AS neighbor_id, label AS clabel,
+                   CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+                   list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv))) AS sim
+                 FROM c JOIN q ON qlabel <> clabel)
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+      QUALIFY rank <= 5 ORDER BY query_id, rank""",
+
     // TF-IDF with rational idf: ranking by tf/df ≡ ranking by tf·N/df
     // (N constant); score_micro uses exact integer products and one
     // correctly-rounded IEEE division, so both engines emit identical
@@ -518,6 +651,20 @@ object Oracles {
         AND epoch_us(v.ts) <= epoch_us(c.ts)
       WHERE c.event_type = 'click'
       ORDER BY click_id, view_id NULLS FIRST""",
+
+    // Batch full-outer interval join — streaming eviction on BOTH sides
+    // must reproduce it exactly, nulls included (user_id coalesces
+    // across sides; a view-only row carries no click columns).
+    "q125_streaming_full_outer_join" -> """
+      WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+                 FROM events WHERE event_type = 'click'),
+      v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+            FROM events WHERE event_type = 'view')
+      SELECT COALESCE(c.user_id, v.user_id) AS user_id, click_id, view_id,
+             c_us - v_us AS gap_us
+      FROM c FULL JOIN v ON c.user_id = v.user_id
+        AND v_us >= c_us - 1800000000 AND v_us <= c_us
+      ORDER BY click_id NULLS FIRST, view_id NULLS FIRST""",
 
     "q17_events_props" -> """
       SELECT json_extract_string(props, '$.k') AS k, count(*) AS n,

@@ -58,6 +58,31 @@ object Ann {
     ranked(scored, k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive / retrieval training: per
+    * query, the top-k most-similar corpus vectors whose `label` DIFFERS
+    * from the query's — the near-miss examples a dual-encoder trains
+    * against (in-batch randoms are too easy; the highest-cosine
+    * wrong-label neighbors carry the gradient signal).
+    *
+    * Same broadcast shape and integer-only (query_id, neighbor_id, rank)
+    * contract as [[bruteTopK]]; the label-mismatch predicate rides the
+    * broadcast join condition, so wrong-label filtering costs nothing
+    * extra. At corpus scale the exact scan swaps for [[lshTopK]] /
+    * [[ivfTopK]] candidates with the same mismatch predicate — the
+    * ranking contract is unchanged.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("_qlabel"), VecFns.toDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("label").as("_clabel"), VecFns.toDouble(col("embedding")).as("cv"))
+    val scored = c.join(broadcast(q), col("_qlabel") =!= col("_clabel"))
+      .select(col("query_id"), col("neighbor_id"),
+        fastCosine(c, "qv", "cv").as("sim"))
+    ranked(scored, k)
+  }
+
   /** LSH-bucketed top-k: candidates limited to the query's sign-bit
     * bucket. One shuffle on bucket id (or broadcast when queries are
     * small); scan cost drops by ~2^nPlanes.

@@ -52,6 +52,35 @@ object Sampling {
       : DataFrame =
     df.filter(pmod(portableHash(col(idCol)), lit(1000000L)) < weightPpm)
 
+  /** Data-MIXTURE rebalancing: deterministically subsample every group
+    * (source/domain/language) down to the size of the SMALLEST group's
+    * total `sizeCol` mass — the uniform-mixture special case of the
+    * per-domain reweighting every LLM training mix applies before
+    * sampling (heavier domains get proportionally lower keep rates).
+    *
+    * Per-group acceptance rate in exact integer ppm:
+    * `weight_ppm = (10⁶ · min_group_mass) div group_mass` — BIGINT-exact
+    * while group mass stays under ~9.2 × 10¹² (≈ 9 TB of text per
+    * group at 1 B/char; past that, promote the product to DECIMAL(38,0)
+    * — the div semantics are unchanged). Rows are then kept by the same
+    * portable-hash draw as [[weightedSample]], so the sample is
+    * reproducible in any engine and independent of partitioning.
+    *
+    * Scale shape: the group-stats frame is |groups| rows — broadcast
+    * both ways; the accept/reject itself is [[weightedSample]]'s pure
+    * narrow filter. No shuffle of the corpus at any size.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+      sizeCol: String): DataFrame = {
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(sizeCol)).cast("long").as("_toks"))
+    val mn = totals.agg(min(col("_toks")).as("_mn"))
+    val weights = totals.crossJoin(broadcast(mn))
+      .select(col(groupCol), expr("(1000000 * _mn) div _toks").as("weight_ppm"))
+    weightedSample(df.join(broadcast(weights), Seq(groupCol)),
+      idCol, col("weight_ppm"))
+  }
+
   /** The k rows of each stratum with the smallest (hash, id) order key.
     * Output: stratum column, id column, `sample_rank` (1..k).
     */

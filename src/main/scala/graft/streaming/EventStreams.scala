@@ -1618,6 +1618,65 @@ object EventStreams {
       .orderBy(col("click_id"), asc_nulls_first("view_id"))
   }
 
+  /** FULL-OUTER stream-stream interval join as a gate query — the last
+    * cell of the join-type matrix (q72 inner, q91 left-outer): BOTH
+    * sides' unmatched rows must emit with nulls, each only when the
+    * watermark passes its own match horizon and evicts its state. The
+    * staging, sentinel mechanics, and 30-minute lookback are exactly
+    * [[outerIntervalJoinOnce]]'s; the differences are the join type and
+    * that `user_id` must coalesce across sides (a view-only row has no
+    * click-side user). Unmatched-view emission exercises the RIGHT
+    * side's eviction path, which no left-outer query can reach.
+    *
+    * Oracle = the plain batch full-outer interval join; NULLS FIRST
+    * pinned on both key columns.
+    */
+  def fullOuterIntervalJoinOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val ss = streamingSession(spark)
+    deleteStagingForTest(java.nio.file.Paths.get(srcDir))
+    val ev = requireSpanHours(graft.Tables.events(ss, sfDir), queryName)
+    val sentinels = ev.agg(max(col("ts_us")).as("mx"))
+      .select(explode(array(lit("click"), lit("view"))).as("event_type"),
+        (col("mx") + lit(10L * 86400 * 1000000L)).as("ts_us"))
+      .select(lit(-1L).as("event_id"), col("ts_us"), lit(-1L).as("user_id"),
+        col("event_type"), lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+    val batches = Seq[org.apache.spark.sql.DataFrame](
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "view"),
+      sentinels)
+    batches.zipWithIndex.foldLeft(Set.empty[java.nio.file.Path]) {
+      case (st, (df, b)) => writeStampedBatch(srcDir, df, b, st, "fo-join")
+    }
+    val src = ss.readStream
+      .schema(stagedSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_us").as("c_us"),
+        timestamp_micros(col("ts_us")).as("c_time"))
+      .withWatermark("c_time", "2 hours")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts_us").as("v_us"),
+        timestamp_micros(col("ts_us")).as("v_time"))
+      .withWatermark("v_time", "2 hours")
+    val joined = clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_time") >= col("c_time") - expr("INTERVAL 30 MINUTES") &&
+        col("v_time") <= col("c_time"),
+      "full_outer")
+      .select(coalesce(col("c_user"), col("v_user")).as("user_id"),
+        col("click_id"), col("view_id"),
+        (col("c_us") - col("v_us")).as("gap_us"))
+    drainToTable(joined, queryName, OutputMode.Append)
+      .filter(col("user_id") >= 0) // drop both sides' watermark sentinels
+      .orderBy(asc_nulls_first("click_id"), asc_nulls_first("view_id"))
+  }
+
   /** Streaming CDC-APPLY as a RUN-TO-COMPLETION gate query: maintain a
     * keyed serving table from an event stream via `foreachBatch` +
     * [[graft.operators.Merge.mergeInto]] — the production pattern for

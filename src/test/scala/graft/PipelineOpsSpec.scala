@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Unit coverage for the round-7 pipeline-analytics operators (q118-q124):
+  * funnels, cohort retention, sequence patterns, chunking, mixture
+  * sampling, hard-negative mining. Each test checks the distributed plan
+  * against hand-computed semantics on adversarial micro-frames — the gate
+  * queries cover corpus-scale parity, these pin the decision points
+  * (ordering strictness, adjacency, trailing chunks, weight formulas).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------- funnel
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toDF("user_id", "event_type", "ts_us")
+
+  test("funnel counts only strictly-ordered step sequences") {
+    // u1: full in-order conversion; u2: purchase BEFORE click (stops at
+    // click); u3: click before view (the view→click leg still converts
+    // via the later click at t=40); u4: never views
+    val events = ev(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "view", 10L), (2L, "purchase", 15L), (2L, "click", 20L),
+      (3L, "click", 5L), (3L, "view", 30L), (3L, "click", 40L),
+      (4L, "click", 10L), (4L, "purchase", 20L))
+    val got = CacheScope.withScope {
+      Behavior.funnel(events, Seq("view", "click", "purchase"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+    }
+    // step1: u1,u2,u3 viewed. step2: u1 (lag 10), u2 (lag 10), u3 (lag 10).
+    // step3: only u1 (lag 20) — u2's purchase precedes its click, u3 never
+    // purchases.
+    assert(got === Array(
+      (1, "view", 3L, 0L),
+      (2, "click", 3L, 30L),
+      (3, "purchase", 1L, 20L)))
+  }
+
+  test("funnel step time must be STRICTLY after the previous step's") {
+    // click at exactly the view's timestamp does not convert
+    val events = ev((1L, "view", 10L), (1L, "click", 10L))
+    val got = CacheScope.withScope {
+      Behavior.funnel(events, Seq("view", "click"))
+        .collect().map(r => (r.getInt(0), r.getLong(2)))
+    }
+    assert(got === Array((1, 1L), (2, 0L)))
+  }
+
+  // --------------------------------------------------- cohort retention
+
+  test("cohortRetention buckets by first-active day and counts revisits") {
+    val day = 86400000000L
+    // u1 first active day 0, returns day 2 (twice — counted once);
+    // u2 first active day 2 only
+    val events = ev(
+      (1L, "view", 5L), (1L, "view", 2 * day + 1L), (1L, "click", 2 * day + 2L),
+      (2L, "view", 2 * day + 7L))
+    val got = CacheScope.withScope {
+      Behavior.cohortRetention(events)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    assert(got === Array((0L, 0L, 1L), (0L, 2L, 1L), (2L, 0L, 1L)))
+  }
+
+  // ----------------------------------------------------- adjacentPattern
+
+  private def evId(rows: (Long, Long, String, Long)*) =
+    rows.toDF("user_id", "event_id", "event_type", "ts_us")
+
+  test("adjacentPattern requires ADJACENCY, the gap bound, and uses the " +
+      "event_id tiebreak on equal timestamps") {
+    val events = evId(
+      // u1: error→purchase adjacent within gap → match (gap 5)
+      (1L, 1L, "error", 10L), (1L, 2L, "purchase", 15L),
+      // u1: error→view→purchase — NOT adjacent → no match
+      (1L, 3L, "error", 100L), (1L, 4L, "view", 110L),
+      (1L, 5L, "purchase", 120L),
+      // u2: error→purchase adjacent but gap 200 > 50 → no match
+      (2L, 6L, "error", 10L), (2L, 7L, "purchase", 210L),
+      // u3: equal-ts pair ordered by event_id: error(id 8) then
+      // purchase(id 9) → match with gap 0
+      (3L, 8L, "error", 10L), (3L, 9L, "purchase", 10L))
+    val got = CacheScope.withScope {
+      Behavior.adjacentPattern(events, "error", "purchase", maxGapUs = 50L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    assert(got === Array((1L, 1L, 5L), (3L, 1L, 0L)))
+  }
+
+  // ------------------------------------------------------------ chunker
+
+  test("chunk emits stride-overlapped windows with a clamped tail") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val got = Chunker.chunk(docs, sizeTokens = 3, strideTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    def fp(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got === Array(
+      (1L, 0, 0L, 3L, fp("a b c")),
+      (1L, 1, 2L, 3L, fp("c d e")),
+      (1L, 2, 4L, 1L, fp("e"))))
+  }
+
+  test("chunk on an empty text yields one empty-fingerprint chunk " +
+      "(the single-empty-token split convention q74 shares)") {
+    val docs = Seq((1L, "")).toDF("doc_id", "text")
+    val got = Chunker.chunk(docs, sizeTokens = 4, strideTokens = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(3)))
+    assert(got === Array((0, 1L)))
+  }
+
+  // ----------------------------------------------------- mixtureSample
+
+  test("mixtureSample keeps the smallest group whole and downsamples " +
+      "heavier groups by the exact ppm formula, deterministically") {
+    // group a: mass 100 (smallest → weight 10⁶, all kept);
+    // group b: mass 400 → weight 250000
+    val df = ((1L to 10L).map(i => (i, "a", 10L)) ++
+      (11L to 20L).map(i => (i, "b", 40L)))
+      .toDF("doc_id", "source", "n_chars")
+    val got = CacheScope.withScope {
+      Sampling.mixtureSample(df, "doc_id", "source", "n_chars")
+        .select("doc_id", "source", "weight_ppm")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    }
+    val a = got.filter(_._2 == "a")
+    assert(a.length === 10 && a.forall(_._3 == 1000000L))
+    val b = got.filter(_._2 == "b")
+    assert(b.forall(_._3 == 250000L))
+    // the b survivors are exactly the portable-hash draws under 250000
+    def hash(id: Long) = ((id % 100003L) * 2654435761L) % 1000000007L
+    val expectB = (11L to 20L).filter(i => hash(i) % 1000000L < 250000L)
+    assert(b.map(_._1).sorted.toSeq === expectB)
+    // determinism: a second run draws the identical sample
+    val again = CacheScope.withScope {
+      Sampling.mixtureSample(df, "doc_id", "source", "n_chars")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+    }
+    assert(again.toSeq === got.map(_._1).sorted.toSeq)
+  }
+
+  // ----------------------------------------------------- hardNegatives
+
+  test("hardNegatives excludes same-label neighbors even when they are " +
+      "the nearest overall") {
+    // query 0 (label 0) is IDENTICAL to vec 1 (label 0) — the nearest
+    // neighbor by cosine — but only label-1 vectors may be returned
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),   // same label: must be excluded
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.5f, 0.5f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Ann.hardNegatives(df, df.filter(col("vec_id") === 0L), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // ranking among label-1: vec 2 (cos≈0.994) then vec 4 (cos≈0.707)
+    assert(got === Array((0L, 2L, 1), (0L, 4L, 2)))
+  }
+}

@@ -63,7 +63,17 @@ class PlanAuditSpec extends AnyFunSuite {
     "q65_grouped_transform" -> "requireSpanHours 1-row bounds broadcast",
     "q102_band_join" -> "requireSpanHours 1-row bounds broadcast",
     "q106_overlap_join" -> "requireSpanHours 1-row bounds broadcast",
-    "q113_session_window" -> "requireSpanHours 1-row bounds broadcast")
+    "q113_session_window" -> "requireSpanHours 1-row bounds broadcast",
+    "q119_event_funnel" -> "requireSpanHours 1-row bounds broadcast",
+    "q120_cohort_retention" -> "requireSpanHours 1-row bounds broadcast",
+    "q123_event_pattern" -> "requireSpanHours 1-row bounds broadcast",
+    "q121_mixture_sample" -> ("the ONE-ROW min-group-mass frame is " +
+      "cross-joined (broadcast) onto the |groups|-row totals — same " +
+      "bounds-frame mechanism as q50/q64; the corpus itself joins the " +
+      "tiny weights frame by equi-key"),
+    "q124_hard_negatives" -> ("the label-mismatch top-k IS a broadcast " +
+      "NL join (queries broadcast over corpus) by design — q24's exact " +
+      "baseline shape with the mismatch predicate as the join condition"))
 
   private val streaming =
     Set("q57_streaming_rollup", "q60_streaming_sessionize",
@@ -74,7 +84,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q103_streaming_tws_sessionize", "q109_streaming_tws_timer",
       "q110_streaming_lastk", "q111_streaming_bootstrap",
       "q112_streaming_type_counts", "q114_streaming_dedup_rollup",
-      "q115_streaming_ttl_state", "q116_streaming_restart")
+      "q115_streaming_ttl_state", "q116_streaming_restart",
+      "q125_streaming_full_outer_join")
 
   test("no unsanctioned nested-loop or cartesian join in any batch plan") {
     val offenders = Queries.all.toSeq.sortBy(_._1)
