@@ -46,16 +46,27 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Shared broadcast-scan pipeline behind [[bruteTopK]] and
+    * [[hardNegatives]]: queries broadcast over the corpus under `cond`,
+    * scored by the codegen cosine, ranked per query. Both oracle-gated
+    * operators ride ONE scoring/ranking contract — a tiebreak or
+    * vector-convention change cannot diverge them.
+    */
+  private def broadcastTopK(c: DataFrame, q: DataFrame, k: Int,
+      cond: Column): DataFrame = {
+    val scored = c.join(broadcast(q), cond)
+      .select(col("query_id"), col("neighbor_id"),
+        fastCosine(c, "qv", "cv").as("sim"))
+    ranked(scored, k)
+  }
+
   /** Exact brute-force top-k: broadcast the query set over the corpus. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       VecFns.toDouble(col("embedding")).as("qv"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       VecFns.toDouble(col("embedding")).as("cv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        fastCosine(c, "qv", "cv").as("sim"))
-    ranked(scored, k)
+    broadcastTopK(c, q, k, col("query_id") =!= col("neighbor_id"))
   }
 
   /** HARD-NEGATIVE mining for contrastive / retrieval training: per
@@ -77,10 +88,7 @@ object Ann {
       col("label").as("_qlabel"), VecFns.toDouble(col("embedding")).as("qv"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("label").as("_clabel"), VecFns.toDouble(col("embedding")).as("cv"))
-    val scored = c.join(broadcast(q), col("_qlabel") =!= col("_clabel"))
-      .select(col("query_id"), col("neighbor_id"),
-        fastCosine(c, "qv", "cv").as("sim"))
-    ranked(scored, k)
+    broadcastTopK(c, q, k, col("_qlabel") =!= col("_clabel"))
   }
 
   /** LSH-bucketed top-k: candidates limited to the query's sign-bit

@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * the chained per-step joins (same-key exchanges collapse under AQE),
   * and the per-step / per-cohort frames are ≤ |users| rows, so each
   * follow-up join's build side is tiny relative to the event scan.
-  * Nothing here sorts globally or collects.
+  * Nothing here sorts globally or collects — deterministic output
+  * ORDER BYs live in the gate-query layer (Queries.scala), not here.
   */
 object Behavior {
 
@@ -39,14 +40,21 @@ object Behavior {
     require(steps.nonEmpty, "funnel needs at least one step")
     val e = graft.CacheScope.scoped(
       events.select(col("user_id"), col("event_type"), col("ts_us")))
-    val first = e.filter(col("event_type") === steps.head)
-      .groupBy("user_id").agg(min(col("ts_us")).as("t"))
+    // every reach frame is scoped-cached: each is consumed by the NEXT
+    // step's join AND by its own output row (and `first` by every row's
+    // t1 join) — uncached, the chained lineages would re-execute every
+    // earlier step per consumer (the CLAUDE.md iterative-lineage rule)
+    val first = graft.CacheScope.scoped(
+      e.filter(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min(col("ts_us")).as("t")))
     // reachTimes(k): (user_id, t) for users who reached step k+1
     val reachTimes = steps.tail.scanLeft(first) { (prev, step) =>
-      e.filter(col("event_type") === step)
-        .join(prev.select(col("user_id"), col("t").as("_prev_t")), "user_id")
-        .filter(col("ts_us") > col("_prev_t"))
-        .groupBy("user_id").agg(min(col("ts_us")).as("t"))
+      graft.CacheScope.scoped(
+        e.filter(col("event_type") === step)
+          .join(prev.select(col("user_id"), col("t").as("_prev_t")),
+            "user_id")
+          .filter(col("ts_us") > col("_prev_t"))
+          .groupBy("user_id").agg(min(col("ts_us")).as("t")))
     }
     val t1 = first.select(col("user_id"), col("t").as("_t1"))
     reachTimes.zip(steps).zipWithIndex.map { case ((df, step), i) =>
@@ -56,7 +64,7 @@ object Behavior {
             .as("total_lag_us"))
         .select(lit(i + 1).as("step"), lit(step).as("event_type"),
           col("n_users"), col("total_lag_us"))
-    }.reduce(_ unionAll _).orderBy("step")
+    }.reduce(_ unionAll _)
   }
 
   /** Cohort retention matrix: users bucketed by FIRST-ACTIVE day (their
@@ -79,7 +87,6 @@ object Behavior {
       .groupBy(col("cohort_day"),
         (col("day_idx") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
-      .orderBy("cohort_day", "day_offset")
   }
 
   /** Adjacent-pair sequence pattern (the MATCH_RECOGNIZE-lite shape):
@@ -104,6 +111,5 @@ object Behavior {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_matches"),
         sum(col("_next_us") - col("ts_us")).cast("long").as("total_gap_us"))
-      .orderBy("user_id")
   }
 }

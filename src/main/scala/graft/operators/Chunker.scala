@@ -49,6 +49,5 @@ object Chunker {
         md5(concat_ws(" ",
           slice(col("ws"), col("start_tok") + 1, lit(sizeTokens))))
           .as("chunk_fp"))
-      .orderBy("doc_id", "chunk_idx")
   }
 }

@@ -72,8 +72,10 @@ object Sampling {
     */
   def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
       sizeCol: String): DataFrame = {
-    val totals = df.groupBy(col(groupCol))
-      .agg(sum(col(sizeCol)).cast("long").as("_toks"))
+    // totals is consumed twice (weights select + its own min aggregate)
+    // — cached, or the corpus-wide sum would execute once per branch
+    val totals = graft.CacheScope.scoped(df.groupBy(col(groupCol))
+      .agg(sum(col(sizeCol)).cast("long").as("_toks")))
     val mn = totals.agg(min(col("_toks")).as("_mn"))
     val weights = totals.crossJoin(broadcast(mn))
       .select(col(groupCol), expr("(1000000 * _mn) div _toks").as("weight_ppm"))

@@ -32,7 +32,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = CacheScope.withScope {
       Behavior.funnel(events, Seq("view", "click", "purchase"))
         .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
-          r.getLong(3)))
+          r.getLong(3))).sortBy(_._1)
     }
     // step1: u1,u2,u3 viewed. step2: u1 (lag 10), u2 (lag 10), u3 (lag 10).
     // step3: only u1 (lag 20) — u2's purchase precedes its click, u3 never
@@ -48,7 +48,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val events = ev((1L, "view", 10L), (1L, "click", 10L))
     val got = CacheScope.withScope {
       Behavior.funnel(events, Seq("view", "click"))
-        .collect().map(r => (r.getInt(0), r.getLong(2)))
+        .collect().map(r => (r.getInt(0), r.getLong(2))).sortBy(_._1)
     }
     assert(got === Array((1, 1L), (2, 0L)))
   }
@@ -65,6 +65,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = CacheScope.withScope {
       Behavior.cohortRetention(events)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
     }
     assert(got === Array((0L, 0L, 1L), (0L, 2L, 1L), (2L, 0L, 1L)))
   }
@@ -90,6 +91,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = CacheScope.withScope {
       Behavior.adjacentPattern(events, "error", "purchase", maxGapUs = 50L)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
     }
     assert(got === Array((1L, 1L, 5L), (3L, 1L, 0L)))
   }
@@ -100,7 +102,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val got = Chunker.chunk(docs, sizeTokens = 3, strideTokens = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
-        r.getLong(3), r.getString(4)))
+        r.getLong(3), r.getString(4))).sortBy(_._2)
     def fp(s: String) = {
       val d = java.security.MessageDigest.getInstance("MD5")
       d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -115,7 +117,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       "(the single-empty-token split convention q74 shares)") {
     val docs = Seq((1L, "")).toDF("doc_id", "text")
     val got = Chunker.chunk(docs, sizeTokens = 4, strideTokens = 4)
-      .collect().map(r => (r.getInt(1), r.getLong(3)))
+      .collect().map(r => (r.getInt(1), r.getLong(3))).sortBy(_._1)
     assert(got === Array((0, 1L)))
   }
 
