@@ -20,9 +20,11 @@ object Dev {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outDir = "/tmp/dev_out"
-    val qs = Seq("q118_embedding_dedup", "q119_event_funnel",
-      "q120_cohort_retention", "q121_mixture_sample", "q122_doc_chunks",
-      "q123_event_pattern", "q124_hard_negatives", "q125_streaming_full_outer_join")
+    // args after the sf dir select the probed subset; default = the
+    // queries under active development
+    val qs: Seq[String] =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q126_gopher_rules", "q127_linear_fit")
     new java.io.File(outDir).mkdirs()
     for (q <- qs) {
       println(s"\n======== $q ========")

@@ -403,6 +403,56 @@ object Oracles {
       FROM scored
       QUALIFY rank <= 5 ORDER BY query_id, rank""",
 
+    // Gopher rule battery in the same exact integer comparisons the
+    // engine runs: cross-multiplied mean-length bounds, 5·alpha ≥
+    // 4·words, distinct-stopword floor (list_intersect dedupes, like
+    // Spark's array_intersect); regexp_full_match ≡ rlike '^[a-z]+$'.
+    "q126_gopher_rules" -> """
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars
+        FROM documents),
+      r AS (
+        SELECT doc_id, n_words, word_chars,
+          CAST(len(list_filter(ws,
+            x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT) AS n_alpha_words,
+          CAST(len(list_intersect(ws,
+            ['the','a','and','of','to','in','is'])) AS BIGINT) AS n_stop_kinds
+        FROM w)
+      SELECT doc_id, n_words, word_chars, n_alpha_words, n_stop_kinds,
+             (n_words BETWEEN 30 AND 10000
+              AND 3 * n_words <= word_chars
+              AND word_chars <= 10 * n_words
+              AND 5 * n_alpha_words >= 4 * n_words
+              AND n_stop_kinds >= 2) AS keep
+      FROM r ORDER BY doc_id""",
+
+    // OLS from the identical integer power sums (HUGEINT ≡ the engine's
+    // DECIMAL(38,0)); // is DuckDB's TRUNCATING integral division =
+    // Spark's div (both toward zero — floor would diverge on negative
+    // numerators); NULLIF guards degenerate (constant-x/-y) groups.
+    "q127_linear_fit" -> """
+      WITH o AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS HUGEINT) AS x,
+               CAST(n_chars AS HUGEINT) AS y
+        FROM documents),
+      s AS (
+        SELECT source, CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+               sum(x*x) AS sxx, sum(y*y) AS syy
+        FROM o GROUP BY 1)
+      SELECT source, CAST(n AS BIGINT) AS n_rows,
+        CAST((1000000 * (n*sxy - sx*sy))
+             // NULLIF(n*sxx - sx*sx, 0) AS BIGINT) AS slope_ppm,
+        CAST((1000000 * (sy*sxx - sx*sxy))
+             // NULLIF(n*sxx - sx*sx, 0) AS BIGINT) AS intercept_ppm,
+        CAST((1000000 * (n*sxy - sx*sy) * (n*sxy - sx*sy))
+             // NULLIF((n*sxx - sx*sx) * (n*syy - sy*sy), 0) AS BIGINT)
+          AS r2_ppm
+      FROM s ORDER BY source NULLS FIRST""",
+
     // TF-IDF with rational idf: ranking by tf/df ≡ ranking by tf·N/df
     // (N constant); score_micro uses exact integer products and one
     // correctly-rounded IEEE division, so both engines emit identical

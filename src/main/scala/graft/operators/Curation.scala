@@ -81,6 +81,59 @@ object Curation {
         (col("n_segs") - size(col("kept"))).as("dropped_segments"))
   }
 
+  /** The stopword set behind [[gopherRules]]' natural-language tell —
+    * shared with the oracle SQL, which embeds it verbatim.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Gopher-style document-quality rule battery (Rae et al. 2021, App. A
+    * — the heuristic pre-filter most pretraining pipelines run before any
+    * model-based scoring), re-expressed in EXACT integer arithmetic so
+    * the oracle gate hash-matches every rule bit — no float ratios:
+    *
+    *   - word count within [minWords, maxWords]
+    *   - mean word length in [3, 10] chars, as the cross-multiplied
+    *     integer bounds 3·n_words ≤ word_chars ≤ 10·n_words
+    *   - alphabetic-word fraction ≥ 0.8, as 5·n_alpha ≥ 4·n_words
+    *   - ≥ 2 DISTINCT [[stopwords]] present
+    *
+    * (Gopher's line-shaped rules — bullet-start / ellipsis-end ratios —
+    * have no carrier in a corpus without line structure and are omitted;
+    * the symbol-ratio rule collapses into the alphabetic-word rule under
+    * space tokenization.)
+    *
+    * Output: one row per document with the rule inputs and the composite
+    * `keep` verdict — kept as a profile rather than a filter so the gate
+    * pins BOTH verdicts; `.filter(col("keep"))` is the production form.
+    *
+    * Scale shape: a single narrow codegen map over the corpus — no
+    * shuffle, no explode (the alpha and stopword counts ride array
+    * `filter`/`array_intersect` on the split tokens); at 100 TB this
+    * pass is scan-bound, exactly what a rule battery should be.
+    */
+  def gopherRules(docs: DataFrame, minWords: Int = 30,
+      maxWords: Int = 10000): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords, "nonsensical word bounds")
+    val ws = split(col("text"), " ")
+    docs
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        // total in-word chars: drop the separators (space-joined corpus)
+        length(translate(col("text"), " ", "")).cast("long")
+          .as("word_chars"),
+        size(filter(ws, w => w.rlike("^[a-z]+$"))).cast("long")
+          .as("n_alpha_words"),
+        size(array_intersect(ws, array(stopwords.map(lit): _*)))
+          .cast("long").as("n_stop_kinds"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+        lit(3) * col("n_words") <= col("word_chars") &&
+        col("word_chars") <= lit(10) * col("n_words") &&
+        lit(5) * col("n_alpha_words") >= lit(4) * col("n_words") &&
+        col("n_stop_kinds") >= 2)
+  }
+
   /** The curation funnel: language-ID gate + token-length floor + quality
     * scoring + per-source diversity cap — the standard select-the-best-K-
     * per-domain pass that keeps a pretraining mix from being swamped by

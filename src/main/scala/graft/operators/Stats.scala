@@ -79,4 +79,54 @@ object Stats {
       cnt(keysOk && parsed.isNotNull && parsed >= 0 &&
         statusNorm =!= "cancelled", "n_output"))
   }
+
+  /** Per-group ordinary-least-squares fit of `yCol` on `xCol` — the
+    * closed-form regression every profiling pass wants (is doc length
+    * linear in word count? does value drift with time bucket?), computed
+    * from EXACT integer power sums so the oracle gate can hash-match it.
+    *
+    * All five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    * DECIMAL(38,0) — partial-aggregate merge order cannot perturb integer
+    * sums, so a 1000-executor run emits the same bits as local[1] (the
+    * same policy as the decimal SUM/AVG above). The three outputs are
+    * ppm-scaled integral quotients:
+    *
+    *   slope_ppm     = (10⁶·(n·Σxy − Σx·Σy))  DIV (n·Σx² − (Σx)²)
+    *   intercept_ppm = (10⁶·(Σy·Σx² − Σx·Σxy)) DIV (n·Σx² − (Σx)²)
+    *   r2_ppm        = (10⁶·(n·Σxy − Σx·Σy)²) DIV ((n·Σx²−(Σx)²)·(n·Σy²−(Σy)²))
+    *
+    * DIV is the TRUNCATING integral division on both engines (Spark `div`
+    * ≡ DuckDB `//`, both toward zero — floor would disagree on negative
+    * numerators, e.g. an inverse correlation's slope). A degenerate group
+    * (constant x, or constant y for r²) yields NULL via NULLIF, never an
+    * ANSI divide-by-zero. Numerator bound: 10⁶·(n·Σxy)² must fit
+    * DECIMAL(38) — at n·Σxy ≈ 10¹⁵ (petabyte-scale groups) r² saturates;
+    * drop the ppm pre-scale or split the quotient there (a one-line
+    * change on both sides).
+    *
+    * Scale shape: ONE map-combinable aggregation (the sums), then a
+    * per-group scalar projection — no second shuffle, no collect.
+    */
+  def linearFit(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val s = df
+      .select(col(groupCol), col(xCol).cast(big).as("x"),
+        col(yCol).cast(big).as("y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(big).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    s.select(col(groupCol),
+      col("n").cast("long").as("n_rows"),
+      expr("(1000000 * (n*sxy - sx*sy)) div nullif(n*sxx - sx*sx, 0)")
+        .as("slope_ppm"),
+      expr("(1000000 * (sy*sxx - sx*sxy)) div nullif(n*sxx - sx*sx, 0)")
+        .as("intercept_ppm"),
+      expr("""(1000000 * (n*sxy - sx*sy) * (n*sxy - sx*sy))
+              div nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0)""")
+        .as("r2_ppm"))
+  }
 }
