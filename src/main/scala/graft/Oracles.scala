@@ -403,6 +403,126 @@ object Oracles {
       FROM scored
       QUALIFY rank <= 5 ORDER BY query_id, rank""",
 
+    // int8 quantization replayed exactly: float→double widening is
+    // exact and x·127.0/mx is two correctly-rounded IEEE ops, so FLOOR
+    // lands on the same integer in both engines; the dot product is
+    // then pure BIGINT (list_dot_product stays exact — |qdot| ≤
+    // 127²·dim ≪ 2⁵³).
+    "q128_quantized_ann" -> """
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+      m AS (
+        SELECT vec_id, dv,
+               list_max(list_transform(dv, x -> abs(x))) AS mx FROM v),
+      qt AS (
+        SELECT vec_id,
+          CASE WHEN mx = 0
+               THEN list_transform(dv, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(dv,
+                      x -> CAST(FLOOR(x * 127.0 / mx) AS BIGINT))
+          END AS qv
+        FROM m),
+      qq AS (SELECT vec_id AS query_id, qv AS qa FROM qt
+             WHERE vec_id % 83 = 0),
+      sc AS (
+        SELECT query_id, c.vec_id AS neighbor_id,
+               CAST(list_dot_product(qa, c.qv) AS BIGINT) AS qdot
+        FROM qt c JOIN qq ON query_id <> c.vec_id)
+      SELECT query_id, neighbor_id, qdot,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY qdot DESC, neighbor_id) AS INTEGER) AS rank
+      FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""",
+
+    // The cascade replayed: q86's exact integer BM25 formula scored per
+    // (query, candidate) with the query's distinct tokens, top-20 by
+    // (bm25 DESC, doc_id), then q24's cosine convention (same IEEE op
+    // sequence) reranks to top-5.
+    "q129_two_stage_retrieval" -> """
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               string_split(text, ' ') AS toks
+        FROM documents),
+      stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS BIGINT) // greatest(count(*), 1) AS ad
+        FROM base),
+      qterms AS (
+        SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+        FROM base WHERE doc_id % 101 = 0),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+        WHERE term IN (SELECT DISTINCT term FROM qterms)
+        GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(sum((1000000 * (2*n_docs - 2*df + 1) * 44 * ad * tf)
+                        // ((2*df + 1) * (20*ad*tf + 6*ad + 18*dl)))
+                 AS BIGINT) AS bm25_micro
+        FROM tf JOIN dfreq USING (term)
+                JOIN qterms q USING (term)
+                CROSS JOIN stats
+        WHERE tf.doc_id <> q.query_id
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT query_id, doc_id, bm25_micro,
+               row_number() OVER (PARTITION BY query_id
+                  ORDER BY bm25_micro DESC, doc_id) AS brank
+        FROM scored QUALIFY brank <= 20),
+      ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+      rer AS (
+        SELECT c.query_id, c.doc_id AS neighbor_id, c.bm25_micro,
+               list_dot_product(qe.v, ce.v) /
+                 (sqrt(list_dot_product(qe.v, qe.v)) *
+                  sqrt(list_dot_product(ce.v, ce.v))) AS sim
+        FROM cand c JOIN ev qe ON qe.vec_id = c.query_id
+                    JOIN ev ce ON ce.vec_id = c.doc_id)
+      SELECT query_id, neighbor_id, bm25_micro,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM rer QUALIFY rank <= 5 ORDER BY query_id, rank""",
+
+    // The dHash grid replayed on the closed-form raster p(x,y) =
+    // (id·31+7x+13y) mod 256 (the q29/q99 construction): same sampling
+    // arithmetic (integer DIV — operands nonnegative, so // agrees with
+    // Spark's truncation), same little-endian bit packing, same 32/32
+    // split (bit 63 would overflow DuckDB's signed <<).
+    "q130_image_dhash" -> """
+      WITH img AS (
+        SELECT doc_id AS media_id,
+               8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      grid AS (
+        SELECT media_id, j, i,
+               (i * (w - 1)) // 8 AS x0,
+               ((i + 1) * (w - 1)) // 8 AS x1,
+               (j * (h - 1)) // 7 AS y
+        FROM img, unnest(range(0, 8)) AS tj(j),
+                  unnest(range(0, 8)) AS ti(i)),
+      bits AS (
+        SELECT media_id, j, i,
+          CASE WHEN (media_id*31 + 7*x1 + 13*y) % 256 >
+                    (media_id*31 + 7*x0 + 13*y) % 256
+               THEN CAST(1 AS BIGINT) ELSE 0 END AS b
+        FROM grid),
+      h AS (
+        SELECT media_id,
+          CAST(sum(CASE WHEN j >= 4
+                   THEN b * (CAST(1 AS BIGINT) << (8*(j-4) + i))
+                   ELSE 0 END) AS BIGINT) AS dhash_hi,
+          CAST(sum(CASE WHEN j < 4
+                   THEN b * (CAST(1 AS BIGINT) << (8*j + i))
+                   ELSE 0 END) AS BIGINT) AS dhash_lo
+        FROM bits GROUP BY 1),
+      g AS (SELECT dhash_hi, dhash_lo, count(*) AS group_size
+            FROM h GROUP BY 1, 2)
+      SELECT media_id, dhash_hi, dhash_lo,
+             CAST(group_size AS BIGINT) AS group_size
+      FROM h JOIN g USING (dhash_hi, dhash_lo) ORDER BY media_id""",
+
     // Gopher rule battery in the same exact integer comparisons the
     // engine runs: cross-multiplied mean-length bounds, 5·alpha ≥
     // 4·words, distinct-stopword floor (list_intersect dedupes, like

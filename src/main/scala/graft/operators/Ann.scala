@@ -91,6 +91,42 @@ object Ann {
     broadcastTopK(c, q, k, col("_qlabel") =!= col("_clabel"))
   }
 
+  /** Embedding rerank over an upstream candidate set — stage 2 of the
+    * standard two-stage retrieval cascade (cheap lexical/ANN recall →
+    * exact semantic precision). `cands` carries (query_id, neighbor_id,
+    * …extras); each side joins the embedding table by EQUI-key (no NL
+    * join — the candidate set is already pruned), gets the codegen
+    * cosine, and keeps the top-k per query under the same
+    * (sim DESC, neighbor_id) contract as [[bruteTopK]]. Extra candidate
+    * columns (upstream scores, provenance) pass through untouched.
+    *
+    * Scale: candidate-sized joins (|queries|·k₁ rows, not corpus-sized);
+    * the rank window is per-query. The expensive half — recall — stays
+    * in stage 1 where it's bucketed/banded.
+    */
+  def rerankTopK(cands: DataFrame, embeddings: DataFrame, k: Int)
+      : DataFrame = {
+    val ev = embeddings.select(col("vec_id"),
+      VecFns.toDouble(col("embedding")).as("_v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val extras = cands.columns.toSeq
+      .filterNot(Set("query_id", "neighbor_id"))
+    cands
+      .join(ev.select(col("vec_id").as("query_id"), col("_v").as("qv")),
+        "query_id")
+      .join(ev.select(col("vec_id").as("neighbor_id"), col("_v").as("cv")),
+        "neighbor_id")
+      .withColumn("sim", fastCosine(cands, "qv", "cv"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      // equi-joins hoist their keys to the front — pin the contract
+      // order (query, neighbor, upstream extras, rank) instead
+      .select((Seq("query_id", "neighbor_id") ++ extras :+ "rank")
+        .map(col): _*)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH-bucketed top-k: candidates limited to the query's sign-bit
     * bucket. One shuffle on bucket id (or broadcast when queries are
     * small); scan cost drops by ~2^nPlanes.

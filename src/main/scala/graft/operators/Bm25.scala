@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 retrieval scoring — the ranked-retrieval companion to [[TfIdf]]
@@ -75,5 +76,59 @@ object Bm25 {
         count(lit(1)).as("n_terms"))
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Batched retrieval: top-k per query for a whole QUERY SET in one
+    * pass — the shape an eval-mining or RAG-indexing job actually runs
+    * (N queries against the corpus, not one). Queries are (query_id,
+    * text); a query's bag of words is its DISTINCT tokens. A query never
+    * retrieves itself (`query_id <> doc_id`), so self-matches can't
+    * crowd out real neighbors when queries are drawn from the corpus.
+    *
+    * Same exact integer formula as [[topK]] (see the object scaladoc) —
+    * df per term is its true corpus document frequency (counted over all
+    * docs containing the term, independent of which query asked).
+    *
+    * Scale shape: the query-term set is broadcast twice — once as a
+    * LEFT SEMI join pruning corpus tokens to terms ANY query uses
+    * (hits-only shuffle, like topK's isin), once as the scoring join
+    * fanning hits out per interested query. Per-query top-k is a
+    * rank-limited window on query_id — never a global sort. Queries are
+    * assumed broadcast-small (thousands); a corpus-scale query set would
+    * swap the broadcasts for shuffle joins on term, same plan shape.
+    */
+  def topKPerQuery(docs: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    val stats = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(dl) DIV greatest(count(1), 1)").as("ad"))
+    // distinct query terms, pinned: feeds both the corpus-token pruning
+    // semi-join and the scoring fan-out (CLAUDE.md self-join rule)
+    val qterms = graft.CacheScope.scoped(queries
+      .select(col("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term")))
+    val tf = graft.CacheScope.scoped(docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"),
+        "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+    tf.join(broadcast(dfreq), "term")
+      .join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(stats))
+      .withColumn("score_micro_t", expr(
+        """(1000000L * (2*n_docs - 2*df + 1) * 44 * ad * tf)
+             DIV ((2*df + 1) * (20*ad*tf + 6*ad + 18*dl))"""))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_micro_t")).as("bm25_micro"))
+      .withColumn("brank", row_number().over(w))
+      .filter(col("brank") <= k)
   }
 }

@@ -402,6 +402,73 @@ object Multimodal {
   def imageFormatFeatures(docs: DataFrame): DataFrame =
     sniffDecodeImages(imageTable(docs)).toDF()
 
+  /** One decoded image's 64-bit difference hash, split into two 32-bit
+    * halves (a single BIGINT would need bit 63; DuckDB's `<<` refuses
+    * the signed overflow, so the split IS the portable encoding).
+    */
+  private[graft] case class DHashRow(media_id: Long, dhash_hi: Long,
+      dhash_lo: Long)
+
+  /** Perceptual image dedup by DIFFERENCE HASH (dHash): decode each
+    * lossless payload, sample an 8×9 brightness grid, and emit one bit
+    * per horizontal gradient — near-identical images (recompressions,
+    * metadata-stripped copies) collide on the 64-bit hash where byte
+    * checksums never would. This is the image-side counterpart of the
+    * text near-dup family: group-by-hash replaces group-by-md5 (q19)
+    * exactly, and the hash is metric (Hamming distance) so a banded
+    * near-match join like q26's is the documented scale-up.
+    *
+    * Grid convention (pinned, shared with the oracle): row j ∈ 0..7
+    * samples y = j·(h−1) DIV 7; columns x_i = i·(w−1) DIV 8 for
+    * i ∈ 0..8; bit (j,i) = [p(x_{i+1},y) > p(x_i,y)], packed
+    * little-endian as bits 8j+i, halves split at bit 32. Production
+    * dHash averages blocks instead of point-sampling; point samples keep
+    * the oracle in closed form while exercising the identical
+    * decode→grid→pack pipeline.
+    *
+    * Output: (media_id, dhash_hi, dhash_lo, group_size) over the
+    * LOSSLESS image rows (kind = image ⇒ PNG payloads; a lossy codec's
+    * pixels aren't exact, which is q99's honest-null lesson). The decode
+    * is partition-batched mapPartitions (real javax.imageio work); the
+    * only shuffle is the group-size window on the hash — at corpus scale
+    * exactly the dedup shuffle q19 runs on md5.
+    */
+  def imageDHash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = fromDocuments(docs)
+      .filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        var hi = 0L
+        var lo = 0L
+        var j = 0
+        while (j < 8) {
+          val y = (j * (h - 1)) / 7
+          var i = 0
+          while (i < 8) {
+            val x0 = (i * (w - 1)) / 8
+            val x1 = ((i + 1) * (w - 1)) / 8
+            if (raster.getSample(x1, y, 0) > raster.getSample(x0, y, 0)) {
+              if (j >= 4) hi |= 1L << (8 * (j - 4) + i)
+              else lo |= 1L << (8 * j + i)
+            }
+            i += 1
+          }
+          j += 1
+        }
+        DHashRow(r.media_id, hi, lo)
+      })
+    hashed.toDF()
+      .withColumn("group_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dhash_hi"), col("dhash_lo"))))
+  }
+
   // ------------------------------------------- binaryFile source breadth
 
   /** Media-shard ingestion through Spark's `binaryFile` SOURCE: scatter

@@ -73,7 +73,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "tiny weights frame by equi-key"),
     "q124_hard_negatives" -> ("the label-mismatch top-k IS a broadcast " +
       "NL join (queries broadcast over corpus) by design — q24's exact " +
-      "baseline shape with the mismatch predicate as the join condition"))
+      "baseline shape with the mismatch predicate as the join condition"),
+    "q128_quantized_ann" -> ("the int8 top-k IS a broadcast NL join " +
+      "(quantized queries broadcast over the quantized corpus) — q24's " +
+      "exact baseline shape with the integer kernel"),
+    "q129_two_stage_retrieval" -> ("the ONE-ROW corpus-stats frame (N, " +
+      "avg doc length) is broadcast onto the per-term hits — q86's " +
+      "sanctioned constant-size mechanism; all candidate joins are " +
+      "equi-key"))
 
   private val streaming =
     Set("q57_streaming_rollup", "q60_streaming_sessionize",
