@@ -403,6 +403,86 @@ object Oracles {
       FROM scored
       QUALIFY rank <= 5 ORDER BY query_id, rank""",
 
+    // merge_asof with tolerance: the same IGNORE NULLS window frames as
+    // the engine (the nearest preceding/following purchase is the only
+    // candidate in its direction; tolerance post-filters the carried
+    // (id, ts) pair), 30 min = 1 800 000 000 µs.
+    "q131_asof_tolerance" -> """
+      WITH m AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+          last_value(CASE WHEN event_type = 'purchase'
+                          THEN event_id END IGNORE NULLS)
+            OVER wb AS p_id,
+          last_value(CASE WHEN event_type = 'purchase'
+                          THEN epoch_us(ts) END IGNORE NULLS)
+            OVER wb AS p_ts,
+          first_value(CASE WHEN event_type = 'purchase'
+                           THEN event_id END IGNORE NULLS)
+            OVER wf AS n_id,
+          first_value(CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts) END IGNORE NULLS)
+            OVER wf AS n_ts
+        FROM events
+        WINDOW wb AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wf AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      SELECT event_id, user_id, ts_us,
+        CASE WHEN ts_us - p_ts <= 1800000000 THEN p_id END
+          AS prev_purchase_id,
+        CASE WHEN ts_us - p_ts <= 1800000000 THEN ts_us - p_ts END
+          AS prev_gap_us,
+        CASE WHEN n_ts - ts_us <= 1800000000 THEN n_id END
+          AS next_purchase_id,
+        CASE WHEN n_ts - ts_us <= 1800000000 THEN n_ts - ts_us END
+          AS next_gap_us
+      FROM m WHERE event_type = 'click' ORDER BY event_id""",
+
+    // The contract battery re-run rule by rule over the shared dirty
+    // CTE; duplicate_transaction_id = rows-with-key − distinct-keys.
+    "q133_expectations" -> s"""
+      WITH transactions AS (${TxnView.selectSql}),
+      v AS (
+        SELECT 'null_transaction_id' AS rule,
+               CAST(sum(CASE WHEN transaction_id IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM transactions
+        UNION ALL
+        SELECT 'null_user_id',
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT)
+        FROM transactions
+        UNION ALL
+        SELECT 'unparseable_amount',
+               CAST(sum(CASE WHEN amount IS NOT NULL
+                        AND TRY_CAST(amount AS DOUBLE) IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM transactions
+        UNION ALL
+        SELECT 'negative_amount',
+               CAST(sum(CASE WHEN TRY_CAST(amount AS DOUBLE) < 0
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM transactions
+        UNION ALL
+        SELECT 'null_status',
+               CAST(sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT)
+        FROM transactions
+        UNION ALL
+        SELECT 'status_outside_enum',
+               CAST(sum(CASE WHEN status IS NOT NULL
+                        AND lower(trim(status)) NOT IN
+                          ('approved', 'pending', 'returned', 'cancelled')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM transactions
+        UNION ALL
+        SELECT 'duplicate_transaction_id',
+               CAST(count(transaction_id) - count(DISTINCT transaction_id)
+                 AS BIGINT)
+        FROM transactions)
+      SELECT rule, n_violations, n_violations = 0 AS passed
+      FROM v ORDER BY rule""",
+
     // int8 quantization replayed exactly: float→double widening is
     // exact and x·127.0/mx is two correctly-rounded IEEE ops, so FLOOR
     // lands on the same integer in both engines; the dot product is
@@ -723,6 +803,15 @@ object Oracles {
     // The streaming form drains the same input through AvailableNow
     // micro-batches; the final windows must equal the batch rollup.
     "q57_streaming_rollup" -> eventsHourlyOracle,
+    // q132 rolls DAILY (the hourly grain is too sparse for its
+    // cross-batch-merge premise — see updateRollupOnce), same decimal
+    // policy as the shared hourly text
+    "q132_streaming_update_rollup" -> """
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+      ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
 
     // The chained dedup→window query must ALSO equal the plain batch
     // rollup: the dedup state deletes exactly the planted stream-side

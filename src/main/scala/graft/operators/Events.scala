@@ -135,6 +135,52 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join with TOLERANCE and both DIRECTIONS in one pass — the
+    * full pandas-`merge_asof` surface ([[asofJoin]] is the plain
+    * backward form): per `leftType` event, the nearest `rightType`
+    * event strictly before AND strictly after it (in the deterministic
+    * (ts_us, event_id) order), each admitted only within `toleranceUs`.
+    * The gap columns are exact integer µs; a match outside tolerance
+    * nulls BOTH the id and the gap.
+    *
+    * The nearest preceding/following right event is the ONLY tolerance
+    * candidate in its direction, so tolerance is a post-filter on the
+    * carried (id, ts) pair — the id and ts ride the same
+    * `last/first(… ignoreNulls)` frame, so they always describe the
+    * same matched row.
+    *
+    * Scale: ONE shuffle+sort on (user_id, ts_us, event_id) shared by
+    * all four window columns (same partition and order ⇒ Catalyst
+    * evaluates them in a single Window node); no join at all — the
+    * composed-windows form of SURVEY preference (a), like asofJoin.
+    */
+  def asofJoinTolerance(df: DataFrame, leftType: String, rightType: String,
+      toleranceUs: Long): DataFrame = {
+    require(toleranceUs > 0, "tolerance must be positive")
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val back = order.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = order.rowsBetween(1, Window.unboundedFollowing)
+    val rightId = when(col("event_type") === rightType, col("event_id"))
+    val rightTs = when(col("event_type") === rightType, col("ts_us"))
+    withEventTime(df)
+      .withColumn("p_id", last(rightId, ignoreNulls = true).over(back))
+      .withColumn("p_ts", last(rightTs, ignoreNulls = true).over(back))
+      .withColumn("n_id", first(rightId, ignoreNulls = true).over(fwd))
+      .withColumn("n_ts", first(rightTs, ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === leftType)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(col("ts_us") - col("p_ts") <= toleranceUs, col("p_id"))
+          .as(s"prev_${rightType}_id"),
+        when(col("ts_us") - col("p_ts") <= toleranceUs,
+          col("ts_us") - col("p_ts")).as("prev_gap_us"),
+        when(col("n_ts") - col("ts_us") <= toleranceUs, col("n_id"))
+          .as(s"next_${rightType}_id"),
+        when(col("n_ts") - col("ts_us") <= toleranceUs,
+          col("n_ts") - col("ts_us")).as("next_gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Lag-gap sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMinutes`. Returns per-user
     * session stats. Exact integer µs arithmetic end-to-end.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -78,6 +78,42 @@ object Stats {
         statusNorm === "cancelled", "n_cancelled"),
       cnt(keysOk && parsed.isNotNull && parsed >= 0 &&
         statusNorm =!= "cancelled", "n_output"))
+  }
+
+  /** Declarative data-quality CONTRACT check (the great-expectations /
+    * dbt-test shape): each rule is a name plus a violation predicate;
+    * the report is one row per rule with its violation count and
+    * pass/fail verdict — the artifact a pipeline gates a load on, vs
+    * [[integrity]]'s fixed one-row profile.
+    *
+    * `uniqueKey` adds a primary-key uniqueness expectation
+    * (`duplicate_<key>` = rows-with-key − distinct-keys; null keys are
+    * the null rule's business, not a duplicate).
+    *
+    * Scale shape: every row rule folds into ONE aggregation scan
+    * (count-distinct included — Catalyst plans the expand in the same
+    * pass); the wide→long melt is a `stack` over the single aggregate
+    * row. No second scan, no collect, no per-rule query — the
+    * reference ran 7 scans for its 7 checks (db_manager.py:326-343);
+    * this runs one for any rule count.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)],
+      uniqueKey: Option[String] = None): DataFrame = {
+    require(rules.nonEmpty || uniqueKey.nonEmpty, "an empty contract")
+    require(rules.forall(_._1.matches("[A-Za-z0-9_]+")),
+      "rule names must be identifier-safe (they ride a stack() expr)")
+    val rowAggs = rules.map { case (n, c) =>
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(n) }
+    val uniqAgg = uniqueKey.map { k =>
+      (count(col(k)) - count_distinct(col(k))).as(s"duplicate_$k") }
+    val aggs = rowAggs ++ uniqAgg
+    val names = rules.map(_._1) ++ uniqueKey.map(k => s"duplicate_$k")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${names.size}, " +
+        names.map(n => s"'$n', $n").mkString(", ") +
+        ") as (rule, n_violations)"))
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy(col("rule"))
   }
 
   /** Per-group ordinary-least-squares fit of `yCol` on `xCol` — the

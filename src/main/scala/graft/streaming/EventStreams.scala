@@ -332,6 +332,109 @@ object EventStreams {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** The hourly rollup through UPDATE output mode — the third output
+    * mode at the gate, closing the matrix (q57 proves Complete, q64
+    * proves Append's late-drop, q114/q116 Append's finalization): each
+    * micro-batch emits ONLY the windows it changed, captured by a
+    * foreachBatch sink stamping rows with their batch id; a key's
+    * FINAL state is its row from the latest batch that updated it, and
+    * that reconstruction must equal the batch DAILY rollup — proving
+    * update emissions carry correctly merged cross-batch state.
+    *
+    * Staging splits at the µs MIDPOINT (early half → batch 0, late →
+    * batch 1), not round-robin: Update mode — unlike q57's Complete —
+    * enforces the watermark, and a round-robin batch 1 would span the
+    * full time range, its early rows landing behind the batch-0
+    * watermark (z − 2 h) and being dropped, breaking rollup parity by
+    * design rather than by defect. With the time split, batch-1 rows
+    * all sit above the midpoint and the batch-0 watermark m − 2 h
+    * admits them.
+    *
+    * Two premises make the claim real (loud, not assumed): (1) ≥ 1
+    * window updated in BOTH batches — the hour straddling the midpoint
+    * — else nothing proves cross-batch merge; (2) ≥ 1 window updated
+    * ONLY in batch 0 — Update re-emitting everything (Complete
+    * behavior) would violate it, so the mode's only-changed-keys
+    * contract is itself asserted, not just survived.
+    */
+  def updateRollupOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val outDir = s"/tmp/graft_stream_upd_$queryName"
+    val ss = streamingSession(spark)
+    Seq(srcDir, outDir).foreach(d =>
+      deleteStagingForTest(java.nio.file.Paths.get(d)))
+    val ev = requireSpanHours(graft.Tables.events(ss, sfDir), queryName)
+    val bounds = ev.agg(min(col("ts_us")).as("a"), max(col("ts_us")).as("z"))
+    // split at NOON of the midpoint day, not the raw µs midpoint: the
+    // corpus spans a near-integral number of days, so the raw midpoint
+    // sits within seconds of a day boundary and the "straddling" day
+    // gets no batch-1 rows (measured: the merge premise trips) —
+    // pinning the cut to 12:00 UTC guarantees the straddling day
+    // splits mid-day
+    val tagged = graft.CacheScope.scoped(ev.crossJoin(broadcast(bounds))
+      .withColumn("_early", expr("""ts_us <
+        ((a + ((z - a) div 2)) div 86400000000) * 86400000000
+          + 43200000000""")))
+    val cols6 = Seq(col("event_id"), col("ts_us"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    var stamped = Set.empty[java.nio.file.Path]
+    stamped = writeStampedBatch(srcDir,
+      tagged.filter(col("_early")).select(cols6: _*),
+      idx = 0, stamped = stamped, label = "update-rollup early half")
+    writeStampedBatch(srcDir,
+      tagged.filter(!col("_early")).select(cols6: _*),
+      idx = 1, stamped = stamped, label = "update-rollup late half")
+    val src = ss.readStream
+      .schema(stagedSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    // DAILY windows, not q57's hourly: the cross-batch-merge premise
+    // needs the midpoint-straddling bucket to hold the same event_type
+    // on BOTH sides of the split, and at gate density a single hour is
+    // too sparse for that (measured: the premise trips) — a day is not
+    val agg = src
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    try {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    val hist = graft.CacheScope.scoped(spark.read.parquet(outDir))
+    val spread = hist.groupBy(col("bucket"), col("event_type"))
+      .agg(count_distinct(col("batch_id")).as("nb"))
+    require(spread.filter(col("nb") >= 2).limit(1).count() == 1L,
+      s"$queryName premise violated: no window updated across both " +
+        "micro-batches — nothing exercises cross-batch state merge")
+    require(spread.filter(col("nb") === 1).limit(1).count() == 1L,
+      s"$queryName premise violated: every window re-emitted in every " +
+        "batch — that is Complete-mode behavior, not Update")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("event_type"))
+      .orderBy(col("batch_id").desc)
+    hist.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("bucket"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** Watermark LATE-DATA DROP as a RUN-TO-COMPLETION gate query (the one
     * watermark semantic q57/q60/q63 did not prove: those show state
     * merging/carrying across batches; this shows late rows being

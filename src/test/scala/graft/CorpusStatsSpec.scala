@@ -80,6 +80,43 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got("n")._2 === -1285714L)
   }
 
+  // ------------------------------------------------ expectations
+
+  test("expectations: one-scan contract report with uniqueness") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", StringType, true),
+      StructField("amt", StringType, true)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.List.of(
+        R("a", "1.0"), R("a", "2.0"), R(null, "x"), R("b", "-3.0"))),
+      schema)
+    val got = CacheScope.withScope {
+      Stats.expectations(df, Seq(
+        "null_id" -> col("id").isNull,
+        "bad_amt" -> expr("try_cast(amt AS DOUBLE)").isNull,
+        "neg_amt" -> (expr("try_cast(amt AS DOUBLE)") < 0),
+        "never" -> lit(false)),
+        uniqueKey = Some("id"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getBoolean(2)))).toMap
+    }
+    assert(got === Map(
+      "null_id" -> ((1L, false)),
+      "bad_amt" -> ((1L, false)),
+      "neg_amt" -> ((1L, false)),
+      "never" -> ((0L, true)),
+      // 'a' twice among non-null keys; the null id is NOT a duplicate
+      "duplicate_id" -> ((1L, false))))
+  }
+
+  test("expectations refuses non-identifier rule names (stack injection)") {
+    intercept[IllegalArgumentException] {
+      Stats.expectations(Seq((1L, 2L)).toDF("a", "b"),
+        Seq("bad name', a) --" -> lit(true)))
+    }
+  }
+
   test("linearFit yields NULL, not a divide error, on degenerate groups") {
     // constant x: den = 0 → all three quotients NULL
     val got = fit(("c", 2L, 1L), ("c", 2L, 9L))

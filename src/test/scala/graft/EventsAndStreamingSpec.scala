@@ -464,6 +464,33 @@ class EventsAndStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of tolerance: direction, tolerance cutoff, and equal-ts tiebreak") {
+    // one user: purchases at 100 and 500 µs, clicks at 90, 103, 300, 600
+    val ev = Seq(
+      (1L, 90L, 7L, "click"), (2L, 100L, 7L, "purchase"),
+      (3L, 103L, 7L, "click"), (4L, 300L, 7L, "click"),
+      (5L, 500L, 7L, "purchase"), (6L, 600L, 7L, "click"),
+      // equal-ts pair: purchase id 8 shares ts with click id 7 — in
+      // (ts, id) order the purchase is AFTER the click, so it is the
+      // click's NEXT match, never its prev
+      (7L, 900L, 8L, "click"), (8L, 900L, 8L, "purchase"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val got = CacheScope.withScope {
+      Events.asofJoinTolerance(ev, "click", "purchase", toleranceUs = 50L)
+        .collect().map(r => r.getLong(0) -> ((
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+    }
+    assert(got(1L) === ((None, None, Some(2L), Some(10L)))) // next within 50
+    assert(got(3L) === ((Some(2L), Some(3L), None, None))) // prev within 50
+    assert(got(4L) === ((None, None, None, None))) // both beyond tolerance
+    assert(got(6L) === ((None, None, None, None))) // prev gap 100 > 50
+    assert(got(7L) === ((None, None, Some(8L), Some(0L)))) // equal-ts → next
+  }
+
   test("stream-static join: events stream enriched against a static dim") {
     // static dim: per-user cohort labels derived once
     val dim = Events.withEventTime(Tables.events(spark, TestSpark.sf))

@@ -67,6 +67,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q119_event_funnel" -> "requireSpanHours 1-row bounds broadcast",
     "q120_cohort_retention" -> "requireSpanHours 1-row bounds broadcast",
     "q123_event_pattern" -> "requireSpanHours 1-row bounds broadcast",
+    "q131_asof_tolerance" -> "requireSpanHours 1-row bounds broadcast",
     "q121_mixture_sample" -> ("the ONE-ROW min-group-mass frame is " +
       "cross-joined (broadcast) onto the |groups|-row totals — same " +
       "bounds-frame mechanism as q50/q64; the corpus itself joins the " +
@@ -92,7 +93,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q110_streaming_lastk", "q111_streaming_bootstrap",
       "q112_streaming_type_counts", "q114_streaming_dedup_rollup",
       "q115_streaming_ttl_state", "q116_streaming_restart",
-      "q125_streaming_full_outer_join")
+      "q125_streaming_full_outer_join", "q132_streaming_update_rollup")
 
   test("no unsanctioned nested-loop or cartesian join in any batch plan") {
     val offenders = Queries.all.toSeq.sortBy(_._1)
