@@ -119,7 +119,70 @@ object Oracles {
                                      CAST(b.embedding AS DOUBLE[])))) >= 0.4
       ORDER BY vec_a, vec_b"""
 
+  /** q134's k-core peel unrolled to exactly the operator's `maxRounds`
+    * (32): round i keeps nodes of degree ≥ k over round i−1's edges and
+    * re-filters the edge list; 32 ≥ the measured fixpoint depth at every
+    * shipped SF (2 at sf0.01, 23 at sf0.1), and the OPERATOR refuses
+    * loudly if a deeper cascade ever appears — the bound is shared, so
+    * refusal can never silently become a gate diff. Built by a loop
+    * because 32 hand-written rounds would invite copy drift.
+    */
+  private val kCoreOracle: String = {
+    val k = 3
+    val rounds = 32
+    val sb = new StringBuilder(
+      """
+      WITH ol AS (SELECT o.o_custkey AS c, l.l_partkey AS p
+                  FROM lineitem l
+                  JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      e0 AS MATERIALIZED (SELECT a.c AS u, b.c AS v
+             FROM ol a JOIN ol b ON a.p = b.p AND a.c < b.c
+             GROUP BY 1, 2 HAVING count(DISTINCT a.p) >= 3)""")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+      k$i AS MATERIALIZED (SELECT n FROM (SELECT u AS n FROM e${i - 1}
+                             UNION ALL SELECT v FROM e${i - 1})
+              GROUP BY 1 HAVING count(*) >= $k),
+      e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+              WHERE u IN (SELECT n FROM k$i)
+                AND v IN (SELECT n FROM k$i))""")
+    }
+    sb.append(s"""
+      SELECT n AS node, CAST(count(*) AS BIGINT) AS core_degree
+      FROM (SELECT u AS n FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+      GROUP BY 1 ORDER BY 1""")
+    sb.toString
+  }
+
   val all: Map[String, String] = Map(
+    "q134_kcore" -> kCoreOracle,
+
+    // Containment audit replayed: same positional 5-gram build as
+    // q93/q95's gram CTEs (list slice + generate_series), distinct
+    // benchmark grams, hits-only join, count(DISTINCT) dedupe of
+    // positional repeats, truncating // for the ppm.
+    "q135_containment_decon" -> """
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+      cg AS (
+        SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+        FROM tk, unnest(generate_series(1, len(t) - 4)) s(i)
+        WHERE len(t) >= 5),
+      bg AS (
+        SELECT doc_id AS bench_id, gram FROM cg
+        WHERE doc_id % 20 = 3 GROUP BY 1, 2),
+      bsz AS (SELECT bench_id, count(*) AS bn FROM bg GROUP BY 1),
+      sh AS (
+        SELECT c.doc_id, b.bench_id,
+               count(DISTINCT c.gram) AS shared_grams
+        FROM cg c JOIN bg b USING (gram) GROUP BY 1, 2)
+      SELECT doc_id, bench_id, CAST(shared_grams AS BIGINT)
+               AS shared_grams,
+             CAST((1000000 * shared_grams) // bn AS BIGINT)
+               AS containment_ppm
+      FROM sh JOIN bsz USING (bench_id)
+      WHERE (1000000 * shared_grams) // bn >= 500000
+      ORDER BY doc_id, bench_id""",
     "q01_pipeline" -> s"""$cte
       SELECT transaction_id, user_id, amount, ts, status, processed_at
       FROM cleaned ORDER BY transaction_id""",

@@ -122,6 +122,46 @@ object TextDedup {
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** CONTAINMENT-ratio decontamination — the graded refinement of
+    * [[ngramDecontaminate]]'s boolean rule: instead of dropping on ONE
+    * shared n-gram, score each (corpus doc, benchmark item) pair by
+    * |distinct shared n-grams| / |benchmark item's distinct n-grams|
+    * (asymmetric containment — how much of the EVAL ITEM the document
+    * covers, the direction contamination audits care about; plain
+    * Jaccard would dilute a fully-quoted short eval item inside a long
+    * document). Emits flagged pairs at ≥ `minPpm`, with the exact
+    * integer evidence (shared count, containment ppm by truncating
+    * division) an audit needs — dropping is then a semi-join away.
+    *
+    * Scale shape: the benchmark gram table (eval sets are broadcast-
+    * small by definition) is broadcast; corpus grams stream through the
+    * codegen generator and only MATCHING grams survive the join, so the
+    * one shuffle — the (doc, bench) distinct-gram count — carries hits,
+    * never the corpus. No pre-distinct of corpus grams (that would be a
+    * corpus-sized shuffle): the count_distinct in the aggregation
+    * dedupes positional repeats exactly.
+    */
+  def containmentDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 5, minPpm: Long = 500000L): DataFrame = {
+    require(n >= 1 && minPpm >= 0, "nonsensical containment parameters")
+    // the benchmark gram table feeds both the size count and the probe
+    // join — pinned (CLAUDE.md self-join rule)
+    val bg = graft.CacheScope.scoped(wordGrams(benchmark, n)
+      .select(col("doc_id").as("bench_id"), col("gram")).distinct())
+    val bsz = bg.groupBy(col("bench_id")).agg(count(lit(1)).as("bn"))
+    val shared = wordGrams(corpus, n)
+      .join(broadcast(bg), "gram")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count_distinct(col("gram")).as("shared_grams"))
+    shared.join(broadcast(bsz), "bench_id")
+      .withColumn("containment_ppm",
+        expr("(1000000 * shared_grams) div bn"))
+      .filter(col("containment_ppm") >= minPpm)
+      .select(col("doc_id"), col("bench_id"), col("shared_grams"),
+        col("containment_ppm"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   /** Positional word-n-grams per doc: (doc_id, gram) rows via a pure
     * codegen generator (transform over sequence + concat_ws, one scan).
     * The length guard keeps `sequence` ascending — sequence(0, neg)

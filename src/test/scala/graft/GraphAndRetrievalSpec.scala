@@ -463,4 +463,59 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
       s"expected the loud premise message, got: ${msgs(ex).mkString(" | ")}")
     inc.unpersist()
   }
+
+  // ------------------------------------------------------------ k-core
+
+  test("kCore peels cascades, keeps the dense kernel, refuses past bound") {
+    // K4 on 1-4 (every node degree 3) + a pendant chain 4-5-6-7: the
+    // chain peels end-in, one node per round (the cascading case), and
+    // the 2-core is exactly the K4
+    val k4 = for {
+      u <- 1L to 4L; v <- 1L to 4L if u < v
+    } yield (u, v)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L)))
+      .toDF("u", "v")
+    val got = CacheScope.withScope {
+      KCore.kCore(edges, k = 2, maxRounds = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // an empty core converges to an empty frame, not an error
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(CacheScope.withScope {
+      KCore.kCore(path, k = 2, maxRounds = 8).count()
+    } === 0L)
+    // a cascade longer than maxRounds must refuse loudly (the oracle
+    // unrolls exactly maxRounds peels)
+    val long = (1L to 12L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("u", "v")
+    val ex = intercept[IllegalArgumentException] {
+      CacheScope.withScope { KCore.kCore(long, k = 2, maxRounds = 2) }
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  // ----------------------------------------- containment decontamination
+
+  test("containment ratio: graded scoring, positional-repeat dedupe") {
+    val docs = Seq(
+      // the benchmark item: 6 words -> 2 distinct 5-grams
+      (3L, "alpha beta gamma delta eps zeta"),
+      // covers ONE of the two grams -> 500000 ppm, at the threshold
+      (10L, "alpha beta gamma delta eps other words beyond"),
+      // repeats that gram positionally TWICE -> still 1 distinct shared
+      (11L, "alpha beta gamma delta eps alpha beta gamma delta eps"),
+      // shares nothing
+      (12L, "unrelated text with five grams here today")
+    ).toDF("doc_id", "text")
+    val got = CacheScope.withScope {
+      TextDedup.containmentDecontaminate(docs,
+          docs.filter(col("doc_id") === 3L), n = 5, minPpm = 500000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    }
+    // bench doc flags itself at 10^6; docs 10 and 11 at exactly half
+    assert(got === Set((3L, 2L, 1000000L), (10L, 1L, 500000L),
+      (11L, 1L, 500000L)))
+  }
 }
