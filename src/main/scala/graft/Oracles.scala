@@ -157,6 +157,61 @@ object Oracles {
   val all: Map[String, String] = Map(
     "q134_kcore" -> kCoreOracle,
 
+    // Record linkage replayed: q50's blocked edit-pair SQL → recursive
+    // reachability (the q118 closure pattern) → min-id canonical;
+    // singletons map to themselves via the left-join coalesce.
+    "q136_entity_resolution" -> """
+      WITH RECURSIVE p AS (
+        SELECT a.c_custkey AS src, b.c_custkey AS dst
+        FROM customer a JOIN customer b
+          ON substring(a.c_name, 1, 15) = substring(b.c_name, 1, 15)
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2),
+      edges AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+      reach AS (
+        SELECT src AS id, src AS comp
+        FROM (SELECT DISTINCT src FROM edges) v
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+      ent AS (
+        SELECT c.c_custkey AS cust_id,
+               coalesce(m.comp, c.c_custkey) AS entity_id
+        FROM customer c LEFT JOIN comps m ON m.id = c.c_custkey)
+      SELECT cust_id, entity_id,
+             CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT)
+               AS entity_size
+      FROM ent ORDER BY cust_id""",
+
+    // The dense hourly spine via generate_series over the corpus
+    // bucket bounds; forward fill copies the decimal-derived double of
+    // an earlier row (no fresh float math), IGNORE NULLS frame
+    // identical to the engine's.
+    "q137_resample_fill" -> """
+      WITH e AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS bucket_idx,
+               value
+        FROM events),
+      d AS (
+        SELECT event_type, bucket_idx, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_value
+        FROM e GROUP BY 1, 2),
+      b AS (SELECT min(bucket_idx) AS b0, max(bucket_idx) AS b1 FROM e),
+      types AS (SELECT DISTINCT event_type FROM e),
+      spine AS (
+        SELECT event_type, unnest(generate_series(b0, b1)) AS bucket_idx
+        FROM types, b)
+      SELECT s.event_type, CAST(s.bucket_idx AS BIGINT) AS bucket_idx,
+             CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+             coalesce(d.n, 0) = 0 AS is_gap,
+             last_value(d.sum_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.bucket_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_sum
+      FROM spine s LEFT JOIN d USING (event_type, bucket_idx)
+      ORDER BY 1, 2""",
+
     // Containment audit replayed: same positional 5-gram build as
     // q93/q95's gram CTEs (list slice + generate_series), distinct
     // benchmark grams, hits-only join, count(DISTINCT) dedupe of

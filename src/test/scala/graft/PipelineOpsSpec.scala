@@ -169,4 +169,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     // ranking among label-1: vec 2 (cos≈0.994) then vec 4 (cos≈0.707)
     assert(got === Array((0L, 2L, 1), (0L, 4L, 2)))
   }
+
+  // --------------------------------------------------- resampleFill
+
+  test("resampleFill: dense spine, zeros, forward fill, no invented carry") {
+    val ev = Seq(
+      // key A observed at buckets 2 and 5; key B only at bucket 4 —
+      // spine is the corpus-wide [2, 5]
+      ("A", 2L * 10 + 3, 1.5), ("A", 5L * 10 + 1, 2.5),
+      ("B", 4L * 10 + 9, 7.0))
+      .toDF("k", "ts_us", "value")
+    val got = CacheScope.withScope {
+      TimeSeries.resampleFill(ev, keyCol = "k", bucketUs = 10L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+    }
+    assert(got.toSeq === Seq(
+      ("A", 2L, 1L, false, Some(1.5)),
+      ("A", 3L, 0L, true, Some(1.5)), // gap carries the last observed sum
+      ("A", 4L, 0L, true, Some(1.5)),
+      ("A", 5L, 1L, false, Some(2.5)),
+      ("B", 2L, 0L, true, None), // before B's first observation: no carry
+      ("B", 3L, 0L, true, None),
+      ("B", 4L, 1L, false, Some(7.0)),
+      ("B", 5L, 0L, true, Some(7.0))))
+  }
 }

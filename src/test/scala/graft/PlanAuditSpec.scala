@@ -68,6 +68,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q120_cohort_retention" -> "requireSpanHours 1-row bounds broadcast",
     "q123_event_pattern" -> "requireSpanHours 1-row bounds broadcast",
     "q131_asof_tolerance" -> "requireSpanHours 1-row bounds broadcast",
+    "q136_entity_resolution" -> ("q50's blockedEditPairs max-block-size " +
+      "premise frame (1 row) cross-joined onto the probe side — the " +
+      "sanctioned loud-blocking-guard mechanism"),
+    "q137_resample_fill" -> ("requireSpanHours bounds PLUS the spine's " +
+      "own 1-row (min,max) bucket frame cross-joined onto the key list " +
+      "— both sanctioned constant-size bounds mechanisms"),
     "q121_mixture_sample" -> ("the ONE-ROW min-group-mass frame is " +
       "cross-joined (broadcast) onto the |groups|-row totals — same " +
       "bounds-frame mechanism as q50/q64; the corpus itself joins the " +
