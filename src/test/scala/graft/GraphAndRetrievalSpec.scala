@@ -485,14 +485,40 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
     assert(CacheScope.withScope {
       KCore.kCore(path, k = 2, maxRounds = 8).count()
     } === 0L)
-    // a cascade longer than maxRounds must refuse loudly (the oracle
-    // unrolls exactly maxRounds peels)
+    // a cascade longer than maxRounds must refuse loudly from EITHER
+    // phase (the oracle unrolls exactly maxRounds peels): the local
+    // finish throws from inside its task, the distributed loop from the
+    // driver — both must carry the shared message
     val long = (1L to 12L).sliding(2).map(p => (p(0), p(1))).toSeq
       .toDF("u", "v")
-    val ex = intercept[IllegalArgumentException] {
-      CacheScope.withScope { KCore.kCore(long, k = 2, maxRounds = 2) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    Seq(1000000L, 0L).foreach { cutoff =>
+      val ex = intercept[Exception] {
+        CacheScope.withScope {
+          KCore.kCore(long, k = 2, maxRounds = 2, localCutoff = cutoff)
+            .count()
+        }
+      }
+      assert(msgs(ex).exists(_.contains("did not converge")),
+        s"cutoff $cutoff: ${msgs(ex).mkString(" | ")}")
     }
-    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("kCore hybrid local finish equals the pure distributed peel") {
+    // pseudo-random graph on 60 nodes (hash-derived, deterministic)
+    val g = (1L to 400L)
+      .map(i => ((i * 2654435761L % 1000000007L) % 60,
+        (i * 40503L % 999999937L) % 60))
+      .filter(p => p._1 != p._2).toSeq.toDF("u", "v")
+    val (hybrid, pure) = CacheScope.withScope {
+      val h = KCore.kCore(g, k = 4, maxRounds = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val p = KCore.kCore(g, k = 4, maxRounds = 32, localCutoff = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (h, p)
+    }
+    assert(hybrid === pure && hybrid.nonEmpty)
   }
 
   // ----------------------------------------- containment decontamination
