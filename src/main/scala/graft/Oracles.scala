@@ -284,6 +284,14 @@ object Oracles {
              CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
       FROM cleaned""",
 
+    // The q04 aggregates, harvested engine-side through CollectMetrics
+    // instead of a second scan — the values must be identical.
+    "q138_observed_profile" -> s"""$cte
+      SELECT count(*) AS n_rows, min(amount) AS min_amount,
+             max(amount) AS max_amount,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
+      FROM cleaned""",
+
     "q05_status_counts" -> s"""$cte
       SELECT status, count(*) AS n FROM cleaned
       GROUP BY status ORDER BY status""",

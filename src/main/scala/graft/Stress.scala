@@ -25,7 +25,20 @@ import org.apache.spark.sql.functions._
   *  - orders/lineitem: all keys shifted per copy — 10 disjoint
   *    marketplaces, so customers-per-part (the q108 C(k,2) premise)
   *    stays scale-invariant while part count grows 10×, exactly the
-  *    TPC-H degree model the maxPerKey=256 cap encodes.
+  *    TPC-H degree model the maxPerKey=256 cap encodes. q134's k-core
+  *    rides the same copies: 10 independent co-purchase graphs, so the
+  *    peel-cascade DEPTH (the round premise) is invariant while edge
+  *    volume grows 10×.
+  *
+  * NOT stress-scaled, deliberately: the banded cosine join family
+  * (q52/q118). At d = 64 and the gate's adversarial 0.4 threshold, ANY
+  * per-copy orthogonal decorrelation (signed permutations measured, and
+  * a perfect random rotation is no better: P(cos ≥ 0.4) ≈ 7·10⁻⁴ at
+  * 64 dims) leaves a cross-copy similarity tail that inflates pair
+  * volume ~10× beyond the true within-copy structure — the scaled
+  * corpus would stress an artifact, not the operator's premise. A
+  * production-threshold variant (≥ 0.7) would scale cleanly; the gate
+  * threshold is kept adversarial on purpose.
   *
   * Run: `sbt 'runMain graft.Stress'` (optionally SPARK_GRAFT_CPUS,
   * SPARK_GRAFT_PASSES). One line per query:
@@ -53,7 +66,7 @@ object Stress {
     buildCorpus(spark, base, dir10)
 
     val queries = Seq("q69_chargram_jaccard", "q70_dedup_clusters",
-      "q96_chain_components", "q108_triangles")
+      "q96_chain_components", "q108_triangles", "q134_kcore")
     // warm the codegen/JIT once at sf0.001 so neither timed tier pays it
     queries.foreach { q =>
       CacheScope.withScope {

@@ -80,6 +80,39 @@ object Stats {
         statusNorm =!= "cancelled", "n_output"))
   }
 
+  /** Run-profile metrics via Spark's Observation API (the CollectMetrics
+    * plan node): the aggregates ATTACH to the frame, so the single action
+    * that materializes the pipeline also produces its profile — zero
+    * extra scans, where [[tableStats]] as a separate query re-reads the
+    * table. This is the per-job instrumentation path a production load
+    * uses (observe → write → harvest), demonstrated here against a noop
+    * action; the observed values come back through the listener bus, and
+    * the 1-row frame built from them is what a metrics sink would
+    * receive. Same decimal policy as every oracle-facing SUM.
+    *
+    * At 100 TB this is the difference between "load + profile" costing
+    * one scan or two — observe's aggregates ride the write's own pass
+    * with map-side partial merge, like any hash aggregate.
+    */
+  def observedProfile(df: DataFrame, amountCol: String = "amount")
+      : DataFrame = {
+    val spark = df.sparkSession
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs,
+        count(lit(1)).as("n_rows"),
+        min(col(amountCol)).as("min_amount"),
+        max(col(amountCol)).as("max_amount"),
+        sum(col(amountCol).cast(dec)).cast(DoubleType).as("sum_amount"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("min_amount").asInstanceOf[Double],
+      m("max_amount").asInstanceOf[Double],
+      m("sum_amount").asInstanceOf[Double]))
+      .toDF("n_rows", "min_amount", "max_amount", "sum_amount")
+  }
+
   /** Declarative data-quality CONTRACT check (the great-expectations /
     * dbt-test shape): each rule is a name plus a violation predicate;
     * the report is one row per rule with its violation count and
