@@ -106,18 +106,26 @@ object Ann {
     */
   def rerankTopK(cands: DataFrame, embeddings: DataFrame, k: Int)
       : DataFrame = {
+    // internal work columns are underscore-prefixed, and "rank" is the
+    // output contract — an upstream extra with any of these names would
+    // be silently overwritten (e.g. a stage-1 score named "sim" would
+    // come back holding the cosine), so collisions refuse loudly
+    val reserved = Set("_qv", "_cv", "_sim", "rank")
+    val clash = cands.columns.filter(reserved)
+    require(clash.isEmpty, "rerankTopK: candidate columns collide with " +
+      s"internal/output names: ${clash.mkString(", ")}")
     val ev = embeddings.select(col("vec_id"),
       VecFns.toDouble(col("embedding")).as("_v"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
+      .orderBy(col("_sim").desc, col("neighbor_id"))
     val extras = cands.columns.toSeq
       .filterNot(Set("query_id", "neighbor_id"))
     cands
-      .join(ev.select(col("vec_id").as("query_id"), col("_v").as("qv")),
+      .join(ev.select(col("vec_id").as("query_id"), col("_v").as("_qv")),
         "query_id")
-      .join(ev.select(col("vec_id").as("neighbor_id"), col("_v").as("cv")),
+      .join(ev.select(col("vec_id").as("neighbor_id"), col("_v").as("_cv")),
         "neighbor_id")
-      .withColumn("sim", fastCosine(cands, "qv", "cv"))
+      .withColumn("_sim", fastCosine(cands, "_qv", "_cv"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       // equi-joins hoist their keys to the front — pin the contract

@@ -38,23 +38,36 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** The shared corpus-stats aggregate: one row (N docs, integral avg
+    * doc length) over a toks-free projection. Both retrieval forms ride
+    * this single definition so the formula cannot drift between them.
+    */
+  private def corpusStats(docs: DataFrame) = docs
+    .select(size(split(col("text"), " ")).cast("long").as("dl"))
+    // greatest(count,1): an EMPTY corpus must yield an empty result,
+    // not an ANSI DIVIDE_BY_ZERO from the avg-doc-length division —
+    // sum(dl) is NULL there, so ad is NULL and no score row exists to
+    // consume it (tf is empty too). Non-empty corpora are unaffected.
+    .agg(count(lit(1)).as("n_docs"),
+      expr("sum(dl) DIV greatest(count(1), 1)").as("ad"))
+
+  /** The one exact integer per-(doc,term) BM25 expression (see the
+    * object scaladoc) — shared text, so [[topK]] and [[topKPerQuery]]
+    * are the same formula by construction.
+    */
+  private val scoreMicroT: String =
+    """(1000000L * (2*n_docs - 2*df + 1) * 44 * ad * tf)
+         DIV ((2*df + 1) * (20*ad*tf + 6*ad + 18*dl))"""
+
   /** Top-k (doc_id, score_micro, n_terms) for a bag-of-words query.
     * Ties break on ascending doc_id. Only documents containing at least
     * one query term appear.
     */
   def topK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    // corpus stats: one aggregate row (N docs, integral avg doc length)
-    // over a toks-free projection — a narrow second scan, cheaper than
-    // caching the tokenized corpus just to share it with tf
-    val stats = docs
-      .select(size(split(col("text"), " ")).cast("long").as("dl"))
-      // greatest(count,1): an EMPTY corpus must yield an empty result,
-      // not an ANSI DIVIDE_BY_ZERO from the avg-doc-length division —
-      // sum(dl) is NULL there, so ad is NULL and no score row exists to
-      // consume it (tf is empty too). Non-empty corpora are unaffected.
-      .agg(count(lit(1)).as("n_docs"),
-        expr("sum(dl) DIV greatest(count(1), 1)").as("ad"))
+    // corpus stats: a narrow second scan, cheaper than caching the
+    // tokenized corpus just to share it with tf
+    val stats = corpusStats(docs)
     // tf feeds BOTH dfreq and the score join — pinned so the hit
     // aggregation runs once (CLAUDE.md self-join rule); hit-sized, tiny
     val tf = graft.CacheScope.scoped(docs
@@ -68,9 +81,7 @@ object Bm25 {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
       .join(broadcast(stats))
-      .withColumn("score_micro_t", expr(
-        """(1000000L * (2*n_docs - 2*df + 1) * 44 * ad * tf)
-             DIV ((2*df + 1) * (20*ad*tf + 6*ad + 18*dl))"""))
+      .withColumn("score_micro_t", expr(scoreMicroT))
       .groupBy(col("doc_id"))
       .agg(sum(col("score_micro_t")).as("score_micro"),
         count(lit(1)).as("n_terms"))
@@ -99,10 +110,7 @@ object Bm25 {
     */
   def topKPerQuery(docs: DataFrame, queries: DataFrame, k: Int)
       : DataFrame = {
-    val stats = docs
-      .select(size(split(col("text"), " ")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"),
-        expr("sum(dl) DIV greatest(count(1), 1)").as("ad"))
+    val stats = corpusStats(docs)
     // distinct query terms, pinned: feeds both the corpus-token pruning
     // semi-join and the scoring fan-out (CLAUDE.md self-join rule)
     val qterms = graft.CacheScope.scoped(queries
@@ -123,9 +131,7 @@ object Bm25 {
       .join(broadcast(qterms), "term")
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(stats))
-      .withColumn("score_micro_t", expr(
-        """(1000000L * (2*n_docs - 2*df + 1) * 44 * ad * tf)
-             DIV ((2*df + 1) * (20*ad*tf + 6*ad + 18*dl))"""))
+      .withColumn("score_micro_t", expr(scoreMicroT))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("score_micro_t")).as("bm25_micro"))
       .withColumn("brank", row_number().over(w))

@@ -106,11 +106,25 @@ object Stats {
       .write.format("noop").mode("overwrite").save()
     val m = obs.get
     import spark.implicits._
-    Seq((m("n_rows").asInstanceOf[Long],
-      m("min_amount").asInstanceOf[Double],
-      m("max_amount").asInstanceOf[Double],
-      m("sum_amount").asInstanceOf[Double]))
-      .toDF("n_rows", "min_amount", "max_amount", "sum_amount")
+    val n = m("n_rows").asInstanceOf[Long]
+    if (n == 0L) {
+      // empty input: min/max/sum observe as null — emit them as NULLs
+      // (matching any SQL engine's empty-table aggregates), never as
+      // unboxed 0.0 fabrications (Row + explicit schema per CLAUDE.md)
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        java.util.List.of(Row(0L, null, null, null)),
+        StructType(Seq(StructField("n_rows", LongType, false),
+          StructField("min_amount", DoubleType, true),
+          StructField("max_amount", DoubleType, true),
+          StructField("sum_amount", DoubleType, true))))
+    } else
+      Seq((n,
+        m("min_amount").asInstanceOf[Double],
+        m("max_amount").asInstanceOf[Double],
+        m("sum_amount").asInstanceOf[Double]))
+        .toDF("n_rows", "min_amount", "max_amount", "sum_amount")
   }
 
   /** Declarative data-quality CONTRACT check (the great-expectations /
@@ -133,8 +147,14 @@ object Stats {
   def expectations(df: DataFrame, rules: Seq[(String, Column)],
       uniqueKey: Option[String] = None): DataFrame = {
     require(rules.nonEmpty || uniqueKey.nonEmpty, "an empty contract")
-    require(rules.forall(_._1.matches("[A-Za-z0-9_]+")),
+    // leading letter required, not just identifier chars: an all-digit
+    // name like "404" would parse inside stack() as the INTEGER LITERAL
+    // 404 and silently report it as the violation count
+    val ident = "[A-Za-z_][A-Za-z0-9_]*"
+    require(rules.forall(_._1.matches(ident)),
       "rule names must be identifier-safe (they ride a stack() expr)")
+    require(uniqueKey.forall(_.matches(ident)),
+      "uniqueKey must be identifier-safe (it rides a stack() expr)")
     val rowAggs = rules.map { case (n, c) =>
       coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(n) }
     val uniqAgg = uniqueKey.map { k =>

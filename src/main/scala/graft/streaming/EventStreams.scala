@@ -419,13 +419,19 @@ object EventStreams {
     } finally deleteRecursively(ckpt)
     val hist = graft.CacheScope.scoped(spark.read.parquet(outDir))
     val spread = hist.groupBy(col("bucket"), col("event_type"))
-      .agg(count_distinct(col("batch_id")).as("nb"))
+      .agg(count_distinct(col("batch_id")).as("nb"),
+        max(col("batch_id")).as("mb"))
     require(spread.filter(col("nb") >= 2).limit(1).count() == 1L,
       s"$queryName premise violated: no window updated across both " +
         "micro-batches — nothing exercises cross-batch state merge")
-    require(spread.filter(col("nb") === 1).limit(1).count() == 1L,
-      s"$queryName premise violated: every window re-emitted in every " +
-        "batch — that is Complete-mode behavior, not Update")
+    // only-changed-keys premise: a window whose LAST emission is batch 0
+    // was updated there and never re-emitted. (`nb === 1` would NOT
+    // assert this — windows first created in batch 1 also have one
+    // batch, so Complete-style re-emission of every batch-0 window
+    // would slip through that weaker check.)
+    require(spread.filter(col("mb") === 0).limit(1).count() == 1L,
+      s"$queryName premise violated: every batch-0 window re-emitted " +
+        "in batch 1 — that is Complete-mode behavior, not Update")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket"), col("event_type"))
       .orderBy(col("batch_id").desc)

@@ -115,6 +115,24 @@ class CorpusStatsSpec extends AnyFunSuite {
       Stats.expectations(Seq((1L, 2L)).toDF("a", "b"),
         Seq("bad name', a) --" -> lit(true)))
     }
+    // all-digit names parse inside stack() as INTEGER LITERALS (the
+    // report would show the literal as the violation count) — refused
+    intercept[IllegalArgumentException] {
+      Stats.expectations(Seq((1L, 2L)).toDF("a", "b"),
+        Seq("404" -> lit(true)))
+    }
+    // uniqueKey rides the same expr — same check
+    intercept[IllegalArgumentException] {
+      Stats.expectations(Seq((1L, 2L)).toDF("a", "b"),
+        Seq("ok_rule" -> lit(true)), uniqueKey = Some("my col"))
+    }
+  }
+
+  test("observedProfile emits NULL aggregates on an empty input") {
+    val empty = Seq((1L, 1.0)).toDF("id", "amount").filter(lit(false))
+    val r = Stats.observedProfile(empty).collect().head
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
 
   test("linearFit yields NULL, not a divide error, on degenerate groups") {

@@ -95,6 +95,17 @@ class RetrievalQuantSpec extends AnyFunSuite {
     assert(rr.sorted === brute.sorted)
   }
 
+  test("rerank refuses candidate columns that collide with its internals") {
+    val e = Seq((0L, Seq(1.0f)), (1L, Seq(0.9f))).toDF("vec_id", "embedding")
+    // an upstream score named "rank" (or any reserved internal) would be
+    // silently overwritten — must refuse instead
+    val cands = Seq((0L, 1L, 0.7)).toDF("query_id", "neighbor_id", "rank")
+    val ex = intercept[IllegalArgumentException] {
+      Ann.rerankTopK(cands, e, k = 1)
+    }
+    assert(ex.getMessage.contains("collide"))
+  }
+
   test("rerank passes extra candidate columns through") {
     val e = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)))
       .toDF("vec_id", "embedding")
