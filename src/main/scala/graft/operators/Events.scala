@@ -150,9 +150,10 @@ object Events {
     * same matched row.
     *
     * Scale: ONE shuffle+sort on (user_id, ts_us, event_id) shared by
-    * all four window columns (same partition and order ⇒ Catalyst
-    * evaluates them in a single Window node); no join at all — the
-    * composed-windows form of SURVEY preference (a), like asofJoin.
+    * all four window columns — declared in a single select so Catalyst
+    * evaluates them in ONE Window node (plan-verified; chained
+    * withColumn stacked four); no join at all — the composed-windows
+    * form of SURVEY preference (a), like asofJoin.
     */
   def asofJoinTolerance(df: DataFrame, leftType: String, rightType: String,
       toleranceUs: Long): DataFrame = {
@@ -164,10 +165,11 @@ object Events {
     val rightId = when(col("event_type") === rightType, col("event_id"))
     val rightTs = when(col("event_type") === rightType, col("ts_us"))
     withEventTime(df)
-      .withColumn("p_id", last(rightId, ignoreNulls = true).over(back))
-      .withColumn("p_ts", last(rightTs, ignoreNulls = true).over(back))
-      .withColumn("n_id", first(rightId, ignoreNulls = true).over(fwd))
-      .withColumn("n_ts", first(rightTs, ignoreNulls = true).over(fwd))
+      .select(col("*"),
+        last(rightId, ignoreNulls = true).over(back).as("p_id"),
+        last(rightTs, ignoreNulls = true).over(back).as("p_ts"),
+        first(rightId, ignoreNulls = true).over(fwd).as("n_id"),
+        first(rightTs, ignoreNulls = true).over(fwd).as("n_ts"))
       .filter(col("event_type") === leftType)
       .select(col("event_id"), col("user_id"), col("ts_us"),
         when(col("ts_us") - col("p_ts") <= toleranceUs, col("p_id"))
