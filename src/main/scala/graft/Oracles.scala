@@ -157,6 +157,41 @@ object Oracles {
   val all: Map[String, String] = Map(
     "q134_kcore" -> kCoreOracle,
 
+    // Vocab coverage replayed: same (count DESC, term) top-V cut, OOV
+    // via list_filter against the vocab list, truncating // ppm.
+    "q139_vocab_oov" -> """
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+      vocab AS (SELECT term FROM cnt ORDER BY n DESC, term LIMIT 20),
+      va AS (SELECT list(term ORDER BY term) AS vl FROM vocab),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      per AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(ws,
+                 t -> NOT list_contains(vl, t))) AS BIGINT) AS oov_tokens
+        FROM w, va)
+      SELECT doc_id, n_tokens, oov_tokens,
+             CAST((1000000 * oov_tokens) // n_tokens AS BIGINT) AS oov_ppm
+      FROM per ORDER BY doc_id""",
+
+    // Length-bucket batching replayed with the NAIVE per-bucket window
+    // (the oracle can afford it) — equality proves the engine's
+    // two-pass range plan computes the identical per-bucket ranks.
+    "q140_length_batches" -> """
+      WITH d AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+      b AS (SELECT doc_id, n_tok,
+              CAST(CASE WHEN n_tok < 16 THEN 0 WHEN n_tok < 32 THEN 1
+                        WHEN n_tok < 64 THEN 2 WHEN n_tok < 128 THEN 3
+                        ELSE 4 END AS BIGINT) AS len_bucket
+            FROM d)
+      SELECT doc_id, n_tok, len_bucket,
+        CAST((row_number() OVER (PARTITION BY len_bucket
+              ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_idx
+      FROM b ORDER BY doc_id""",
+
     // Record linkage replayed: q50's blocked edit-pair SQL → recursive
     // reachability (the q118 closure pattern) → min-id canonical;
     // singletons map to themselves via the left-join coalesce.

@@ -68,4 +68,57 @@ object Packing {
       .withColumn("shard", expr(s"cum_before DIV $budget"))
       .drop("_pid", "_lcum", "_off")
   }
+
+  /** LENGTH-BUCKETED batch assignment — the dynamic-batching prep step
+    * (group sequences of similar length so a batch pads to its bucket's
+    * bound, not the corpus max; the standard packing alternative when
+    * examples must stay unconcatenated): docs bucket by power-of-two
+    * token-count bands [0,16) [16,32) [32,64) [64,128) [128,∞), and
+    * within each bucket consecutive `batchSize` docs (doc_id order)
+    * share a batch index.
+    *
+    * Per-bucket global rank WITHOUT a per-bucket global sort — the
+    * [[packByBudget]] two-pass plan generalized to grouped order:
+    * range-partition on (bucket, doc_id), rank locally per (bucket,
+    * partition), then add broadcast per-(bucket, partition) offsets.
+    * The only full-data exchange is the range partition; every sort is
+    * partition-local, and the offsets frame is buckets × partitions
+    * rows. (A plain `row_number OVER (PARTITION BY bucket)` would sort
+    * five corpus-fifth-sized window partitions — the single-task-ish
+    * hazard GlobalWindow exists to avoid.) Output is rank-derived, so
+    * range-sampling nondeterminism in partition BOUNDARIES cannot
+    * change it.
+    */
+  def lengthBucketBatches(docs: DataFrame, batchSize: Int,
+      parts: Int = 0): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    val nParts =
+      if (parts > 0) parts
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val bucket = when(nTok < 16, 0L).when(nTok < 32, 1L)
+      .when(nTok < 64, 2L).when(nTok < 128, 3L).otherwise(4L)
+    val parted = docs
+      .select(col("doc_id"), nTok.as("n_tok"), bucket.as("len_bucket"))
+      .repartitionByRange(nParts, col("len_bucket").asc, col("doc_id").asc)
+      .withColumn("_pid", spark_partition_id())
+    val wLoc = Window.partitionBy(col("len_bucket"), col("_pid"))
+      .orderBy(col("doc_id").asc)
+    val local = graft.CacheScope.scoped(
+      parted.withColumn("_lrank", row_number().over(wLoc)))
+    val wStat = Window.partitionBy(col("len_bucket"))
+      .orderBy(col("_pid").asc)
+    val offsets = local.groupBy(col("len_bucket"), col("_pid"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(wStat.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("len_bucket"), col("_pid"), col("_off"))
+    local.join(broadcast(offsets), Seq("len_bucket", "_pid"))
+      .withColumn("batch_idx",
+        expr(s"(_lrank + _off - 1) div $batchSize"))
+      .select(col("doc_id"), col("n_tok"), col("len_bucket"),
+        col("batch_idx"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -194,4 +194,48 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("B", 4L, 1L, false, Some(7.0)),
       ("B", 5L, 0L, true, Some(7.0))))
   }
+
+  // ------------------------------------------------- vocab / batching
+
+  test("oovCoverage: deterministic tie cut, exact OOV counts") {
+    val docs = Seq(
+      (1L, "aa aa bb cc"), // aa:2 bb:1 cc:1 dd:1 overall with doc2
+      (2L, "dd bb aa")
+    ).toDF("doc_id", "text")
+    // counts: aa=3, bb=2, cc=1, dd=1 -> V=3 cuts at the cc/dd tie:
+    // term ASC keeps cc, drops dd
+    val got = CacheScope.withScope {
+      operators.Vocab.oovCoverage(docs, vocabSize = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+    assert(got(1L) === ((4L, 0L, 0L)))
+    assert(got(2L) === ((3L, 1L, 333333L))) // dd is OOV; 10^6/3 truncated
+    // a vocab covering every term yields zero OOV everywhere
+    val full = CacheScope.withScope {
+      operators.Vocab.oovCoverage(docs, vocabSize = 10)
+        .collect().map(_.getLong(2)).sum
+    }
+    assert(full === 0L)
+  }
+
+  test("lengthBucketBatches: band edges, batch cuts, partition invariance") {
+    // 9 docs of 20 tokens (bucket 1) -> batches 0..1 at B=8; one doc of
+    // 15 tokens (bucket 0) and one of 200 (bucket 4)
+    val mk = (n: Int) => Seq.fill(n)("w").mkString(" ")
+    val docs = ((1L to 9L).map(i => (i, mk(20))) ++
+      Seq((20L, mk(15)), (21L, mk(200)))).toDF("doc_id", "text")
+    def run(parts: Int) = CacheScope.withScope {
+      Packing.lengthBucketBatches(docs, batchSize = 8, parts = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+    }
+    val got = run(3)
+    assert(got.filter(_._2 == 1L).map(_._3) ===
+      Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L)) // 9th doc opens batch 1
+    assert(got.find(_._1 == 20L).get._2 === 0L) // 15 tokens -> band 0
+    assert(got.find(_._1 == 21L).get._2 === 4L) // 200 tokens -> band 4
+    // the two-pass rank is partition-count-invariant (q84's law)
+    assert(run(1) === run(7))
+  }
 }

@@ -68,6 +68,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q120_cohort_retention" -> "requireSpanHours 1-row bounds broadcast",
     "q123_event_pattern" -> "requireSpanHours 1-row bounds broadcast",
     "q131_asof_tolerance" -> "requireSpanHours 1-row bounds broadcast",
+    "q139_vocab_oov" -> ("the ONE-ROW sorted vocabulary array (top-V, " +
+      "broadcast-small by construction) is cross-joined onto the corpus " +
+      "— the sanctioned q75/q100 broadcast-set delivery mechanism"),
     "q136_entity_resolution" -> ("q50's blockedEditPairs max-block-size " +
       "premise frame (1 row) cross-joined onto the probe side — the " +
       "sanctioned loud-blocking-guard mechanism"),
