@@ -81,11 +81,15 @@ object Packing {
     * [[packByBudget]] two-pass plan generalized to grouped order:
     * range-partition on (bucket, doc_id), rank locally per (bucket,
     * partition), then add broadcast per-(bucket, partition) offsets.
-    * The only full-data exchange is the range partition; every sort is
-    * partition-local, and the offsets frame is buckets × partitions
-    * rows. (A plain `row_number OVER (PARTITION BY bucket)` would sort
-    * five corpus-fifth-sized window partitions — the single-task-ish
-    * hazard GlobalWindow exists to avoid.) Output is rank-derived, so
+    * Two full-data exchanges — the range partition plus the hash
+    * exchange Catalyst inserts for the local-rank window (it cannot
+    * prove `spark_partition_id` is partition-stable, so
+    * EnsureRequirements re-clusters on (bucket, _pid); see the PLANS.md
+    * q140 plan) — but every SORT is partition-local and the offsets
+    * frame is buckets × partitions rows. That is the point: a plain
+    * `row_number OVER (PARTITION BY bucket)` would sort five
+    * corpus-fifth-sized window partitions — the single-task-ish hazard
+    * GlobalWindow exists to avoid. Output is rank-derived, so
     * range-sampling nondeterminism in partition BOUNDARIES cannot
     * change it.
     */
