@@ -40,9 +40,13 @@ import org.apache.spark.sql.functions._
 object KCore {
 
   /** (node, core_degree) for the k-core of `edges` ((u, v) undirected,
-    * deduped here); empty result if the core is empty. `localCutoff` =
-    * max edges handed to the single-task finish (0 forces the pure
-    * distributed loop — the spec uses it to prove phase parity).
+    * canonicalized AND deduped here — both orientations of the same
+    * edge collapse to (least, greatest) before the distinct, so a
+    * caller passing (u,v) and (v,u) cannot double-count degrees;
+    * self-loops are dropped, as in any simple undirected graph); empty
+    * result if the core is empty. `localCutoff` = max edges handed to
+    * the single-task finish (0 forces the pure distributed loop — the
+    * spec uses it to prove phase parity).
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 32,
       localCutoff: Long = 1000000L): DataFrame = {
@@ -50,8 +54,13 @@ object KCore {
     require(maxRounds >= 1, "maxRounds must be positive")
     val spark = edges.sparkSession
     import spark.implicits._
-    var e = edges.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v")).distinct().localCheckpoint()
+    val typed = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
+    var e = typed
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
     var nEdges = e.count()
     var round = 0
     var converged = nEdges == 0L

@@ -100,31 +100,27 @@ object Stats {
     val obs = org.apache.spark.sql.Observation()
     df.observe(obs,
         count(lit(1)).as("n_rows"),
-        min(col(amountCol)).as("min_amount"),
-        max(col(amountCol)).as("max_amount"),
+        min(col(amountCol)).cast(DoubleType).as("min_amount"),
+        max(col(amountCol)).cast(DoubleType).as("max_amount"),
         sum(col(amountCol).cast(dec)).cast(DoubleType).as("sum_amount"))
       .write.format("noop").mode("overwrite").save()
     val m = obs.get
-    import spark.implicits._
-    val n = m("n_rows").asInstanceOf[Long]
-    if (n == 0L) {
-      // empty input: min/max/sum observe as null — emit them as NULLs
-      // (matching any SQL engine's empty-table aggregates), never as
-      // unboxed 0.0 fabrications (Row + explicit schema per CLAUDE.md)
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(
-        java.util.List.of(Row(0L, null, null, null)),
-        StructType(Seq(StructField("n_rows", LongType, false),
-          StructField("min_amount", DoubleType, true),
-          StructField("max_amount", DoubleType, true),
-          StructField("sum_amount", DoubleType, true))))
-    } else
-      Seq((n,
-        m("min_amount").asInstanceOf[Double],
-        m("max_amount").asInstanceOf[Double],
-        m("sum_amount").asInstanceOf[Double]))
-        .toDF("n_rows", "min_amount", "max_amount", "sum_amount")
+    // min/max/sum observe as null on an empty input AND on a non-empty
+    // input whose amount column is entirely NULL — both must surface as
+    // NULLs (matching any SQL engine's aggregates over no non-null
+    // values), never as unboxed 0.0 fabrications. So the row is built
+    // via Row + explicit schema (CLAUDE.md) passing every observed
+    // value through AS-IS: an asInstanceOf[Double] on the non-empty
+    // branch would silently turn a null min into 0.0.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.List.of(Row(m("n_rows"), m("min_amount"),
+        m("max_amount"), m("sum_amount"))),
+      StructType(Seq(StructField("n_rows", LongType, false),
+        StructField("min_amount", DoubleType, true),
+        StructField("max_amount", DoubleType, true),
+        StructField("sum_amount", DoubleType, true))))
   }
 
   /** Declarative data-quality CONTRACT check (the great-expectations /

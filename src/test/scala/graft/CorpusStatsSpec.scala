@@ -135,6 +135,24 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
 
+  test("observedProfile keeps NULLs on a non-empty all-NULL amount column") {
+    // r7 ADVICE: the non-empty branch unboxed the observed null min/max
+    // through asInstanceOf[Double], fabricating 0.0 aggregates — the
+    // exact failure the empty branch's comment forbids. Nulls ride a
+    // Row + explicit schema (CLAUDE.md), so the frame is built the same
+    // way here.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val allNull = spark.createDataFrame(
+      java.util.List.of(Row(1L, null), Row(2L, null)),
+      StructType(Seq(StructField("id", LongType, false),
+        StructField("amount", DoubleType, true))))
+    val r = Stats.observedProfile(allNull).collect().head
+    assert(r.getLong(0) === 2L)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+      s"expected NULL min/max/sum, got $r")
+  }
+
   test("linearFit yields NULL, not a divide error, on degenerate groups") {
     // constant x: den = 0 → all three quotients NULL
     val got = fit(("c", 2L, 1L), ("c", 2L, 9L))

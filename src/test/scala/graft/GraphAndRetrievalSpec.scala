@@ -505,6 +505,29 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore canonicalizes orientation: both directions fed = one edge") {
+    // r7 ADVICE: the dedup was an exact-tuple distinct, so a caller
+    // passing (u,v) AND (v,u) double-counted every degree. K4 with
+    // every edge in both orientations must still be exactly the 2-core
+    // K4 with degree 3 (not 6), and a both-ways path must still have an
+    // empty 2-core; self-loops are dropped, not counted as degree 2.
+    val k4both = for {
+      u <- 1L to 4L; v <- 1L to 4L if u != v
+    } yield (u, v)
+    val edges = (k4both ++ Seq((4L, 5L), (5L, 4L), (5L, 5L)))
+      .toDF("u", "v")
+    val got = CacheScope.withScope {
+      KCore.kCore(edges, k = 2, maxRounds = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val pathBoth = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("u", "v")
+    assert(CacheScope.withScope {
+      KCore.kCore(pathBoth, k = 2, maxRounds = 8).count()
+    } === 0L)
+  }
+
   test("kCore hybrid local finish equals the pure distributed peel") {
     // pseudo-random graph on 60 nodes (hash-derived, deterministic)
     val g = (1L to 400L)
