@@ -104,6 +104,42 @@ object Oracles {
       FROM scored
       QUALIFY rank <= 5 ORDER BY query_id, rank"""
 
+  /** The dHash grid replayed on the closed-form raster p(x,y) =
+    * (id·31+7x+13y) mod 256 (the q29/q99 construction), shared by q130
+    * (exact groups) and q141 (Hamming near-pairs): same sampling
+    * arithmetic (integer DIV — operands nonnegative, so // agrees with
+    * Spark's truncation), same little-endian bit packing, same 32/32
+    * split (bit 63 would overflow DuckDB's signed <<). Composes as
+    * `WITH $dhashCte, ...` — terminal CTE is `h(media_id, dhash_hi,
+    * dhash_lo)`.
+    */
+  private val dhashCte: String = """img AS (
+        SELECT doc_id AS media_id,
+               8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      grid AS (
+        SELECT media_id, j, i,
+               (i * (w - 1)) // 8 AS x0,
+               ((i + 1) * (w - 1)) // 8 AS x1,
+               (j * (h - 1)) // 7 AS y
+        FROM img, unnest(range(0, 8)) AS tj(j),
+                  unnest(range(0, 8)) AS ti(i)),
+      bits AS (
+        SELECT media_id, j, i,
+          CASE WHEN (media_id*31 + 7*x1 + 13*y) % 256 >
+                    (media_id*31 + 7*x0 + 13*y) % 256
+               THEN CAST(1 AS BIGINT) ELSE 0 END AS b
+        FROM grid),
+      h AS (
+        SELECT media_id,
+          CAST(sum(CASE WHEN j >= 4
+                   THEN b * (CAST(1 AS BIGINT) << (8*(j-4) + i))
+                   ELSE 0 END) AS BIGINT) AS dhash_hi,
+          CAST(sum(CASE WHEN j < 4
+                   THEN b * (CAST(1 AS BIGINT) << (8*j + i))
+                   ELSE 0 END) AS BIGINT) AS dhash_lo
+        FROM bits GROUP BY 1)"""
+
   /** Exact cosine-pairs contract shared by q28 (blocked-exact path) and
     * q52 (LSH-banded path): every (a<b) pair with cosine >= 0.4. The
     * cosine is the explicit dot/(sqrt·sqrt) shape CosineSim executes.
@@ -726,43 +762,32 @@ object Oracles {
                   ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
       FROM rer QUALIFY rank <= 5 ORDER BY query_id, rank""",
 
-    // The dHash grid replayed on the closed-form raster p(x,y) =
-    // (id·31+7x+13y) mod 256 (the q29/q99 construction): same sampling
-    // arithmetic (integer DIV — operands nonnegative, so // agrees with
-    // Spark's truncation), same little-endian bit packing, same 32/32
-    // split (bit 63 would overflow DuckDB's signed <<).
-    "q130_image_dhash" -> """
-      WITH img AS (
-        SELECT doc_id AS media_id,
-               8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
-        FROM documents WHERE doc_id % 3 = 0),
-      grid AS (
-        SELECT media_id, j, i,
-               (i * (w - 1)) // 8 AS x0,
-               ((i + 1) * (w - 1)) // 8 AS x1,
-               (j * (h - 1)) // 7 AS y
-        FROM img, unnest(range(0, 8)) AS tj(j),
-                  unnest(range(0, 8)) AS ti(i)),
-      bits AS (
-        SELECT media_id, j, i,
-          CASE WHEN (media_id*31 + 7*x1 + 13*y) % 256 >
-                    (media_id*31 + 7*x0 + 13*y) % 256
-               THEN CAST(1 AS BIGINT) ELSE 0 END AS b
-        FROM grid),
-      h AS (
-        SELECT media_id,
-          CAST(sum(CASE WHEN j >= 4
-                   THEN b * (CAST(1 AS BIGINT) << (8*(j-4) + i))
-                   ELSE 0 END) AS BIGINT) AS dhash_hi,
-          CAST(sum(CASE WHEN j < 4
-                   THEN b * (CAST(1 AS BIGINT) << (8*j + i))
-                   ELSE 0 END) AS BIGINT) AS dhash_lo
-        FROM bits GROUP BY 1),
+    // Exact-hash groups over the shared closed-form dHash CTE (see
+    // [[dhashCte]] for the grid/packing contract).
+    "q130_image_dhash" -> s"""
+      WITH $dhashCte,
       g AS (SELECT dhash_hi, dhash_lo, count(*) AS group_size
             FROM h GROUP BY 1, 2)
       SELECT media_id, dhash_hi, dhash_lo,
              CAST(group_size AS BIGINT) AS group_size
       FROM h JOIN g USING (dhash_hi, dhash_lo) ORDER BY media_id""",
+
+    // Exact Hamming ≤ 3 pairs over the closed-form dHash reps: the
+    // banded engine path must lose nothing. xor/bit_count operate on
+    // the same 32/32 split halves the engine carries (each half is
+    // nonnegative, so signed xor is the plain bit xor).
+    "q141_image_neardup" -> s"""
+      WITH $dhashCte,
+      reps AS (SELECT dhash_hi, dhash_lo, min(media_id) AS rep
+               FROM h GROUP BY 1, 2)
+      SELECT a.rep AS media_a, b.rep AS media_b,
+             CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+                  bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
+               AS hamming
+      FROM reps a JOIN reps b ON a.rep < b.rep
+      WHERE bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+            bit_count(xor(a.dhash_lo, b.dhash_lo)) BETWEEN 1 AND 3
+      ORDER BY media_a, media_b""",
 
     // Gopher rule battery in the same exact integer comparisons the
     // engine runs: cross-multiplied mean-length bounds, 5·alpha ≥
@@ -1427,6 +1452,12 @@ object Oracles {
     // answer is engine-independent (same shared-oracle discipline as
     // q28/q52: the scale machinery must lose nothing).
     "q35_ann_ivf" -> annTopKOracle,
+
+    // Multi-probe LSH probing ALL buckets (probeHamming = nPlanes) must
+    // equal the exact top-k — the sign-bit buckets route, they never
+    // filter, so the gate projection is engine-independent (q35's
+    // exhaustive-probe discipline; graduated from rows-only in r8).
+    "q25_ann_lsh" -> annTopKOracle,
 
     "q28_cosine_pairs" -> cosinePairsOracle,
 

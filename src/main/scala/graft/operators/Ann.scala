@@ -135,17 +135,47 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed top-k: candidates limited to the query's sign-bit
-    * bucket. One shuffle on bucket id (or broadcast when queries are
-    * small); scan cost drops by ~2^nPlanes.
+  /** MULTI-PROBE LSH-bucketed top-k (Lv et al., VLDB 2007): each query
+    * scans its own sign-bit bucket plus every bucket within
+    * `probeHamming` sign flips of it — a query whose true neighbor sits
+    * just across one hyperplane (the dominant LSH miss mode) recovers
+    * it by probing the adjacent bucket instead of by adding whole hash
+    * tables. Candidates per query ≈ |corpus| · C(nPlanes, ≤probe) /
+    * 2^nPlanes; probeHamming = 0 is the classic single-bucket probe.
+    *
+    * probeHamming = nPlanes probes EVERY bucket, which makes the
+    * engine-internal bucketing provably output-invisible: the result
+    * must equal the exact brute-force top-k, so that configuration is
+    * hash-gated against the same SQL oracle as q24 (the q35
+    * exhaustive-probe discipline — gate the engine-independent
+    * projection; the pruned scan-reduction path stays recall-tested in
+    * ScalaTest). The probe set is built ONCE driver-side as XOR masks
+    * (C(nPlanes, ≤probe) literals, distinct buckets by construction —
+    * no per-row 2^nPlanes enumeration and no candidate dedup needed:
+    * each corpus row lives in exactly one bucket).
+    *
+    * Scale: one shuffle on bucket id (or broadcast when queries are
+    * small); scan cost drops by ~2^nPlanes / C(nPlanes, ≤probe).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      dim: Int = 64, nPlanes: Int = 4): DataFrame = {
+      dim: Int = 64, nPlanes: Int = 4, probeHamming: Int = 0): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 20,
+      s"nPlanes = $nPlanes: mask enumeration is O(2^nPlanes) driver-side")
+    require(probeHamming >= 0 && probeHamming <= nPlanes,
+      s"probeHamming = $probeHamming must be within [0, nPlanes]")
     def withBucket(df: DataFrame, idAs: String, vAs: String) =
       df.select(col("vec_id").as(idAs),
         VecFns.toDouble(col("embedding")).as(vAs),
         VecFns.lshBucket(VecFns.toDouble(col("embedding")), dim, nPlanes))
-    val q = withBucket(queries, "query_id", "qv")
+    val q0 = withBucket(queries, "query_id", "qv")
+    val q =
+      if (probeHamming == 0) q0
+      else {
+        val masks = (0L until (1L << nPlanes))
+          .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+        q0.withColumn("bucket", explode(array(
+          masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+      }
     val c = withBucket(corpus, "neighbor_id", "cv")
     val scored = c.join(broadcast(q),
         c("bucket") === q("bucket") && col("query_id") =!= col("neighbor_id"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (north-star extension; SURVEY.md §2.5).
@@ -433,14 +433,30 @@ object Multimodal {
     * only shuffle is the group-size window on the hash — at corpus scale
     * exactly the dedup shuffle q19 runs on md5.
     */
-  def imageDHash(docs: DataFrame): DataFrame = {
+  def imageDHash(docs: DataFrame): DataFrame =
+    dHashes(docs).toDF()
+      .withColumn("group_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dhash_hi"), col("dhash_lo"))))
+
+  /** The shared decode→grid→pack stage behind [[imageDHash]] (exact
+    * groups) and [[imageDHashNear]] (Hamming-banded near matches): one
+    * 64-bit dHash row per lossless image payload.
+    */
+  private[graft] def dHashes(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[DHashRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val hashed = fromDocuments(docs)
+    fromDocuments(docs)
       .filter(col("kind") === "image").as[MediaRow]
       .mapPartitions(_.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.content))
+        // ImageIO.read returns null (not an exception) on an
+        // undecodable payload — refuse loudly like the sibling
+        // sniffDecodeImages path instead of NPE'ing on getRaster
+        require(img != null,
+          s"imageDHash: media_id ${r.media_id} payload did not decode")
         val raster = img.getRaster
         val w = img.getWidth
         val h = img.getHeight
@@ -463,10 +479,63 @@ object Multimodal {
         }
         DHashRow(r.media_id, hi, lo)
       })
-    hashed.toDF()
-      .withColumn("group_size", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("dhash_hi"), col("dhash_lo"))))
+  }
+
+  /** Hamming-banded NEAR-duplicate image matching — the scale-up the
+    * [[imageDHash]] scaladoc documents (r7 VERDICT #1), now built: the
+    * q26/q97 candidates-then-confirm shape in image space. Exact-hash
+    * groups collapse to one representative first (min media_id — the
+    * q19-style dedup, so a large duplicate group costs ONE row here,
+    * never group² pairs); the 64-bit hash then splits into FOUR 16-bit
+    * sub-keys, and by pigeonhole two hashes within Hamming distance 3
+    * (< 4 bands) must agree EXACTLY on at least one sub-key — so a
+    * per-band equi-join generates every true candidate and the exact
+    * bit_count verify keeps pairs with 1 ≤ Hamming ≤ `maxHamming`.
+    * Lossless by construction (`maxHamming` < band count, enforced).
+    *
+    * Output: (media_a, media_b, hamming) over group representatives,
+    * media_a < media_b. Scale: the only shuffles are the exact-group
+    * aggregation and the 4-way banded self-join on 16-bit sub-keys —
+    * candidates are band collisions, never the all-pairs product; a
+    * pair colliding in several bands is deduped AFTER the cheap verify
+    * (hamming rides the candidate row — no re-join).
+    */
+  def imageDHashNear(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBands = 4
+    require(maxHamming >= 1 && maxHamming < nBands,
+      s"imageDHashNear: maxHamming = $maxHamming breaks the pigeonhole " +
+        s"premise — $nBands bands of 16 bits catch Hamming <= ${nBands - 1}")
+    nearPairsFromHashes(dHashes(docs).toDF(), maxHamming)
+  }
+
+  /** Banding + verify over an (media_id, dhash_hi, dhash_lo) frame —
+    * split out so the spec can pin the pigeonhole edge cases (Hamming
+    * exactly `maxHamming` kept; a band-colliding pair past the bound
+    * dropped by the verify) on crafted hashes without codec work.
+    */
+  private[graft] def nearPairsFromHashes(hashes: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val reps = graft.CacheScope.scoped(hashes
+      .groupBy(col("dhash_hi"), col("dhash_lo"))
+      .agg(min(col("media_id")).as("rep")))
+    def bandKey(band: Int): Column = {
+      val half = if (band >= 2) col("dhash_hi") else col("dhash_lo")
+      struct(lit(band).as("band"),
+        shiftright(half, 16 * (band % 2)).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }
+    val banded = reps.select(col("rep"), col("dhash_hi"), col("dhash_lo"),
+      explode(array((0 until 4).map(bandKey): _*)).as("bk"))
+      .select(col("rep"), col("dhash_hi"), col("dhash_lo"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("media_a"), col("b.rep").as("media_b"),
+        (bit_count(col("a.dhash_hi").bitwiseXOR(col("b.dhash_hi"))) +
+          bit_count(col("a.dhash_lo").bitwiseXOR(col("b.dhash_lo"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // >= 1: reps' hashes differ
+      .distinct()
   }
 
   // ------------------------------------------- binaryFile source breadth

@@ -151,6 +151,46 @@ class RetrievalQuantSpec extends AnyFunSuite {
     ids.foreach { id => assert(got(id) === expectedDHash(id), s"id $id") }
   }
 
+  test("imageDHashNear equals brute-force Hamming pairs on real decode") {
+    val ids = (0L to 90L by 3L)
+    val docs = ids.map(i => (i, "x y", 3L)).toDF("doc_id", "text", "n_chars")
+    // independent expectation: reps per closed-form hash, exact Hamming
+    val reps = ids.groupBy(expectedDHash).map { case (h, g) => (h, g.min) }
+    val expected = (for {
+      (ha, a) <- reps; (hb, b) <- reps if a < b
+      d = java.lang.Long.bitCount(ha._1 ^ hb._1) +
+        java.lang.Long.bitCount(ha._2 ^ hb._2)
+      if d >= 1 && d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = CacheScope.withScope {
+      Multimodal.imageDHashNear(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(got === expected && expected.nonEmpty)
+  }
+
+  test("nearPairsFromHashes pins the pigeonhole edges") {
+    // A/A2 exact dups (collapse to rep 1); B at Hamming 3 from A
+    // (kept, boundary); D at Hamming 4 from A all in ONE band (it IS a
+    // band-join candidate via the three zero bands — the verify must
+    // drop it); E at Hamming 4 spread one-bit-per-band from A (never
+    // even a candidate); (B,D) differ by one bit (kept)
+    val hashes = Seq(
+      (1L, 0L, 0L), (5L, 0L, 0L), (2L, 0L, 7L), (3L, 0L, 0xFL),
+      (4L, 0x10001L, 0x10001L))
+      .toDF("media_id", "dhash_hi", "dhash_lo")
+    val got = CacheScope.withScope {
+      Multimodal.nearPairsFromHashes(hashes, maxHamming = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(got === Set((1L, 2L, 3L), (2L, 3L, 1L)))
+    // maxHamming >= band count breaks the pigeonhole — refused loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.imageDHashNear(Seq((3L, "x", 1L))
+        .toDF("doc_id", "text", "n_chars"), maxHamming = 4)
+    }
+  }
+
   test("imageDHash groups identical hashes (256-periodic raster)") {
     // ids 3 and 3+768 share id mod 256, id mod 16, id mod 8 → same
     // raster → same hash; 771 % 3 == 0 so both rows are imaged

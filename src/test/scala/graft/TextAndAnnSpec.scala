@@ -408,6 +408,25 @@ class TextAndAnnSpec extends AnyFunSuite {
     val recall = lsh.count(r => bruteSet.contains((r._1, r._2))).toDouble /
       bruteSet.size
     assert(recall > 0.0) // random 64-d data: buckets thin the candidates
+
+    // multi-probe: widening the probe radius can only ADD candidates,
+    // so recall is monotone in probeHamming...
+    def recallAt(ph: Int): Double = {
+      val rows = Ann.lshTopK(e, q, 5, probeHamming = ph)
+        .as[(Long, Long, Int)].collect()
+      rows.count(r => bruteSet.contains((r._1, r._2))).toDouble /
+        bruteSet.size
+    }
+    val r0 = recallAt(0)
+    val r2 = recallAt(2)
+    assert(r0 === recall, "probeHamming = 0 must be the classic probe")
+    assert(r2 >= r0, s"multi-probe recall regressed: probe2 $r2 < probe0 $r0")
+    // ...and probing every bucket (probeHamming = nPlanes) IS the exact
+    // brute-force answer — the q25 gate projection (rank-exact, not
+    // just recall 1.0)
+    val exhaustive = Ann.lshTopK(e, q, 5, probeHamming = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(exhaustive === brute.as[(Long, Long, Int)].collect().toSet)
   }
 
   test("boilerplate removal: planted header deleted everywhere, " +
