@@ -104,6 +104,20 @@ object Oracles {
       FROM scored
       QUALIFY rank <= 5 ORDER BY query_id, rank"""
 
+  /** Blocked edit-distance near-dup contract shared by q50 (all-pairs
+    * within block, loud maxBlock premise) and q142 (segment-pigeonhole
+    * candidates): pairs sharing the 15-char name prefix with
+    * levenshtein ≤ 2, levenshtein computed once per candidate.
+    */
+  private val nameNearDupOracle: String = """
+      SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+      FROM customer a JOIN customer b
+        ON substring(a.c_name, 1, 15) = substring(b.c_name, 1, 15)
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
+      ORDER BY cust_a, cust_b"""
+
   /** The dHash grid replayed on the closed-form raster p(x,y) =
     * (id·31+7x+13y) mod 256 (the q29/q99 construction), shared by q130
     * (exact groups) and q141 (Hamming near-pairs): same sampling
@@ -1357,14 +1371,11 @@ object Oracles {
       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
-    "q50_name_neardup" -> """
-      SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
-             CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
-      FROM customer a JOIN customer b
-        ON substring(a.c_name, 1, 15) = substring(b.c_name, 1, 15)
-       AND a.c_custkey < b.c_custkey
-      WHERE levenshtein(a.c_name, b.c_name) <= 2
-      ORDER BY cust_a, cust_b""",
+    "q50_name_neardup" -> nameNearDupOracle,
+
+    // The segment-pigeonhole path shares q50's EXACT contract — the
+    // candidate refinement must lose nothing vs the blocked join.
+    "q142_linkage_segmented" -> nameNearDupOracle,
 
     "q53_partition_prune" -> s"""$cte
       SELECT count(*) AS n_rows,

@@ -74,6 +74,147 @@ object TextDedup {
         col("edit_dist"))
   }
 
+  /** Segment-PIGEONHOLE edit-distance near-dup join — the scale-safe
+    * refinement of [[blockedEditPairs]] (r7 VERDICT #3): the SAME
+    * contract (every pair (id_a < id_b) sharing a `prefixLen`-char
+    * block with levenshtein ≤ `maxDist`), but candidate generation
+    * inside a block is PassJoin-style (Li, Deng, Feng — ICDE 2011)
+    * instead of all-pairs, so a hot prefix block costs work
+    * proportional to segment-key collisions — bounded by suffix
+    * CONTENT, never by block size. No `maxBlock` premise to trip.
+    *
+    * Why the refinement is exact: names sharing the block prefix have
+    * lev(name_a, name_b) = lev(suffix_a, suffix_b) (equal leading chars
+    * can always be matched in an optimal alignment — the standard
+    * common-prefix-stripping identity), so blocking refines on suffix
+    * content. The LONGER suffix of a pair is partitioned into
+    * maxDist+1 contiguous segments; ≤ maxDist edits leave at least one
+    * segment edit-free (pigeonhole), and an edit-free segment appears
+    * VERBATIM in the shorter suffix shifted by at most maxDist from
+    * its own position. So the index side emits each suffix's maxDist+1
+    * (position, value) segments; the probe side emits, for every
+    * target length in [len, len+maxDist], every substring matching
+    * that scheme's segment lengths within the ±maxDist shift window;
+    * one equi-join on (block, target length, segment index, segment
+    * start, segment value) generates every true candidate — roles
+    * auto-orient (the index length must cover the probe length), an
+    * equal-length pair generated both ways collapses under the
+    * canonical (least, greatest) distinct — and one exact levenshtein
+    * per deduped pair verifies. Probe fan-out is a CONSTANT:
+    * ≤ (maxDist+1)²·(2·maxDist+1) rows per record (45 at maxDist=2).
+    *
+    * Suffixes shorter than maxDist+1 chars can't host a non-empty
+    * segment scheme (an empty segment key would re-collide the whole
+    * block); pairs whose LONGER suffix clears maxDist+1 still ride the
+    * long path (the probe side has no length floor — and a pair whose
+    * longer suffix is ≥ maxDist+1 longer than the shorter one is out
+    * of edit range anyway), so only both-short pairs remain, handled
+    * by a dedicated short×short block join. Two loud premises replace
+    * maxBlock, each strictly narrower: `maxKeyPairs` caps the
+    * candidate volume of the hottest single JOIN KEY (an adversarial
+    * corpus where many suffixes agree on one whole segment at one
+    * position), `maxShortBlock` caps short-suffix rows per block.
+    * Both are 1-row aggregates with assert_true folded into a CONSUMED
+    * column (the [[blockedEditPairs]] bounds-frame discipline).
+    *
+    * At 100 TB: every stage is an equi-shuffle on content-derived keys
+    * (no per-block quadratic barrier); the segment/probe explodes are
+    * constant fan-out codegen maps; the two premise aggregates each
+    * cost one pass over the (cached) exploded frames — the price of
+    * refusing loud instead of degrading silent.
+    */
+  def segmentedEditPairs(names: DataFrame, prefixLen: Int, maxDist: Int,
+      maxKeyPairs: Long = 10000000L, maxShortBlock: Long = 10000L)
+      : DataFrame = {
+    require(maxDist >= 1, "maxDist must be positive")
+    val d = maxDist
+    val nSeg = d + 1
+    val base = names.select(col("id"), col("name"),
+      substring(col("name"), 1, prefixLen).as("blk"),
+      expr(s"substring(name, ${prefixLen + 1})").as("suf"))
+      .withColumn("len", length(col("suf")))
+    // even segment scheme of a length-L suffix: segment i ∈ [0, d] has
+    // length li = L div (d+1) (+1 for the first L mod (d+1) segments)
+    // and 0-based start pi — identical arithmetic on both sides, so an
+    // index segment and a probe substring meet on the same key
+    def segCols(df: DataFrame) = df
+      .withColumn("li", expr(
+        s"CAST(L div $nSeg + (CASE WHEN i < L % $nSeg THEN 1 ELSE 0 END) AS INT)"))
+      .withColumn("pi", expr(
+        s"CAST(i * (L div $nSeg) + least(i, L % $nSeg) AS INT)"))
+    val segKeys = Seq("blk", "L", "i", "pi", "seg")
+    val outCols = Seq("id", "name") ++ segKeys
+    val idx = graft.CacheScope.scoped(segCols(
+      base.filter(col("len") >= nSeg)
+        .select(col("id"), col("name"), col("blk"), col("suf"),
+          col("len").as("L"), explode(sequence(lit(0), lit(d))).as("i")))
+      .withColumn("seg", expr("substring(suf, pi + 1, li)"))
+      .select(outCols.map(col): _*))
+    val prb = graft.CacheScope.scoped(segCols(
+      base
+        .select(col("id"), col("name"), col("blk"), col("suf"),
+          col("len"),
+          explode(sequence(col("len"), col("len") + lit(d))).as("L"))
+        .filter(col("L") >= nSeg) // shorter targets have no index rows
+        .select(col("id"), col("name"), col("blk"), col("suf"),
+          col("len"), col("L"),
+          explode(sequence(lit(0), lit(d))).as("i")))
+      .filter(col("li") <= col("len")) // a longer segment can't embed
+      .select(col("id"), col("name"), col("blk"), col("suf"), col("len"),
+        col("L"), col("i"), col("pi"), col("li"),
+        explode(filter(sequence(col("pi") - lit(d), col("pi") + lit(d)),
+          q => q >= lit(0) && q <= col("len") - col("li"))).as("q"))
+      .withColumn("seg", expr("substring(suf, q + 1, li)"))
+      .select(outCols.map(col): _*)
+      .distinct()) // several shifts can yield one (key, value) — emit once
+    val idxCnt = idx.groupBy(segKeys.map(col): _*)
+      .agg(count(lit(1)).as("ni"))
+    val prbCnt = prb.groupBy(segKeys.map(col): _*)
+      .agg(count(lit(1)).as("np"))
+    val keyChk = idxCnt.join(prbCnt, segKeys)
+      .agg(max(col("ni") * col("np")).as("kp"))
+      .select((coalesce(
+        assert_true(col("kp") <= maxKeyPairs,
+          concat(lit("segmentedEditPairs premise: hottest segment key " +
+              "yields "), col("kp"),
+            lit(s" candidates, exceeding $maxKeyPairs — segment " +
+              "blocking no longer bounds the per-key join volume")))
+          .cast("long"),
+        lit(0L)) + col("kp")).as("_kp"))
+    val longCand = idx.as("a").join(prb.as("b"),
+        col("a.blk") === col("b.blk") && col("a.L") === col("b.L") &&
+          col("a.i") === col("b.i") && col("a.pi") === col("b.pi") &&
+          col("a.seg") === col("b.seg") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        when(col("a.id") < col("b.id"), col("a.name"))
+          .otherwise(col("b.name")).as("name_a"),
+        when(col("a.id") < col("b.id"), col("b.name"))
+          .otherwise(col("a.name")).as("name_b"))
+      .distinct()
+      .crossJoin(broadcast(keyChk))
+    val shorts = graft.CacheScope.scoped(
+      base.filter(col("len") <= d).select("id", "name", "blk"))
+    val shortChk = shorts.groupBy(col("blk")).agg(count(lit(1)).as("sn"))
+      .agg(max(col("sn")).as("ms"))
+      .select((coalesce(
+        assert_true(col("ms") <= maxShortBlock,
+          concat(lit("segmentedEditPairs premise: block with "),
+            col("ms"),
+            lit(s" sub-${nSeg}-char suffixes exceeds $maxShortBlock — " +
+              "the short×short join no longer bounds"))).cast("long"),
+        lit(0L)) + col("ms")).as("_kp"))
+    val shortCand = shorts.as("a").join(shorts.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .crossJoin(broadcast(shortChk))
+    longCand.unionByName(shortCand)
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= d && col("_kp") > 0)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   /** Benchmark decontamination: drop corpus rows whose normalized
     * fingerprint ([[graft.functions.TextFns.fingerprint]] — the q20
     * oracle-proven normalize-then-md5) appears in `benchmark`. The

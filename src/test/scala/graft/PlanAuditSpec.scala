@@ -90,7 +90,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q129_two_stage_retrieval" -> ("the ONE-ROW corpus-stats frame (N, " +
       "avg doc length) is broadcast onto the per-term hits — q86's " +
       "sanctioned constant-size mechanism; all candidate joins are " +
-      "equi-key"))
+      "equi-key"),
+    "q142_linkage_segmented" -> ("segmentedEditPairs' TWO 1-row premise " +
+      "frames (hottest-segment-key volume; short-suffix block size) " +
+      "cross-joined onto the candidate stream — the sanctioned " +
+      "loud-blocking-guard mechanism (q50/q136 family); the candidate " +
+      "join itself is a 5-key equi-join"))
 
   private val streaming =
     Set("q57_streaming_rollup", "q60_streaming_sessionize",

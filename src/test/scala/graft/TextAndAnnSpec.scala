@@ -577,4 +577,97 @@ class TextAndAnnSpec extends AnyFunSuite {
       s"expected the loud premise, got: ${msgs(ex).mkString(" | ")}")
     names.unpersist()
   }
+
+  /** Naive oracle for the blocked edit-distance contract: quadratic
+    * same-prefix join + levenshtein filter.
+    */
+  private def naiveEditPairs(names: org.apache.spark.sql.DataFrame,
+      prefixLen: Int, maxDist: Int): Set[(Long, Long, Int)] =
+    names.as("a").join(names.as("b"),
+        col("a.id") < col("b.id") &&
+          substring(col("a.name"), 1, prefixLen) ===
+            substring(col("b.name"), 1, prefixLen))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.name"), col("b.name")).as("d"))
+      .filter(col("d") <= maxDist)
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("segmentedEditPairs: equals the blocked contract on a mixed " +
+      "fixture, on the hot-prefix block blockedEditPairs refuses, and " +
+      "across short/long suffix pairs") {
+    // the same mixed fixture blockedEditPairs is pinned on
+    val mixed = Seq(
+      (1L, "alpha-store-001"), (2L, "alpha-store-002"),
+      (3L, "alpha-store-0xx"),
+      (4L, "beta-store-0001"), (5L, "beta-store-0002"),
+      (6L, "gamma-warehouse"), (7L, "delta-warehouse")
+    ).toDF("id", "name").cache()
+    val gotMixed = CacheScope.withScope {
+      TextDedup.segmentedEditPairs(mixed, prefixLen = 5, maxDist = 2)
+        .as[(Long, Long, Int)].collect().toSet
+    }
+    val expMixed = naiveEditPairs(mixed, 5, 2)
+    assert(gotMixed === expMixed && expMixed.nonEmpty)
+    mixed.unpersist()
+    // EVERY name in one hot prefix block — the case blockedEditPairs
+    // refuses at its cap, the segment path must simply handle
+    val hot = (1L to 60L).map(i => (i, f"same-item-$i%03d"))
+      .toDF("id", "name").cache()
+    intercept[Exception] {
+      TextDedup.blockedEditPairs(hot, prefixLen = 5, maxDist = 2,
+        maxBlock = 10L).count()
+    }
+    val gotHot = CacheScope.withScope {
+      TextDedup.segmentedEditPairs(hot, prefixLen = 5, maxDist = 2)
+        .as[(Long, Long, Int)].collect().toSet
+    }
+    val expHot = naiveEditPairs(hot, 5, 2)
+    assert(gotHot === expHot && expHot.size > 100,
+      s"hot block: ${gotHot.size} vs ${expHot.size}")
+    hot.unpersist()
+    // suffixes straddling the segmentability floor (len < maxDist+1
+    // can't host non-empty segments): short×short pairs ride the
+    // dedicated path, short×long pairs ride the long path's unfloored
+    // probe side — parity must hold across all three combinations
+    val mixedLen = Seq(
+      (1L, "abcde"), (2L, "abcdex"), (3L, "abcdexy"), (4L, "abcdexz"),
+      (5L, "abcdexyzw"), (6L, "abcdeqrst"), (7L, "abcdexyzwv")
+    ).toDF("id", "name").cache()
+    val gotLen = CacheScope.withScope {
+      TextDedup.segmentedEditPairs(mixedLen, prefixLen = 5, maxDist = 2)
+        .as[(Long, Long, Int)].collect().toSet
+    }
+    val expLen = naiveEditPairs(mixedLen, 5, 2)
+    // the fixture must exercise short×short AND short×long matches
+    assert(expLen.contains((1L, 2L, 1)) && expLen.contains((3L, 5L, 2)))
+    assert(gotLen === expLen)
+    mixedLen.unpersist()
+  }
+
+  test("segmentedEditPairs: both premises refuse loud, naming the size") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // five identical suffixes: every segment key collides 5×5 — the
+    // hottest-key premise must name the 25-candidate volume
+    val sameSuf = (1L to 5L).map(i => (i, "same-suffixXYZ"))
+      .toDF("id", "name")
+    val ex1 = intercept[Exception] {
+      CacheScope.withScope {
+        TextDedup.segmentedEditPairs(sameSuf, prefixLen = 5, maxDist = 2,
+          maxKeyPairs = 1L).count()
+      }
+    }
+    assert(msgs(ex1).exists(_.contains("segmentedEditPairs premise")),
+      s"expected the key-volume premise, got: ${msgs(ex1).mkString(" | ")}")
+    // two sub-(maxDist+1)-char suffixes in one block trip the short cap
+    val shorts = Seq((1L, "abcde"), (2L, "abcdex")).toDF("id", "name")
+    val ex2 = intercept[Exception] {
+      CacheScope.withScope {
+        TextDedup.segmentedEditPairs(shorts, prefixLen = 5, maxDist = 2,
+          maxShortBlock = 1L).count()
+      }
+    }
+    assert(msgs(ex2).exists(_.contains("segmentedEditPairs premise")),
+      s"expected the short-block premise, got: ${msgs(ex2).mkString(" | ")}")
+  }
 }
