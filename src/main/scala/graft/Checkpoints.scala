@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Round-checkpoint policy for the iterative operators (components /
+  * PageRank / k-core / PQ codebooks): every loop truncates its lineage
+  * once per round so Catalyst re-planning cost stays constant (the
+  * measured pathology in [[operators.Components]]'s scaladoc). HOW the
+  * truncation persists is a deployment decision, so it lives in ONE
+  * place behind a config instead of hard-coded per operator (r7 VERDICT
+  * #5 — make the documented "swap localCheckpoint for checkpoint() on a
+  * real cluster" an actual switch):
+  *
+  *  - default: eager `localCheckpoint()` — executor-local blocks, no
+  *    external storage, the right cost model for local mode and for
+  *    short-lived rounds on a healthy static cluster;
+  *  - `spark.graft.checkpointDir` set: eager RELIABLE `checkpoint()`
+  *    into that directory (HDFS/object store on a real cluster).
+  *    localCheckpoint blocks die with their executor — under dynamic
+  *    allocation, spot preemption, or any executor loss, a 30-round
+  *    lineage already truncated to its last round CANNOT be recomputed
+  *    and the job dies mid-iteration; reliable checkpoints survive
+  *    executor churn, which is the 1000-executor operating mode.
+  *
+  * The switch is read per call, so a session can gate it per job; the
+  * context-global checkpoint directory is set on first reliable use
+  * (and re-set when the conf changes — sessions share one context in
+  * tests).
+  */
+object Checkpoints {
+
+  /** Session conf key; value = reliable checkpoint directory. */
+  val ConfKey = "spark.graft.checkpointDir"
+
+  private var lastDir: Option[String] = None
+
+  def round(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        synchronized {
+          if (!lastDir.contains(dir)) {
+            spark.sparkContext.setCheckpointDir(dir)
+            lastDir = Some(dir)
+          }
+        }
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
+  /** `.roundCheckpoint()` drop-in so iterative loops keep the postfix
+    * shape of the `localCheckpoint()` they replace.
+    */
+  implicit class RoundCheckpoint(private val df: DataFrame)
+      extends AnyVal {
+    def roundCheckpoint(): DataFrame = round(df)
+  }
+}

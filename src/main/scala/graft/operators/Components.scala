@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.RoundCheckpoint
 
 /** Connected components over an undirected edge set — the step that turns
   * pairwise near-duplicate PAIRS (q26/q52/q69) into per-document GROUP
@@ -31,9 +32,12 @@ import org.apache.spark.sql.functions._
   * AND replaces its plan with a leaf (`LogicalRDD`), so per-round and
   * downstream planning cost is constant — the same reason GraphFrames
   * checkpoints its iterative lineages. On a multi-executor cluster,
-  * swap `localCheckpoint` for reliable `checkpoint()` (HDFS-backed) if
-  * executor loss must be survivable mid-computation; the frames involved
-  * are O(vertices-in-edges), tiny next to the corpus either way.
+  * set `spark.graft.checkpointDir` ([[graft.Checkpoints]]) and every
+  * round checkpoints RELIABLY (HDFS/object-store-backed) instead, so
+  * executor loss is survivable mid-computation — the swap is a config,
+  * not a code edit, and the spec pins answer parity under it; the
+  * frames involved are O(vertices-in-edges), tiny next to the corpus
+  * either way.
   * Superseded rounds' checkpoint blocks are reclaimed by Spark's
   * ContextCleaner once the frames are unreferenced (referenceTracking
   * is on by default); at most the edge set plus two label frames are
@@ -63,11 +67,11 @@ object Components {
         struct(b.cast("long").as("src"), a.cast("long").as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
+      .roundCheckpoint()
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .roundCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -83,7 +87,7 @@ object Components {
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
             .as("comp"),
           (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
-        .localCheckpoint()
+        .roundCheckpoint()
       val changed = next.filter(col("chg")).limit(1).count()
       labels = next.drop("chg")
       converged = changed == 0
@@ -177,13 +181,13 @@ object Components {
     val verts = edges
       .select(explode(array(a.cast("long"), b.cast("long"))).as("id"))
       .distinct()
-      .localCheckpoint()
+      .roundCheckpoint()
     var cur = edges
       .filter(a.cast("long") =!= b.cast("long"))
       .select(greatest(a.cast("long"), b.cast("long")).as("src"),
         least(a.cast("long"), b.cast("long")).as("dst"))
       .distinct()
-      .localCheckpoint()
+      .roundCheckpoint()
     var iter = 0
     var converged = cur.isEmpty // a loop-free edgeless graph is done
     while (!converged && iter < maxIter) {
@@ -201,7 +205,7 @@ object Components {
         .filter(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
         .distinct()
-        .localCheckpoint()
+        .roundCheckpoint()
       // small-star on the oriented output: per src u, m = min over its
       // (strictly smaller) dst neighbors; u and every dst ≠ m re-attach.
       // Both output rows per edge come from ONE explode pass (the
@@ -217,7 +221,7 @@ object Components {
         .filter(col("e").isNotNull)
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct()
-        .localCheckpoint()
+        .roundCheckpoint()
       // star-forest probe: a vertex that is both endpoint kinds, or a
       // src with two dsts, falsifies the fixpoint; one map-combined
       // aggregate over the (small) edge frame, probed via limit(1)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.RoundCheckpoint
 
 /** k-core decomposition — iterative degree peeling (Batagelj–Zaveršnik
   * by rounds), completing the graph family (components, PageRank,
@@ -13,8 +14,9 @@ import org.apache.spark.sql.functions._
   * different, and a peel visits both: while the edge list is large, each
   * round is one edge-sized keyed aggregation (degrees via explode of
   * both endpoints, map-side combinable) + two LEFT SEMI joins
-  * re-filtering the edge list, `localCheckpoint`ed like the
-  * [[Components]] loops. The moment the surviving frontier fits a
+  * re-filtering the edge list, round-checkpointed like the
+  * [[Components]] loops ([[graft.Checkpoints]]: local by default,
+  * reliable when `spark.graft.checkpointDir` is set). The moment the surviving frontier fits a
   * single task (≤ `localCutoff` edges — peeling only ever SHRINKS the
   * edge list), the remaining rounds collapse into ONE `mapPartitions`
   * over a 1-partition repartition: a long peel cascade (rounds are
@@ -60,7 +62,7 @@ object KCore {
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().roundCheckpoint()
     var nEdges = e.count()
     var round = 0
     var converged = nEdges == 0L
@@ -72,7 +74,7 @@ object KCore {
         .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .roundCheckpoint()
       val nNext = next.count()
       converged = nNext == nEdges || nNext == 0L
       e = next
@@ -84,7 +86,7 @@ object KCore {
       e = e.as[(Long, Long)].repartition(1)
         .mapPartitions(it => localPeel(it, k, budget))
         .toDF("u", "v")
-        .localCheckpoint()
+        .roundCheckpoint()
       converged = true
     }
     require(converged, s"$k-core peel did not converge within $maxRounds " +

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.RoundCheckpoint
 
 /** Fixed-iteration PageRank in INTEGER fixed-point arithmetic — the graph
   * centrality primitive behind link-based quality scoring of a web-crawl
@@ -34,11 +35,11 @@ import org.apache.spark.sql.functions._
   * `src` is the same on every round, so at cluster scale pre-partitioning
   * `edges` by `src` makes every round's join co-located (only the
   * aggregate output moves). Lineage is truncated per round with
-  * `localCheckpoint` exactly as in [[Components]] — an iterative loop
-  * built on `cache()` re-canonicalizes the whole producer plan every
-  * round (measured seconds of driver CPU at 10 rounds); on a real
-  * cluster swap for HDFS-backed `checkpoint()` if executor loss must be
-  * survivable.
+  * [[graft.Checkpoints]] exactly as in [[Components]] — an iterative
+  * loop built on `cache()` re-canonicalizes the whole producer plan
+  * every round (measured seconds of driver CPU at 10 rounds); setting
+  * `spark.graft.checkpointDir` makes every round's checkpoint reliable
+  * (HDFS-backed) so executor loss is survivable.
   *
   * Dangling vertices (outdeg 0) contribute nothing and their mass
   * vanishes rather than being redistributed — acceptable for RANKING
@@ -61,15 +62,15 @@ object PageRank {
     require(iters >= 1, "iters must be >= 1")
     val Seq(a, b) = edges.columns.toSeq.take(2).map(col)
     val e = edges.select(a.cast("long").as("src"), b.cast("long").as("dst"))
-      .localCheckpoint()
+      .roundCheckpoint()
     // one-pass vertex set (union of endpoints, deduped)
     val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
-      .localCheckpoint()
+      .roundCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .roundCheckpoint()
 
-    var ranks = nodes.withColumn("r", lit(1000000000L)).localCheckpoint()
+    var ranks = nodes.withColumn("r", lit(1000000000L)).roundCheckpoint()
     var i = 0
     while (i < iters) {
       val contrib = e
@@ -82,7 +83,7 @@ object PageRank {
         .select(col("id"),
           (lit(150000000L) +
             expr("(17 * coalesce(in_mass, 0L)) DIV 20")).as("r"))
-        .localCheckpoint()
+        .roundCheckpoint()
       i += 1
     }
     ranks.select(col("id").as("node_id"), col("r").as("rank_ppb"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.RoundCheckpoint
 
 /** Product quantization — the ANN path that changes the 100 TB memory
   * math: each d-dim float vector (d·4 bytes) is encoded as m sub-space
@@ -57,7 +58,7 @@ object Pq {
       iters: Int): DataFrame = {
     val wSeed = Window.partitionBy(col("sub"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-    // localCheckpoint, not cache+count: each round's frame is tiny
+    // round checkpoint (Checkpoints), not cache+count: each frame is tiny
     // (m·k rows) but its LOGICAL plan nests every prior round plus the
     // corpus explode — eager checkpointing truncates the lineage to a
     // leaf so downstream planning/cache-lookup cost stays constant
@@ -68,7 +69,7 @@ object Pq {
       .filter(col("_r") <= k)
       .select(col("sub"), (col("_r") - 1).cast("int").as("code"),
         micros(col("subvec")).as("cvec_micro"))
-      .localCheckpoint()
+      .roundCheckpoint()
 
     for (_ <- 0 until iters) {
       centroids = assignCodes(sub, centroids)
@@ -81,7 +82,7 @@ object Pq {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("mean")))),
           e => floor(e.getField("mean")).cast("long")).as("cvec_micro"))
-        .localCheckpoint()
+        .roundCheckpoint()
     }
     centroids
   }

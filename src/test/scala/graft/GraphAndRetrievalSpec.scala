@@ -528,6 +528,38 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
     } === 0L)
   }
 
+  test("reliable checkpointing (spark.graft.checkpointDir) preserves " +
+      "answers and actually writes checkpoints") {
+    // the multi-executor story (r7 VERDICT #5): the iterative loops'
+    // round checkpoints switch from executor-local to reliable via
+    // config alone — same answers, and the directory must actually
+    // receive checkpoint data (proof the reliable path engaged)
+    val g = (1L to 300L)
+      .map(i => ((i * 2654435761L % 1000000007L) % 40,
+        (i * 40503L % 999999937L) % 40))
+      .filter(p => p._1 != p._2).toSeq.toDF("u", "v")
+    def run(): (Set[(Long, Long)], Set[(Long, Long)]) = CacheScope.withScope {
+      val comps = Components.connectedComponents(g.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val core = KCore.kCore(g, k = 4, maxRounds = 32, localCutoff = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (comps, core)
+    }
+    val baseline = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.conf.set(Checkpoints.ConfKey, dir.toString)
+    try {
+      assert(run() === baseline)
+      val written = java.nio.file.Files.walk(dir)
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(written > 0, "no checkpoint files written — the reliable " +
+        "path never engaged")
+    } finally {
+      spark.conf.unset(Checkpoints.ConfKey)
+      graft.streaming.EventStreams.deleteStagingForTest(dir)
+    }
+  }
+
   test("kCore hybrid local finish equals the pure distributed peel") {
     // pseudo-random graph on 60 nodes (hash-derived, deterministic)
     val g = (1L to 400L)
