@@ -30,15 +30,34 @@ import org.apache.spark.sql.functions._
   *    peel-cascade DEPTH (the round premise) is invariant while edge
   *    volume grows 10×.
   *
-  * NOT stress-scaled, deliberately: the banded cosine join family
-  * (q52/q118). At d = 64 and the gate's adversarial 0.4 threshold, ANY
-  * per-copy orthogonal decorrelation (signed permutations measured, and
-  * a perfect random rotation is no better: P(cos ≥ 0.4) ≈ 7·10⁻⁴ at
+  * NOT stress-scaled at the GATE threshold, deliberately: the banded
+  * cosine join family (q52/q118) at 0.4. At d = 64, ANY per-copy
+  * orthogonal decorrelation (signed permutations measured, and a
+  * perfect random rotation is no better: P(cos ≥ 0.4) ≈ 7·10⁻⁴ at
   * 64 dims) leaves a cross-copy similarity tail that inflates pair
   * volume ~10× beyond the true within-copy structure — the scaled
-  * corpus would stress an artifact, not the operator's premise. A
-  * production-threshold variant (≥ 0.7) would scale cleanly; the gate
-  * threshold is kept adversarial on purpose.
+  * corpus would stress an artifact, not the operator's premise. The
+  * PRODUCTION-threshold variant (≥ 0.7) IS measured here (r7 VERDICT
+  * #4): the corpus plants exact-duplicate pairs (sf0.1 has no organic
+  * ≥ 0.7 pairs), each copy gets its own signed permutation (orthogonal
+  * — within-copy cosines exact, cross-copy tail ≈ 0 at 0.7), so both
+  * the q52 pair emit and the q118 pairs→components→survivors pipeline
+  * scale against true structure. EXPECTED exponent here is NOT 1.0:
+  * angular LSH against a near-orthogonal bulk does Θ(n^(1+ρ)) work,
+  * ρ = ln p₁/ln p₂ = ln(0.747)/ln(0.5) ≈ 0.42 at threshold 0.7 (p₁ =
+  * per-plane collision at the threshold, p₂ = 0.5 for the random
+  * bulk) — the Indyk–Motwani amplification bound, irreducible within
+  * this family no matter how bands/planes are tuned. Measured 1.45 to
+  * 1.47 ≈ the 1.42 theory line: the machinery performs AT its bound
+  * (a defect would show as ≈ 2.0, the all-pairs slope). Sub-ρ scaling
+  * needs a different family (cross-polytope LSH, graph-based ANN) —
+  * documented, not built.
+  *
+  * ALSO measured (r7 VERDICT #6): the salted-path queries q33/q67 on a
+  * deliberately hot-key corpus — ~half of all rows land on ONE
+  * aggregation/join key, and the hot key GROWS 10× with the data (the
+  * exact pathology salting exists for; per-copy key shifts keep the
+  * rest of the key space growing too).
   *
   * Run: `sbt 'runMain graft.Stress'` (optionally SPARK_GRAFT_CPUS,
   * SPARK_GRAFT_PASSES). One line per query:
@@ -52,6 +71,13 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    // optional section selectors (heavy / emb / skew / link); no args =
+    // run everything — lets a single section re-run without repaying
+    // the full ~10-minute sweep
+    val sections: Set[String] =
+      if (args.isEmpty) Set("heavy", "emb", "skew", "link")
+      else args.toSet
+    def section(name: String): Boolean = sections.contains(name)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,10 +89,13 @@ object Stress {
     val base = "/root/testdata/sf0.1"
     val dir10 = "/tmp/graft_stress_10x"
 
-    buildCorpus(spark, base, dir10)
+    if (section("heavy")) buildCorpus(spark, base, dir10)
 
-    val queries = Seq("q69_chargram_jaccard", "q70_dedup_clusters",
-      "q96_chain_components", "q108_triangles", "q134_kcore")
+    val queries =
+      if (section("heavy"))
+        Seq("q69_chargram_jaccard", "q70_dedup_clusters",
+          "q96_chain_components", "q108_triangles", "q134_kcore")
+      else Seq.empty
     // warm the codegen/JIT once at sf0.001 so neither timed tier pays it
     queries.foreach { q =>
       CacheScope.withScope {
@@ -91,7 +120,154 @@ object Stress {
       println(f"STRESS $q t1x=$t1%.1fs t10x=$t10%.1fs " +
         f"ratio=$ratio%.1f exponent=$exp%.2f")
     }
+
+    def report(label: String, t1: Double, t10: Double): Unit = {
+      val ratio = t10 / t1
+      println(f"STRESS $label t1x=$t1%.1fs t10x=$t10%.1fs " +
+        f"ratio=$ratio%.1f exponent=${math.log10(ratio)}%.2f")
+    }
+    // min-of-passes with passes >= 2: the first pass pays one-shot
+    // codegen for these un-warmed shapes, the min discards it
+    def timed(mk: () => org.apache.spark.sql.DataFrame): Double =
+      (1 to passes.max(2)).map { _ =>
+        val t0 = System.nanoTime()
+        CacheScope.withScope {
+          mk().write.format("noop").mode("overwrite").save()
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    // ---- banded cosine @ production threshold 0.7 (r7 VERDICT #4)
+    val emb1 = "/tmp/graft_stress_emb_1x"
+    val emb10 = "/tmp/graft_stress_emb_10x"
+    if (section("emb")) {
+    buildEmbCorpus(spark, base, emb1, 1)
+    buildEmbCorpus(spark, base, emb10, copies)
+    def embPairs(dir: String): () => DataFrame = () => {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      operators.Ann.cosinePairsLsh(e, threshold = 0.7)
+    }
+    def embDedup(dir: String): () => DataFrame = () => {
+      // the q118 pipeline at 0.7: pairs -> components -> survivors
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val pairs = operators.Ann.cosinePairsLsh(e, threshold = 0.7)
+        .select(col("vec_a"), col("vec_b"))
+      val comps = operators.Components.connectedComponents(pairs)
+      val dropped = comps.filter(col("id") =!= col("comp"))
+        .select(col("id").as("vec_id"))
+      e.select("vec_id").join(dropped, Seq("vec_id"), "left_anti")
+    }
+    report("q52_cosine_pairs_lsh@0.7",
+      timed(embPairs(emb1)), timed(embPairs(emb10)))
+    report("q118_embedding_dedup@0.7",
+      timed(embDedup(emb1)), timed(embDedup(emb10)))
+    }
+
+    // ---- hot-key skew for the salted paths (r7 VERDICT #6)
+    val skew1 = "/tmp/graft_stress_skew_1x"
+    val skew10 = "/tmp/graft_stress_skew_10x"
+    if (section("skew")) {
+    buildSkewCorpus(spark, base, skew1, 1)
+    buildSkewCorpus(spark, base, skew10, copies)
+    Seq("q33_salted_agg", "q67_salted_join").foreach { q =>
+      report(s"$q@hotkey",
+        timed(() => Queries.all(q)(spark, skew1)),
+        timed(() => Queries.all(q)(spark, skew10)))
+    }
+    }
+
+    // ---- segment-pigeonhole linkage on ONE hot prefix block (r7
+    // VERDICT #3's stress row): every name shares the 15-char prefix,
+    // so blockedEditPairs would refuse at any sane maxBlock; the
+    // segmented path must grow with true pair volume (planted twins,
+    // 10× rows → 10× pairs), not block².
+    def linkNames(n: Long): DataFrame = {
+      // 17-char suffix = 1 marker char + 16 fixed-width hex chars of
+      // two hashed-id words: each maxDist+1 segment spans ~6 hex chars
+      // (16⁶ ≈ 16.7M values), so segment keys stay selective at both
+      // tiers — the realistic hot-prefix shape (a million "John Smith
+      // …" rows with DIVERSE tails). A low-entropy tail is the OTHER
+      // pathology, and the operator refuses it loudly via maxKeyPairs
+      // instead of going quadratic silently. Every 10th id gets a twin
+      // whose marker differs (edit distance exactly 1).
+      val ids = spark.range(n).select(col("id"))
+      def nameExpr(marker: String) = expr(
+        s"concat('same-prefix-15-', $marker, " +
+          "format_string('%08X%08X', hash(id, 7), hash(id, 13)))")
+      val bases = ids.select(col("id"),
+        nameExpr("substring(format_string('%08X', hash(id, 42)), 1, 1)")
+          .as("name"))
+      val twins = ids.filter(col("id") % 10 === 0)
+        .select((col("id") + lit(1000000000L)).as("id"),
+          nameExpr("'Z'").as("name"))
+      bases.unionByName(twins)
+    }
+    def linkPairs(n: Long): () => DataFrame = () =>
+      operators.TextDedup.segmentedEditPairs(linkNames(n),
+        prefixLen = 15, maxDist = 2)
+    if (section("link"))
+      report("q142_linkage_segmented@hotprefix",
+        timed(linkPairs(30000L)), timed(linkPairs(300000L)))
     spark.stop()
+  }
+
+  /** Embedding corpus with PLANTED near-dup structure: every 10th
+    * vector duplicated (cosine exactly 1 — sf0.1 has zero organic
+    * ≥ 0.7 pairs, so the planted pairs ARE the structure under test),
+    * then `nCopies` copies each under its own SIGNED PERMUTATION
+    * (rotation by 7k dims + k-seeded sign flips — orthogonal, so every
+    * within-copy cosine is preserved EXACTLY while cross-copy cosines
+    * collapse to the random tail, ≈ 0 beyond 0.7 at 64 dims).
+    */
+  private def buildEmbCorpus(spark: SparkSession, base: String,
+      out: String, nCopies: Int): Unit = {
+    graft.streaming.EventStreams.deleteStagingForTest(
+      java.nio.file.Paths.get(out))
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(10000000L)))
+    (0 until nCopies).map { k =>
+      planted
+        .withColumn("vec_id", col("vec_id") + lit(k * offset))
+        .withColumn("embedding", expr(
+          s"""transform(sequence(0, 63), i ->
+             |  (CASE WHEN (i * 2654435761 + $k * 40503) % 2 = 0
+             |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) *
+             |  element_at(embedding, ((i + ${7 * k}) % 64) + 1))"""
+            .stripMargin))
+    }.reduce(_ unionByName _)
+      .write.parquet(s"$out/embeddings.parquet")
+  }
+
+  /** Hot-key corpus for the salted paths: ~half of every copy's events
+    * land on user_id 1 and ~half of its lineitems on l_suppkey 1 — the
+    * hot key is SHARED across copies, so it grows 10× with the data
+    * (the premise salting exists for), while all other keys shift per
+    * copy (key cardinality grows too, like the real corpus would).
+    */
+  private def buildSkewCorpus(spark: SparkSession, base: String,
+      out: String, nCopies: Int): Unit = {
+    graft.streaming.EventStreams.deleteStagingForTest(
+      java.nio.file.Paths.get(out))
+    def tenfoldTo(name: String, f: (DataFrame, Long) => DataFrame): Unit = {
+      val df = spark.read.parquet(s"$base/$name.parquet")
+      (0 until nCopies).map(k => f(df, k.toLong)).reduce(_ unionByName _)
+        .write.parquet(s"$out/$name.parquet")
+    }
+    tenfoldTo("events", (d, k) => d
+      .withColumn("event_id", col("event_id") + lit(k * offset))
+      .withColumn("user_id",
+        when(col("event_id") % 2 === 0, lit(1L))
+          .otherwise(col("user_id") + lit(k * offset))))
+    tenfoldTo("lineitem", (d, k) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(k * offset))
+      .withColumn("l_suppkey",
+        when(col("l_linenumber") % 2 === 0, lit(1L))
+          .otherwise(col("l_suppkey") + lit(k * offset))))
+    tenfoldTo("supplier", (d, k) => d
+      .withColumn("s_suppkey", col("s_suppkey") + lit(k * offset)))
   }
 
   /** Ten id-shifted copies of each input table, written parquet in the
