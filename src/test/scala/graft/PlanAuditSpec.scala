@@ -71,9 +71,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q139_vocab_oov" -> ("the ONE-ROW sorted vocabulary array (top-V, " +
       "broadcast-small by construction) is cross-joined onto the corpus " +
       "— the sanctioned q75/q100 broadcast-set delivery mechanism"),
-    "q136_entity_resolution" -> ("q50's blockedEditPairs max-block-size " +
-      "premise frame (1 row) cross-joined onto the probe side — the " +
-      "sanctioned loud-blocking-guard mechanism"),
+    "q136_entity_resolution" -> ("segmentedEditPairs' TWO 1-row premise " +
+      "frames (hottest-segment-key volume; short-suffix block size) " +
+      "cross-joined onto the candidate stream — the sanctioned " +
+      "loud-blocking-guard mechanism, same as q142"),
     "q137_resample_fill" -> ("requireSpanHours bounds PLUS the spine's " +
       "own 1-row (min,max) bucket frame cross-joined onto the key list " +
       "— both sanctioned constant-size bounds mechanisms"),
