@@ -26,6 +26,13 @@ import org.apache.spark.sql.DataFrame
   * context-global checkpoint directory is set on first reliable use
   * (and re-set when the conf changes — sessions share one context in
   * tests).
+  *
+  * Retention: superseded rounds' LOCAL checkpoint blocks are reclaimed
+  * by the ContextCleaner automatically; RELIABLE checkpoint files are
+  * only auto-deleted when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+  * false) — set it alongside the dir, or budget ~O(rounds × frame
+  * size) of transient checkpoint storage per job.
   */
 object Checkpoints {
 

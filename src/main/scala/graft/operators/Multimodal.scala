@@ -498,7 +498,13 @@ object Multimodal {
     * aggregation and the 4-way banded self-join on 16-bit sub-keys —
     * candidates are band collisions, never the all-pairs product; a
     * pair colliding in several bands is deduped AFTER the cheap verify
-    * (hamming rides the candidate row — no re-join).
+    * (hamming rides the candidate row — no re-join). The 2^16 bucket
+    * space per band bounds selectivity: beyond ~10⁸ DISTINCT hashes,
+    * in-bucket candidate volume grows quadratically in reps/2^16 (hot
+    * buckets shuffle-split fine under AQE, but the verify volume is
+    * real work) — the d ≤ 3 pigeonhole pins 4×16 for 64 bits, so past
+    * that scale the move is sharding the verify by a second band, not
+    * wider sub-keys.
     */
   def imageDHashNear(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nBands = 4

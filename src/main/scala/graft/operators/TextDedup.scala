@@ -57,8 +57,11 @@ object TextDedup {
       substring(col("name"), 1, prefixLen).as("blk"))
     val blkChk = c.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
       .agg(max(col("bn")).as("mb"))
+      // coalesce(cond, true): an EMPTY input aggregates mb = NULL, and
+      // assert_true(NULL) THROWS (Spark 4, measured) — no rows means
+      // the premise trivially holds, not that it failed
       .select((coalesce(
-        assert_true(col("mb") <= maxBlock,
+        assert_true(coalesce(col("mb") <= maxBlock, lit(true)),
           concat(lit("blockedEditPairs premise: name-prefix block of "),
             col("mb"),
             lit(s" rows exceeds $maxBlock — blocking no longer bounds " +
@@ -171,10 +174,14 @@ object TextDedup {
       .agg(count(lit(1)).as("ni"))
     val prbCnt = prb.groupBy(segKeys.map(col): _*)
       .agg(count(lit(1)).as("np"))
+    // both premise conditions ride coalesce(cond, true): an empty
+    // aggregate (no overlapping keys / no short suffixes — the COMMON
+    // case for shorts) yields NULL, and assert_true(NULL) THROWS
+    // (Spark 4, measured); no rows means the premise trivially holds
     val keyChk = idxCnt.join(prbCnt, segKeys)
       .agg(max(col("ni") * col("np")).as("kp"))
       .select((coalesce(
-        assert_true(col("kp") <= maxKeyPairs,
+        assert_true(coalesce(col("kp") <= maxKeyPairs, lit(true)),
           concat(lit("segmentedEditPairs premise: hottest segment key " +
               "yields "), col("kp"),
             lit(s" candidates, exceeding $maxKeyPairs — segment " +
@@ -198,7 +205,7 @@ object TextDedup {
     val shortChk = shorts.groupBy(col("blk")).agg(count(lit(1)).as("sn"))
       .agg(max(col("sn")).as("ms"))
       .select((coalesce(
-        assert_true(col("ms") <= maxShortBlock,
+        assert_true(coalesce(col("ms") <= maxShortBlock, lit(true)),
           concat(lit("segmentedEditPairs premise: block with "),
             col("ms"),
             lit(s" sub-${nSeg}-char suffixes exceeds $maxShortBlock — " +

@@ -670,4 +670,30 @@ class TextAndAnnSpec extends AnyFunSuite {
     assert(msgs(ex2).exists(_.contains("segmentedEditPairs premise")),
       s"expected the short-block premise, got: ${msgs(ex2).mkString(" | ")}")
   }
+
+  test("segmentedEditPairs: empty premise aggregates mean PASS, not throw") {
+    // an empty aggregate (no short suffixes — the COMMON corpus shape,
+    // exactly the customer gate corpus) observes NULL in the premise
+    // frame, and assert_true(NULL) THROWS in Spark 4 — the conditions
+    // ride coalesce(cond, true) so "no rows" is a trivially-held
+    // premise even at a cap of 1, never a refusal
+    val longOnly = Seq((1L, "abcde-suffix-01"), (2L, "abcde-suffix-02"))
+      .toDF("id", "name")
+    val got = CacheScope.withScope {
+      TextDedup.segmentedEditPairs(longOnly, prefixLen = 5, maxDist = 2,
+        maxShortBlock = 1L).as[(Long, Long, Int)].collect().toSet
+    }
+    assert(got === Set((1L, 2L, 1)))
+    // a fully empty input returns an empty frame from BOTH paths
+    val empty = longOnly.filter(lit(false))
+    assert(CacheScope.withScope {
+      TextDedup.segmentedEditPairs(empty, prefixLen = 5, maxDist = 2)
+        .count()
+    } === 0L)
+    // blockedEditPairs shares the hardening: empty input = empty output
+    assert(CacheScope.withScope {
+      TextDedup.blockedEditPairs(empty, prefixLen = 5, maxDist = 2,
+        maxBlock = 10L).count()
+    } === 0L)
+  }
 }
