@@ -45,13 +45,22 @@ object Checkpoints {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
+        // the checkpoint directory is CONTEXT-global while the conf is
+        // session-local, so the set-dir and the checkpoint ride one
+        // lock: two sessions configured with different dirs would
+        // otherwise interleave and land a checkpoint under the other
+        // session's directory (whose owner may clean it — exactly the
+        // lost-blocks failure the reliable path exists to prevent).
+        // Serializing reliable checkpoints is acceptable: they are
+        // per-round, and contention only exists in the multi-session
+        // different-dirs case this guards.
         synchronized {
           if (!lastDir.contains(dir)) {
             spark.sparkContext.setCheckpointDir(dir)
             lastDir = Some(dir)
           }
+          df.checkpoint()
         }
-        df.checkpoint()
       case None => df.localCheckpoint()
     }
   }

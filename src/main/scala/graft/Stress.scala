@@ -47,8 +47,8 @@ import org.apache.spark.sql.functions._
   * ρ = ln p₁/ln p₂ = ln(0.747)/ln(0.5) ≈ 0.42 at threshold 0.7 (p₁ =
   * per-plane collision at the threshold, p₂ = 0.5 for the random
   * bulk) — the Indyk–Motwani amplification bound, irreducible within
-  * this family no matter how bands/planes are tuned. Measured 1.45 to
-  * 1.47 ≈ the 1.42 theory line: the machinery performs AT its bound
+  * this family no matter how bands/planes are tuned. Measured 1.37 to
+  * 1.40 ≈ the 1.42 theory line: the machinery performs AT its bound
   * (a defect would show as ≈ 2.0, the all-pairs slope). Sub-ρ scaling
   * needs a different family (cross-polytope LSH, graph-based ANN) —
   * documented, not built.
@@ -74,9 +74,13 @@ object Stress {
     // optional section selectors (heavy / emb / skew / link); no args =
     // run everything — lets a single section re-run without repaying
     // the full ~10-minute sweep
+    val known = Set("heavy", "emb", "skew", "link")
     val sections: Set[String] =
-      if (args.isEmpty) Set("heavy", "emb", "skew", "link")
-      else args.toSet
+      if (args.isEmpty) known else args.toSet
+    require(sections.subsetOf(known),
+      s"unknown Stress section(s) ${(sections -- known).mkString(", ")} — " +
+        s"valid: ${known.mkString(", ")} (a typo must refuse loudly, not " +
+        "exit 0 having measured nothing)")
     def section(name: String): Boolean = sections.contains(name)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -103,39 +107,30 @@ object Stress {
           .write.format("noop").mode("overwrite").save()
       }
     }
-    def time(q: String, dir: String): Double =
-      (1 to passes).map { _ =>
-        val t0 = System.nanoTime()
-        CacheScope.withScope {
-          Queries.all(q)(spark, dir)
-            .write.format("noop").mode("overwrite").save()
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-    queries.foreach { q =>
-      val t1 = time(q, base)
-      val t10 = time(q, dir10)
-      val ratio = t10 / t1
-      val exp = math.log10(ratio)
-      println(f"STRESS $q t1x=$t1%.1fs t10x=$t10%.1fs " +
-        f"ratio=$ratio%.1f exponent=$exp%.2f")
-    }
-
-    def report(label: String, t1: Double, t10: Double): Unit = {
-      val ratio = t10 / t1
-      println(f"STRESS $label t1x=$t1%.1fs t10x=$t10%.1fs " +
-        f"ratio=$ratio%.1f exponent=${math.log10(ratio)}%.2f")
-    }
-    // min-of-passes with passes >= 2: the first pass pays one-shot
-    // codegen for these un-warmed shapes, the min discards it
-    def timed(mk: () => org.apache.spark.sql.DataFrame): Double =
-      (1 to passes.max(2)).map { _ =>
+    // ONE timing/printing contract for every section (min-of-n noop
+    // writes under a cache scope; the STRESS line format): the heavy
+    // loop and the r8 sections must not drift apart
+    def timedN(mk: () => DataFrame, n: Int): Double =
+      (1 to n).map { _ =>
         val t0 = System.nanoTime()
         CacheScope.withScope {
           mk().write.format("noop").mode("overwrite").save()
         }
         (System.nanoTime() - t0) / 1e9
       }.min
+    // min-of-passes with passes >= 2 for the UN-warmed shapes: their
+    // first pass pays one-shot codegen, the min discards it
+    def timed(mk: () => DataFrame): Double = timedN(mk, passes.max(2))
+    def report(label: String, t1: Double, t10: Double): Unit = {
+      val ratio = t10 / t1
+      println(f"STRESS $label t1x=$t1%.1fs t10x=$t10%.1fs " +
+        f"ratio=$ratio%.1f exponent=${math.log10(ratio)}%.2f")
+    }
+    queries.foreach { q =>
+      report(q,
+        timedN(() => Queries.all(q)(spark, base), passes),
+        timedN(() => Queries.all(q)(spark, dir10), passes))
+    }
 
     // ---- banded cosine @ production threshold 0.7 (r7 VERDICT #4)
     val emb1 = "/tmp/graft_stress_emb_1x"
@@ -229,11 +224,17 @@ object Stress {
       emb.filter(col("vec_id") % 10 === 0)
         .withColumn("vec_id", col("vec_id") + lit(10000000L)))
     (0 until nCopies).map { k =>
+      // sign from a REAL mix of (dimension, copy): an affine parity like
+      // (i*odd + k*odd) % 2 reduces to (i+k) % 2 — every copy the same
+      // alternating vector up to global negation, zero decorrelation
+      // (r8 self-review finding); xxhash mixes, so copies differ in
+      // ~half their signs and cross-copy cosine collapses to the
+      // random tail regardless of the base corpus's autocorrelation
       planted
         .withColumn("vec_id", col("vec_id") + lit(k * offset))
         .withColumn("embedding", expr(
           s"""transform(sequence(0, 63), i ->
-             |  (CASE WHEN (i * 2654435761 + $k * 40503) % 2 = 0
+             |  (CASE WHEN pmod(hash(i, $k), 2) = 0
              |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) *
              |  element_at(embedding, ((i + ${7 * k}) % 64) + 1))"""
             .stripMargin))
@@ -251,22 +252,26 @@ object Stress {
       out: String, nCopies: Int): Unit = {
     graft.streaming.EventStreams.deleteStagingForTest(
       java.nio.file.Paths.get(out))
-    def tenfoldTo(name: String, f: (DataFrame, Long) => DataFrame): Unit = {
-      val df = spark.read.parquet(s"$base/$name.parquet")
+    def tenfoldTo(df: DataFrame, name: String,
+        f: (DataFrame, Long) => DataFrame): Unit =
       (0 until nCopies).map(k => f(df, k.toLong)).reduce(_ unionByName _)
         .write.parquet(s"$out/$name.parquet")
-    }
-    tenfoldTo("events", (d, k) => d
+    // events read ONLY via Tables.events (CLAUDE.md unit rule — a raw
+    // parquet read dies on a TIMESTAMP(NANOS)-era corpus); the rewrite
+    // lands µs TimestampType, a layout Tables.events re-reads exactly
+    tenfoldTo(graft.Tables.events(spark, base), "events", (d, k) => d
       .withColumn("event_id", col("event_id") + lit(k * offset))
       .withColumn("user_id",
         when(col("event_id") % 2 === 0, lit(1L))
           .otherwise(col("user_id") + lit(k * offset))))
-    tenfoldTo("lineitem", (d, k) => d
+    tenfoldTo(spark.read.parquet(s"$base/lineitem.parquet"), "lineitem",
+      (d, k) => d
       .withColumn("l_orderkey", col("l_orderkey") + lit(k * offset))
       .withColumn("l_suppkey",
         when(col("l_linenumber") % 2 === 0, lit(1L))
           .otherwise(col("l_suppkey") + lit(k * offset))))
-    tenfoldTo("supplier", (d, k) => d
+    tenfoldTo(spark.read.parquet(s"$base/supplier.parquet"), "supplier",
+      (d, k) => d
       .withColumn("s_suppkey", col("s_suppkey") + lit(k * offset)))
   }
 

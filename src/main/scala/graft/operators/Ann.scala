@@ -173,6 +173,15 @@ object Ann {
       else {
         val masks = (0L until (1L << nPlanes))
           .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+        // the probe set materializes as ONE per-row array() of
+        // C(nPlanes, <=probe) expressions — past a few thousand that
+        // is a codegen/planning blowup, not a loud refusal, so cap it
+        // here (nPlanes=4 exhaustive = 16; a config near the cap is
+        // mis-tuned: widen buckets, don't probe half the hypercube)
+        require(masks.length <= 4096,
+          s"lshTopK: probeHamming = $probeHamming of nPlanes = $nPlanes " +
+            s"enumerates ${masks.length} probe buckets per query row — " +
+            "the per-row probe array is capped at 4096 expressions")
         q0.withColumn("bucket", explode(array(
           masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
       }

@@ -550,8 +550,10 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
     spark.conf.set(Checkpoints.ConfKey, dir.toString)
     try {
       assert(run() === baseline)
-      val written = java.nio.file.Files.walk(dir)
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      val walk = java.nio.file.Files.walk(dir)
+      val written =
+        try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally walk.close() // walk holds directory handles open
       assert(written > 0, "no checkpoint files written — the reliable " +
         "path never engaged")
     } finally {
