@@ -104,6 +104,59 @@ object Oracles {
       FROM scored
       QUALIFY rank <= 5 ORDER BY query_id, rank"""
 
+  /** q143's BPE merge learning unrolled to exactly the operator's k
+    * rounds: per round, pairs are counted positionally over the current
+    * tokenization (overlaps included, weighted by word frequency), the
+    * argmax is the (count DESC, lhs, rhs) total order both engines
+    * share on ASCII, and the fuse is a RECURSIVE positional walk —
+    * provably identical to the engine's left-to-right fold because a
+    * fused symbol `lhs || rhs` can never equal `lhs` (rhs non-empty),
+    * so fold and walk consume the same occurrences. Built by a loop
+    * (k hand-written rounds would invite copy drift — the kCore
+    * discipline).
+    */
+  private def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder(
+      """
+      WITH RECURSIVE
+      words AS (SELECT w, count(*) AS freq
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE len(w) > 0 GROUP BY w),
+      toks0 AS (SELECT w, freq, string_split(w, '') AS toks FROM words)""")
+    for (i <- 1 to k) sb.append(s""",
+      idx$i AS (SELECT w, freq, toks,
+                  unnest(generate_series(1, len(toks) - 1)) AS ii
+                FROM toks${i - 1}),
+      pairs$i AS (SELECT toks[ii] AS lhs, toks[ii+1] AS rhs,
+                    sum(freq) AS n
+                  FROM idx$i GROUP BY 1, 2),
+      best$i AS (SELECT lhs, rhs, CAST(n AS BIGINT) AS n FROM pairs$i
+                 ORDER BY n DESC, lhs, rhs LIMIT 1),
+      fuse$i AS (
+        SELECT w, freq, toks, lhs, rhs, 1 AS pos,
+               CAST([] AS VARCHAR[]) AS acc
+        FROM toks${i - 1} CROSS JOIN best$i
+        UNION ALL
+        SELECT w, freq, toks, lhs, rhs,
+          CASE WHEN pos < len(toks) AND toks[pos] = lhs
+                    AND toks[pos+1] = rhs
+               THEN pos + 2 ELSE pos + 1 END,
+          CASE WHEN pos < len(toks) AND toks[pos] = lhs
+                    AND toks[pos+1] = rhs
+               THEN list_append(acc, lhs || rhs)
+               ELSE list_append(acc, toks[pos]) END
+        FROM fuse$i WHERE pos <= len(toks)),
+      toks$i AS (SELECT w, freq, acc AS toks FROM fuse$i
+                 WHERE pos = len(toks) + 1)""")
+    sb.append("\n      SELECT * FROM (")
+    sb.append((1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, " +
+        s"n AS pair_count FROM best$i").mkString(" UNION ALL "))
+    sb.append(") ORDER BY merge_rank")
+    sb.toString
+  }
+
   /** Blocked edit-distance near-dup contract shared by q50 (all-pairs
     * within block, loud maxBlock premise) and q142 (segment-pigeonhole
     * candidates): pairs sharing the 15-char name prefix with
@@ -1372,6 +1425,10 @@ object Oracles {
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
     "q50_name_neardup" -> nameNearDupOracle,
+
+    // BPE tokenizer induction: the k-round merge table, unrolled (see
+    // [[bpeOracle]] — positional-walk fuse ≡ the engine's fold).
+    "q143_bpe_merges" -> bpeOracle(6),
 
     // The segment-pigeonhole path shares q50's EXACT contract — the
     // candidate refinement must lose nothing vs the blocked join.

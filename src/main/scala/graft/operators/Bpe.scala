@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Checkpoints.RoundCheckpoint
+
+/** Byte-pair-encoding MERGE LEARNING — tokenizer induction (Sennrich,
+  * Haddow, Birch — ACL 2016), the algorithm behind every BPE/WordPiece
+  * vocabulary a training pipeline ships: k rounds of "count adjacent
+  * symbol pairs, fuse the most frequent one everywhere". Completes the
+  * tokenization family (q21 token stats → q139 vocab induction → this:
+  * the vocabulary's SYMBOLS themselves are learned).
+  *
+  * Scale shape (the Sennrich implementation's, distributed): the corpus
+  * is scanned ONCE into a word-frequency table; every round after that
+  * is vocab-sized, not corpus-sized — one map-combinable pair-count
+  * aggregation over the word table (pairs weighted by word frequency,
+  * overlapping occurrences counted like the reference implementation),
+  * a deterministic 1-row argmax (count DESC, then lexicographic
+  * (lhs, rhs) — total order, no float anywhere), broadcast of that one
+  * row, and a narrow `aggregate()` fold over each word's token array
+  * that fuses every left-to-right occurrence. Rounds truncate lineage
+  * via [[graft.Checkpoints]] like every iterative operator here.
+  *
+  * The greedy left-to-right FOLD is exactly the positional walk the
+  * oracle runs: a fused symbol is `lhs || rhs`, which can never equal
+  * `lhs` (rhs is non-empty), so the fold's accumulator tail matches
+  * `lhs` exactly when the walk's cursor sits on an unconsumed original
+  * `lhs` — both consume the pair and skip it as a merge target.
+  *
+  * Tokenization is an explicit per-character substring transform (NOT
+  * `split(w, "")`, whose Java-regex trailing-empty behavior is not the
+  * oracle's `string_split`).
+  *
+  * LOUD premise: `k` rounds are learned and the oracle unrolls exactly
+  * `k`; a corpus that exhausts its pairs earlier REFUSES (vocab-sized
+  * count per round, the [[KCore]] discipline) instead of silently
+  * emitting fewer merges than asked.
+  *
+  * Output: (merge_rank, lhs, rhs, pair_count) — the merge table a
+  * tokenizer ships; integer/string-only, hash-gate-safe.
+  */
+object Bpe {
+
+  def learnMerges(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64,
+      s"k = $k merge rounds out of range [1, 64] — each round is a " +
+        "vocab-sized aggregation and the oracle unrolls exactly k")
+    var words = graft.CacheScope.scoped(docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("toks",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+    var merges: DataFrame = null
+    for (rank <- 1 to k) {
+      val pairs = words
+        .select(col("freq"), explode(expr(
+          """transform(slice(toks, 1, size(toks) - 1),
+            |  (x, i) -> struct(x AS lhs, element_at(toks, i + 2) AS rhs))"""
+            .stripMargin)).as("pr"))
+        .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("n"))
+      val best = graft.CacheScope.scoped(
+        pairs.orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1)
+          .select(lit(rank.toLong).as("merge_rank"), col("lhs"),
+            col("rhs"), col("n").cast("long").as("pair_count")))
+      merges = if (merges == null) best else merges.unionByName(best)
+      words = words.crossJoin(broadcast(best.select("lhs", "rhs")))
+        .withColumn("toks", expr(
+          """aggregate(toks, CAST(array() AS ARRAY<STRING>), (acc, x) ->
+            |  CASE WHEN size(acc) > 0
+            |            AND element_at(acc, -1) = lhs AND x = rhs
+            |       THEN concat(slice(acc, 1, size(acc) - 1),
+            |                   array(concat(lhs, rhs)))
+            |       ELSE concat(acc, array(x)) END)""".stripMargin))
+        .select("w", "freq", "toks")
+        .roundCheckpoint()
+    }
+    // the loud k-rounds premise: a round whose pair table is EMPTY
+    // yields an empty best, and every later round inherits it — the
+    // merge table then has < k rows. Refuse by count (vocab-sized, the
+    // KCore per-round-count discipline) instead of silently learning a
+    // shorter merge list than the caller (and the oracle) asked for.
+    val out = graft.CacheScope.scoped(merges)
+    val got = out.count()
+    require(got == k,
+      s"bpe premise: corpus exhausted its adjacent pairs after $got " +
+        s"merges — k = $k exceeds the learnable merge count; the " +
+        "oracle unrolls exactly k rounds")
+    out.orderBy(col("merge_rank"))
+  }
+}

@@ -238,4 +238,76 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the two-pass rank is partition-count-invariant (q84's law)
     assert(run(1) === run(7))
   }
+
+  // ---------------------------------------------------------------- BPE
+
+  /** Straight-line reference BPE (Sennrich): pair counts weighted by
+    * word frequency, overlaps included, argmax by (count DESC, lex),
+    * greedy left-to-right fuse.
+    */
+  private def refBpe(corpus: Seq[String], k: Int)
+      : Seq[(Long, String, String, Long)] = {
+    var words: List[(List[String], Long)] = corpus
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity)
+      .map { case (w, g) => (w.map(_.toString).toList, g.size.toLong) }
+      .toList
+    (1 to k).map { rank =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (toks, f) =>
+        toks.zip(toks.drop(1)).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      assert(counts.nonEmpty, s"reference ran dry before round $rank")
+      val ((l, r), n) = counts.toSeq
+        .sortBy { case ((l, r), n) => (-n, l, r) }.head
+      words = words.map { case (toks, f) =>
+        val acc = scala.collection.mutable.ListBuffer.empty[String]
+        toks.foreach { x =>
+          if (acc.nonEmpty && acc.last == l && x == r) {
+            acc.remove(acc.length - 1); acc += (l + r)
+          } else acc += x
+        }
+        (acc.toList, f)
+      }
+      (rank.toLong, l, r, n)
+    }
+  }
+
+  test("bpe learnMerges equals the reference through a multi-char round " +
+      "and counts overlapping pairs") {
+    // round 1 must pick (a,a) (count 6 — "aaab"'s OVERLAPPING (a,a)
+    // counted twice per occurrence), round 2 (a,b), and round 3 fuses
+    // MULTI-CHAR symbols (aa, ab) — application correctness, not just
+    // counting
+    val corpus = Seq("aaab aaab", "aaab ab")
+    val expected = refBpe(corpus, 3)
+    assert(expected.map(t => (t._2, t._3)) ===
+      Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    val got = CacheScope.withScope {
+      Bpe.learnMerges(corpus.toDF("text"), k = 3)
+        .as[(Long, String, String, Long)].collect().toSeq
+    }
+    assert(got === expected)
+    // a second corpus with ties: lexicographic (lhs, rhs) tiebreak
+    val tied = Seq("xy zw xy zw")
+    val gotTied = CacheScope.withScope {
+      Bpe.learnMerges(tied.toDF("text"), k = 1)
+        .as[(Long, String, String, Long)].collect().toSeq
+    }
+    assert(gotTied === refBpe(tied, 1) &&
+      gotTied.head._2 == "x" && gotTied.head._3 == "y")
+  }
+
+  test("bpe refuses loudly when k exceeds the learnable merges") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val ex = intercept[Exception] {
+      CacheScope.withScope {
+        Bpe.learnMerges(Seq("ab ab").toDF("text"), k = 5).count()
+      }
+    }
+    assert(msgs(ex).exists(_.contains("bpe premise")),
+      s"expected the loud premise, got: ${msgs(ex).mkString(" | ")}")
+  }
 }

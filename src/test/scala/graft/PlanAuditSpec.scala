@@ -96,7 +96,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "frames (hottest-segment-key volume; short-suffix block size) " +
       "cross-joined onto the candidate stream — the sanctioned " +
       "loud-blocking-guard mechanism (q50/q136 family); the candidate " +
-      "join itself is a 5-key equi-join"))
+      "join itself is a 5-key equi-join"),
+    "q143_bpe_merges" -> ("each BPE round cross-joins its ONE-ROW argmax " +
+      "merge pair (broadcast) onto the vocab-sized word table for the " +
+      "fuse — the q35-centroid/q121-bounds constant-size delivery " +
+      "mechanism, k rows total across the run"))
 
   private val streaming =
     Set("q57_streaming_rollup", "q60_streaming_sessionize",
