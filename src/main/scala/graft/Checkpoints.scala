@@ -39,8 +39,6 @@ object Checkpoints {
   /** Session conf key; value = reliable checkpoint directory. */
   val ConfKey = "spark.graft.checkpointDir"
 
-  private var lastDir: Option[String] = None
-
   def round(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
@@ -53,12 +51,23 @@ object Checkpoints {
         // lost-blocks failure the reliable path exists to prevent).
         // Serializing reliable checkpoints is acceptable: they are
         // per-round, and contention only exists in the multi-session
-        // different-dirs case this guards.
+        // different-dirs case this guards. The CONTEXT's own
+        // getCheckpointDir is the source of truth (not a JVM-local
+        // cache): it survives context restarts in the same JVM and
+        // stays correct when user code calls setCheckpointDir directly.
         synchronized {
-          if (!lastDir.contains(dir)) {
-            spark.sparkContext.setCheckpointDir(dir)
-            lastDir = Some(dir)
+          val sc = spark.sparkContext
+          // setCheckpointDir creates a unique subdirectory under `dir`,
+          // so compare against the parent of what the context reports
+          val current = sc.getCheckpointDir
+            .map(d => new java.net.URI(d))
+          val want = new java.net.URI(
+            new org.apache.hadoop.fs.Path(dir).toString)
+          val matches = current.exists { c =>
+            val p = new org.apache.hadoop.fs.Path(c)
+            Option(p.getParent).exists(_.toUri.getPath == want.getPath)
           }
+          if (!matches) sc.setCheckpointDir(dir)
           df.checkpoint()
         }
       case None => df.localCheckpoint()

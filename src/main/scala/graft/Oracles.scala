@@ -211,6 +211,44 @@ object Oracles {
     * q52 (LSH-banded path): every (a<b) pair with cosine >= 0.4. The
     * cosine is the explicit dot/(sqrt·sqrt) shape CosineSim executes.
     */
+  /** q27 unrolled: per token, the md5-low-64 hash; per document, 64
+    * independent ±1 majority votes concatenated into a '0'/'1' signature
+    * string; groups of ≥ 2 documents sharing a signature. The corpus
+    * planting (every 10th doc duplicated at doc_id + 10⁶) mirrors the
+    * query side. Built by a loop — 64 hand-written bit terms would
+    * invite copy drift (the kCoreOracle discipline).
+    */
+  private val simhashOracle: String = {
+    val bitVotes = (0 until 64).map(b =>
+      s"CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) " +
+        "> 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ",\n               ", ")")
+    s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+      toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+      hashed AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+        FROM toks),
+      sigs AS (
+        SELECT doc_id,
+               $bitVotes AS sig
+        FROM hashed GROUP BY doc_id),
+      groups AS (
+        SELECT sig, min(doc_id) AS canonical_id,
+               count(*) AS group_size,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                 AS doc_ids
+        FROM sigs GROUP BY sig)
+      SELECT canonical_id, group_size, doc_ids
+      FROM groups WHERE group_size >= 2
+      ORDER BY canonical_id"""
+  }
+
   private val cosinePairsOracle: String = """
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1529,9 +1567,20 @@ object Oracles {
 
     "q28_cosine_pairs" -> cosinePairsOracle,
 
+    // SimHash, replayed bit-for-bit (r8 VERDICT #5 — q27 graduated from
+    // rows-only): the token hash is the first 8 bytes of md5 (big-endian),
+    // so DuckDB reproduces every per-bit ±1 majority vote exactly; the
+    // 64-char '0'/'1' signature string is the engine-portable group key
+    // (no signed-overflow reassembly of bit 63 needed).
+    "q27_simhash" -> simhashOracle,
+
     // Same exact contract as q28 — the LSH-banded engine path must lose
     // nothing vs the exact all-pairs answer.
     "q52_cosine_pairs_lsh" -> cosinePairsOracle,
+
+    // Same exact contract again — the cross-polytope candidates+verify
+    // path must lose nothing vs the exact all-pairs answer.
+    "q144_cosine_pairs_cp" -> cosinePairsOracle,
 
     // Pinned expectation: the fixture's anatomy is documented in
     // graft.Fixtures (12 structurally-clean rows, 3 corrupt, 7 surviving

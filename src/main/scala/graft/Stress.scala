@@ -156,6 +156,16 @@ object Stress {
       timed(embPairs(emb1)), timed(embPairs(emb10)))
     report("q118_embedding_dedup@0.7",
       timed(embDedup(emb1)), timed(embDedup(emb10)))
+    // the sub-ρ family member on the SAME corpus and threshold: the
+    // r8 rows measured the sign-hyperplane path at n^1.37-1.40 (AT its
+    // family's Indyk–Motwani bound); cross-polytope hashes with
+    // corpus-scaled k must come in measurably below it
+    def embPairsCp(dir: String): () => DataFrame = () => {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      operators.Ann.cosinePairsCp(e, threshold = 0.7)
+    }
+    report("q144_cosine_pairs_cp@0.7",
+      timed(embPairsCp(emb1)), timed(embPairsCp(emb10)))
     }
 
     // ---- hot-key skew for the salted paths (r7 VERDICT #6)

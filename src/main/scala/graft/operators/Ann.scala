@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VecFns
-import graft.plans.GraftFunctions
+import graft.plans.{CrossPolytope, GraftFunctions}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (north-star extension; SURVEY.md §2.5).
@@ -171,8 +171,13 @@ object Ann {
     val q =
       if (probeHamming == 0) q0
       else {
-        val masks = (0L until (1L << nPlanes))
-          .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+        // enumerate C(nPlanes, ≤probe) masks DIRECTLY as bit-position
+        // combinations — never walking the full 2^nPlanes hypercube
+        // (at the nPlanes = 20 bound that range is a million elements
+        // for what probeHamming = 1 needs 21 of)
+        val masks = (0 to probeHamming).flatMap(r =>
+          (0 until nPlanes).combinations(r)
+            .map(_.foldLeft(0L)((acc, b) => acc | (1L << b))).toSeq)
         // the probe set materializes as ONE per-row array() of
         // C(nPlanes, <=probe) expressions — past a few thousand that
         // is a codegen/planning blowup, not a loud refusal, so cap it
@@ -415,6 +420,65 @@ object Ann {
     val p = 1.0 - math.acos(threshold) / math.Pi
     val pBand = math.pow(p, planesPerBand)
     math.max(1, math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt)
+  }
+
+  /** Embedding near-duplicate pairs via CROSS-POLYTOPE LSH + exact
+    * verification — the sub-ρ member of the [[cosinePairsLsh]] family
+    * (same contract, same candidates+verify shape, same banding recall
+    * bound), addressing the one measured super-linear scale path in the
+    * engine: the r8 stress rows put the sign-hyperplane banded join at
+    * n^1.37-1.40 at threshold 0.7, ON the Indyk–Motwani bound for that
+    * family (ρ ≈ 0.42). One cross-polytope hash
+    * ([[graft.plans.CrossPolytopeHashes]], Andoni et al. 2015)
+    * partitions into 2·d₂ = 128 cells (dim 64) instead of a 4-bit
+    * band's 16, with measured ρ ≈ 0.18 at 0.7 — near-orthogonal bulk
+    * pairs collide ~8× less per band while threshold pairs still
+    * collide often enough that the recall bound needs FEWER bands.
+    *
+    * Parameters are DERIVED, not guessed: the single-hash collision
+    * probability at the threshold comes from a fixed-seed Monte-Carlo
+    * estimate of the hash family itself (3σ-low — recall
+    * under-promises), the band count from the same ⌈ln miss/ln(1−p₁ᵏ)⌉
+    * bound as [[bandsForThreshold]], and `hashesPerBand` (the LSH "k")
+    * from the corpus size via the standard hash-cost vs candidate-cost
+    * trade ([[graft.plans.CrossPolytope.chooseHashesPerBand]]) — k
+    * grows ~log n, which is exactly what makes the end-to-end work
+    * n^(1+ρ) instead of the fixed-k n² asymptote. The one extra job is
+    * a corpus `count()` (metadata-cheap on parquet).
+    */
+  def cosinePairsCp(corpus: DataFrame, threshold: Double,
+      hashesPerBand: Int = 0, bands: Int = 0, dim: Int = 64,
+      targetMiss: Double = 1e-4): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val k =
+      if (hashesPerBand > 0) hashesPerBand
+      else CrossPolytope.chooseHashesPerBand(corpus.count(), threshold,
+        dim, targetMiss)
+    val nBands =
+      if (bands > 0) bands else CrossPolytope.bandsFor(threshold, k, dim,
+        targetMiss)
+    val v = graft.CacheScope.scoped(corpus.select(col("vec_id"),
+      VecFns.toDouble(col("embedding")).as("v")))
+    val bandRows = graft.CacheScope.scoped(v
+      .select(col("vec_id"),
+        posexplode(expr(s"graft_cplsh(v, $k, $nBands, $dim)"))
+          .as(Seq("band_id", "code")))
+      ) // read twice by the self-join (CLAUDE.md both-sides rule)
+    val cand = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.code") === col("y.code") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .withColumn("sim", expr("graft_cosine(va, vb)"))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Exact all-pairs via broadcast nested loop — r1's q28 implementation,

@@ -76,6 +76,15 @@ object Bpe {
             |       ELSE concat(acc, array(x)) END)""".stripMargin))
         .select("w", "freq", "toks")
         .roundCheckpoint()
+      // the eager round checkpoint just materialized `best` (the
+      // broadcast side of the fuse), so this count hits its cache: a
+      // corpus that exhausts its adjacent pairs refuses AT the failing
+      // round instead of dragging k - rank empty-frame jobs to the
+      // final count (the same loud premise either way)
+      require(best.count() == 1L,
+        s"bpe premise: corpus exhausted its adjacent pairs after " +
+          s"${rank - 1} merges — k = $k exceeds the learnable merge " +
+          "count; the oracle unrolls exactly k rounds")
     }
     // the loud k-rounds premise: a round whose pair table is EMPTY
     // yields an empty best, and every later round inherits it — the

@@ -99,5 +99,11 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
         exprs(3).eval().asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cplsh",
+      exprs => CrossPolytopeHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int]),
+      "built-in")
   }
 }

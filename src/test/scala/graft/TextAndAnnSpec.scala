@@ -372,6 +372,83 @@ class TextAndAnnSpec extends AnyFunSuite {
     assert(brute.size >= e.count(), "every planted copy pair must be found")
   }
 
+  test("cross-polytope pairs equal the brute baseline at adversarial 0.4 " +
+      "with derived parameters") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val brute = Ann.cosinePairsBrute(e, 0.4)
+      .as[(Long, Long)].collect().toSet
+    val cp = CacheScope.withScope {
+      Ann.cosinePairsCp(e, 0.4).as[(Long, Long)].collect().toSet
+    }
+    assert(cp == brute,
+      "derived cross-polytope banding must stay lossless at 0.4")
+  }
+
+  test("cross-polytope pairs at a realistic threshold: planted " +
+      "near-copies, explicit k=2") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val copies = e.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val corpus = e.select("vec_id", "embedding").unionByName(copies)
+    val brute = Ann.cosinePairsBrute(corpus, 0.95)
+      .as[(Long, Long)].collect().toSet
+    val cp = CacheScope.withScope {
+      Ann.cosinePairsCp(corpus, 0.95, hashesPerBand = 2)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(cp == brute)
+    assert(brute.size >= e.count(), "every planted copy pair must be found")
+  }
+
+  test("cross-polytope machinery: FHT is orthogonal up to √n, band " +
+      "derivation monotone, k grows with corpus size, bulk collides " +
+      "near-uniformly") {
+    import graft.plans.CrossPolytope
+    // FHT orthogonality: <Hx, Hy> = n·<x, y> exactly (integer inputs)
+    val n = 64
+    val rnd = new scala.util.Random(7)
+    val x = Array.fill(n)(rnd.nextInt(9).toDouble - 4)
+    val y = Array.fill(n)(rnd.nextInt(9).toDouble - 4)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (p, q) => p * q }.sum
+    val d0 = dot(x, y)
+    val hx = x.clone(); val hy = y.clone()
+    CrossPolytope.fht(hx, n); CrossPolytope.fht(hy, n)
+    assert(dot(hx, hy) === d0 * n,
+      "unnormalized FHT must scale inner products by exactly n")
+    // collision probability is monotone in the threshold, and the bulk
+    // (cosine 0) probability sits near the uniform 1/(2n) over 128 cells
+    val p4 = CrossPolytope.collisionProb(0.4, 64)
+    val p7 = CrossPolytope.collisionProb(0.7, 64)
+    val p9 = CrossPolytope.collisionProb(0.9, 64)
+    val pBulk = CrossPolytope.collisionProb(0.0, 64)
+    assert(p4 < p7 && p7 < p9, s"p must rise with cosine: $p4 $p7 $p9")
+    assert(pBulk > 0.5 / 128 && pBulk < 4.0 / 128,
+      s"bulk collision $pBulk should be near-uniform over 2·64 cells")
+    // band counts: monotone decreasing in threshold at fixed k
+    val bs = Seq(0.4, 0.6, 0.7, 0.9).map(CrossPolytope.bandsFor(_, 1, 64))
+    assert(bs == bs.sorted.reverse, s"bands must fall with threshold: $bs")
+    // k selection: tiny corpora pick k=1, large corpora pick larger k
+    val kSmall = CrossPolytope.chooseHashesPerBand(500L, 0.7, 64)
+    val kLarge = CrossPolytope.chooseHashesPerBand(1000000L, 0.7, 64)
+    assert(kSmall >= 1 && kLarge > kSmall,
+      s"k must grow with corpus size: n=500 -> $kSmall, n=1e6 -> $kLarge")
+  }
+
+  test("cross-polytope refuses mixed-dimension corpora") {
+    graft.plans.GraftFunctions.register(spark)
+    val mixed = spark.range(4).select(col("id").as("vec_id"),
+      when(col("id") === 3,
+        array((0 until 32).map(i => lit(i.toDouble)): _*))
+        .otherwise(array((0 until 64).map(i => lit(i.toDouble)): _*))
+        .as("v"))
+    val ex = intercept[Exception] {
+      mixed.select(expr("graft_cplsh(v, 1, 8, 64)")).collect()
+    }
+    assert(ex.getMessage.contains("mixed dimensions") ||
+      Option(ex.getCause).exists(_.getMessage.contains("mixed dimensions")))
+  }
+
   test("LSH band buckets are capped: degenerate identical corpus stays linear") {
     graft.plans.GraftFunctions.register(spark)
     // 1000 byte-identical docs: every band bucket collapses to ONE bucket
