@@ -115,7 +115,10 @@ object Oracles {
     * (k hand-written rounds would invite copy drift — the kCore
     * discipline).
     */
-  private def bpeOracle(k: Int): String = {
+  /** The shared k-round CTE chain (words → toks0 → per-round idx/pairs/
+    * best/fuse/toks) both BPE oracles build on.
+    */
+  private def bpeCtes(k: Int): String = {
     val sb = new StringBuilder(
       """
       WITH RECURSIVE
@@ -149,6 +152,11 @@ object Oracles {
         FROM fuse$i WHERE pos <= len(toks)),
       toks$i AS (SELECT w, freq, acc AS toks FROM fuse$i
                  WHERE pos = len(toks) + 1)""")
+    sb.toString
+  }
+
+  private def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder(bpeCtes(k))
     sb.append("\n      SELECT * FROM (")
     sb.append((1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, " +
@@ -156,6 +164,22 @@ object Oracles {
     sb.append(") ORDER BY merge_rank")
     sb.toString
   }
+
+  /** q145's encode side: the final round's word table toks$k holds every
+    * distinct word fully encoded under merges 1..k (exactly the engine's
+    * final fold state), so the per-doc counts are one word-level join.
+    */
+  private def bpeEncodeOracle(k: Int): String =
+    bpeCtes(k) + s""",
+      docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents)
+      SELECT d.doc_id,
+             count(*) AS n_words,
+             CAST(sum(len(d.w)) AS BIGINT) AS n_chars,
+             CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens
+      FROM docw d JOIN toks$k t ON d.w = t.w
+      WHERE len(d.w) > 0
+      GROUP BY d.doc_id ORDER BY d.doc_id"""
 
   /** Blocked edit-distance near-dup contract shared by q50 (all-pairs
     * within block, loud maxBlock premise) and q142 (segment-pigeonhole
@@ -1467,6 +1491,11 @@ object Oracles {
     // BPE tokenizer induction: the k-round merge table, unrolled (see
     // [[bpeOracle]] — positional-walk fuse ≡ the engine's fold).
     "q143_bpe_merges" -> bpeOracle(6),
+
+    // BPE encode (the apply side of q143): per-doc encoded token counts
+    // under the same 6 learned merges — the oracle reads the unrolled
+    // chain's FINAL word table, the engine its final fold state.
+    "q145_bpe_encode" -> bpeEncodeOracle(6),
 
     // The segment-pigeonhole path shares q50's EXACT contract — the
     // candidate refinement must lose nothing vs the blocked join.

@@ -42,7 +42,43 @@ import graft.Checkpoints.RoundCheckpoint
   */
 object Bpe {
 
-  def learnMerges(docs: DataFrame, k: Int): DataFrame = {
+  def learnMerges(docs: DataFrame, k: Int): DataFrame =
+    learnCore(docs, k)._1
+
+  /** BPE ENCODING with self-learned merges: learn the k-round merge
+    * table over `docs` (identical to [[learnMerges]]), then count each
+    * document's encoded tokens — the apply side of the learn→apply
+    * tokenizer lifecycle (what a pipeline runs to budget sequence
+    * lengths before packing/batching).
+    *
+    * Scale shape: encoding rides the learn loop's OWN final word table
+    * — each round's fold already left every distinct word fully encoded
+    * under merges 1..k, so applying the merges to the corpus is a
+    * broadcast-sized join from the per-doc word explode to the
+    * vocab-sized word table (one corpus-sized map pass; zero extra fuse
+    * work). Output per doc: (doc_id, n_words, n_chars, n_tokens) —
+    * all exact integers; n_chars/n_tokens is the compression the
+    * tokenizer bought.
+    */
+  def encodeCounts(docs: DataFrame, k: Int): DataFrame = {
+    val (_, words) = learnCore(docs, k)
+    val encoded = words.select(col("w"),
+      size(col("toks")).cast("long").as("n_toks"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(encoded), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared learn loop: returns (merge table ordered by rank, final
+    * word table (w, freq, toks) with every word encoded under all k
+    * merges). Both frames are scope-cached and materialized.
+    */
+  private def learnCore(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && k <= 64,
       s"k = $k merge rounds out of range [1, 64] — each round is a " +
         "vocab-sized aggregation and the oracle unrolls exactly k")
@@ -97,6 +133,6 @@ object Bpe {
       s"bpe premise: corpus exhausted its adjacent pairs after $got " +
         s"merges — k = $k exceeds the learnable merge count; the " +
         "oracle unrolls exactly k rounds")
-    out.orderBy(col("merge_rank"))
+    (out.orderBy(col("merge_rank")), words)
   }
 }

@@ -246,13 +246,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     * greedy left-to-right fuse.
     */
   private def refBpe(corpus: Seq[String], k: Int)
-      : Seq[(Long, String, String, Long)] = {
+      : Seq[(Long, String, String, Long)] = refBpeFull(corpus, k)._1
+
+  /** Reference learn loop, also returning the final per-word
+    * tokenization (word → encoded token list) for the encode parity
+    * test.
+    */
+  private def refBpeFull(corpus: Seq[String], k: Int)
+      : (Seq[(Long, String, String, Long)], Map[String, List[String]]) = {
     var words: List[(List[String], Long)] = corpus
       .flatMap(_.split(" ")).filter(_.nonEmpty)
       .groupBy(identity)
       .map { case (w, g) => (w.map(_.toString).toList, g.size.toLong) }
       .toList
-    (1 to k).map { rank =>
+    val merges = (1 to k).map { rank =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       words.foreach { case (toks, f) =>
         toks.zip(toks.drop(1)).foreach(p =>
@@ -272,6 +279,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
       (rank.toLong, l, r, n)
     }
+    (merges, words.map { case (toks, _) => (toks.mkString, toks) }.toMap)
   }
 
   test("bpe learnMerges equals the reference through a multi-char round " +
@@ -297,6 +305,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     assert(gotTied === refBpe(tied, 1) &&
       gotTied.head._2 == "x" && gotTied.head._3 == "y")
+  }
+
+  test("bpe encodeCounts matches the reference fold's final tokenization") {
+    val corpus = Seq("aaab aaab b", "aaab ab aab", "b aab aaab")
+    val (_, finalWords) = refBpeFull(corpus, 3)
+    val expected = corpus.zipWithIndex.map { case (text, i) =>
+      val ws = text.split(" ").filter(_.nonEmpty).toSeq
+      (i.toLong, ws.size.toLong,
+        ws.map(_.length.toLong).sum,
+        ws.map(w => finalWords(w).size.toLong).sum)
+    }
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = CacheScope.withScope {
+      Bpe.encodeCounts(docs, k = 3)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    assert(got === expected)
+    // the merges actually compress: every doc's token count is strictly
+    // below its char count on this corpus
+    assert(got.forall(r => r._4 < r._3))
   }
 
   test("bpe refuses loudly when k exceeds the learnable merges") {

@@ -400,6 +400,37 @@ class TextAndAnnSpec extends AnyFunSuite {
     assert(brute.size >= e.count(), "every planted copy pair must be found")
   }
 
+  test("cross-polytope at 0.7 on the stress construction: signed-" +
+      "permutation copies, lossless vs brute") {
+    // the Stress emb corpus in miniature: every 10th vector duplicated
+    // (within-copy cosine exactly 1), 3 copies under per-copy signed
+    // permutations (orthogonal — cross-copy cosines collapse to the
+    // random tail). cp with derived parameters must equal brute at 0.7,
+    // the production threshold the stress row measures.
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding")
+    val planted = e.unionByName(e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+    val corpus = (0 until 3).map { k =>
+      planted.select((col("vec_id") + lit(k * 100000000L)).as("vec_id"),
+        expr(
+          s"""transform(sequence(0, 63), i ->
+             |  CAST((CASE WHEN pmod(hash(i, $k), 2) = 0
+             |        THEN 1.0 ELSE -1.0 END) *
+             |  element_at(embedding, ((i + ${7 * k}) % 64) + 1) AS FLOAT))"""
+            .stripMargin).as("embedding"))
+    }.reduce(_ unionByName _)
+    val brute = Ann.cosinePairsBrute(corpus, 0.7)
+      .as[(Long, Long)].collect().toSet
+    val cp = CacheScope.withScope {
+      Ann.cosinePairsCp(corpus, 0.7).as[(Long, Long)].collect().toSet
+    }
+    assert(cp == brute,
+      s"cp lost/invented pairs at 0.7: ${cp.size} vs brute ${brute.size}")
+    assert(brute.size >= e.count() * 3 / 10,
+      "the planted within-copy duplicate pairs must be present")
+  }
+
   test("cross-polytope machinery: FHT is orthogonal up to √n, band " +
       "derivation monotone, k grows with corpus size, bulk collides " +
       "near-uniformly") {
