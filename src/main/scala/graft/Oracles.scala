@@ -235,6 +235,64 @@ object Oracles {
     * q52 (LSH-banded path): every (a<b) pair with cosine >= 0.4. The
     * cosine is the explicit dot/(sqrt·sqrt) shape CosineSim executes.
     */
+  /** q51's winnowing fingerprint replayed EXACTLY: the Rabin-Karp
+    * rolling min-hash is wrapping 64-bit arithmetic, which DuckDB's
+    * strict BIGINT refuses — so the walk runs in HUGEINT mod 2⁶⁴ (every
+    * intermediate < 2⁸⁴, well inside 128 bits) and re-signs for the min
+    * comparison (Spark compares SIGNED longs). One recursive step per
+    * byte (the corpus is pure ASCII, so `ord(substr)` IS the byte;
+    * total walk rows = total corpus bytes), LATERAL so the rolled hash
+    * is computed once per step, not once per consumer. basePow =
+    * 1000003³¹ mod 2⁶⁴ is inlined as a literal. The mn column is NULL
+    * until the first full window (pos = w) — exactly when the engine
+    * seeds its min.
+    */
+  private val rollingFpOracle: String = {
+    val B = 1000003L
+    val BP = "2124707310028833259" // 1000003^31 mod 2^64
+    val M = "18446744073709551616" // 2^64
+    val HALF = "9223372036854775808" // 2^63
+    s"""
+      WITH RECURSIVE
+      corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+      sized AS (
+        SELECT doc_id, text, len(text) AS n,
+               least(32, greatest(len(text), 1)) AS w
+        FROM corpus),
+      walk AS (
+        SELECT doc_id, text, n, w, 0 AS pos, CAST(0 AS HUGEINT) AS h,
+               CAST(NULL AS BIGINT) AS mn
+        FROM sized
+        UNION ALL
+        SELECT doc_id, text, n, w, pos + 1, t.h2,
+          CASE WHEN pos + 1 < w THEN NULL
+               WHEN pos + 1 = w THEN t.hs
+               ELSE least(mn, t.hs) END
+        FROM walk, LATERAL (
+          SELECT h2,
+                 CAST(CASE WHEN h2 >= $HALF::HUGEINT
+                      THEN h2 - $M::HUGEINT ELSE h2 END AS BIGINT) AS hs
+          FROM (SELECT CASE WHEN pos + 1 <= w
+               THEN (h * $B + ord(substr(text, pos + 1, 1)))
+                    % $M::HUGEINT
+               ELSE ((((h - ord(substr(text, pos + 1 - w, 1))
+                        * $BP::HUGEINT)
+                       % $M::HUGEINT + $M::HUGEINT) % $M::HUGEINT)
+                     * $B + ord(substr(text, pos + 1, 1)))
+                    % $M::HUGEINT
+          END AS h2)) t
+        WHERE pos < n),
+      fps AS (
+        SELECT doc_id, coalesce(mn, 0) AS fp FROM walk WHERE pos = n)
+      SELECT fp, min(doc_id) AS canonical_id,
+             count(*) AS group_size
+      FROM fps GROUP BY fp HAVING count(*) >= 2
+      ORDER BY canonical_id"""
+  }
+
   /** q27 unrolled: per token, the md5-low-64 hash; per document, 64
     * independent ±1 majority votes concatenated into a '0'/'1' signature
     * string; groups of ≥ 2 documents sharing a signature. The corpus
@@ -1595,6 +1653,10 @@ object Oracles {
     "q25_ann_lsh" -> annTopKOracle,
 
     "q28_cosine_pairs" -> cosinePairsOracle,
+
+    // Rolling fingerprint replayed byte-for-byte (r9 — q51 graduated
+    // from rows-only; see rollingFpOracle for the mod-2^64 emulation).
+    "q51_rolling_fp" -> rollingFpOracle,
 
     // SimHash, replayed bit-for-bit (r8 VERDICT #5 — q27 graduated from
     // rows-only): the token hash is the first 8 bytes of md5 (big-endian),

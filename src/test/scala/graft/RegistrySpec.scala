@@ -12,7 +12,6 @@ class RegistrySpec extends AnyFunSuite {
   private val rowsOnly = Map(
     "q15_approx_distinct" -> "HLL sketch is engine-specific",
     "q46_approx_percentile" -> "t-digest sketch is engine-specific",
-    "q51_rolling_fp" -> "rolling-hash fingerprint is engine-internal",
     "q79_pq_ann" -> "learned PQ codebooks are engine-internal")
 
   test("every oracle key names an existing query") {
