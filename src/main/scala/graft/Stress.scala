@@ -74,7 +74,7 @@ object Stress {
     // optional section selectors (heavy / emb / skew / link); no args =
     // run everything — lets a single section re-run without repaying
     // the full ~10-minute sweep
-    val known = Set("heavy", "emb", "skew", "link")
+    val known = Set("heavy", "emb", "skew", "link", "emb100")
     val sections: Set[String] =
       if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
@@ -166,6 +166,32 @@ object Stress {
     }
     report("q144_cosine_pairs_cp@0.7",
       timed(embPairsCp(emb1)), timed(embPairsCp(emb10)))
+    }
+
+    // ---- 100× point for the sub-ρ path (r9): the sign-LSH family's
+    // fitted cost at 100× (~n^1.4 from the measured 10× row) is tens of
+    // minutes, so only the cross-polytope path runs the third decade —
+    // the exponent reported here is the 10×→100× slope, the one that
+    // matters for "would this hold at 1000 executors on 100 TB".
+    val emb100 = "/tmp/graft_stress_emb_100x"
+    if (section("emb100")) {
+      buildEmbCorpus(spark, base, emb1, 1)
+      buildEmbCorpus(spark, base, emb100, 100)
+      // SPARK_GRAFT_CP_K overrides the derived hashes-per-band — the
+      // diagnostic knob that calibrated the k-chooser's cost ratio
+      // (0 = derive, the production path)
+      val kOverride = sys.env.getOrElse("SPARK_GRAFT_CP_K", "0").toInt
+      def cp(dir: String): () => DataFrame = () => {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        operators.Ann.cosinePairsCp(e, threshold = 0.7,
+          hashesPerBand = kOverride)
+      }
+      val (t1, t100) = (timed(cp(emb1)), timed(cp(emb100)))
+      val ratio = t100 / t1
+      // two decades of data ⇒ exponent is log10(ratio)/2
+      println(f"STRESS q144_cosine_pairs_cp@0.7 t1x=$t1%.1fs " +
+        f"t100x=$t100%.1fs ratio=$ratio%.1f " +
+        f"exponent=${math.log10(ratio) / 2.0}%.2f")
     }
 
     // ---- hot-key skew for the salted paths (r7 VERDICT #6)

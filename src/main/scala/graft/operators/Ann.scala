@@ -431,7 +431,8 @@ object Ann {
     * family (ρ ≈ 0.42). One cross-polytope hash
     * ([[graft.plans.CrossPolytopeHashes]], Andoni et al. 2015)
     * partitions into 2·d₂ = 128 cells (dim 64) instead of a 4-bit
-    * band's 16, with measured ρ ≈ 0.18 at 0.7 — near-orthogonal bulk
+    * band's 16, with measured ρ ≈ 0.30 at 0.7 (MC: p₁ ≈ 0.205,
+    * p₂ ≈ 0.0053) vs the sign family's 0.42 — near-orthogonal bulk
     * pairs collide ~8× less per band while threshold pairs still
     * collide often enough that the recall bound needs FEWER bands.
     *

@@ -23,8 +23,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * the measured n^1.37-1.40 of the r8 stress rows sits AT that bound,
   * irreducible by tuning. One cross-polytope hash partitions into 2·d₂
   * = 128 cells (dim 64) with the asymptotically OPTIMAL ρ: at 0.7 the
-  * measured single-hash probabilities give ρ ≈ 0.18, so the same
-  * banded-candidates + exact-verify contract does n^~1.2 work instead.
+  * measured single-hash probabilities give ρ ≈ 0.30 (the paper's
+  * asymptote says 0.18, but at d = 64 the O(ln ln d) correction is
+  * material — parameters here derive from the MEASURED probabilities),
+  * so the same banded-candidates + exact-verify contract does n^~1.3
+  * work instead of n^1.42.
   *
   * Rotation: 3 rounds of (deterministic ±1 diagonal, fast
   * Walsh-Hadamard transform) — the paper's O(d log d) pseudo-rotation;
