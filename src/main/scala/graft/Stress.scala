@@ -144,8 +144,9 @@ object Stress {
     }
     def embDedup(dir: String): () => DataFrame = () => {
       // the q118 pipeline at 0.7: pairs -> components -> survivors
+      // (r9: rides the cross-polytope pair stage, mirroring q118)
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      val pairs = operators.Ann.cosinePairsLsh(e, threshold = 0.7)
+      val pairs = operators.Ann.cosinePairsCp(e, threshold = 0.7)
         .select(col("vec_a"), col("vec_b"))
       val comps = operators.Components.connectedComponents(pairs)
       val dropped = comps.filter(col("id") =!= col("comp"))
