@@ -1646,6 +1646,11 @@ object Oracles {
     // q28/q52: the scale machinery must lose nothing).
     "q35_ann_ivf" -> annTopKOracle,
 
+    // Cross-polytope with an exhaustive probe must equal the exact
+    // top-k — every cell is scanned, so the sub-ρ cell partition is
+    // output-invisible (the q25/q35 shared-oracle discipline).
+    "q146_ann_cp" -> annTopKOracle,
+
     // Multi-probe LSH probing ALL buckets (probeHamming = nPlanes) must
     // equal the exact top-k — the sign-bit buckets route, they never
     // filter, so the gate projection is engine-independent (q35's

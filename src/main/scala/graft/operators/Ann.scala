@@ -422,6 +422,38 @@ object Ann {
     math.max(1, math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt)
   }
 
+  /** Cross-polytope TOP-K — the sub-ρ counterpart of [[lshTopK]] for
+    * the search side: corpus vectors keep their single cross-polytope
+    * cell (one of 2·d₂ = 128 at dim 64, vs a sign bucket's 2^planes =
+    * 16), queries probe the `probes` cells whose polytope vertices lie
+    * nearest the rotated query (the multi-probe order — largest |y_i|
+    * first, the cross-polytope analogue of Lv et al. 2007). Candidates
+    * per query ≈ |corpus| · probes / (2·d₂); probes = 2·d₂ probes
+    * EVERY cell, making the partition provably output-invisible — that
+    * configuration must equal the exact brute-force top-k and is
+    * hash-gated against q24's oracle (the q25/q35 exhaustive-probe
+    * discipline); the pruned path is recall-tested in ScalaTest.
+    */
+  def cpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64, probes: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      VecFns.toDouble(col("embedding")).as("cv"))
+      .withColumn("cell", expr(s"element_at(graft_cplsh(cv, 1, 1, $dim), 1)"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      VecFns.toDouble(col("embedding")).as("qv"))
+      .withColumn("cell",
+        explode(expr(s"graft_cplsh_probe(qv, $probes, $dim)")))
+    // probe cells are DISTINCT and each corpus row lives in exactly one
+    // cell, so candidates need no dedup — same argument as lshTopK
+    val scored = c.join(broadcast(q),
+        c("cell") === q("cell") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        fastCosine(c, "qv", "cv").as("sim"))
+    ranked(scored, k)
+  }
+
   /** Embedding near-duplicate pairs via CROSS-POLYTOPE LSH + exact
     * verification — the sub-ρ member of the [[cosinePairsLsh]] family
     * (same contract, same candidates+verify shape, same banding recall

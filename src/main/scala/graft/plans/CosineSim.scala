@@ -105,5 +105,10 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
         exprs(3).eval().asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cplsh_probe",
+      exprs => CrossPolytopeProbes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
   }
 }

@@ -66,6 +66,34 @@ case class CrossPolytopeHashes(child: Expression, hashesPerBand: Int,
       newChild: Expression): CrossPolytopeHashes = copy(child = newChild)
 }
 
+/** Multi-probe companion to [[CrossPolytopeHashes]] for the TOP-K
+  * search side: the `probes` cells nearest the query under hash 0's
+  * rotation (see [[CrossPolytope.probeCells]]). Corpus rows keep their
+  * single `graft_cplsh(v, 1, 1, dim)` cell; queries explode this list.
+  */
+case class CrossPolytopeProbes(child: Expression, probes: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cplsh_probe"
+
+  override def nullSafeEval(v: Any): Any =
+    CrossPolytope.probeCells(v.asInstanceOf[ArrayData], probes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.CrossPolytope.probeCells($v, $probes, " +
+        s"$dim);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CrossPolytopeProbes = copy(child = newChild)
+}
+
 object CrossPolytope {
 
   /** Rotation rounds per hash (the paper's recommendation: three
@@ -200,6 +228,58 @@ object CrossPolytope {
       }
       out(b) = code
       b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Multi-probe cell list for hash index 0 (the rotation [[codes]]
+    * assigns corpus cells with at k = bands = 1): the `probes` cells
+    * whose axes carry the LARGEST |y_i| — the standard cross-polytope
+    * probing order (the nearest polytope vertices are exactly the
+    * largest rotated coordinates, the analogue of Lv et al.'s
+    * multi-probe for sign-LSH). Ordered by |y| desc, ties by axis
+    * index asc (deterministic); probes = 2·d₂ enumerates EVERY cell,
+    * which makes the cell partition provably output-invisible — the
+    * q25/q35 exhaustive-probe gate discipline.
+    */
+  def probeCells(v: ArrayData, probes: Int, expectDim: Int)
+      : GenericArrayData = {
+    val dim = v.numElements()
+    require(dim == expectDim,
+      s"graft_cplsh_probe: vector of dimension $dim in a corpus " +
+        s"declared $expectDim-dimensional — mixed dimensions cannot " +
+        "share a rotation set")
+    val dp = nextPow2(dim)
+    require(probes >= 1 && probes <= 2 * dp,
+      s"graft_cplsh_probe: probes = $probes outside [1, ${2 * dp}]")
+    val vec = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { vec(i) = v.getDouble(i); i += 1 }
+    val flat = signs(1, dp)
+    val buf = new Array[Double](dp)
+    java.util.Arrays.fill(buf, 0.0)
+    System.arraycopy(vec, 0, buf, 0, dim)
+    var r = 0
+    while (r < Rounds) {
+      val off = r * dp
+      var d = 0
+      while (d < dp) { buf(d) *= flat(off + d); d += 1 }
+      fht(buf, dp)
+      r += 1
+    }
+    // probe order: each axis contributes its NEAR vertex (sign of y_i)
+    // at |y_i| and its far vertex at rank dp + axis-rank — for probes
+    // ≤ dp this is top-|y| axes with their signs; beyond dp the far
+    // vertices follow in the same order, covering all 2·d₂ at the max
+    val order = (0 until dp).sortBy(d => (-math.abs(buf(d)), d))
+    val out = new Array[Long](probes)
+    var p = 0
+    while (p < probes) {
+      val axis = order(p % dp)
+      val nearSign = if (buf(axis) < 0) 1 else 0
+      val sign = if (p < dp) nearSign else 1 - nearSign
+      out(p) = ((axis << 1) | sign).toLong
+      p += 1
     }
     new GenericArrayData(out)
   }

@@ -247,6 +247,27 @@ class TextAndAnnSpec extends AnyFunSuite {
       "with every cell probed, learned centroids must be output-invisible")
   }
 
+  test("cross-polytope top-k: exhaustive probe equals brute; recall " +
+      "monotone in probe count") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val brute = Ann.bruteTopK(e, q, 5).as[(Long, Long, Int)].collect().toSeq
+    val exhaustive = CacheScope.withScope {
+      Ann.cpTopK(e, q, 5, probes = 128).as[(Long, Long, Int)].collect().toSeq
+    }
+    assert(exhaustive == brute && brute.nonEmpty,
+      "with every cell probed, the cp partition must be output-invisible")
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    def recallAt(p: Int): Double = CacheScope.withScope {
+      val got = Ann.cpTopK(e, q, 5, probes = p)
+        .as[(Long, Long, Int)].collect()
+      got.count(r => bruteSet.contains((r._1, r._2))).toDouble / bruteSet.size
+    }
+    val rs = Seq(1, 8, 32).map(recallAt)
+    assert(rs == rs.sorted, s"recall must be non-decreasing in probes: $rs")
+    assert(rs.last > 0.5, s"probe-32 recall ${rs.last} vs exact baseline")
+  }
+
   test("PQ ADC: valid ranked output, recall vs exact baseline, determinism") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val q = e.filter(col("vec_id") % 50 === 0)
