@@ -267,17 +267,19 @@ object CrossPolytope {
       fht(buf, dp)
       r += 1
     }
-    // probe order: each axis contributes its NEAR vertex (sign of y_i)
-    // at |y_i| and its far vertex at rank dp + axis-rank — for probes
-    // ≤ dp this is top-|y| axes with their signs; beyond dp the far
-    // vertices follow in the same order, covering all 2·d₂ at the max
+    // probe order by TRUE vertex distance: ||y ∓ e_i||² = 2 ∓ 2|y_i|
+    // for the matching/opposite sign, so the near vertices rank by |y|
+    // DESC and — once those are exhausted — the far vertices rank by
+    // |y| ASC (the far vertex of the smallest-|y| axis is the nearest
+    // far one). probes = 2·d₂ covers every cell.
     val order = (0 until dp).sortBy(d => (-math.abs(buf(d)), d))
     val out = new Array[Long](probes)
     var p = 0
     while (p < probes) {
-      val axis = order(p % dp)
+      val near = p < dp
+      val axis = if (near) order(p) else order(2 * dp - 1 - p)
       val nearSign = if (buf(axis) < 0) 1 else 0
-      val sign = if (p < dp) nearSign else 1 - nearSign
+      val sign = if (near) nearSign else 1 - nearSign
       out(p) = ((axis << 1) | sign).toLong
       p += 1
     }

@@ -266,6 +266,18 @@ class TextAndAnnSpec extends AnyFunSuite {
     val rs = Seq(1, 8, 32).map(recallAt)
     assert(rs == rs.sorted, s"recall must be non-decreasing in probes: $rs")
     assert(rs.last > 0.5, s"probe-32 recall ${rs.last} vs exact baseline")
+    // the probe list enumerates DISTINCT cells and, at 2·d₂, covers
+    // every cell exactly once (the exhaustive-gate premise); the far
+    // half is the near half's sign complement in reverse-distance order
+    graft.plans.GraftFunctions.register(spark)
+    val cells = q.limit(1)
+      .select(expr("graft_cplsh_probe(CAST(embedding AS ARRAY<DOUBLE>), " +
+        "128, 64)").as("cs"))
+      .as[Seq[Long]].head()
+    assert(cells.distinct.size == 128 && cells.toSet == (0L until 128L).toSet,
+      "exhaustive probe must enumerate all 2*d2 cells exactly once")
+    assert(cells(127) == (cells(0) ^ 1L),
+      "the farthest cell is the nearest cell's sign complement")
   }
 
   test("PQ ADC: valid ranked output, recall vs exact baseline, determinism") {
