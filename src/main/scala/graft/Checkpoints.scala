@@ -58,14 +58,21 @@ object Checkpoints {
         synchronized {
           val sc = spark.sparkContext
           // setCheckpointDir creates a unique subdirectory under `dir`,
-          // so compare against the parent of what the context reports
-          val current = sc.getCheckpointDir
-            .map(d => new java.net.URI(d))
-          val want = new java.net.URI(
-            new org.apache.hadoop.fs.Path(dir).toString)
-          val matches = current.exists { c =>
-            val p = new org.apache.hadoop.fs.Path(c)
-            Option(p.getParent).exists(_.toUri.getPath == want.getPath)
+          // so compare against the PARENT of what the context reports —
+          // as hadoop Paths, not java.net.URIs (a dir with spaces or
+          // other URI-illegal characters must not crash the round, and
+          // a same-path-different-scheme dir must NOT match: hdfs://nn
+          // /ckpt vs file:/ckpt are different filesystems). A
+          // scheme-less configured dir compares by path (the context
+          // reports fully-qualified).
+          val want = new org.apache.hadoop.fs.Path(dir)
+          val matches = sc.getCheckpointDir.exists { c =>
+            Option(new org.apache.hadoop.fs.Path(c).getParent).exists {
+              parent =>
+                if (want.toUri.getScheme == null)
+                  parent.toUri.getPath == want.toUri.getPath
+                else parent.toString == want.toString
+            }
           }
           if (!matches) sc.setCheckpointDir(dir)
           df.checkpoint()

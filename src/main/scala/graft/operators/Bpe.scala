@@ -122,17 +122,10 @@ object Bpe {
           s"${rank - 1} merges — k = $k exceeds the learnable merge " +
           "count; the oracle unrolls exactly k rounds")
     }
-    // the loud k-rounds premise: a round whose pair table is EMPTY
-    // yields an empty best, and every later round inherits it — the
-    // merge table then has < k rows. Refuse by count (vocab-sized, the
-    // KCore per-round-count discipline) instead of silently learning a
-    // shorter merge list than the caller (and the oracle) asked for.
-    val out = graft.CacheScope.scoped(merges)
-    val got = out.count()
-    require(got == k,
-      s"bpe premise: corpus exhausted its adjacent pairs after $got " +
-        s"merges — k = $k exceeds the learnable merge count; the " +
-        "oracle unrolls exactly k rounds")
-    (out.orderBy(col("merge_rank")), words)
+    // the per-round best.count() refusal above guarantees every round
+    // contributed exactly one merge, so merges has k rows by
+    // construction — no trailing count job (r9 self-review: the old
+    // final require was dead code costing one extra job per call)
+    (graft.CacheScope.scoped(merges).orderBy(col("merge_rank")), words)
   }
 }

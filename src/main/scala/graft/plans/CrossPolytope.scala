@@ -102,6 +102,13 @@ object CrossPolytope {
     */
   val Rounds = 3
 
+  /** Monte-Carlo sample size shared by [[collisionProb]]'s default and
+    * the σ terms in [[pLow]]/[[pBulkHigh]] — ONE constant so the
+    * confidence band can never be computed against a different sample
+    * size than the estimate.
+    */
+  val McTrials = 200000
+
   private def nextPow2(n: Int): Int = {
     var p = 1
     while (p < n) p <<= 1
@@ -210,6 +217,16 @@ object CrossPolytope {
         s"$expectDim-dimensional — mixed dimensions cannot share a " +
         "rotation set")
     val dp = nextPow2(dim)
+    // a band code packs hashesPerBand base-(2·d₂) digits into one long
+    // — past 63 bits the pack silently wraps and unrelated cells merge
+    // (candidate volume inflates toward n² with no visible failure),
+    // so refuse loudly like probeCells' own bounds check
+    val bitsPerHash =
+      java.lang.Integer.SIZE - Integer.numberOfLeadingZeros(2 * dp - 1)
+    require(hashesPerBand * bitsPerHash <= 63,
+      s"graft_cplsh: hashesPerBand = $hashesPerBand at dim $dim packs " +
+        s"${hashesPerBand * bitsPerHash} bits into a 64-bit band code — " +
+        "the pack would overflow and silently merge cells")
     val vec = new Array[Double](dim)
     var i = 0
     while (i < dim) { vec(i) = v.getDouble(i); i += 1 }
@@ -294,10 +311,11 @@ object CrossPolytope {
     * seed ⇒ the estimate, and every band count derived from it, is
     * deterministic across sessions. Cached per (cos·10⁶, dim).
     */
-  private val probCache = new ConcurrentHashMap[(Long, Int), Double]()
+  private val probCache =
+    new ConcurrentHashMap[(Long, Int, Int), Double]()
 
-  def collisionProb(cos: Double, dim: Int, trials: Int = 200000): Double =
-    probCache.computeIfAbsent((math.round(cos * 1e6), dim), { _ =>
+  def collisionProb(cos: Double, dim: Int, trials: Int = McTrials): Double =
+    probCache.computeIfAbsent((math.round(cos * 1e6), dim, trials), { _ =>
       val dp = nextPow2(dim)
       val rnd = new java.util.Random(0x5EED5EEDL + dim * 1000003L +
         math.round(cos * 1e6))
@@ -377,7 +395,7 @@ object CrossPolytope {
     * side must under-promise).
     */
   def pLow(threshold: Double, dim: Int): Double = {
-    val trials = 200000
+    val trials = McTrials
     val p = collisionProb(threshold, dim, trials)
     math.max(1e-6, p - 3.0 * math.sqrt(p * (1.0 - p) / trials))
   }
@@ -386,7 +404,7 @@ object CrossPolytope {
     * over-estimate candidates).
     */
   def pBulkHigh(dim: Int): Double = {
-    val trials = 200000
+    val trials = McTrials
     val p = collisionProb(0.0, dim, trials)
     math.min(1.0, p + 3.0 * math.sqrt(p * (1.0 - p) / trials))
   }

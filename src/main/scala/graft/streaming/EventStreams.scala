@@ -194,8 +194,10 @@ object EventStreams {
     * staging floor per bench pass; with min-of-2 passes the floor is
     * pure overhead on the second). `build` wipes-and-writes `dirs` as
     * before; when the harness opts in (`graft.stage.reuse` system
-    * property — Bench/Verify set it, tests and library callers never
-    * do) and a token written by THIS JVM for the same `sfDir` is
+    * property — ONLY Bench sets it: its min-of-2 passes are the one
+    * place repeat staging exists; Verify/Dev/tests run each gate once
+    * and stay on the always-fresh path) and a token written by THIS
+    * JVM for the same `sfDir` is
     * present, the staged files are reused verbatim: same bytes, same
     * stamped mtimes, so the drained result is identical by
     * construction. Disabled (the default), behavior is byte-for-byte
