@@ -1651,6 +1651,35 @@ object Oracles {
     // output-invisible (the q25/q35 shared-oracle discipline).
     "q146_ann_cp" -> annTopKOracle,
 
+    // Incremental dedup: the exact pair set restricted to pairs with
+    // at least one INCOMING side — the engine's banded path must lose
+    // nothing vs this predicate (and can never emit corpus×corpus).
+    // The planted copies scale in DOUBLE on both sides (a float-side
+    // scale would widen differently and shift last-ulp cosines).
+    "q147_incremental_dedup" -> """
+      WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 7 <> 3),
+      inc AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 7 = 3
+        UNION ALL
+        SELECT vec_id + 5000000,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x * 1.001)
+        FROM embeddings WHERE vec_id % 7 <> 3 AND vec_id % 10 = 0),
+      allv AS (
+        SELECT vec_id, v, FALSE AS inc FROM corpus
+        UNION ALL
+        SELECT vec_id, v, TRUE AS inc FROM inc)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM allv a JOIN allv b
+        ON a.vec_id < b.vec_id AND (a.inc OR b.inc)
+      WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      ORDER BY vec_a, vec_b""",
+
     // Multi-probe LSH probing ALL buckets (probeHamming = nPlanes) must
     // equal the exact top-k — the sign-bit buckets route, they never
     // filter, so the gate projection is engine-independent (q35's

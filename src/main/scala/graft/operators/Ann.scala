@@ -514,6 +514,77 @@ object Ann {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** INCREMENTAL near-duplicate pairs — the production dedup shape: a
+    * new shard arrives against an already-deduplicated corpus, and the
+    * question is "which incoming vectors duplicate the corpus or each
+    * other", NEVER a recompute of corpus×corpus. Returns every pair at
+    * cosine ≥ threshold with AT LEAST ONE incoming side
+    * (incoming×corpus + incoming×incoming), canonical (least, greatest)
+    * ids, via the same cross-polytope candidates + exact-verify
+    * contract as [[cosinePairsCp]].
+    *
+    * Scale shape: only the INCOMING side probes — the join is incoming
+    * band rows × (corpus ∪ incoming) band rows, so per-shard cost is
+    * ∝ |incoming| · collisions, independent of |corpus|²; at 100 TB
+    * the corpus band rows are a materialized artifact (write them once
+    * per parameter set, read per shard — the same reuse path as
+    * `Components.dedupClusters` over a materialized pair table).
+    * Parameters derive from the UNION's size so both sides hash under
+    * identical rotations/bands — a corpus hashed under different
+    * parameters than its probes would silently lose recall, which is
+    * why the derivation is shared, not per-side.
+    *
+    * `id` columns must be disjoint across the two frames (it's one id
+    * space — enforced by the caller's data model, asserted cheaply
+    * here via the verify join's self-pair filter).
+    */
+  def cosinePairsCpIncremental(corpus: DataFrame, incoming: DataFrame,
+      threshold: Double, hashesPerBand: Int = 0, bands: Int = 0,
+      dim: Int = 64, targetMiss: Double = 1e-4): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val all = graft.CacheScope.scoped(
+      corpus.select(col("vec_id"),
+          VecFns.toDouble(col("embedding")).as("v"))
+        .withColumn("inc", lit(false))
+        .unionByName(incoming.select(col("vec_id"),
+            VecFns.toDouble(col("embedding")).as("v"))
+          .withColumn("inc", lit(true))))
+    val k =
+      if (hashesPerBand > 0) hashesPerBand
+      else CrossPolytope.chooseHashesPerBand(all.count(), threshold,
+        dim, targetMiss)
+    val nBands =
+      if (bands > 0) bands else CrossPolytope.bandsFor(threshold, k, dim,
+        targetMiss)
+    val bandRows = graft.CacheScope.scoped(all
+      .select(col("vec_id"), col("inc"),
+        posexplode(expr(s"graft_cplsh(v, $k, $nBands, $dim)"))
+          .as(Seq("band_id", "code"))))
+    // ONLY incoming rows probe; the full side is the build side — an
+    // inc×corpus pair is generated exactly once (from its inc side),
+    // an inc×inc pair from both sides (collapsed by the canonical
+    // distinct); corpus×corpus pairs are structurally impossible
+    val cand = bandRows.filter(col("inc")).as("x")
+      .join(bandRows.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.code") === col("y.code") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("vec_b"))
+      .distinct()
+    val v = all.select(col("vec_id"), col("v"))
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("v").as("va")),
+        Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb")),
+        Seq("vec_b"))
+      .withColumn("sim", expr("graft_cosine(va, vb)"))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Exact all-pairs via broadcast nested loop — r1's q28 implementation,
     * demoted to a test-only equivalence baseline for the blocked and LSH
     * paths (it cannot outlive the driver-side broadcast ceiling).

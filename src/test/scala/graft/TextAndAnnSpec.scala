@@ -280,6 +280,35 @@ class TextAndAnnSpec extends AnyFunSuite {
       "the farthest cell is the nearest cell's sign complement")
   }
 
+  test("incremental dedup: equals the exact incoming-side pair set and " +
+      "never emits corpus-corpus pairs") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    // corpus with INTERNAL duplicates (scaled copies at +200000): a
+    // correct incremental pass must never surface them
+    val base = e.select("vec_id", "embedding")
+    val corpus = base.unionByName(base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+    // incoming: fresh ids + planted copies of corpus rows at +500000
+    val incoming = base.filter(col("vec_id") % 9 === 1)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val got = CacheScope.withScope {
+      Ann.cosinePairsCpIncremental(corpus, incoming, 0.4)
+        .as[(Long, Long)].collect().toSet
+    }
+    val corpusIds = corpus.select("vec_id").as[Long].collect().toSet
+    val all = corpus.unionByName(incoming)
+    val expected = Ann.cosinePairsBrute(all, 0.4)
+      .as[(Long, Long)].collect().toSet[(Long, Long)]
+      .filter(p => !(corpusIds(p._1) && corpusIds(p._2)))
+    assert(got == expected,
+      s"incremental pairs ${got.size} != exact incoming-side ${expected.size}")
+    assert(got.forall { case (a, b) => !(corpusIds(a) && corpusIds(b)) },
+      "corpus-corpus pairs must be structurally impossible")
+    // the planted +500000 copies guarantee real incoming-corpus hits
+    assert(got.exists { case (a, b) => corpusIds(a) || corpusIds(b) })
+  }
+
   test("PQ ADC: valid ranked output, recall vs exact baseline, determinism") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val q = e.filter(col("vec_id") % 50 === 0)
