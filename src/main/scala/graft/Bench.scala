@@ -132,6 +132,36 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
+    // DECODE-BOUND calibration probe (r9 VERDICT #3): the media/codec
+    // class (q29/q99/q105/q117/q130/q141) wanders 1.7-3× between runs
+    // while scan-bound calib stays flat — codec work (ImageIO object
+    // churn) is GC-sensitive in a way a columnar scan is not, so it
+    // needs its OWN constant-work yardstick. A fixed batch of
+    // encode+decode+pixel-checksum rounds of the same closed-form
+    // raster the media queries decode, run as a Spark job (the cost
+    // lives executor-side in the real queries), min-of-3, reported as
+    // "calib_media": a media move at flat calib_media is real; one
+    // that tracks calib_media is ambient.
+    val calibMedia = {
+      import spark.implicits._
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(4096).as[Long].map { id =>
+          val bytes = operators.Multimodal.encodePng(id % 64)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          var s = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { s += img.getRGB(x, y) & 0xffL; x += 1 }
+            y += 1
+          }
+          s
+        }.toDF("s").write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
     val results = selected.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -165,7 +195,7 @@ object Bench {
     // flagged by `failed`)
     val total = results.collect { case (_, v, true) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"calib":$calib,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"calib":$calib,"calib_media":$calibMedia,"sf":"$sfDir"}"""
     println(line)
     // Repo-side artifact (r5 VERDICT #5): both r4 and r5 driver BENCH
     // records truncated to an unparseable tail, so cross-round per-query

@@ -104,6 +104,36 @@ object Oracles {
       FROM scored
       QUALIFY rank <= 5 ORDER BY query_id, rank"""
 
+  /** Exact incremental-dedup contract shared by q147 (live union hash)
+    * and q148 (stored-artifact probe): every pair at cosine ≥ 0.4 with
+    * at least one INCOMING side, never corpus×corpus. The planted
+    * copies scale in DOUBLE on both sides (a float-side scale would
+    * widen differently and shift last-ulp cosines).
+    */
+  private val incrementalDedupOracle: String = """
+      WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 7 <> 3),
+      inc AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 7 = 3
+        UNION ALL
+        SELECT vec_id + 5000000,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x * 1.001)
+        FROM embeddings WHERE vec_id % 7 <> 3 AND vec_id % 10 = 0),
+      allv AS (
+        SELECT vec_id, v, FALSE AS inc FROM corpus
+        UNION ALL
+        SELECT vec_id, v, TRUE AS inc FROM inc)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM allv a JOIN allv b
+        ON a.vec_id < b.vec_id AND (a.inc OR b.inc)
+      WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      ORDER BY vec_a, vec_b"""
+
   /** q143's BPE merge learning unrolled to exactly the operator's k
     * rounds: per round, pairs are counted positionally over the current
     * tokenization (overlaps included, weighted by word frequency), the
@@ -1656,29 +1686,13 @@ object Oracles {
     // nothing vs this predicate (and can never emit corpus×corpus).
     // The planted copies scale in DOUBLE on both sides (a float-side
     // scale would widen differently and shift last-ulp cosines).
-    "q147_incremental_dedup" -> """
-      WITH corpus AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id % 7 <> 3),
-      inc AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id % 7 = 3
-        UNION ALL
-        SELECT vec_id + 5000000,
-               list_transform(CAST(embedding AS DOUBLE[]),
-                              x -> x * 1.001)
-        FROM embeddings WHERE vec_id % 7 <> 3 AND vec_id % 10 = 0),
-      allv AS (
-        SELECT vec_id, v, FALSE AS inc FROM corpus
-        UNION ALL
-        SELECT vec_id, v, TRUE AS inc FROM inc)
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM allv a JOIN allv b
-        ON a.vec_id < b.vec_id AND (a.inc OR b.inc)
-      WHERE list_dot_product(a.v, b.v) /
-              (sqrt(list_dot_product(a.v, a.v)) *
-               sqrt(list_dot_product(b.v, b.v))) >= 0.4
-      ORDER BY vec_a, vec_b""",
+    "q147_incremental_dedup" -> incrementalDedupOracle,
+
+    // The indexed probe must reproduce the live incremental path's
+    // exact pair set — ONE oracle text for both, so the artifact
+    // roundtrip (write band rows + vectors + meta, probe the store)
+    // is gated against the identical ground truth as the live hash.
+    "q148_incremental_dedup_indexed" -> incrementalDedupOracle,
 
     // Multi-probe LSH probing ALL buckets (probeHamming = nPlanes) must
     // equal the exact top-k — the sign-bit buckets route, they never

@@ -74,7 +74,7 @@ object Stress {
     // optional section selectors (heavy / emb / skew / link); no args =
     // run everything — lets a single section re-run without repaying
     // the full ~10-minute sweep
-    val known = Set("heavy", "emb", "skew", "link", "emb100")
+    val known = Set("heavy", "emb", "skew", "link", "emb100", "inc")
     // emb100 (the 220k-vector third decade) is EXCLUDED from the
     // no-args sweep: measured, its 100× pass OOMs the 8 GB local heap
     // when it runs AFTER the full heavy+emb sections' accumulated
@@ -140,6 +140,24 @@ object Stress {
     // ---- banded cosine @ production threshold 0.7 (r7 VERDICT #4)
     val emb1 = "/tmp/graft_stress_emb_1x"
     val emb10 = "/tmp/graft_stress_emb_10x"
+    // incremental dedup with a FIXED shard against a growing corpus
+    // (r9; shared by the emb and inc sections): the production claim
+    // is per-shard cost independent of corpus² — only the shard
+    // probes, so the live path's expected slope is the ~linear
+    // corpus-hashing term, never the pair-volume exponent. The shard
+    // is 2200 double-scaled copies of 1×-corpus vectors (each matches
+    // exactly its own copy's instance; cross-copy cosines sit in the
+    // random tail), ids shifted clear of every corpus id space.
+    def incShard(): DataFrame = spark.read
+      .parquet(s"$emb1/embeddings.parquet")
+      .orderBy(col("vec_id")).limit(2200)
+      .select((col("vec_id") + lit(900000000L)).as("vec_id"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * 1.001)")
+          .as("embedding"))
+    def incPairs(dir: String): () => DataFrame = () =>
+      operators.Ann.cosinePairsCpIncremental(
+        spark.read.parquet(s"$dir/embeddings.parquet"), incShard(),
+        threshold = 0.7)
     if (section("emb")) {
     buildEmbCorpus(spark, base, emb1, 1)
     buildEmbCorpus(spark, base, emb10, copies)
@@ -172,26 +190,40 @@ object Stress {
     }
     report("q144_cosine_pairs_cp@0.7",
       timed(embPairsCp(emb1)), timed(embPairsCp(emb10)))
-    // incremental dedup with a FIXED shard against a 10×-growing
-    // corpus (r9): the production claim is per-shard cost independent
-    // of corpus² — only the shard probes, so the expected slope is the
-    // ~linear corpus-hashing term, never the pair-volume exponent.
-    // The shard is 2200 double-scaled copies of 1×-corpus vectors
-    // (each matches exactly its own copy's instance; cross-copy
-    // cosines sit in the random tail), ids shifted clear of every
-    // corpus id space.
-    def incShard(): DataFrame = spark.read
-      .parquet(s"$emb1/embeddings.parquet")
-      .orderBy(col("vec_id")).limit(2200)
-      .select((col("vec_id") + lit(900000000L)).as("vec_id"),
-        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * 1.001)")
-          .as("embedding"))
-    def incPairs(dir: String): () => DataFrame = () =>
-      operators.Ann.cosinePairsCpIncremental(
-        spark.read.parquet(s"$dir/embeddings.parquet"), incShard(),
-        threshold = 0.7)
     report("q147_incremental_dedup@0.7 fixed-shard",
       timed(incPairs(emb1)), timed(incPairs(emb10)))
+    }
+
+    // ---- incremental dedup against a STORED band-row artifact (r9
+    // VERDICT #2's stress row): the corpus index is written ONCE per
+    // tier (UNTIMED — at 100 TB the write amortizes across every
+    // arriving shard; that amortization IS the claim), then the same
+    // fixed shard probes the stored index at 1× and 10× corpus. The
+    // live path re-pays the corpus FHT hashing per call (its measured
+    // fixed-shard slope, ~1.5× at 10×, is exactly that linear term);
+    // the indexed probe's only corpus-growth terms are columnar scans
+    // of the stored band rows/vectors, so its ratio must come in well
+    // under the live path's — per-shard cost decoupled from corpus
+    // hashing, not just from corpus pair volume.
+    if (section("inc")) {
+      buildEmbCorpus(spark, base, emb1, 1)
+      buildEmbCorpus(spark, base, emb10, copies)
+      val idx1 = "/tmp/graft_stress_cpidx_1x"
+      val idx10 = "/tmp/graft_stress_cpidx_10x"
+      Seq((emb1, idx1), (emb10, idx10)).foreach { case (src, idx) =>
+        CacheScope.withScope {
+          operators.Ann.writeCpIndex(
+            spark.read.parquet(s"$src/embeddings.parquet"), idx,
+            threshold = 0.7)
+        }
+      }
+      def probe(idx: String): () => DataFrame = () =>
+        operators.Ann.cosinePairsCpIndexed(idx, incShard(),
+          threshold = 0.7)
+      report("q147_incremental_dedup@0.7 fixed-shard (live rehash)",
+        timed(incPairs(emb1)), timed(incPairs(emb10)))
+      report("q148_incremental_indexed@0.7 fixed-shard (stored artifact)",
+        timed(probe(idx1)), timed(probe(idx10)))
     }
 
     // ---- 100× point for the sub-ρ path (r9): the sign-LSH family's

@@ -83,6 +83,37 @@ class PlansSpec extends AnyFunSuite {
     assert(df(4L) != 0L || df(4L) == df(4L)) // short text still hashes
   }
 
+  test("q51's ASCII premise: NULL text passes through as a NULL " +
+      "fingerprint; non-ASCII text refuses by doc id (r9 ADVICE — " +
+      "assert_true(NULL) throws in Spark 4, so the premise must coalesce)") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    // nulls via Row + explicit schema (Seq.toDF can't carry them)
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "plain ascii"), Row(2L, null)),
+      schema)
+    val rows = withNull
+      .select(col("doc_id"),
+        Queries.asciiGuardedFp(col("doc_id"), col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(rows(1L).isDefined, "ASCII text must fingerprint")
+    assert(rows(2L).isEmpty,
+      "NULL text must flow through as a NULL fingerprint, not throw")
+    val nonAscii = spark.createDataFrame(
+      java.util.Arrays.asList(Row(7L, "café au lait")), schema)
+    val ex = intercept[Exception] {
+      nonAscii.select(
+        Queries.asciiGuardedFp(col("doc_id"), col("text")).as("fp"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("non-ASCII text in doc 7"),
+      s"premise must refuse naming the doc, got: ${ex.getMessage}")
+  }
+
   test("SimHashAgg: identical token multisets collide, disjoint ones do not") {
     GraftFunctions.register(spark)
     val df = Seq(

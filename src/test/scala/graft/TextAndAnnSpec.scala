@@ -309,6 +309,82 @@ class TextAndAnnSpec extends AnyFunSuite {
     assert(got.exists { case (a, b) => corpusIds(a) || corpusIds(b) })
   }
 
+  test("cp index artifact: a parquet-roundtripped index probed by a shard " +
+      "equals the live incremental path and the exact restricted pair set") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = e.select("vec_id", "embedding")
+    val incoming = e.filter(col("vec_id") % 9 === 1)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val dir = "/tmp/graft_test_cpindex"
+    CacheScope.withScope { Ann.writeCpIndex(corpus, dir, 0.4) }
+    val got = CacheScope.withScope {
+      Ann.cosinePairsCpIndexed(dir, incoming, 0.4)
+        .as[(Long, Long)].collect().toSet
+    }
+    // the live path PINNED to the artifact's stored parameters must be
+    // candidate-identical (identical k/bands ⇒ identical rotations ⇒
+    // identical band rows — the equivalence the artifact contract rests
+    // on); both must equal the exact incoming-side pair set
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val live = CacheScope.withScope {
+      Ann.cosinePairsCpIncremental(corpus, incoming, 0.4,
+        hashesPerBand = meta.getAs[Int]("k"),
+        bands = meta.getAs[Int]("bands"))
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(got == live && got.nonEmpty,
+      s"indexed probe ${got.size} != live incremental ${live.size}")
+    val corpusIds = corpus.select("vec_id").as[Long].collect().toSet
+    val expected = Ann.cosinePairsBrute(corpus.unionByName(incoming), 0.4)
+      .as[(Long, Long)].collect().toSet[(Long, Long)]
+      .filter(p => !(corpusIds(p._1) && corpusIds(p._2)))
+    assert(got == expected,
+      s"indexed probe ${got.size} != exact incoming-side ${expected.size}")
+  }
+
+  test("cp index artifact: parameter drift and id collisions refuse loudly") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = e.select("vec_id", "embedding")
+    val incoming = e.filter(col("vec_id") % 9 === 1)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val dir = "/tmp/graft_test_cpindex_drift"
+    CacheScope.withScope { Ann.writeCpIndex(corpus, dir, 0.4) }
+    // threshold drift: the stored band rows were sized for 0.4
+    val te = intercept[IllegalArgumentException] {
+      Ann.cosinePairsCpIndexed(dir, incoming, 0.7)
+    }
+    assert(te.getMessage.contains("threshold drift"))
+    // target-miss drift: a tighter recall demand than the artifact's
+    val me = intercept[IllegalArgumentException] {
+      Ann.cosinePairsCpIndexed(dir, incoming, 0.4, targetMiss = 1e-6)
+    }
+    assert(me.getMessage.contains("target_miss drift"))
+    // incoming id already present in the indexed corpus
+    val ce = intercept[IllegalArgumentException] {
+      CacheScope.withScope {
+        Ann.cosinePairsCpIndexed(dir,
+          incoming.unionByName(corpus.limit(1)), 0.4)
+      }
+    }
+    assert(ce.getMessage.contains("already exist"))
+    // duplicate ids WITHIN the shard
+    val de = intercept[IllegalArgumentException] {
+      CacheScope.withScope {
+        Ann.cosinePairsCpIndexed(dir,
+          incoming.unionByName(incoming.limit(1)), 0.4)
+      }
+    }
+    assert(de.getMessage.contains("not one id space"))
+    // and the LIVE path's union check (r9 ADVICE: the scaladoc claimed
+    // an assertion that did not exist — now it does)
+    val le = intercept[IllegalArgumentException] {
+      CacheScope.withScope {
+        Ann.cosinePairsCpIncremental(corpus, corpus.limit(1), 0.4)
+      }
+    }
+    assert(le.getMessage.contains("not one id space"))
+  }
+
   test("PQ ADC: valid ranked output, recall vs exact baseline, determinism") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val q = e.filter(col("vec_id") % 50 === 0)
