@@ -146,7 +146,7 @@ object Bench {
       import spark.implicits._
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        spark.range(4096).as[Long].map { id =>
+        spark.range(8192).as[Long].map { id =>
           val bytes = operators.Multimodal.encodePng(id % 64)
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))

@@ -74,14 +74,15 @@ object Stress {
     // optional section selectors (heavy / emb / skew / link); no args =
     // run everything — lets a single section re-run without repaying
     // the full ~10-minute sweep
-    val known = Set("heavy", "emb", "skew", "link", "emb100", "inc")
+    val known = Set("heavy", "emb", "skew", "link", "emb100", "inc",
+      "inc100")
     // emb100 (the 220k-vector third decade) is EXCLUDED from the
     // no-args sweep: measured, its 100× pass OOMs the 8 GB local heap
     // when it runs AFTER the full heavy+emb sections' accumulated
     // state in one JVM, while running fine solo — `Stress emb100` is
     // the supported way to take that measurement.
     val sections: Set[String] =
-      if (args.isEmpty) known - "emb100" else args.toSet
+      if (args.isEmpty) known - "emb100" - "inc100" else args.toSet
     require(sections.subsetOf(known),
       s"unknown Stress section(s) ${(sections -- known).mkString(", ")} — " +
         s"valid: ${known.mkString(", ")} (a typo must refuse loudly, not " +
@@ -148,10 +149,17 @@ object Stress {
     // is 2200 double-scaled copies of 1×-corpus vectors (each matches
     // exactly its own copy's instance; cross-copy cosines sit in the
     // random tail), ids shifted clear of every corpus id space.
+    // r10: the shift is 1e11, NOT the r9 run's 9e8 — 9e8 collided
+    // EXACTLY with copy 9 of the 10× corpus (copies shift k·1e8, so
+    // copy 9 occupies [9e8, ~9.2e8]; a first fix at 2e9 then collided
+    // with copy 20 of the 100× corpus) and the r9 row's verify joins
+    // silently double-matched those 2200 shared ids; the operator's
+    // new one-id-space check caught BOTH collisions, live, on this
+    // harness. 1e11 clears a 1000-copy corpus.
     def incShard(): DataFrame = spark.read
       .parquet(s"$emb1/embeddings.parquet")
       .orderBy(col("vec_id")).limit(2200)
-      .select((col("vec_id") + lit(900000000L)).as("vec_id"),
+      .select((col("vec_id") + lit(100000000000L)).as("vec_id"),
         expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * 1.001)")
           .as("embedding"))
     def incPairs(dir: String): () => DataFrame = () =>
@@ -250,6 +258,40 @@ object Stress {
       println(f"STRESS q144_cosine_pairs_cp@0.7 t1x=$t1%.1fs " +
         f"t100x=$t100%.1fs ratio=$ratio%.1f " +
         f"exponent=${math.log10(ratio) / 2.0}%.2f")
+    }
+
+    // ---- THIRD-DECADE artifact probe (run SOLO like emb100 — same
+    // heap reasoning): the fixed 2200-vector shard against stored
+    // indexes of the 1× and 100× corpora. Two decades of corpus
+    // growth ⇒ the reported exponent is log₁₀(ratio)/2. The live
+    // incremental call at 100× re-hashes 220k corpus vectors per
+    // shard; the indexed probe's corpus terms are pure columnar scans
+    // of the stored band rows/vectors — the row that answers "does
+    // per-shard dedup cost survive a corpus that outgrew its shards
+    // by 100×".
+    val incIdx100 = "/tmp/graft_stress_cpidx_100x"
+    if (section("inc100")) {
+      buildEmbCorpus(spark, base, emb1, 1)
+      buildEmbCorpus(spark, base, emb100, 100)
+      val idx1 = "/tmp/graft_stress_cpidx_1x"
+      Seq((emb1, idx1), (emb100, incIdx100)).foreach { case (src, idx) =>
+        CacheScope.withScope {
+          operators.Ann.writeCpIndex(
+            spark.read.parquet(s"$src/embeddings.parquet"), idx,
+            threshold = 0.7)
+        }
+      }
+      def probe(idx: String): () => DataFrame = () =>
+        operators.Ann.cosinePairsCpIndexed(idx, incShard(),
+          threshold = 0.7)
+      val (l1, l100) = (timed(incPairs(emb1)), timed(incPairs(emb100)))
+      val (p1, p100) = (timed(probe(idx1)), timed(probe(incIdx100)))
+      println(f"STRESS q147_incremental_live@0.7 fixed-shard t1x=$l1%.1fs " +
+        f"t100x=$l100%.1fs ratio=${l100 / l1}%.1f " +
+        f"exponent=${math.log10(l100 / l1) / 2.0}%.2f")
+      println(f"STRESS q148_incremental_indexed@0.7 fixed-shard t1x=$p1%.1fs " +
+        f"t100x=$p100%.1fs ratio=${p100 / p1}%.1f " +
+        f"exponent=${math.log10(p100 / p1) / 2.0}%.2f")
     }
 
     // ---- hot-key skew for the salted paths (r7 VERDICT #6)

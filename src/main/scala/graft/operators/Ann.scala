@@ -586,11 +586,18 @@ object Ann {
       .select(col("vec_id"), col("inc"),
         posexplode(expr(s"graft_cplsh(v, $k, $nBands, $dim)"))
           .as(Seq("band_id", "code"))))
-    // ONLY incoming rows probe; the full side is the build side — an
-    // inc×corpus pair is generated exactly once (from its inc side),
-    // an inc×inc pair from both sides (collapsed by the canonical
-    // distinct); corpus×corpus pairs are structurally impossible
-    val cand = bandRows.filter(col("inc")).as("x")
+    // ONLY incoming rows probe; the full side streams — an inc×corpus
+    // pair is generated exactly once (from its inc side), an inc×inc
+    // pair from both sides (collapsed by the canonical distinct);
+    // corpus×corpus pairs are structurally impossible. The shard's
+    // band rows are BROADCAST explicitly: the arrival contract is
+    // shard ≪ corpus, and without the hint a shard band frame just
+    // past the 10 MB auto threshold flips the plan into shuffling the
+    // corpus-sized side (measured at 100×: the 47M-row band exchange
+    // dominated the probe). A shard too large to broadcast is not
+    // this operator's shape — split it or dedup the union with
+    // [[cosinePairsCp]].
+    val cand = broadcast(bandRows.filter(col("inc")).as("x"))
       .join(bandRows.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.code") === col("y.code") &&
@@ -750,8 +757,11 @@ object Ann {
         col("code"))
       .unionByName(incBands)
     // identical probe accounting to the live path: only incoming rows
-    // probe, so corpus×corpus pairs are structurally impossible
-    val cand = incBands.as("x")
+    // probe, so corpus×corpus pairs are structurally impossible; the
+    // shard band rows broadcast (the arrival contract — see the live
+    // path's note: un-hinted, a shard frame past the auto threshold
+    // shuffles the CORPUS-sized stored side instead)
+    val cand = broadcast(incBands.as("x"))
       .join(allBands.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.code") === col("y.code") &&
