@@ -1176,11 +1176,15 @@ object Oracles {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name""",
 
+    // product sum → via-VARCHAR correctly-rounded cast (see q40 note);
+    // below 2^53 scaled the two casts agree, so this only matters as
+    // the data grows — applied for uniformity across the hazard class
     "q12_priority_agg" -> """
       SELECT o_orderpriority, count(*) AS n_items,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
                       (CAST(1 AS DECIMAL(18,2)) -
-                       CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                       CAST(l_discount AS DECIMAL(18,2))))
+               AS VARCHAR) AS DOUBLE)
                AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
@@ -1491,13 +1495,21 @@ object Oracles {
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // The PRODUCT sum's scaled integer exceeds 2^53, where DuckDB's
+    // direct DECIMAL→DOUBLE cast double-rounds (int→double, then
+    // ÷10^scale) while Spark's Decimal.toDouble is correctly rounded —
+    // a 1-ulp hash diff that surfaces or hides with the data (measured
+    // r10 at sf0.001). Routing through VARCHAR makes the cast
+    // correctly rounded (strtod), matching Spark bit-for-bit. Plain
+    // scale-2 sums stay < 2^53 scaled, where both casts are exact.
     "q40_moments" -> """
       WITH sums AS (
         SELECT l_returnflag, count(*) AS n,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS s1,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                        CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS VARCHAR) AS DOUBLE)
                  AS s2
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, n, s1 / n AS mean,
@@ -1526,17 +1538,22 @@ object Oracles {
                AS revenue
       FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // product sums ride the via-VARCHAR correctly-rounded cast — see
+    // the q40 note
     "q44_correlation" -> """
       WITH sums AS (
         SELECT l_returnflag, count(*) AS n,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
-                   CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                   CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
-                   CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+                   CAST(l_quantity AS DECIMAL(18,2)))
+            AS VARCHAR) AS DOUBLE) AS sxx,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(l_extendedprice AS DECIMAL(18,2)))
+            AS VARCHAR) AS DOUBLE) AS syy,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+                   CAST(l_extendedprice AS DECIMAL(18,2)))
+            AS VARCHAR) AS DOUBLE) AS sxy
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, n,
              (n * sxy - sx * sy) /
@@ -1693,6 +1710,94 @@ object Oracles {
     // roundtrip (write band rows + vectors + meta, probe the store)
     // is gated against the identical ground truth as the live hash.
     "q148_incremental_dedup_indexed" -> incrementalDedupOracle,
+
+    // Span-level exact dedup, recomputed with NO hashing: enumerate
+    // every 60-char window (the q70 generate_series idiom), keep those
+    // in >= 2 distinct docs, gaps-and-islands the start positions per
+    // doc (a start gap > 60 breaks the span — the engine's identical
+    // integer rule). The engine's xxhash64 candidate stage never
+    // appears here, so a hash-recall loss OR a collision leak would
+    // hash-diff at the gate.
+    "q149_substring_spans" -> """
+      WITH w AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               substr(t, CAST(i AS INT), 60) AS gram
+        FROM (SELECT doc_id, lower(text) AS t,
+                     unnest(generate_series(1, length(text) - 59)) AS i
+              FROM documents WHERE length(text) >= 60)),
+      dup AS (SELECT gram FROM w GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2),
+      m AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (gram)),
+      s AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER
+                     (PARTITION BY doc_id ORDER BY pos) <= 60
+                   THEN 0 ELSE 1 END AS brk FROM m),
+      g AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+            FROM s)
+      SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+             min(pos) AS span_start, max(pos) + 59 AS span_end,
+             CAST(count(*) AS BIGINT) AS n_windows
+      FROM g GROUP BY doc_id, span_id
+      ORDER BY doc_id, span_start""",
+
+    // The rewrite step recomputed from scratch on window TEXT (no
+    // hashing): ownership = min doc_id per verbatim 60-char window,
+    // non-owner occurrences merge into delete ranges (same islands
+    // rule), and the cleaned string is REASSEMBLED from the kept
+    // segments (string_agg over lag-derived boundaries) — so the md5
+    // comparison proves the engine's aggregate() fold performs the
+    // identical surgery byte-for-byte.
+    "q150_span_removal" -> """
+      WITH t AS (SELECT doc_id, text AS t FROM documents
+                 WHERE length(text) >= 60),
+      w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   substr(t, CAST(i AS INT), 60) AS gram
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, length(t) - 59)) AS i
+                  FROM t)),
+      dup AS (SELECT gram, min(doc_id) AS owner FROM w GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2),
+      del AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (gram)
+              WHERE w.doc_id <> dup.owner),
+      s AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER
+                     (PARTITION BY doc_id ORDER BY pos) <= 60
+                   THEN 0 ELSE 1 END AS brk FROM del),
+      g AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+            FROM s),
+      r AS (SELECT doc_id, min(pos) AS ds, max(pos) + 59 AS de
+            FROM g GROUP BY doc_id, rid),
+      seg AS (
+        SELECT doc_id,
+               coalesce(lag(de) OVER
+                 (PARTITION BY doc_id ORDER BY ds), 0) + 1 AS ks,
+               ds - 1 AS ke
+        FROM r
+        UNION ALL
+        SELECT doc_id, max(de) + 1 AS ks, NULL AS ke
+        FROM r GROUP BY doc_id),
+      asm AS (
+        SELECT seg.doc_id,
+               string_agg(substr(d.text, CAST(seg.ks AS INT),
+                 CAST(greatest(coalesce(seg.ke, length(d.text))
+                   - seg.ks + 1, 0) AS INT)), '' ORDER BY seg.ks)
+                 AS cleaned
+        FROM seg JOIN documents d USING (doc_id) GROUP BY seg.doc_id),
+      st AS (SELECT doc_id, count(*) AS n_cut,
+                    sum(de - ds + 1) AS chars_removed
+             FROM r GROUP BY doc_id)
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS orig_len,
+             CAST(length(coalesce(a.cleaned, d.text)) AS BIGINT)
+               AS clean_len,
+             CAST(coalesce(st.n_cut, 0) AS BIGINT) AS n_cut,
+             CAST(coalesce(st.chars_removed, 0) AS BIGINT)
+               AS chars_removed,
+             md5(coalesce(a.cleaned, d.text)) AS clean_md5
+      FROM documents d LEFT JOIN asm a USING (doc_id)
+                       LEFT JOIN st USING (doc_id)
+      ORDER BY d.doc_id""",
 
     // Multi-probe LSH probing ALL buckets (probeHamming = nPlanes) must
     // equal the exact top-k — the sign-bit buckets route, they never

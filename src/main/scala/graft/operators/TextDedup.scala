@@ -675,4 +675,189 @@ object TextDedup {
       .agg(max(col("run_tokens")).as("max_run_tokens"),
         count(lit(1)).as("n_runs"))
   }
+
+  /** EXACT duplicated-substring SPANS — the span-level dedup modality
+    * of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499, public), and the one the
+    * document-level families here (MinHash q26, SimHash q27, char-gram
+    * q69) cannot express: a boilerplate paragraph pasted into otherwise
+    * unrelated documents never clears a whole-document threshold, but
+    * its characters are still verbatim training-set repetition. Every
+    * length-`w` CHARACTER window of the lowercased text that occurs in
+    * >= `minDocs` DISTINCT documents marks its start position, and per
+    * document the marked windows merge into maximal spans (windows that
+    * overlap or touch — start-gap <= w — share a span; a gap > w starts
+    * a new one). One row per (doc_id, span): ordinal span_id, 1-based
+    * inclusive char bounds, window count — all exact longs. Cross-doc
+    * only by contract: a window repeated solely WITHIN one document is
+    * not corpus duplication (that axis is [[sharedRuns]]'s diagonal-run
+    * shape and q95's repetition scores).
+    *
+    * Engine shape: window HASHES (xxhash64) shuffle, never window text.
+    * The candidate stage is lossless by the q69 key-space discipline —
+    * a hash collision can only ADD candidate positions, because every
+    * truly-duplicated window still lands in one hash group, and the
+    * verify stage re-groups the (rare) candidates on their TRUE window
+    * text before anything is emitted. Shuffled bytes are O(total_chars)
+    * FIXED-WIDTH rows (doc_id, pos, hash) with map-side partial
+    * aggregation — the asymptotic price any exact-substring method pays
+    * (a suffix-array build shuffles the same order); at 100 TB the
+    * knob is `w` itself, which only changes constant factors, not the
+    * row count. The per-window hash re-reads w chars (O(N*w) CPU,
+    * zero extra shuffle, inside one codegen stage); a rolling
+    * Rabin-Karp hash would cut that to O(N) CPU if the hash stage ever
+    * dominated the shuffle in a profile.
+    */
+  def duplicateSpans(docs: DataFrame, w: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(w >= 2, "a 1-char window marks shared letters; use w >= 2")
+    require(minDocs >= 2, "duplication needs at least two documents")
+    // NULL text never reaches the hash stage: length(NULL) >= w is
+    // NULL, which filter() drops — so the premise guards downstream
+    // never see assert_true(NULL) (the Spark 4 throw gotcha).
+    val t = graft.CacheScope.scoped(docs
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"), lower(col("text")).as("t")))
+    val marked = dupWindows(t, w, minDocs)
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands over per-doc start positions: unique pos per
+    // (doc, window), so ROWS and RANGE frames agree with the oracle's
+    // default sum-over-order frame. A NULL lag (first window) compares
+    // NULL <= w -> NULL -> otherwise(1): a new span, on both engines.
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("brk", when(
+        col("pos") - lag(col("pos"), 1).over(byPos) <= w, lit(0L))
+        .otherwise(lit(1L)))
+      .withColumn("span_id", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_id"), col("span_start"),
+        col("span_end"), col("n_windows"))
+  }
+
+  /** Text-VERIFIED duplicated windows over a (doc_id, t) frame: every
+    * 1-based start `pos` whose length-`w` window of `t` occurs verbatim
+    * in >= `minDocs` DISTINCT documents, carried with its true window
+    * text `gram`. The [[duplicateSpans]] / [[removeDuplicateSpans]]
+    * shared core. Candidate generation shuffles window HASHES
+    * (xxhash64, fixed-width rows) — a collision can only ADD candidate
+    * positions (every truly-duplicated window still lands in one hash
+    * group), and candidates re-qualify on their TRUE re-extracted text
+    * before anything is emitted, so exactness never rides the hash.
+    */
+  private def dupWindows(t: DataFrame, w: Int,
+      minDocs: Int): DataFrame = {
+    // one codegen pass: every window start's hash, exploded to
+    // fixed-width (doc_id, pos, h) rows — the ONLY corpus-sized frame
+    // that ever shuffles. Read twice (dup-hash agg + position join) —
+    // pinned per the both-sides rule.
+    val windows = graft.CacheScope.scoped(t
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(t) - ${w - 1}), " +
+          s"i -> xxhash64(substring(t, i, $w)))")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("h")))
+    val dupHashes = windows.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    // candidates re-extract their TRUE window text (w chars each, only
+    // for candidates) and re-qualify on it. Read twice (true-dup agg +
+    // final mark join) — pinned.
+    val verified = graft.CacheScope.scoped(windows
+      .join(dupHashes, Seq("h"))
+      .join(t, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(t, CAST(pos AS INT), $w)").as("gram")))
+    val trueDup = verified.groupBy("gram")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram")
+    verified.join(trueDup, Seq("gram"))
+      .select(col("doc_id"), col("pos"), col("gram"))
+  }
+
+  /** Span-level dedup APPLIED — the corpus-rewrite step of Lee et al.
+    * 2021 that [[duplicateSpans]] only reports: cut every duplicated
+    * span from every document EXCEPT the one canonical owner, and emit
+    * the cleaned corpus. Ownership is deterministic and global per
+    * window text: the MINIMUM doc_id among the documents containing
+    * that window keeps ALL its occurrences; every other document
+    * deletes its occurrences. Per non-owner doc the deleted windows
+    * merge into maximal char ranges (the [[duplicateSpans]] islands
+    * rule — start-gap <= w shares a range), and the cleaned text is
+    * the concatenation of the kept segments between them, assembled in
+    * ONE `aggregate()` fold over the per-doc sorted range array (a
+    * handful of ranges per doc — never a per-char loop, never a
+    * shuffle of cleaned text).
+    *
+    * Matching is VERBATIM-case (unlike [[duplicateSpans]]'s lowercase
+    * detection): cut positions index the ORIGINAL text, so the window
+    * space and the surgery space must be the same string — and only
+    * byte-identical repetition is removable training-set duplication.
+    *
+    * One row per input document (cut or not): (doc_id, orig_len,
+    * clean_len, n_cut, chars_removed, clean_md5) — lengths/counts as
+    * exact longs, the cleaned text carried as its md5 so the gate
+    * proves the RECONSTRUCTED STRING byte-for-byte without shipping
+    * corpus-sized output. NULL text flows through as NULL md5 with
+    * zero cuts. Scale shape = [[duplicateSpans]]'s: the hash stage
+    * shuffles O(total_chars) fixed-width rows; everything after is
+    * proportional to true duplication volume.
+    */
+  def removeDuplicateSpans(docs: DataFrame, w: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(w >= 2, "a 1-char window marks shared letters; use w >= 2")
+    require(minDocs >= 2, "duplication needs at least two documents")
+    val t = graft.CacheScope.scoped(docs
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"), col("text").as("t")))
+    // read twice (owner agg + deletion join) — pinned
+    val marked = graft.CacheScope.scoped(dupWindows(t, w, minDocs))
+    val owners = marked.groupBy("gram")
+      .agg(min(col("doc_id")).as("owner"))
+    val del = marked.join(owners, Seq("gram"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), col("pos"))
+    // merged delete ranges: distinct ranges are separated by >= 1 kept
+    // char (next start-gap > w ⇒ next del_start >= prev del_end + 2),
+    // so the fold below never sees an empty or negative kept segment
+    // except the (legal, '') leading one when a range starts at pos 1.
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val ranges = del
+      .withColumn("brk", when(
+        col("pos") - lag(col("pos"), 1).over(byPos) <= w, lit(0L))
+        .otherwise(lit(1L)))
+      .withColumn("rid", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("rid"))
+      .agg(min(col("pos")).as("del_start"),
+        (max(col("pos")) + lit(w - 1).cast("long")).as("del_end"))
+    val perDoc = ranges.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("del_start"),
+          col("del_end")))).as("rs"),
+        count(lit(1)).as("n_cut"),
+        sum(col("del_end") - col("del_start") + 1).as("chars_removed"))
+    // the fold: (next kept start, accumulated string); substring() is
+    // 1-based and clamps len <= 0 to '' on both engines
+    val cleaned = when(col("rs").isNull, col("text")).otherwise(expr(
+      """aggregate(rs,
+           named_struct('nxt', CAST(1 AS BIGINT), 'acc', ''),
+           (a, r) -> named_struct(
+             'nxt', r.del_end + CAST(1 AS BIGINT),
+             'acc', concat(a.acc, substring(text, CAST(a.nxt AS INT),
+                      CAST(r.del_start - a.nxt AS INT)))),
+           a -> concat(a.acc, substring(text, CAST(a.nxt AS INT),
+                  CAST(length(text) - a.nxt + 1 AS INT))))"""))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("cleaned", cleaned)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("orig_len"),
+        length(col("cleaned")).cast("long").as("clean_len"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
+        md5(col("cleaned")).as("clean_md5"))
+  }
 }

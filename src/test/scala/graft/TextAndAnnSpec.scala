@@ -942,4 +942,132 @@ class TextAndAnnSpec extends AnyFunSuite {
         maxBlock = 10L).count()
     } === 0L)
   }
+
+  private def spansOf(rows: Seq[(Long, String)], w: Int)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    // Row + explicit schema so a NULL text survives construction
+    // (the CLAUDE.md test-frame rule)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, t) =>
+        org.apache.spark.sql.Row(id, t) }), schema)
+    CacheScope.withScope {
+      TextDedup.duplicateSpans(df, w = w)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    }
+  }
+
+  test("duplicateSpans: a shared substring marks both docs' maximal " +
+      "span at its own offset") {
+    // "abcdefgh" verbatim in both docs (doc 2 at offset 2): all five
+    // w=4 windows duplicate, merging into ONE span per doc covering
+    // exactly the shared characters
+    val got = spansOf(Seq(1L -> "abcdefgh", 2L -> "xxabcdefghyy",
+      3L -> "qqqqzzzz", 4L -> null.asInstanceOf[String]), w = 4)
+    assert(got === Set(
+      (1L, 1L, 1L, 8L, 5L),
+      (2L, 1L, 3L, 10L, 5L)))
+  }
+
+  test("duplicateSpans: start-gap == w merges, start-gap == w+1 splits " +
+      "(and within-doc-only repetition is never marked)") {
+    // docs 13/14 share "abcd" and "efgh" but differ in the middle, so
+    // only those two windows duplicate: doc 13's starts (1, 5) sit at
+    // gap w=4 -> ONE bridged span [1,8]; doc 14's starts (1, 6) sit at
+    // gap 5 -> TWO spans. doc 20 repeats "mnop" twice WITHIN itself
+    // only (disjoint alphabet from every other doc) -> cross-doc
+    // count 1, no rows.
+    val got = spansOf(Seq(13L -> "abcdefgh", 14L -> "abcdXefgh",
+      20L -> "mnopmnop"), w = 4)
+    assert(got === Set(
+      (13L, 1L, 1L, 8L, 2L),
+      (14L, 1L, 1L, 4L, 1L), (14L, 2L, 6L, 9L, 1L)))
+  }
+
+  private def removalOf(rows: Seq[(Long, String)], w: Int)
+      : Map[Long, (Long, Long, Long, Long, String)] = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, t) =>
+        org.apache.spark.sql.Row(id, t) }), schema)
+    CacheScope.withScope {
+      TextDedup.removeDuplicateSpans(df, w = w)
+        .collect().map { r =>
+          r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2),
+            r.getLong(3), r.getLong(4),
+            if (r.isNullAt(5)) null else r.getString(5)))
+        }.toMap
+    }
+  }
+
+  private def md5Of(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(
+      s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("removeDuplicateSpans: non-owner copies are cut to the expected " +
+      "reconstructed strings; owner, unrelated, short and NULL docs " +
+      "pass through") {
+    // doc 1 owns 'abcdefgh' (min id) -> untouched; doc 2's offset copy
+    // cut to 'xxyy'; doc 5 shares only 'abcd' and 'efgh' (gap 5 > w=4)
+    // -> TWO ranges, cleaned to the single middle char 'X'; doc 7
+    // repeats 'mnop' only within itself -> never marked
+    val got = removalOf(Seq(1L -> "abcdefgh", 2L -> "xxabcdefghyy",
+      3L -> "qqqqzzzz", 4L -> null.asInstanceOf[String],
+      5L -> "abcdXefgh", 6L -> "ab", 7L -> "mnopmnop"), w = 4)
+    assert(got === Map(
+      1L -> ((8L, 8L, 0L, 0L, md5Of("abcdefgh"))),
+      2L -> ((12L, 4L, 1L, 8L, md5Of("xxyy"))),
+      3L -> ((8L, 8L, 0L, 0L, md5Of("qqqqzzzz"))),
+      4L -> ((-1L, -1L, 0L, 0L, null)),
+      5L -> ((9L, 1L, 2L, 8L, md5Of("X"))),
+      6L -> ((2L, 2L, 0L, 0L, md5Of("ab"))),
+      7L -> ((8L, 8L, 0L, 0L, md5Of("mnopmnop")))))
+  }
+
+  test("removeDuplicateSpans: matching is verbatim-case, a cut at pos 1 " +
+      "leaves a legal empty leading segment, and a doc cut in full " +
+      "survives as the empty string") {
+    // 'ABCDEFGH' (upper) never matches doc 30's lower copy; docs
+    // 31/32 share lower 'abcdefgh' exactly — doc 32 IS the shared
+    // text, so its cleaned string is '' (md5 of empty), cut [1,8]
+    val got = removalOf(Seq(30L -> "abcdefghzz", 31L -> "ABCDEFGH",
+      32L -> "abcdefgh"), w = 8)
+    assert(got(31L) === ((8L, 8L, 0L, 0L, md5Of("ABCDEFGH"))))
+    assert(got(30L) === ((10L, 10L, 0L, 0L, md5Of("abcdefghzz"))))
+    assert(got(32L) === ((8L, 0L, 1L, 8L, md5Of(""))))
+  }
+
+  test("duplicateSpans: q149 shape at sf0.001 — spans exist, lie inside " +
+      "their docs, and never overlap within a doc") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val spans = CacheScope.withScope {
+      TextDedup.duplicateSpans(docs, w = 60)
+        .join(docs.select(col("doc_id"), length(col("text")).as("len")),
+          Seq("doc_id"))
+        .as[(Long, Long, Long, Long, Long, Int)].collect().toSeq
+    }
+    assert(spans.nonEmpty, "the planted near-dup corpus must share spans")
+    spans.foreach { case (doc, _, s, e, nw, len) =>
+      assert(s >= 1 && e <= len && e - s + 1 >= 60 && nw >= 1,
+        s"span ($s,$e) breaks doc $doc bounds (len $len)")
+    }
+    spans.groupBy(_._1).values.foreach { ds =>
+      ds.sortBy(_._3).sliding(2).foreach {
+        case Seq((_, _, _, e1, _, _), (_, _, s2, _, _, _)) =>
+          // maximality: the merge rule leaves no two spans whose
+          // windows could have joined (next start > prev end + 1)
+          assert(s2 > e1 + 1, "adjacent spans should have merged")
+        case _ => ()
+      }
+    }
+  }
 }
