@@ -142,28 +142,38 @@ object Bench {
     // lives executor-side in the real queries), min-of-3, reported as
     // "calib_media": a media move at flat calib_media is real; one
     // that tracks calib_media is ambient.
-    val calibMedia = {
-      import spark.implicits._
-      (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        spark.range(8192).as[Long].map { id =>
-          val bytes = operators.Multimodal.encodePng(id % 64)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          var s = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) { s += img.getRGB(x, y) & 0xffL; x += 1 }
-            y += 1
-          }
-          s
-        }.toDF("s").write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-    }
+    // the decode probe is only meaningful when a media-class query is
+    // in the run — a SPARK_GRAFT_ONLY adjudication of non-media queries
+    // must not pay its fixed multi-second tax (r10 ADVICE); it reports
+    // as JSON null so a consumer can tell "skipped" from "fast"
+    val mediaClass =
+      Set("q29_", "q99_", "q105_", "q117_", "q130_", "q141_")
+    val calibMedia: Option[Double] =
+      if (only.isDefined &&
+          !selected.exists { case (n, _) => mediaClass.exists(n.startsWith) })
+        None
+      else Some {
+        import spark.implicits._
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.range(8192).as[Long].map { id =>
+            val bytes = operators.Multimodal.encodePng(id % 64)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            var s = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { s += img.getRGB(x, y) & 0xffL; x += 1 }
+              y += 1
+            }
+            s
+          }.toDF("s").write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to passes).map { _ =>
+      def runPass(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
           // withScope: per-query operator caches drop with the scope
@@ -180,6 +190,23 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      val base = (1 to passes).map(_ => runPass())
+      // UNSTABLE-ROW rescue (r10 VERDICT #1): when the default two
+      // passes disagree by > 2×, one of them ate a GC/codegen/window
+      // spike — take ONE extra pass so the recorded min stops
+      // inheriting a single noisy window. Scoped to the default
+      // passes=2 (an explicit SPARK_GRAFT_PASSES asked for exactly
+      // that many) and to queries whose passes all succeeded (a
+      // failing query's timings are excluded from the total anyway).
+      // Streaming gates rebuild staging per run, so repetition is safe.
+      val times =
+        if (passes == 2 && base.forall(_._2) &&
+            base.map(_._1).max > 2.0 * base.map(_._1).min) {
+          System.err.println(f"BENCH UNSTABLE $name: " +
+            f"${base.map(_._1).min}%.2fs vs ${base.map(_._1).max}%.2fs " +
+            "— taking a third pass")
+          base :+ runPass()
+        } else base
       // a query that failed ANY pass is flagged; its reported time is the
       // min over passes either way (partial-elapsed times of failures are
       // excluded from the headline total below)
@@ -195,7 +222,7 @@ object Bench {
     // flagged by `failed`)
     val total = results.collect { case (_, v, true) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"calib":$calib,"calib_media":$calibMedia,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"calib":$calib,"calib_media":${calibMedia.map(_.toString).getOrElse("null")},"sf":"$sfDir"}"""
     println(line)
     // Repo-side artifact (r5 VERDICT #5): both r4 and r5 driver BENCH
     // records truncated to an unparseable tail, so cross-round per-query
