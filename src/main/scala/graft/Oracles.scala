@@ -104,6 +104,32 @@ object Oracles {
       FROM scored
       QUALIFY rank <= 5 ORDER BY query_id, rank"""
 
+  /** q151's threshold-floored indexed search: top-5 per query (every
+    * 50th vector) among the INDEXED corpus (vec_id % 7 <> 3, the
+    * q147/q148 artifact's corpus) at cosine >= 0.4 — the artifact's
+    * stored threshold, which is the index's honest recall contract
+    * (band rows are sized for pairs at >= theta; nothing below it is
+    * promised). WHERE applies before the window rank on both engines,
+    * so rank is among qualifying neighbors only, matching the
+    * engine's filter-then-rank order.
+    */
+  private val annTopKIndexedOracle: String = """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id % 50 = 0),
+      c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id % 7 <> 3),
+      scored AS (SELECT query_id, neighbor_id,
+                   list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv))) AS sim
+                 FROM c JOIN q ON query_id <> neighbor_id)
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+      WHERE sim >= 0.4
+      QUALIFY rank <= 5 ORDER BY query_id, rank"""
+
   /** Exact incremental-dedup contract shared by q147 (live union hash)
     * and q148 (stored-artifact probe): every pair at cosine ≥ 0.4 with
     * at least one INCOMING side, never corpus×corpus. The planted
@@ -1710,6 +1736,7 @@ object Oracles {
     // roundtrip (write band rows + vectors + meta, probe the store)
     // is gated against the identical ground truth as the live hash.
     "q148_incremental_dedup_indexed" -> incrementalDedupOracle,
+    "q151_ann_cp_search_indexed" -> annTopKIndexedOracle,
 
     // Span-level exact dedup, recomputed with NO hashing: enumerate
     // every 60-char window (the q70 generate_series idiom), keep those

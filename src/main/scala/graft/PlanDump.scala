@@ -28,7 +28,59 @@ object PlanDump {
     "q136_entity_resolution", "q137_resample_fill", "q139_vocab_oov",
     "q140_length_batches", "q141_image_neardup", "q142_linkage_segmented",
     "q143_bpe_merges", "q144_cosine_pairs_cp", "q145_bpe_encode",
-    "q146_ann_cp", "q147_incremental_dedup")
+    "q146_ann_cp", "q147_incremental_dedup", "q149_substring_spans",
+    "q150_span_removal", "q151_ann_cp_search_indexed")
+
+  /** Prose that must survive regeneration (r11: the q52 STATUS note was
+    * hand-edited into the generated file once — a regen would have
+    * silently dropped it). Rendered between the section header and its
+    * plan block.
+    */
+  val notes: Map[String, String] = Map(
+    "q52_cosine_pairs_lsh" ->
+      """**Status: GATE, not a production path** (r9 VERDICT #6). q52 retains the
+        |sign-hyperplane banded family deliberately, as that family's own
+        |oracle gate — its measured stress scaling sits AT the family's
+        |Indyk–Motwani bound (n^1.40–1.46 at threshold 0.7), which is
+        |irreducible within sign-hyperplane LSH no matter how bands/planes are
+        |tuned. A 100 TB deployment never runs this operator on corpus-scale
+        |near-dup work: the shipped sub-ρ replacements are q144
+        |(`Ann.cosinePairsCp`, measured exponent ~0.50 on the identical planted
+        |corpus), q147 (`Ann.cosinePairsCpIncremental`, the per-shard arrival
+        |shape), and q148 (`Ann.cosinePairsCpIndexed`, probing the write-once
+        |corpus band artifact); the production consumer q118 was switched onto
+        |the cross-polytope pair stage in r9 (end-to-end exponent 1.35 → ~0.5).
+        |A reader seeing q52's at-bound stress row should read it as the sign
+        |family's reference point, not as an engine scale ceiling.""".stripMargin,
+    "q149_substring_spans" ->
+      """Span-level exact dedup (Lee et al. 2021). The ONLY corpus-sized
+        |shuffle is the fixed-width (doc_id, pos, xxhash64-of-window) explode
+        |feeding a map-side-combinable hash aggregation — O(total_chars)
+        |rows, the asymptotic price any exact-substring method pays.
+        |Candidates re-verify on their TRUE re-extracted window text, so a
+        |hash collision can only ADD candidates; everything after the
+        |dup-hash filter is proportional to true duplication volume. The
+        |gaps-and-islands merge is one per-doc window pass. The per-window
+        |re-hash costs O(N·w) CPU inside one codegen stage; the Stress
+        |`span` section's hash-stage-only row measures whether that map
+        |stage or the shuffle dominates (the rolling Rabin–Karp upgrade's
+        |documented decision point).""".stripMargin,
+    "q150_span_removal" ->
+      """The Lee et al. rewrite step applied: same candidate/verify core as
+        |q149 (the one corpus-sized shuffle), then owner selection (min
+        |doc_id per verbatim window text), per-doc merged delete ranges,
+        |and the cleaned string reassembled in ONE `aggregate()` fold over
+        |the per-doc sorted range array — never a per-char loop, never a
+        |shuffle of cleaned text; the gate ships only md5(cleaned).""".stripMargin,
+    "q151_ann_cp_search_indexed" ->
+      """Threshold-floored top-k search over the q148 stored artifact
+        |(r10 VERDICT #3): queries hash under the STORED (k, bands) — the
+        |plan has zero parameter-derivation jobs and zero corpus hashing;
+        |candidates come from one broadcast hash join of the query band
+        |rows against a columnar scan of the artifact's band rows, exact
+        |cosine on candidates only, per-query rank window. Corpus growth
+        |costs a linear stored-band scan, never a re-hash — the Stress
+        |`inc` section's q151 row measures that slope.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -52,7 +104,8 @@ object PlanDump {
     representative.foreach { name =>
       val plan = Queries.all(name)(spark, dir)
         .queryExecution.explainString(FormattedMode)
-      sb.append(s"\n## $name\n\n```\n$plan```\n")
+      val note = notes.get(name).map(_ + "\n\n").getOrElse("")
+      sb.append(s"\n## $name\n\n$note```\n$plan```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${representative.size} plans)")

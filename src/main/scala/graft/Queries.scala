@@ -97,6 +97,27 @@ object Queries {
         dir.replaceAll("[^A-Za-z0-9._-]", "_"),
       s"cppairs|$dir|t0.4")
 
+  /** The write-once cross-polytope index over the q147/q148 corpus
+    * (embeddings with vec_id % 7 =!= 3, threshold 0.4), shared by q148
+    * (incremental PAIR probe) and q151 (threshold-floored SEARCH) —
+    * one artifact serving both arrival shapes is exactly the 100 TB
+    * deployment story. Built per call for hermeticity outside Bench;
+    * within a Bench JVM `SharedStage.buildOnce` reuses it, so the
+    * write lands on the first consumer in sorted order (q148 — the
+    * BASELINE.md charge-shift note applies).
+    */
+  private def cpIndexDir(s: SparkSession, dir: String): String = {
+    val corpus = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 7 =!= 3)
+      .select("vec_id", "embedding")
+    val idx = "/tmp/graft_cpindex_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    SharedStage.buildOnce(idx, s"cpindex|$dir|t0.4") {
+      Ann.writeCpIndex(corpus, idx, threshold = 0.4)
+    }
+    idx
+  }
+
   /** q51's rolling fingerprint behind its LOUD ASCII gate premise: the
     * oracle's recursive walk is per-CHARACTER (ord/substr) while the
     * engine hashes UTF-8 BYTES — identical only on ASCII. A regenerated
@@ -109,6 +130,26 @@ object Queries {
     * like the oracle's walk). Extracted so the NULL/non-ASCII paths
     * are spec-testable against the very expression the gate runs.
     */
+  /** q149/q150's gate premise (r10 ADVICE): span detection lowercases
+    * and both span queries compare character windows/offsets against
+    * DuckDB's lower()/substr — identical only on ASCII (case mapping
+    * and supplementary-plane offsets can diverge off it). Same
+    * loud-refusal shape as [[asciiGuardedFp]]: refuse by name instead
+    * of surfacing as a confusing hash diff on a regenerated corpus.
+    * NULL text PASSES (the coalesce — assert_true(NULL) throws in
+    * Spark 4) and flows through as an uncut NULL row on both engines.
+    * Rides the text column itself, so pruning can never drop it.
+    */
+  private[graft] def asciiGuardedText(who: String)(docId: Column,
+      text: Column): Column =
+    when(assert_true(
+      coalesce(octet_length(text) === length(text), lit(true)),
+      concat(lit(s"$who premise: non-ASCII text in doc "),
+        docId.cast("string"),
+        lit(" — Spark and DuckDB lower()/substr() semantics can " +
+          "diverge off ASCII"))).isNull,
+      text)
+
   private[graft] def asciiGuardedFp(docId: Column, text: Column): Column =
     when(assert_true(
       coalesce(octet_length(text) === length(text), lit(true)),
@@ -384,7 +425,10 @@ object Queries {
     // loses nothing — the q69 lossless discipline at character
     // granularity.
     "q149_substring_spans" -> ((s, dir) =>
-      TextDedup.duplicateSpans(Tables.documents(s, dir), w = 60)
+      TextDedup.duplicateSpans(Tables.documents(s, dir)
+          .withColumn("text",
+            asciiGuardedText("q149")(col("doc_id"), col("text"))),
+        w = 60)
         .orderBy(col("doc_id"), col("span_start"))),
 
     // Span-level dedup APPLIED (the Lee et al. rewrite step q149 only
@@ -394,7 +438,10 @@ object Queries {
     // text — the gate proves the actual string surgery, not just span
     // arithmetic (23 docs genuinely cut at the gate SF).
     "q150_span_removal" -> ((s, dir) =>
-      TextDedup.removeDuplicateSpans(Tables.documents(s, dir), w = 60)
+      TextDedup.removeDuplicateSpans(Tables.documents(s, dir)
+          .withColumn("text",
+            asciiGuardedText("q150")(col("doc_id"), col("text"))),
+        w = 60)
         .orderBy(col("doc_id"))),
 
     // Adversarial-DIAMETER components: 4 disjoint chains over the customer
@@ -492,12 +539,26 @@ object Queries {
           .select((col("vec_id") + lit(5000000L)).as("vec_id"),
             transform(col("embedding").cast("array<double>"),
               x => x * lit(1.001d)).as("embedding")))
-      val idx = "/tmp/graft_cpindex_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      SharedStage.buildOnce(idx, s"cpindex|$dir|t0.4") {
-        Ann.writeCpIndex(corpus, idx, threshold = 0.4)
-      }
-      Ann.cosinePairsCpIndexed(idx, incoming, threshold = 0.4)
+      Ann.cosinePairsCpIndexed(cpIndexDir(s, dir), incoming,
+        threshold = 0.4)
+    }),
+
+    // The SEARCH side of the q148 artifact (r10 VERDICT #3 — cpTopK
+    // re-hashed the corpus per call while the stored index already
+    // held exactly the band rows a probe needs): threshold-floored
+    // top-k over the STORED index — per query, its top-5 corpus
+    // neighbors among those at cosine >= the artifact's threshold.
+    // The floor is the index's honest contract (band rows are sized
+    // for recall AT the threshold, nothing below it) and what makes
+    // the gate EXACT without q146's exhaustive-probe projection: the
+    // oracle ranks all corpus vectors at sim >= 0.4 in plain SQL, and
+    // the banded candidate stage must reproduce it under the same
+    // recall bound q144/q147/q148 ride. Zero derivation jobs, zero
+    // corpus hashing — (k, bands) come from the artifact's meta.
+    "q151_ann_cp_search_indexed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.cpTopKIndexed(cpIndexDir(s, dir),
+        e.filter(col("vec_id") % 50 === 0), k = 5, threshold = 0.4)
     }),
 
     // Cross-polytope ANN top-k at the gate: EXHAUSTIVE probe (probes =

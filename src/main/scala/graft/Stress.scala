@@ -75,7 +75,7 @@ object Stress {
     // run everything — lets a single section re-run without repaying
     // the full ~10-minute sweep
     val known = Set("heavy", "emb", "skew", "link", "emb100", "inc",
-      "inc100")
+      "inc100", "span")
     // emb100 (the 220k-vector third decade) is EXCLUDED from the
     // no-args sweep: measured, its 100× pass OOMs the 8 GB local heap
     // when it runs AFTER the full heavy+emb sections' accumulated
@@ -99,7 +99,7 @@ object Stress {
     val base = "/root/testdata/sf0.1"
     val dir10 = "/tmp/graft_stress_10x"
 
-    if (section("heavy")) buildCorpus(spark, base, dir10)
+    if (section("heavy") || section("span")) buildCorpus(spark, base, dir10)
 
     val queries =
       if (section("heavy"))
@@ -136,6 +136,39 @@ object Stress {
       report(q,
         timedN(() => Queries.all(q)(spark, base), passes),
         timedN(() => Queries.all(q)(spark, dir10), passes))
+    }
+
+    // ---- span-level exact dedup (r10 VERDICT #2's stress rows): the
+    // O(total_chars) window-hash shuffle is the claimed honest floor
+    // for q149/q150 — measure its exponent on the same 10× documents
+    // corpus the heavy section uses (the per-copy space transform
+    // kills cross-copy 60-char windows, so true duplication volume
+    // grows ~linearly with the data, not quadratically). The third
+    // row isolates the O(N·w) per-window re-hash CPU (the map stage
+    // alone: transform+posexplode+xxhash64 with NO shuffle behind it)
+    // so a reader can tell whether the hash or the shuffle dominates —
+    // the scaladoc's documented decision point for the rolling
+    // Rabin-Karp upgrade (TextDedup.duplicateSpans).
+    if (section("span")) {
+      Seq("q149_substring_spans", "q150_span_removal").foreach { q =>
+        CacheScope.withScope {
+          Queries.all(q)(spark, "/root/testdata/sf0.001")
+            .write.format("noop").mode("overwrite").save()
+        }
+        report(q,
+          timedN(() => Queries.all(q)(spark, base), passes),
+          timedN(() => Queries.all(q)(spark, dir10), passes))
+      }
+      def hashStage(dir: String): () => DataFrame = () =>
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(length(col("text")) >= 60)
+          .select(col("doc_id"), lower(col("text")).as("t"))
+          .select(col("doc_id"), expr(
+            "transform(sequence(1, length(t) - 59), " +
+              "i -> xxhash64(substring(t, i, 60)))").as("hs"))
+          .select(col("doc_id"), posexplode(col("hs")).as(Seq("p0", "h")))
+      report("q149_hash_stage_only (map, no shuffle)",
+        timed(hashStage(base)), timed(hashStage(dir10)))
     }
 
     // ---- banded cosine @ production threshold 0.7 (r7 VERDICT #4)
@@ -232,6 +265,15 @@ object Stress {
         timed(incPairs(emb1)), timed(incPairs(emb10)))
       report("q148_incremental_indexed@0.7 fixed-shard (stored artifact)",
         timed(probe(idx1)), timed(probe(idx10)))
+      // the SEARCH side of the same artifacts (r10 VERDICT #3): a
+      // fixed query batch's top-k against the 1× and 10× stored
+      // corpora — per-batch cost must grow only with the stored
+      // band-row scan (linear-ish), never with a corpus re-hash
+      def search(idx: String): () => DataFrame = () =>
+        operators.Ann.cpTopKIndexed(idx, incShard(), k = 5,
+          threshold = 0.7)
+      report("q151_ann_cp_search_indexed@0.7 fixed-queries",
+        timed(search(idx1)), timed(search(idx10)))
     }
 
     // ---- 100× point for the sub-ρ path (r9): the sign-LSH family's

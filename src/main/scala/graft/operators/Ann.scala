@@ -502,7 +502,7 @@ object Ann {
     // the same job checks the one-id-space contract: a duplicated
     // vec_id can never pair with itself under the x < y join, so its
     // real near-dup pair would silently vanish — refuse instead
-    val n = requireDistinctIds(v, "cosinePairsCp")
+    val n = requireDistinctIds(v, "cosinePairsCp", "within the corpus")
     val k =
       if (hashesPerBand > 0) hashesPerBand
       else CrossPolytope.chooseHashesPerBand(n, threshold,
@@ -574,7 +574,15 @@ object Ann {
         .unionByName(incoming.select(col("vec_id"),
             VecFns.toDouble(col("embedding")).as("v"))
           .withColumn("inc", lit(true))))
-    val n = requireDistinctIds(all, "cosinePairsCpIncremental")
+    // one-id-space check + parameter sizing + shard sizing in ONE job
+    // over the cached union (the r9 no-extra-scan discipline): the inc
+    // row count feeds the broadcast-hint gate below
+    val r = all.agg(count(lit(1)).as("n"),
+      count_distinct(col("vec_id")).as("nd"),
+      count(when(col("inc"), lit(1))).as("ninc")).head()
+    val (n, nInc) = (r.getLong(0), r.getLong(2))
+    requireOneIdSpace("cosinePairsCpIncremental",
+      "across corpus ∪ incoming", n, r.getLong(1))
     val k =
       if (hashesPerBand > 0) hashesPerBand
       else CrossPolytope.chooseHashesPerBand(n, threshold,
@@ -594,10 +602,13 @@ object Ann {
     // shard ≪ corpus, and without the hint a shard band frame just
     // past the 10 MB auto threshold flips the plan into shuffling the
     // corpus-sized side (measured at 100×: the 47M-row band exchange
-    // dominated the probe). A shard too large to broadcast is not
-    // this operator's shape — split it or dedup the union with
-    // [[cosinePairsCp]].
-    val cand = broadcast(bandRows.filter(col("inc")).as("x"))
+    // dominated the probe). The hint is GATED on the shard's estimated
+    // band-row count (nInc · bands vs [[MaxBroadcastBandRows]], r10
+    // ADVICE): a shard too large to broadcast falls back to the
+    // shuffled plan — slower, but it completes; split such a shard or
+    // dedup the union with [[cosinePairsCp]] instead.
+    val cand = hintIfSmall(bandRows.filter(col("inc")),
+        nInc * nBands).as("x")
       .join(bandRows.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.code") === col("y.code") &&
@@ -617,6 +628,18 @@ object Ann {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The refusal behind [[requireDistinctIds]], callable by paths that
+    * fold the counts into a wider aggregation. `scope` names the frame
+    * the duplicates live in (r10 ADVICE: a single-frame caller must not
+    * blame "corpus ∪ incoming" for its own duplicate ids).
+    */
+  private def requireOneIdSpace(who: String, scope: String, n: Long,
+      nd: Long): Unit =
+    require(n == nd, s"$who: vec_id is not one id space — ${n - nd} " +
+      s"duplicate id(s) $scope. A shared id would " +
+      "silently drop its real pair through the self-pair filter and " +
+      "double-match the verify joins; de-duplicate or re-key upstream.")
+
   /** Loud one-id-space check shared by the incremental/indexed paths:
     * counts rows and distinct `vec_id`s in ONE aggregation over `df`
     * (cached by the caller, so the job also materializes the cache the
@@ -624,16 +647,29 @@ object Ann {
     * count — the same number the parameter derivation needs, so the
     * check rides the job that already existed instead of adding one.
     */
-  private def requireDistinctIds(df: DataFrame, who: String): Long = {
+  private def requireDistinctIds(df: DataFrame, who: String,
+      scope: String): Long = {
     val r = df.agg(count(lit(1)).as("n"),
       count_distinct(col("vec_id")).as("nd")).head()
     val (n, nd) = (r.getLong(0), r.getLong(1))
-    require(n == nd, s"$who: vec_id is not one id space — ${n - nd} " +
-      "duplicate id(s) across corpus ∪ incoming. A shared id would " +
-      "silently drop its real pair through the self-pair filter and " +
-      "double-match the verify joins; de-duplicate or re-key upstream.")
+    requireOneIdSpace(who, scope, n, nd)
     n
   }
+
+  /** Ceiling on the shard band rows the incremental/indexed probes will
+    * HINT into a broadcast (r10 ADVICE: the hint assumed shard ≪ corpus
+    * unconditionally — a shard large enough to breach the 8 GB
+    * broadcast / driver-memory ceiling must fall back to the shuffled
+    * plan, which completes, instead of OOMing). 32M band rows ≈ ~3 GB
+    * as a hashed relation (~100 B/row with UnsafeRow + map overhead) —
+    * far above every gate/stress shard here (≤ ~100k band rows), safely
+    * under the ceiling. Past the cap the join still runs, as a shuffle;
+    * the scaladoc's "split the shard" guidance is then the perf path.
+    */
+  private[graft] val MaxBroadcastBandRows: Long = 32L * 1000 * 1000
+
+  private def hintIfSmall(df: DataFrame, estRows: Long): DataFrame =
+    if (estRows <= MaxBroadcastBandRows) broadcast(df) else df
 
   /** The cross-polytope index artifact's layout version: bumped if the
     * hash family's rotations/packing ever change, so an old artifact
@@ -670,7 +706,7 @@ object Ann {
     GraftFunctions.register(spark)
     val v = graft.CacheScope.scoped(corpus.select(col("vec_id"),
       VecFns.toDouble(col("embedding")).as("v")))
-    val n = requireDistinctIds(v, "writeCpIndex")
+    val n = requireDistinctIds(v, "writeCpIndex", "within the corpus")
     val k =
       if (hashesPerBand > 0) hashesPerBand
       else CrossPolytope.chooseHashesPerBand(n, threshold, dim, targetMiss)
@@ -711,21 +747,24 @@ object Ann {
     * the artifact's vectors (a one-column pruned scan — small next to
     * the band scan the probe join itself pays).
     */
-  def cosinePairsCpIndexed(indexDir: String, incoming: DataFrame,
-      threshold: Double, dim: Int = 64, targetMiss: Double = 1e-4)
-      : DataFrame = {
-    val spark = incoming.sparkSession
-    GraftFunctions.register(spark)
+  /** Read a [[writeCpIndex]] artifact's meta and refuse, by `who`'s
+    * name, on hash-family or parameter drift between the artifact and
+    * the probe — the shared front door of [[cosinePairsCpIndexed]] and
+    * [[cpTopKIndexed]]. Returns the stored (hashesPerBand, bands).
+    */
+  private def readCpMeta(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, who: String, threshold: Double, dim: Int,
+      targetMiss: Double): (Int, Int) = {
     val meta = spark.read.parquet(s"$indexDir/meta").head()
     val family = meta.getAs[String]("family")
     require(family == CpIndexFamily,
-      s"cosinePairsCpIndexed: artifact at $indexDir was hashed by " +
+      s"$who: artifact at $indexDir was hashed by " +
         s"family '$family' but this code probes '$CpIndexFamily' — " +
         "rebuild the index; probing across hash versions silently " +
         "loses recall")
     def drift(name: String, stored: Any, asked: Any): Unit =
       require(stored == asked,
-        s"cosinePairsCpIndexed: $name drift — artifact at $indexDir " +
+        s"$who: $name drift — artifact at $indexDir " +
           s"stores $name = $stored but the probe asked $asked. The " +
           "stored band rows were sized/rotated for the stored value; " +
           "probing under a different one silently loses recall. " +
@@ -733,12 +772,21 @@ object Ann {
     drift("threshold", meta.getAs[Double]("threshold"), threshold)
     drift("dim", meta.getAs[Int]("dim"), dim)
     drift("target_miss", meta.getAs[Double]("target_miss"), targetMiss)
-    val k = meta.getAs[Int]("k")
-    val nBands = meta.getAs[Int]("bands")
+    (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+  }
+
+  def cosinePairsCpIndexed(indexDir: String, incoming: DataFrame,
+      threshold: Double, dim: Int = 64, targetMiss: Double = 1e-4)
+      : DataFrame = {
+    val spark = incoming.sparkSession
+    GraftFunctions.register(spark)
+    val (k, nBands) = readCpMeta(spark, indexDir, "cosinePairsCpIndexed",
+      threshold, dim, targetMiss)
 
     val inc = graft.CacheScope.scoped(incoming.select(col("vec_id"),
       VecFns.toDouble(col("embedding")).as("v")))
-    requireDistinctIds(inc, "cosinePairsCpIndexed(incoming)")
+    val nInc = requireDistinctIds(inc, "cosinePairsCpIndexed(incoming)",
+      "within the incoming shard")
     val corpusVecs = spark.read.parquet(s"$indexDir/vectors")
     val nClash = inc.select("vec_id")
       .join(corpusVecs.select("vec_id"), Seq("vec_id"), "left_semi")
@@ -758,10 +806,11 @@ object Ann {
       .unionByName(incBands)
     // identical probe accounting to the live path: only incoming rows
     // probe, so corpus×corpus pairs are structurally impossible; the
-    // shard band rows broadcast (the arrival contract — see the live
-    // path's note: un-hinted, a shard frame past the auto threshold
-    // shuffles the CORPUS-sized stored side instead)
-    val cand = broadcast(incBands.as("x"))
+    // shard band rows broadcast under the same size gate as the live
+    // path (the arrival contract — un-hinted, a shard frame past the
+    // auto threshold shuffles the CORPUS-sized stored side; a shard
+    // past [[MaxBroadcastBandRows]] falls back to the shuffle)
+    val cand = hintIfSmall(incBands, nInc * nBands).as("x")
       .join(allBands.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.code") === col("y.code") &&
@@ -779,6 +828,81 @@ object Ann {
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** THRESHOLD-FLOORED top-k SEARCH over a [[writeCpIndex]] artifact —
+    * the stored-index counterpart of [[cpTopK]] (r10 VERDICT #3: the
+    * search side was the one ANN path still re-hashing the corpus per
+    * call). Per query: its top-`k` corpus neighbors AMONG those at
+    * cosine ≥ the artifact's stored threshold, ranked (sim DESC,
+    * neighbor_id), as integer-only (query_id, neighbor_id, rank) rows.
+    *
+    * The similarity floor IS the contract, not a restriction bolted on:
+    * the artifact's band rows were sized (k, bands) for the banding
+    * recall bound AT its threshold — pairs above it collide in ≥ 1
+    * band w.p. ≥ 1 − targetMiss, pairs below it have no recall
+    * guarantee at all, so an index built for θ can honestly serve
+    * "nearest neighbors at ≥ θ" and nothing below. That floor is also
+    * what makes the operator oracle-gateable EXACTLY (q151): the
+    * engine-independent answer "rank all corpus vectors at sim ≥ θ" is
+    * plain SQL, and the banded candidate stage must reproduce it — the
+    * same recall bound every pair gate (q144/q147/q148) already rides,
+    * where [[cpTopK]]'s unfloored contract needed the exhaustive-probe
+    * projection to become gateable. (An "exhaustive probe" of a banded
+    * index is no projection at all — every code of every band is just
+    * the whole corpus — so the floor, not probe count, is this path's
+    * gate discipline.)
+    *
+    * Per-batch cost: hash the queries under the STORED (k, bands) —
+    * zero derivation jobs, zero corpus hashing — then one broadcast
+    * hash join of the query band rows (gated by the same
+    * [[MaxBroadcastBandRows]] cap as the pair probes) against a
+    * columnar scan of the stored band rows, exact cosine on candidates
+    * only. Corpus growth costs a linear band-row scan, never a
+    * re-hash; the Stress `inc` section measures that slope against a
+    * 10×-grown stored corpus.
+    *
+    * Query vec_ids must be distinct WITHIN the batch (duplicate query
+    * ids would merge two result groups — checked loudly); a query id
+    * EQUAL to a corpus id is taken as "this corpus vector queries" and
+    * self-matches are excluded by id, the [[bruteTopK]]/[[cpTopK]]
+    * convention.
+    */
+  def cpTopKIndexed(indexDir: String, queries: DataFrame, k: Int,
+      threshold: Double, dim: Int = 64, targetMiss: Double = 1e-4)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    val (kHashes, nBands) = readCpMeta(spark, indexDir, "cpTopKIndexed",
+      threshold, dim, targetMiss)
+    val q = graft.CacheScope.scoped(queries.select(col("vec_id"),
+      VecFns.toDouble(col("embedding")).as("qv")))
+    val nQ = requireDistinctIds(q, "cpTopKIndexed(queries)",
+      "within the query batch")
+    // band rows carry IDS only — the 64-double query vector joins back
+    // onto the (distinct, candidate-sized) pair set instead of riding
+    // every exploded band row through the broadcast
+    val qBands = q.select(col("vec_id").as("query_id"),
+      posexplode(expr(s"graft_cplsh(qv, $kHashes, $nBands, $dim)"))
+        .as(Seq("band_id", "code")))
+    val cand = hintIfSmall(qBands, nQ * nBands)
+      .join(spark.read.parquet(s"$indexDir/bands")
+          .select(col("vec_id").as("neighbor_id"), col("band_id"),
+            col("code")),
+        Seq("band_id", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(spark.read.parquet(s"$indexDir/vectors")
+          .select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
+        Seq("neighbor_id"))
+      .join(q.select(col("vec_id").as("query_id"), col("qv")),
+        Seq("query_id"))
+      .withColumn("sim", expr("graft_cosine(qv, cv)"))
+      .filter(col("sim") >= threshold)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    ranked(scored, k)
   }
 
   /** Exact all-pairs via broadcast nested loop — r1's q28 implementation,

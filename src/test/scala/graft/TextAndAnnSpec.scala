@@ -385,6 +385,59 @@ class TextAndAnnSpec extends AnyFunSuite {
     assert(le.getMessage.contains("not one id space"))
   }
 
+  test("cp index search: threshold-floored top-k over the stored artifact " +
+      "equals the exact floored baseline; drift and dup queries refuse") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = e.select("vec_id", "embedding")
+    // planted scaled copies guarantee >= 0.4 hits (cosine ≈ 1 to their
+    // source); the %50 originals exercise the query-id-in-corpus
+    // self-exclusion path
+    val queries = e.filter(col("vec_id") % 9 === 1)
+      .select((col("vec_id") + 500000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      .unionByName(e.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding"))
+    val dir = "/tmp/graft_test_cpindex_search"
+    CacheScope.withScope { Ann.writeCpIndex(corpus, dir, 0.4) }
+    val got = CacheScope.withScope {
+      Ann.cpTopKIndexed(dir, queries, 5, 0.4)
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+    }
+    // exact baseline: rank among ALL corpus neighbors at sim >= the
+    // floor — the contract the banded candidates must reproduce
+    val qv = queries.select(col("vec_id").as("query_id"),
+      VecFns.toDouble(col("embedding")).as("qv"))
+    val cv = corpus.select(col("vec_id").as("neighbor_id"),
+      VecFns.toDouble(col("embedding")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val expected = cv.join(broadcast(qv),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", VecFns.cosine(col("qv"), col("cv")))
+      .filter(col("sim") >= 0.4)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(got == expected && got.nonEmpty,
+      s"indexed search ${got.size} rows != exact floored ${expected.size}")
+    // drift refuses under THIS caller's name (the shared meta reader
+    // is parameterized by who — r10 readCpMeta extraction)
+    val te = intercept[IllegalArgumentException] {
+      Ann.cpTopKIndexed(dir, queries, 5, 0.7)
+    }
+    assert(te.getMessage.contains("cpTopKIndexed: threshold drift"))
+    // duplicate query ids would merge two result groups — refuse
+    val de = intercept[IllegalArgumentException] {
+      CacheScope.withScope {
+        Ann.cpTopKIndexed(dir,
+          queries.unionByName(queries.limit(1)), 5, 0.4)
+      }
+    }
+    assert(de.getMessage.contains("within the query batch"))
+  }
+
   test("PQ ADC: valid ranked output, recall vs exact baseline, determinism") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val q = e.filter(col("vec_id") % 50 === 0)
