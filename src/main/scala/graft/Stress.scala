@@ -159,16 +159,22 @@ object Stress {
           timedN(() => Queries.all(q)(spark, base), passes),
           timedN(() => Queries.all(q)(spark, dir10), passes))
       }
-      def hashStage(dir: String): () => DataFrame = () =>
+      def hashStage(dir: String, w: Int): () => DataFrame = () =>
         spark.read.parquet(s"$dir/documents.parquet")
           .filter(length(col("text")) >= 60)
           .select(col("doc_id"), lower(col("text")).as("t"))
           .select(col("doc_id"), expr(
-            "transform(sequence(1, length(t) - 59), " +
-              "i -> xxhash64(substring(t, i, 60)))").as("hs"))
+            s"transform(sequence(1, length(t) - 59), " +
+              s"i -> xxhash64(substring(t, i, $w)))").as("hs"))
           .select(col("doc_id"), posexplode(col("hs")).as(Seq("p0", "h")))
       report("q149_hash_stage_only (map, no shuffle)",
-        timed(hashStage(base)), timed(hashStage(dir10)))
+        timed(hashStage(base, 60)), timed(hashStage(dir10, 60)))
+      // same explode/row count with a 2-char hash: the DELTA vs the
+      // w=60 row is the pure O(N·w) substring-re-hash CPU — if it is
+      // small, the stage cost is scan+explode and the rolling-hash
+      // upgrade buys nothing at this scale
+      report("q149_hash_stage_only w=2 (O(N*w) isolation)",
+        timed(hashStage(base, 2)), timed(hashStage(dir10, 2)))
     }
 
     // ---- banded cosine @ production threshold 0.7 (r7 VERDICT #4)
