@@ -340,6 +340,16 @@ object Stress {
       println(f"STRESS q148_incremental_indexed@0.7 fixed-shard t1x=$p1%.1fs " +
         f"t100x=$p100%.1fs ratio=${p100 / p1}%.1f " +
         f"exponent=${math.log10(p100 / p1) / 2.0}%.2f")
+      // the SEARCH probe at the third decade (r11): same fixed batch,
+      // same stored artifacts — the row that answers whether per-batch
+      // top-k survives a corpus that outgrew its query batches by 100×
+      def search(idx: String): () => DataFrame = () =>
+        operators.Ann.cpTopKIndexed(idx, incShard(), k = 5,
+          threshold = 0.7)
+      val (s1, s100) = (timed(search(idx1)), timed(search(incIdx100)))
+      println(f"STRESS q151_ann_cp_search_indexed@0.7 fixed-queries " +
+        f"t1x=$s1%.1fs t100x=$s100%.1fs ratio=${s100 / s1}%.1f " +
+        f"exponent=${math.log10(s100 / s1) / 2.0}%.2f")
     }
 
     // ---- hot-key skew for the salted paths (r7 VERDICT #6)
