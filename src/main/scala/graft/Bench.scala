@@ -191,25 +191,40 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val base = (1 to passes).map(_ => runPass())
-      // UNSTABLE-ROW rescue (r10 VERDICT #1): when the default two
-      // passes disagree by > 2×, one of them ate a GC/codegen/window
-      // spike — take ONE extra pass so the recorded min stops
-      // inheriting a single noisy window. Scoped to the default
-      // passes=2 (an explicit SPARK_GRAFT_PASSES asked for exactly
-      // that many) and to queries whose passes all succeeded (a
-      // failing query's timings are excluded from the total anyway).
-      // Streaming gates rebuild staging per run, so repetition is safe.
+      // UNSTABLE-ROW rescue (r10 VERDICT #1): when a LATER pass reads
+      // > 2× the FIRST, it ate a GC/codegen/window spike — take ONE
+      // extra pass so the recorded min stops inheriting a single noisy
+      // window. Direction matters (r11 review): pass 1 being the slow
+      // one is EXPECTED for every first-consumer query (stage.reuse
+      // staging floors, SharedStage/cpIndex builds land on pass 1 and
+      // pass 2 reuses) — there min-of-2 already records the clean
+      // steady-state pass and a third pass would re-measure it for
+      // nothing, so the rescue only fires on a slow LATER pass.
+      // Scoped to an UNSET SPARK_GRAFT_PASSES (any explicit value,
+      // including 2, asked for exactly that many — paired adjudication
+      // runs must do equal work per side) and to queries whose
+      // contracted passes all succeeded. Streaming gates rebuild
+      // staging per run, so repetition is safe. A FAILING rescue pass
+      // is discarded entirely (logged): it must neither flag a healthy
+      // query as failed nor let a fast partial elapsed become the min.
       val times =
-        if (passes == 2 && base.forall(_._2) &&
-            base.map(_._1).max > 2.0 * base.map(_._1).min) {
-          System.err.println(f"BENCH UNSTABLE $name: " +
-            f"${base.map(_._1).min}%.2fs vs ${base.map(_._1).max}%.2fs " +
+        if (!sys.env.contains("SPARK_GRAFT_PASSES") && passes == 2 &&
+            base.forall(_._2) &&
+            base.last._1 > 2.0 * base.head._1) {
+          System.err.println(f"BENCH UNSTABLE $name: pass 2 " +
+            f"${base.last._1}%.2fs vs pass 1 ${base.head._1}%.2fs " +
             "— taking a third pass")
-          base :+ runPass()
+          val extra = runPass()
+          if (extra._2) base :+ extra
+          else {
+            System.err.println(s"BENCH UNSTABLE $name: rescue pass " +
+              "FAILED — discarded (contracted passes stand)")
+            base
+          }
         } else base
-      // a query that failed ANY pass is flagged; its reported time is the
-      // min over passes either way (partial-elapsed times of failures are
-      // excluded from the headline total below)
+      // a query that failed ANY contracted pass is flagged; its reported
+      // time is the min over kept passes either way (partial-elapsed
+      // times of failures are excluded from the headline total below)
       (name, times.map(_._1).min, times.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

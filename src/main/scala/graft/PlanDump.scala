@@ -83,6 +83,13 @@ object PlanDump {
         |`inc` section's q151 row measures that slope.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
+    // a renamed/removed query or a typoed notes key must refuse, not
+    // silently drop its prose from the regenerated artifact (the exact
+    // failure mode the notes map exists to prevent; same precedent as
+    // PlanAuditSpec's nestedLoopAllowed staleness check)
+    val orphaned = notes.keySet -- representative.toSet
+    require(orphaned.isEmpty,
+      s"PlanDump.notes keys not in representative: ${orphaned.mkString(", ")}")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -130,6 +130,15 @@ object Queries {
     * like the oracle's walk). Extracted so the NULL/non-ASCII paths
     * are spec-testable against the very expression the gate runs.
     */
+  private[graft] def asciiGuardedFp(docId: Column, text: Column): Column =
+    when(assert_true(
+      coalesce(octet_length(text) === length(text), lit(true)),
+      concat(lit("q51 premise: non-ASCII text in doc "),
+        docId.cast("string"),
+        lit(" — the byte-walking fingerprint and the " +
+          "character-walking oracle diverge off ASCII"))).isNull,
+      call_function("graft_rolling_fp", text))
+
   /** q149/q150's gate premise (r10 ADVICE): span detection lowercases
     * and both span queries compare character windows/offsets against
     * DuckDB's lower()/substr — identical only on ASCII (case mapping
@@ -149,15 +158,6 @@ object Queries {
         lit(" — Spark and DuckDB lower()/substr() semantics can " +
           "diverge off ASCII"))).isNull,
       text)
-
-  private[graft] def asciiGuardedFp(docId: Column, text: Column): Column =
-    when(assert_true(
-      coalesce(octet_length(text) === length(text), lit(true)),
-      concat(lit("q51 premise: non-ASCII text in doc "),
-        docId.cast("string"),
-        lit(" — the byte-walking fingerprint and the " +
-          "character-walking oracle diverge off ASCII"))).isNull,
-      call_function("graft_rolling_fp", text))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E2/P2-P12: the full clean→rules→enrich→project pipeline.

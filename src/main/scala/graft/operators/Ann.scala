@@ -628,17 +628,24 @@ object Ann {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The pair paths' duplicate-id consequence — the default refusal
+    * tail; search callers state their own (merged result groups).
+    */
+  private val PairDupConsequence: String =
+    "A shared id would silently drop its real pair through the " +
+      "self-pair filter and double-match the verify joins; " +
+      "de-duplicate or re-key upstream."
+
   /** The refusal behind [[requireDistinctIds]], callable by paths that
     * fold the counts into a wider aggregation. `scope` names the frame
-    * the duplicates live in (r10 ADVICE: a single-frame caller must not
-    * blame "corpus ∪ incoming" for its own duplicate ids).
+    * the duplicates live in and `consequence` what actually goes wrong
+    * for THIS caller (r10 ADVICE + r11 review: a search-batch caller
+    * must not warn about pair filters it does not have).
     */
   private def requireOneIdSpace(who: String, scope: String, n: Long,
-      nd: Long): Unit =
+      nd: Long, consequence: String = PairDupConsequence): Unit =
     require(n == nd, s"$who: vec_id is not one id space — ${n - nd} " +
-      s"duplicate id(s) $scope. A shared id would " +
-      "silently drop its real pair through the self-pair filter and " +
-      "double-match the verify joins; de-duplicate or re-key upstream.")
+      s"duplicate id(s) $scope. $consequence")
 
   /** Loud one-id-space check shared by the incremental/indexed paths:
     * counts rows and distinct `vec_id`s in ONE aggregation over `df`
@@ -648,11 +655,12 @@ object Ann {
     * check rides the job that already existed instead of adding one.
     */
   private def requireDistinctIds(df: DataFrame, who: String,
-      scope: String): Long = {
+      scope: String,
+      consequence: String = PairDupConsequence): Long = {
     val r = df.agg(count(lit(1)).as("n"),
       count_distinct(col("vec_id")).as("nd")).head()
     val (n, nd) = (r.getLong(0), r.getLong(1))
-    requireOneIdSpace(who, scope, n, nd)
+    requireOneIdSpace(who, scope, n, nd, consequence)
     n
   }
 
@@ -660,13 +668,18 @@ object Ann {
     * HINT into a broadcast (r10 ADVICE: the hint assumed shard ≪ corpus
     * unconditionally — a shard large enough to breach the 8 GB
     * broadcast / driver-memory ceiling must fall back to the shuffled
-    * plan, which completes, instead of OOMing). 32M band rows ≈ ~3 GB
-    * as a hashed relation (~100 B/row with UnsafeRow + map overhead) —
-    * far above every gate/stress shard here (≤ ~100k band rows), safely
-    * under the ceiling. Past the cap the join still runs, as a shuffle;
-    * the scaladoc's "split the shard" guidance is then the perf path.
+    * plan, which completes, instead of OOMing). Sized for the binding
+    * constraint — the DRIVER/LOCAL heap that BUILDS the hashed relation
+    * (r11 review: the first cut, 32M rows ≈ 3 GB, "fit" the 8 GB
+    * broadcast ceiling but not an 8 GB heap that also carries the
+    * build's transient copy and, in local mode, the executor tasks):
+    * 8M rows ≈ ~800 MB hashed at ~100 B/row (UnsafeRow + map overhead),
+    * ~2× that transiently during build — comfortable on an 8 GB heap
+    * and still ~100× above every gate/stress shard here (≤ ~100k band
+    * rows). Past the cap the join still runs, as a shuffle; the
+    * scaladoc's "split the shard" guidance is then the perf path.
     */
-  private[graft] val MaxBroadcastBandRows: Long = 32L * 1000 * 1000
+  private[graft] val MaxBroadcastBandRows: Long = 8L * 1000 * 1000
 
   private def hintIfSmall(df: DataFrame, estRows: Long): DataFrame =
     if (estRows <= MaxBroadcastBandRows) broadcast(df) else df
@@ -878,7 +891,10 @@ object Ann {
     val q = graft.CacheScope.scoped(queries.select(col("vec_id"),
       VecFns.toDouble(col("embedding")).as("qv")))
     val nQ = requireDistinctIds(q, "cpTopKIndexed(queries)",
-      "within the query batch")
+      "within the query batch",
+      "Two queries sharing an id would merge their neighbor lists " +
+        "under one query_id and corrupt both rankings; re-key the " +
+        "batch.")
     // band rows carry IDS only — the 64-double query vector joins back
     // onto the (distinct, candidate-sized) pair set instead of riding
     // every exploded band row through the broadcast
