@@ -75,14 +75,15 @@ object Stress {
     // run everything — lets a single section re-run without repaying
     // the full ~10-minute sweep
     val known = Set("heavy", "emb", "skew", "link", "emb100", "inc",
-      "inc100", "span")
+      "inc100", "span", "span100")
     // emb100 (the 220k-vector third decade) is EXCLUDED from the
     // no-args sweep: measured, its 100× pass OOMs the 8 GB local heap
     // when it runs AFTER the full heavy+emb sections' accumulated
     // state in one JVM, while running fine solo — `Stress emb100` is
     // the supported way to take that measurement.
     val sections: Set[String] =
-      if (args.isEmpty) known - "emb100" - "inc100" else args.toSet
+      if (args.isEmpty) known - "emb100" - "inc100" - "span100"
+      else args.toSet
     require(sections.subsetOf(known),
       s"unknown Stress section(s) ${(sections -- known).mkString(", ")} — " +
         s"valid: ${known.mkString(", ")} (a typo must refuse loudly, not " +
@@ -175,6 +176,32 @@ object Stress {
       // upgrade buys nothing at this scale
       report("q149_hash_stage_only w=2 (O(N*w) isolation)",
         timed(hashStage(base, 2)), timed(hashStage(dir10, 2)))
+    }
+
+    // ---- THIRD-DECADE span dedup (run SOLO like emb100/inc100): the
+    // first-decade span rows are FLOOR-dominated (t1x carries
+    // multi-second fixed cost, so 0.18/0.26 understate the marginal
+    // slope); the 10×→100× decade is the honest O(total_chars)
+    // measurement — expect ~linear (exponent ≈ 1), which IS the claim:
+    // exact substring dedup pays one fixed-width row per character, on
+    // any engine, and the knob at 100 TB is partition count, not
+    // asymptotics. Only documents replicate at 100× (the span queries
+    // read nothing else).
+    if (section("span100")) {
+      buildCorpus(spark, base, dir10)
+      val doc100 = "/tmp/graft_stress_doc_100x"
+      buildDocCorpus(spark, base, doc100, 100)
+      Seq("q149_substring_spans", "q150_span_removal").foreach { q =>
+        CacheScope.withScope {
+          Queries.all(q)(spark, "/root/testdata/sf0.001")
+            .write.format("noop").mode("overwrite").save()
+        }
+        val t10 = timedN(() => Queries.all(q)(spark, dir10), passes)
+        val t100 = timedN(() => Queries.all(q)(spark, doc100), passes)
+        println(f"STRESS $q 10x->100x t10x=$t10%.1fs " +
+          f"t100x=$t100%.1fs ratio=${t100 / t10}%.1f " +
+          f"exponent=${math.log10(t100 / t10)}%.2f")
+      }
     }
 
     // ---- banded cosine @ production threshold 0.7 (r7 VERDICT #4)
@@ -434,6 +461,27 @@ object Stress {
             .stripMargin))
     }.reduce(_ unionByName _)
       .write.parquet(s"$out/embeddings.parquet")
+  }
+
+  /** `nCopies` id-shifted copies of the DOCUMENTS table only (the
+    * span100 section's 100× tier — replicating the relational tables
+    * too would waste most of the build). Same per-copy space transform
+    * as [[buildCorpus]]: within-copy duplication is preserved exactly,
+    * cross-copy w-char windows are destroyed (any window containing a
+    * space differs between copies).
+    */
+  private def buildDocCorpus(spark: SparkSession, base: String,
+      out: String, nCopies: Int): Unit = {
+    graft.streaming.EventStreams.deleteStagingForTest(
+      java.nio.file.Paths.get(out))
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until nCopies).map(k => docs
+      .withColumn("doc_id", col("doc_id") + lit(k.toLong * offset))
+      .withColumn("text", regexp_replace(col("text"), lit(" "),
+        concat(lit(" "), lit(k.toString)))))
+      .reduce(_ unionByName _)
+      .write.parquet(s"$out/documents.parquet")
+    println(s"STRESS doc corpus built at $out (${nCopies}× $base)")
   }
 
   /** Hot-key corpus for the salted paths: ~half of every copy's events
