@@ -1737,6 +1737,9 @@ object Oracles {
     // is gated against the identical ground truth as the live hash.
     "q148_incremental_dedup_indexed" -> incrementalDedupOracle,
     "q151_ann_cp_search_indexed" -> annTopKIndexedOracle,
+    // append ≡ monolithic: the q152 index serves the SAME final corpus
+    // as q147/q148, so the same exact pair oracle gates it unchanged
+    "q152_incremental_dedup_appended" -> incrementalDedupOracle,
 
     // Span-level exact dedup, recomputed with NO hashing: enumerate
     // every 60-char window (the q70 generate_series idiom), keep those

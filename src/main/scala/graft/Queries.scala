@@ -561,6 +561,37 @@ object Queries {
         e.filter(col("vec_id") % 50 === 0), k = 5, threshold = 0.4)
     }),
 
+    // The APPEND quarter of the index lifecycle (r11): the same final
+    // corpus as q147/q148, but the artifact is built as a BASE build
+    // (corpus minus its %11==5 slice) plus ONE appendCpIndex epoch
+    // (that slice, hashed under the artifact's frozen parameters), and
+    // the same incoming shard probes the grown index — the gate runs
+    // q147's exact O(n·m) oracle unchanged, so it proves
+    // append ≡ monolithic build at the OUTPUT, across a parameter set
+    // derived from the base count (the recall bound is
+    // count-independent; only candidate-volume optimality rides the
+    // count, and the append premise refuses past the derivation
+    // point). Torn-append invisibility and both refusals spec-pinned.
+    "q152_incremental_dedup_appended" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") % 7 =!= 3)
+        .select("vec_id", "embedding")
+      val incoming = e.filter(col("vec_id") % 7 === 3)
+        .select("vec_id", "embedding")
+        .unionByName(corpus.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + lit(5000000L)).as("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              x => x * lit(1.001d)).as("embedding")))
+      val idx = "/tmp/graft_cpindex_app_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"cpindexapp|$dir|t0.4") {
+        Ann.writeCpIndex(corpus.filter(col("vec_id") % 11 =!= 5), idx,
+          threshold = 0.4)
+        Ann.appendCpIndex(idx, corpus.filter(col("vec_id") % 11 === 5))
+      }
+      Ann.cosinePairsCpIndexed(idx, incoming, threshold = 0.4)
+    }),
+
     // Cross-polytope ANN top-k at the gate: EXHAUSTIVE probe (probes =
     // 2·d₂ = 128 — every cell), so the cell partition is provably
     // output-invisible and the result must equal the exact brute-force

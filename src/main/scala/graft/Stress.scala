@@ -307,6 +307,21 @@ object Stress {
           threshold = 0.7)
       report("q151_ann_cp_search_indexed@0.7 fixed-queries",
         timed(search(idx1)), timed(search(idx10)))
+      // APPEND of the fixed shard into each stored index, LAST (the
+      // epoch mutates the artifact, and this section's artifacts are
+      // rebuilt at the top of every run): cost must be shard-local —
+      // hash + write one epoch — plus the id-collision semi-scan of
+      // the stored vectors, i.e. near-flat against corpus size. One
+      // pass each (an epoch can only be appended once per id space).
+      def timeAppend(idx: String): Double = {
+        val t0 = System.nanoTime()
+        CacheScope.withScope {
+          operators.Ann.appendCpIndex(idx, incShard())
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      report("q152_append@0.7 fixed-shard (1 pass)",
+        timeAppend(idx1), timeAppend(idx10))
     }
 
     // ---- 100× point for the sub-ρ path (r9): the sign-LSH family's

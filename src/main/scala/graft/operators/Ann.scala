@@ -690,27 +690,35 @@ object Ann {
     */
   private[graft] val CpIndexFamily = "cplsh-fht-v1"
 
-  /** Write the WRITE-ONCE corpus half of incremental dedup: the corpus
-    * band rows, vectors, and derived parameters persisted as a parquet
-    * artifact, so arriving shards probe a stored index instead of
-    * re-hashing the full corpus per shard (the promise in
+  /** Write the corpus half of incremental dedup as a stored artifact:
+    * band rows, vectors, and derived parameters persisted as parquet,
+    * so arriving shards probe a stored index instead of re-hashing the
+    * full corpus per shard (the promise in
     * [[cosinePairsCpIncremental]]'s scaladoc, and the same
     * materialize-the-expensive-half discipline as
-    * [[Components.dedupClusters]] over a stored pair table).
+    * [[Components.dedupClusters]] over a stored pair table). The
+    * artifact GROWS by [[appendCpIndex]] — epochs, below — so "write
+    * once" means the expensive base build; the lifecycle is
+    * write → probe pairs ([[cosinePairsCpIndexed]]) → search
+    * ([[cpTopKIndexed]]) → fold the deduped shard in ([[appendCpIndex]]).
     *
-    * Layout under `dir`:
-    *   - `vectors/`  (vec_id, v ARRAY<DOUBLE>) — the exact-verify side
-    *   - `bands/`    (vec_id, band_id, code)   — the probe side
-    *   - `meta/`     ONE row (family, k, bands, dim, target_miss,
-    *                 threshold, corpus_count)
+    * Layout under `dir` (r11, epoch'd for torn-APPEND safety):
+    *   - `vectors/epoch=N/` (vec_id, v ARRAY<DOUBLE>) — exact-verify side
+    *   - `bands/epoch=N/`   (vec_id, band_id, code)   — probe side
+    *   - `meta_N/`          ONE row (family, k, bands, dim, target_miss,
+    *                        threshold, corpus_count-through-N, epoch)
     *
-    * `meta/` is written LAST (the staging-token discipline): a write
-    * that dies mid-artifact leaves no meta, and [[cosinePairsCpIndexed]]
-    * refuses an index without one — a torn artifact can never serve.
-    * Parameters derive from the CORPUS count (stored in meta); that is
-    * the artifact contract — every future probe hashes under these
-    * exact (k, bands, dim), because a probe hashed under different
-    * rotations silently loses recall.
+    * `meta_N` is written LAST per epoch (the staging-token discipline):
+    * readers serve epochs ≤ the highest N whose meta exists, so a write
+    * OR append that dies mid-epoch leaves data files no reader ever
+    * scans (partition pruning on the epoch column skips them) — a torn
+    * artifact can never serve, and a torn append retries into the same
+    * epoch number with overwrite. Parameters derive from the BASE
+    * corpus count and are FROZEN for the artifact's life: every epoch
+    * and every probe hashes under the stored (k, bands, dim), because
+    * mixed rotations silently lose recall. The base build deletes any
+    * previous artifact at `dir` first — stale higher epochs surviving
+    * an overwrite would otherwise be served as current.
     */
   def writeCpIndex(corpus: DataFrame, dir: String, threshold: Double,
       hashesPerBand: Int = 0, bands: Int = 0, dim: Int = 64,
@@ -726,26 +734,166 @@ object Ann {
     val nBands =
       if (bands > 0) bands else CrossPolytope.bandsFor(threshold, k, dim,
         targetMiss)
-    v.write.mode("overwrite").parquet(s"$dir/vectors")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    writeEpoch(spark, dir, 0, v, k, nBands, dim, targetMiss, threshold, n)
+  }
+
+  /** One epoch's three writes, meta LAST (shared by base build and
+    * append): vectors, band rows hashed under the artifact's frozen
+    * (k, bands, dim), then `meta_N` naming the epoch complete.
+    */
+  private def writeEpoch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, epoch: Int, v: DataFrame, k: Int, nBands: Int,
+      dim: Int, targetMiss: Double, threshold: Double,
+      totalCount: Long): Unit = {
+    v.write.mode("overwrite").parquet(s"$dir/vectors/epoch=$epoch")
     v.select(col("vec_id"),
         posexplode(expr(s"graft_cplsh(v, $k, $nBands, $dim)"))
           .as(Seq("band_id", "code")))
-      .write.mode("overwrite").parquet(s"$dir/bands")
+      .write.mode("overwrite").parquet(s"$dir/bands/epoch=$epoch")
     import spark.implicits._
-    Seq((CpIndexFamily, k, nBands, dim, targetMiss, threshold, n))
+    Seq((CpIndexFamily, k, nBands, dim, targetMiss, threshold,
+        totalCount, epoch))
       .toDF("family", "k", "bands", "dim", "target_miss", "threshold",
-        "corpus_count")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+        "corpus_count", "epoch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta_$epoch")
+  }
+
+  /** The artifact's serving state: (k, bands, threshold, targetMiss,
+    * dim, corpus_count, epoch) of the HIGHEST complete epoch — the one
+    * whose `meta_N` exists. Data files of higher (torn) epochs are
+    * invisible by construction. Refuses, by `who`'s name, an artifact
+    * with no complete epoch (torn base build, or a pre-epoch layout).
+    */
+  private case class CpIndexState(k: Int, bands: Int, threshold: Double,
+      targetMiss: Double, dim: Int, count: Long, epoch: Int)
+
+  private def cpIndexState(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, who: String): CpIndexState = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rx = "meta_(\\d+)".r
+    val epochs =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .collect { case rx(n) => n.toInt }
+    require(epochs.nonEmpty,
+      s"$who: no complete epoch at $indexDir (no meta_N) — the artifact " +
+        "is torn, missing, or a pre-epoch layout; (re)build it with " +
+        "writeCpIndex")
+    val epoch = epochs.max
+    val meta = spark.read.parquet(s"$indexDir/meta_$epoch").head()
+    val family = meta.getAs[String]("family")
+    require(family == CpIndexFamily,
+      s"$who: artifact at $indexDir was hashed by " +
+        s"family '$family' but this code probes '$CpIndexFamily' — " +
+        "rebuild the index; probing across hash versions silently " +
+        "loses recall")
+    CpIndexState(meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
+      meta.getAs[Double]("threshold"), meta.getAs[Double]("target_miss"),
+      meta.getAs[Int]("dim"), meta.getAs[Long]("corpus_count"), epoch)
+  }
+
+  /** Read a [[writeCpIndex]] artifact's serving state and refuse, by
+    * `who`'s name, on hash-family or parameter drift between the
+    * artifact and the probe — the shared front door of
+    * [[cosinePairsCpIndexed]] and [[cpTopKIndexed]]. Returns the
+    * stored (hashesPerBand, bands, servingEpoch).
+    */
+  private def readCpMeta(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, who: String, threshold: Double, dim: Int,
+      targetMiss: Double): (Int, Int, Int) = {
+    val st = cpIndexState(spark, indexDir, who)
+    def drift(name: String, stored: Any, asked: Any): Unit =
+      require(stored == asked,
+        s"$who: $name drift — artifact at $indexDir " +
+          s"stores $name = $stored but the probe asked $asked. The " +
+          "stored band rows were sized/rotated for the stored value; " +
+          "probing under a different one silently loses recall. " +
+          "Rebuild the index or match the artifact.")
+    drift("threshold", st.threshold, threshold)
+    drift("dim", st.dim, dim)
+    drift("target_miss", st.targetMiss, targetMiss)
+    (st.k, st.bands, st.epoch)
+  }
+
+  /** The artifact's vectors / band rows through `epoch` — partition
+    * pruning on the epoch directory column skips torn higher epochs
+    * without reading a byte of them.
+    */
+  private def indexVectors(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, epoch: Int): DataFrame =
+    spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("epoch") <= epoch).select(col("vec_id"), col("v"))
+
+  private def indexBands(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, epoch: Int): DataFrame =
+    spark.read.parquet(s"$indexDir/bands")
+      .filter(col("epoch") <= epoch)
+      .select(col("vec_id"), col("band_id"), col("code"))
+
+  /** FOLD a deduped shard INTO the artifact — the missing quarter of
+    * the index lifecycle (write → probe → search → APPEND): after
+    * [[cosinePairsCpIndexed]] told the pipeline which incoming vectors
+    * duplicate the corpus and the survivors were chosen, those
+    * survivors become corpus — without rebuilding, and without
+    * re-hashing anything already stored. The shard hashes under the
+    * artifact's FROZEN (k, bands, dim) and lands as epoch N+1; `meta_`
+    * last, so a torn append is invisible to every reader and simply
+    * retried.
+    *
+    * TWO loud premises guard what append cannot silently absorb:
+    *   - parameter currency: k was derived from the BASE corpus count
+    *     (k grows ~log n — the Indyk–Motwani scaling); when the grown
+    *     corpus would derive a DIFFERENT k, this artifact is no longer
+    *     the index that count deserves, and append REFUSES with the
+    *     rederived value — rebuild. Recall is never at stake (the
+    *     banding bound is count-independent); candidate-volume
+    *     optimality is, and a silently-stale k is how an index rots.
+    *   - one id space: shard-internal duplicates AND shard∩stored
+    *     collisions refuse (an id appended twice would make its future
+    *     probe pairs vanish through the self-pair filter).
+    */
+  def appendCpIndex(indexDir: String, more: DataFrame): Unit = {
+    val spark = more.sparkSession
+    GraftFunctions.register(spark)
+    val st = cpIndexState(spark, indexDir, "appendCpIndex")
+    val v = graft.CacheScope.scoped(more.select(col("vec_id"),
+      VecFns.toDouble(col("embedding")).as("v")))
+    val nNew = requireDistinctIds(v, "appendCpIndex",
+      "within the appended shard")
+    val nClash = v.select("vec_id")
+      .join(indexVectors(spark, indexDir, st.epoch).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      .limit(1).count()
+    require(nClash == 0,
+      s"appendCpIndex: appended vec_id(s) already exist in the index " +
+        s"at $indexDir — one id space is the contract (an id stored " +
+        "twice silently drops its future probe pairs); re-key or dedup " +
+        "the shard first.")
+    val total = st.count + nNew
+    val kNow = CrossPolytope.chooseHashesPerBand(total, st.threshold,
+      st.dim, st.targetMiss)
+    require(kNow == st.k,
+      s"appendCpIndex: the corpus has outgrown this artifact's " +
+        s"parameters — ${st.count} vectors derived k = ${st.k}, but " +
+        s"$total derives k = $kNow. Recall is unaffected; candidate " +
+        "volume is not — rebuild the index with writeCpIndex at the " +
+        "new size instead of appending past its derivation point.")
+    writeEpoch(spark, indexDir, st.epoch + 1, v, st.k, st.bands, st.dim,
+      st.targetMiss, st.threshold, total)
   }
 
   /** Probe a [[writeCpIndex]] artifact with an arriving shard — the
     * same contract as [[cosinePairsCpIncremental]] (every pair at
     * cosine ≥ threshold with at least one incoming side, canonical
     * ids), but the corpus is never re-hashed: its band rows and
-    * vectors are READ from the artifact, so per-shard cost is the
-    * shard's own hashing plus columnar scans of the stored index.
-    * Parameter-derivation jobs disappear entirely — (k, bands, dim)
-    * come from the artifact's meta.
+    * vectors are READ from the artifact (epochs ≤ the serving epoch),
+    * so per-shard cost is the shard's own hashing plus columnar scans
+    * of the stored index. Parameter-derivation jobs disappear
+    * entirely — (k, bands, dim) come from the artifact's meta.
     *
     * DRIFT REFUSES LOUDLY: the caller's (threshold, dim, targetMiss)
     * and the probe code's hash-family version must equal the stored
@@ -760,47 +908,19 @@ object Ann {
     * the artifact's vectors (a one-column pruned scan — small next to
     * the band scan the probe join itself pays).
     */
-  /** Read a [[writeCpIndex]] artifact's meta and refuse, by `who`'s
-    * name, on hash-family or parameter drift between the artifact and
-    * the probe — the shared front door of [[cosinePairsCpIndexed]] and
-    * [[cpTopKIndexed]]. Returns the stored (hashesPerBand, bands).
-    */
-  private def readCpMeta(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, who: String, threshold: Double, dim: Int,
-      targetMiss: Double): (Int, Int) = {
-    val meta = spark.read.parquet(s"$indexDir/meta").head()
-    val family = meta.getAs[String]("family")
-    require(family == CpIndexFamily,
-      s"$who: artifact at $indexDir was hashed by " +
-        s"family '$family' but this code probes '$CpIndexFamily' — " +
-        "rebuild the index; probing across hash versions silently " +
-        "loses recall")
-    def drift(name: String, stored: Any, asked: Any): Unit =
-      require(stored == asked,
-        s"$who: $name drift — artifact at $indexDir " +
-          s"stores $name = $stored but the probe asked $asked. The " +
-          "stored band rows were sized/rotated for the stored value; " +
-          "probing under a different one silently loses recall. " +
-          "Rebuild the index or match the artifact.")
-    drift("threshold", meta.getAs[Double]("threshold"), threshold)
-    drift("dim", meta.getAs[Int]("dim"), dim)
-    drift("target_miss", meta.getAs[Double]("target_miss"), targetMiss)
-    (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
-  }
-
   def cosinePairsCpIndexed(indexDir: String, incoming: DataFrame,
       threshold: Double, dim: Int = 64, targetMiss: Double = 1e-4)
       : DataFrame = {
     val spark = incoming.sparkSession
     GraftFunctions.register(spark)
-    val (k, nBands) = readCpMeta(spark, indexDir, "cosinePairsCpIndexed",
-      threshold, dim, targetMiss)
+    val (k, nBands, epoch) = readCpMeta(spark, indexDir,
+      "cosinePairsCpIndexed", threshold, dim, targetMiss)
 
     val inc = graft.CacheScope.scoped(incoming.select(col("vec_id"),
       VecFns.toDouble(col("embedding")).as("v")))
     val nInc = requireDistinctIds(inc, "cosinePairsCpIndexed(incoming)",
       "within the incoming shard")
-    val corpusVecs = spark.read.parquet(s"$indexDir/vectors")
+    val corpusVecs = indexVectors(spark, indexDir, epoch)
     val nClash = inc.select("vec_id")
       .join(corpusVecs.select("vec_id"), Seq("vec_id"), "left_semi")
       .limit(1).count()
@@ -813,7 +933,7 @@ object Ann {
       .select(col("vec_id"), lit(true).as("inc"),
         posexplode(expr(s"graft_cplsh(v, $k, $nBands, $dim)"))
           .as(Seq("band_id", "code"))))
-    val allBands = spark.read.parquet(s"$indexDir/bands")
+    val allBands = indexBands(spark, indexDir, epoch)
       .select(col("vec_id"), lit(false).as("inc"), col("band_id"),
         col("code"))
       .unionByName(incBands)
@@ -886,8 +1006,8 @@ object Ann {
       : DataFrame = {
     val spark = queries.sparkSession
     GraftFunctions.register(spark)
-    val (kHashes, nBands) = readCpMeta(spark, indexDir, "cpTopKIndexed",
-      threshold, dim, targetMiss)
+    val (kHashes, nBands, epoch) = readCpMeta(spark, indexDir,
+      "cpTopKIndexed", threshold, dim, targetMiss)
     val q = graft.CacheScope.scoped(queries.select(col("vec_id"),
       VecFns.toDouble(col("embedding")).as("qv")))
     val nQ = requireDistinctIds(q, "cpTopKIndexed(queries)",
@@ -902,7 +1022,7 @@ object Ann {
       posexplode(expr(s"graft_cplsh(qv, $kHashes, $nBands, $dim)"))
         .as(Seq("band_id", "code")))
     val cand = hintIfSmall(qBands, nQ * nBands)
-      .join(spark.read.parquet(s"$indexDir/bands")
+      .join(indexBands(spark, indexDir, epoch)
           .select(col("vec_id").as("neighbor_id"), col("band_id"),
             col("code")),
         Seq("band_id", "code"))
@@ -910,7 +1030,7 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
     val scored = cand
-      .join(spark.read.parquet(s"$indexDir/vectors")
+      .join(indexVectors(spark, indexDir, epoch)
           .select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
         Seq("neighbor_id"))
       .join(q.select(col("vec_id").as("query_id"), col("qv")),

@@ -325,7 +325,7 @@ class TextAndAnnSpec extends AnyFunSuite {
     // candidate-identical (identical k/bands ⇒ identical rotations ⇒
     // identical band rows — the equivalence the artifact contract rests
     // on); both must equal the exact incoming-side pair set
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = spark.read.parquet(s"$dir/meta_0").head()
     val live = CacheScope.withScope {
       Ann.cosinePairsCpIncremental(corpus, incoming, 0.4,
         hashesPerBand = meta.getAs[Int]("k"),
@@ -383,6 +383,88 @@ class TextAndAnnSpec extends AnyFunSuite {
       }
     }
     assert(le.getMessage.contains("not one id space"))
+  }
+
+  test("cp index append: appended epochs serve identically to a " +
+      "monolithic build; torn epochs are invisible; parameter-currency " +
+      "and id collisions refuse") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = e.select("vec_id", "embedding")
+    val base = corpus.filter(col("vec_id") % 5 =!= 2)
+    val grown = corpus.filter(col("vec_id") % 5 === 2)
+    val incoming = e.filter(col("vec_id") % 9 === 1)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val mono = "/tmp/graft_test_cpindex_mono"
+    val app = "/tmp/graft_test_cpindex_appended"
+    CacheScope.withScope { Ann.writeCpIndex(corpus, mono, 0.4) }
+    CacheScope.withScope {
+      Ann.writeCpIndex(base, app, 0.4)
+      Ann.appendCpIndex(app, grown)
+    }
+    // same final corpus, two construction paths — outputs must agree
+    // even though the appended artifact's (k, bands) derive from the
+    // BASE count (the banding recall bound is count-independent)
+    val viaAppend = CacheScope.withScope {
+      Ann.cosinePairsCpIndexed(app, incoming, 0.4)
+        .as[(Long, Long)].collect().toSet
+    }
+    val viaMono = CacheScope.withScope {
+      Ann.cosinePairsCpIndexed(mono, incoming, 0.4)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(viaAppend == viaMono && viaAppend.nonEmpty,
+      s"append-built ${viaAppend.size} != monolithic ${viaMono.size}")
+    // TORN append: epoch=2 data lands with NO meta_2 — copies of the
+    // epoch=1 vectors under fresh ids, which would pair with incoming
+    // at cosine 1 IF served (the %45-residue overlap rows are the
+    // same vectors). The probe must not change by a single pair.
+    spark.read.parquet(s"$app/vectors/epoch=1")
+      .select((col("vec_id") + 700000L).as("vec_id"), col("v"))
+      .write.parquet(s"$app/vectors/epoch=2")
+    spark.read.parquet(s"$app/bands/epoch=1")
+      .select((col("vec_id") + 700000L).as("vec_id"), col("band_id"),
+        col("code"))
+      .write.parquet(s"$app/bands/epoch=2")
+    val viaTorn = CacheScope.withScope {
+      Ann.cosinePairsCpIndexed(app, incoming, 0.4)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(viaTorn == viaAppend,
+      "a torn epoch (data without meta_N) must be invisible to probes")
+    // parameter currency: grow the corpus until the k-chooser derives
+    // a different k than the artifact stored (the factor is DERIVED —
+    // k is a step function of n, capped; the base here sits below the
+    // cap so a flipping factor must exist) — append must refuse
+    val n1 = spark.read.parquet(s"$app/meta_1").head()
+      .getAs[Long]("corpus_count")
+    val k1 = spark.read.parquet(s"$app/meta_1").head().getAs[Int]("k")
+    val factor = Iterator(2, 4, 8, 16, 32, 64, 128, 256, 512)
+      .find(f => graft.plans.CrossPolytope.chooseHashesPerBand(
+        n1 * f, 0.4, 64, 1e-4) != k1)
+    assert(factor.nonEmpty,
+      s"test premise: no growth factor flips k from $k1 at n=$n1 — " +
+        "base corpus too large (k at cap)?")
+    val big = (0 until factor.get).map(i => corpus.select(
+        (col("vec_id") + lit(1000000L * (i + 1))).as("vec_id"),
+        col("embedding")))
+      .reduce(_ unionByName _)
+    val pe = intercept[IllegalArgumentException] {
+      CacheScope.withScope { Ann.appendCpIndex(app, big) }
+    }
+    assert(pe.getMessage.contains("outgrown"))
+    // id collision with the stored corpus refuses
+    val ce = intercept[IllegalArgumentException] {
+      CacheScope.withScope {
+        Ann.appendCpIndex(app, corpus.limit(1))
+      }
+    }
+    assert(ce.getMessage.contains("already exist"))
+    // an artifact with no complete epoch refuses by name
+    val ne = intercept[IllegalArgumentException] {
+      Ann.cosinePairsCpIndexed("/tmp/graft_test_cpindex_nonexistent",
+        incoming, 0.4)
+    }
+    assert(ne.getMessage.contains("no complete epoch"))
   }
 
   test("cp index search: threshold-floored top-k over the stored artifact " +
