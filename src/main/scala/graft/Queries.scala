@@ -585,8 +585,17 @@ object Queries {
       val idx = "/tmp/graft_cpindex_app_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_")
       SharedStage.buildOnce(idx, s"cpindexapp|$dir|t0.4") {
+        // parameters PINNED for the corpus the index will serve after
+        // the append (the planned-growth sizing appendCpIndex's
+        // scaladoc prescribes) — derived from the FINAL count, so the
+        // gate never straddles a k-chooser step between base and
+        // grown counts at some future SF (r11 review), and the
+        // pinned-parameter append path gets gate coverage
+        val k = graft.plans.CrossPolytope.chooseHashesPerBand(
+          corpus.count(), 0.4, 64, 1e-4)
+        val b = graft.plans.CrossPolytope.bandsFor(0.4, k, 64, 1e-4)
         Ann.writeCpIndex(corpus.filter(col("vec_id") % 11 =!= 5), idx,
-          threshold = 0.4)
+          threshold = 0.4, hashesPerBand = k, bands = b)
         Ann.appendCpIndex(idx, corpus.filter(col("vec_id") % 11 === 5))
       }
       Ann.cosinePairsCpIndexed(idx, incoming, threshold = 0.4)

@@ -313,6 +313,10 @@ object Stress {
       // hash + write one epoch — plus the id-collision semi-scan of
       // the stored vectors, i.e. near-flat against corpus size. One
       // pass each (an epoch can only be appended once per id space).
+      // a k-chooser step straddled by corpus+shard at some future
+      // corpus size would REFUSE (the derived-params premise, working
+      // as designed) — report it loudly instead of killing the
+      // section's remaining rows (r11 review)
       def timeAppend(idx: String): Double = {
         val t0 = System.nanoTime()
         CacheScope.withScope {
@@ -320,8 +324,14 @@ object Stress {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      report("q152_append@0.7 fixed-shard (1 pass)",
+      try report("q152_append@0.7 fixed-shard (1 pass)",
         timeAppend(idx1), timeAppend(idx10))
+      catch {
+        case e: IllegalArgumentException =>
+          println(s"STRESS q152_append@0.7 REFUSED (parameter " +
+            s"currency premise — corpus size straddles a k step): " +
+            s"${e.getMessage}")
+      }
     }
 
     // ---- 100× point for the sub-ρ path (r9): the sign-LSH family's

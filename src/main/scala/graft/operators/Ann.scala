@@ -716,9 +716,12 @@ object Ann {
     * epoch number with overwrite. Parameters derive from the BASE
     * corpus count and are FROZEN for the artifact's life: every epoch
     * and every probe hashes under the stored (k, bands, dim), because
-    * mixed rotations silently lose recall. The base build deletes any
+    * mixed rotations silently lose recall. The base build DELETES any
     * previous artifact at `dir` first — stale higher epochs surviving
-    * an overwrite would otherwise be served as current.
+    * an overwrite would otherwise be served as current. Corollary: a
+    * rebuild whose input frame READS this artifact's own files must
+    * materialize it elsewhere first or build to a fresh directory —
+    * lineage recomputed after the delete would find nothing.
     */
   def writeCpIndex(corpus: DataFrame, dir: String, threshold: Double,
       hashesPerBand: Int = 0, bands: Int = 0, dim: Int = 64,
@@ -737,7 +740,8 @@ object Ann {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(p, true)
-    writeEpoch(spark, dir, 0, v, k, nBands, dim, targetMiss, threshold, n)
+    writeEpoch(spark, dir, 0, v, k, nBands, dim, targetMiss, threshold,
+      n, paramsDerived = hashesPerBand <= 0 && bands <= 0)
   }
 
   /** One epoch's three writes, meta LAST (shared by base build and
@@ -747,7 +751,7 @@ object Ann {
   private def writeEpoch(spark: org.apache.spark.sql.SparkSession,
       dir: String, epoch: Int, v: DataFrame, k: Int, nBands: Int,
       dim: Int, targetMiss: Double, threshold: Double,
-      totalCount: Long): Unit = {
+      totalCount: Long, paramsDerived: Boolean): Unit = {
     v.write.mode("overwrite").parquet(s"$dir/vectors/epoch=$epoch")
     v.select(col("vec_id"),
         posexplode(expr(s"graft_cplsh(v, $k, $nBands, $dim)"))
@@ -755,9 +759,9 @@ object Ann {
       .write.mode("overwrite").parquet(s"$dir/bands/epoch=$epoch")
     import spark.implicits._
     Seq((CpIndexFamily, k, nBands, dim, targetMiss, threshold,
-        totalCount, epoch))
+        totalCount, epoch, paramsDerived))
       .toDF("family", "k", "bands", "dim", "target_miss", "threshold",
-        "corpus_count", "epoch")
+        "corpus_count", "epoch", "params_derived")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta_$epoch")
   }
 
@@ -768,7 +772,8 @@ object Ann {
     * with no complete epoch (torn base build, or a pre-epoch layout).
     */
   private case class CpIndexState(k: Int, bands: Int, threshold: Double,
-      targetMiss: Double, dim: Int, count: Long, epoch: Int)
+      targetMiss: Double, dim: Int, count: Long, epoch: Int,
+      paramsDerived: Boolean)
 
   private def cpIndexState(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, who: String): CpIndexState = {
@@ -779,12 +784,23 @@ object Ann {
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq.map(_.getPath.getName)
         .collect { case rx(n) => n.toInt }
-    require(epochs.nonEmpty,
-      s"$who: no complete epoch at $indexDir (no meta_N) — the artifact " +
-        "is torn, missing, or a pre-epoch layout; (re)build it with " +
-        "writeCpIndex")
-    val epoch = epochs.max
-    val meta = spark.read.parquet(s"$indexDir/meta_$epoch").head()
+    // completeness = the meta READS, not "a meta_N directory exists":
+    // a crash during the meta job itself leaves meta_N holding only
+    // _temporary (the committer mkdirs it before any task commits),
+    // and treating that as current would brick every probe AND the
+    // documented retry path (r11 review). The highest READABLE meta
+    // serves; each lower epoch was admitted by the same rule when it
+    // was current.
+    val serving = epochs.sorted(Ordering[Int].reverse).view
+      .flatMap { n =>
+        try Some((n, spark.read.parquet(s"$indexDir/meta_$n").head()))
+        catch { case _: Exception => None }
+      }.headOption
+    require(serving.nonEmpty,
+      s"$who: no complete epoch at $indexDir (no readable meta_N) — " +
+        "the artifact is torn, missing, or a pre-epoch layout; " +
+        "(re)build it with writeCpIndex")
+    val (epoch, meta) = serving.get
     val family = meta.getAs[String]("family")
     require(family == CpIndexFamily,
       s"$who: artifact at $indexDir was hashed by " +
@@ -793,7 +809,8 @@ object Ann {
         "loses recall")
     CpIndexState(meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
       meta.getAs[Double]("threshold"), meta.getAs[Double]("target_miss"),
-      meta.getAs[Int]("dim"), meta.getAs[Long]("corpus_count"), epoch)
+      meta.getAs[Int]("dim"), meta.getAs[Long]("corpus_count"), epoch,
+      meta.getAs[Boolean]("params_derived"))
   }
 
   /** Read a [[writeCpIndex]] artifact's serving state and refuse, by
@@ -845,16 +862,27 @@ object Ann {
     * retried.
     *
     * TWO loud premises guard what append cannot silently absorb:
-    *   - parameter currency: k was derived from the BASE corpus count
-    *     (k grows ~log n — the Indyk–Motwani scaling); when the grown
-    *     corpus would derive a DIFFERENT k, this artifact is no longer
-    *     the index that count deserves, and append REFUSES with the
-    *     rederived value — rebuild. Recall is never at stake (the
-    *     banding bound is count-independent); candidate-volume
-    *     optimality is, and a silently-stale k is how an index rots.
+    *   - parameter currency (derived-parameter artifacts only): k was
+    *     derived from the BASE corpus count (k grows ~log n — the
+    *     Indyk–Motwani scaling); when the grown corpus would derive a
+    *     DIFFERENT k, this artifact is no longer the index that count
+    *     deserves, and append REFUSES with the rederived value —
+    *     rebuild. Recall is never at stake (the banding bound is
+    *     count-independent); candidate-volume optimality is, and a
+    *     silently-stale k is how an index rots. An artifact built with
+    *     EXPLICIT (hashesPerBand, bands) skips this check — pinning
+    *     parameters is how a pipeline sizes an index for planned
+    *     growth, and currency is then the caller's decision.
     *   - one id space: shard-internal duplicates AND shard∩stored
     *     collisions refuse (an id appended twice would make its future
     *     probe pairs vanish through the self-pair filter).
+    *
+    * SINGLE WRITER, like any parquet layout without a table format:
+    * two concurrent appends both target epoch N+1 and the loser's
+    * shard is silently clobbered (or worse, interleaved) — serialize
+    * appends externally. Concurrent READERS are always safe: they
+    * serve the highest complete meta, and an in-flight epoch has
+    * none.
     */
   def appendCpIndex(indexDir: String, more: DataFrame): Unit = {
     val spark = more.sparkSession
@@ -864,6 +892,26 @@ object Ann {
       VecFns.toDouble(col("embedding")).as("v")))
     val nNew = requireDistinctIds(v, "appendCpIndex",
       "within the appended shard")
+    // parameter currency FIRST — it is free arithmetic on counts the
+    // shard job already produced, and a doomed append must not pay
+    // the stored-vector semi-scan just to be refused (r11 review).
+    // Skipped for explicitly-pinned artifacts: their k was a caller's
+    // decision (e.g. sized for planned growth), not a derivation this
+    // check could go stale against.
+    val total = st.count + nNew
+    if (st.paramsDerived) {
+      val kNow = CrossPolytope.chooseHashesPerBand(total, st.threshold,
+        st.dim, st.targetMiss)
+      require(kNow == st.k,
+        s"appendCpIndex: the corpus has outgrown this artifact's " +
+          s"parameters — ${st.count} vectors derived k = ${st.k}, but " +
+          s"$total derives k = $kNow. Recall is unaffected; candidate " +
+          "volume is not — rebuild with writeCpIndex at the new size " +
+          "(to a FRESH directory if the rebuild's input reads this " +
+          "artifact's own files — the base build deletes its target " +
+          "first), or pin parameters explicitly to size for planned " +
+          "growth.")
+    }
     val nClash = v.select("vec_id")
       .join(indexVectors(spark, indexDir, st.epoch).select("vec_id"),
         Seq("vec_id"), "left_semi")
@@ -873,17 +921,8 @@ object Ann {
         s"at $indexDir — one id space is the contract (an id stored " +
         "twice silently drops its future probe pairs); re-key or dedup " +
         "the shard first.")
-    val total = st.count + nNew
-    val kNow = CrossPolytope.chooseHashesPerBand(total, st.threshold,
-      st.dim, st.targetMiss)
-    require(kNow == st.k,
-      s"appendCpIndex: the corpus has outgrown this artifact's " +
-        s"parameters — ${st.count} vectors derived k = ${st.k}, but " +
-        s"$total derives k = $kNow. Recall is unaffected; candidate " +
-        "volume is not — rebuild the index with writeCpIndex at the " +
-        "new size instead of appending past its derivation point.")
     writeEpoch(spark, indexDir, st.epoch + 1, v, st.k, st.bands, st.dim,
-      st.targetMiss, st.threshold, total)
+      st.targetMiss, st.threshold, total, st.paramsDerived)
   }
 
   /** Probe a [[writeCpIndex]] artifact with an arriving shard — the

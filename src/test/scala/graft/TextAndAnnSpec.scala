@@ -452,6 +452,19 @@ class TextAndAnnSpec extends AnyFunSuite {
       CacheScope.withScope { Ann.appendCpIndex(app, big) }
     }
     assert(pe.getMessage.contains("outgrown"))
+    // an artifact built with EXPLICIT parameters skips the currency
+    // check by design (pinning is how a pipeline sizes for planned
+    // growth): the same frame that refused above must append cleanly
+    val b1 = spark.read.parquet(s"$app/meta_1").head()
+      .getAs[Int]("bands")
+    val pinned = "/tmp/graft_test_cpindex_pinned"
+    CacheScope.withScope {
+      Ann.writeCpIndex(base, pinned, 0.4, hashesPerBand = k1, bands = b1)
+      Ann.appendCpIndex(pinned, big)
+    }
+    val pm = spark.read.parquet(s"$pinned/meta_1").head()
+    assert(pm.getAs[Int]("epoch") == 1 &&
+      !pm.getAs[Boolean]("params_derived"))
     // id collision with the stored corpus refuses
     val ce = intercept[IllegalArgumentException] {
       CacheScope.withScope {
