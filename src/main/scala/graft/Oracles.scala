@@ -160,6 +160,39 @@ object Oracles {
                sqrt(list_dot_product(b.v, b.v))) >= 0.4
       ORDER BY vec_a, vec_b"""
 
+  /** The text arrival family's exact O(n·m) ground truth (q153/q154/
+    * q155 — live, indexed, appended): every pair at exact word-3-gram
+    * Jaccard ≥ 0.6 with at least one INCOMING side, canonical ids.
+    * The engine's MinHash banding never appears here — a banding
+    * recall loss OR a band-hash collision leak would hash-diff at the
+    * gate. The threshold compare is INTEGER cross-multiplication
+    * (1e6·|∩| ≥ 6e5·|∪|), and jaccard is the one correctly-rounded
+    * double division both engines share (the q26 conventions).
+    */
+  private val textIncrementalOracle: String = """
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        FROM tok WHERE len(ws) >= 3),
+      corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 3),
+      inc AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 = 3
+              UNION ALL
+              SELECT doc_id + 5000000, s FROM corpus
+              WHERE doc_id % 10 = 0),
+      alld AS (SELECT doc_id, s, FALSE AS is_inc FROM corpus
+               UNION ALL SELECT doc_id, s, TRUE AS is_inc FROM inc),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.s, b.s)) AS ni,
+               len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+        FROM alld a JOIN alld b
+          ON a.doc_id < b.doc_id AND (a.is_inc OR b.is_inc))
+      SELECT doc_a, doc_b, CAST(ni AS DOUBLE) / un AS jaccard
+      FROM pairs WHERE 1000000 * ni >= 600000 * un
+      ORDER BY doc_a, doc_b"""
+
   /** q143's BPE merge learning unrolled to exactly the operator's k
     * rounds: per round, pairs are counted positionally over the current
     * tokenization (overlaps included, weighted by word frequency), the
@@ -1740,6 +1773,15 @@ object Oracles {
     // append ≡ monolithic: the q152 index serves the SAME final corpus
     // as q147/q148, so the same exact pair oracle gates it unchanged
     "q152_incremental_dedup_appended" -> incrementalDedupOracle,
+
+    // The text arrival family (r11): one exact O(n·m) Jaccard oracle
+    // gates the live banded path, the stored-artifact probe, and the
+    // append-built artifact — the engine's MinHash banding must lose
+    // nothing vs the exact incoming-side predicate, whichever of the
+    // three shapes produced the candidates.
+    "q153_text_incremental_dedup" -> textIncrementalOracle,
+    "q154_text_dedup_indexed" -> textIncrementalOracle,
+    "q155_text_dedup_appended" -> textIncrementalOracle,
 
     // Span-level exact dedup, recomputed with NO hashing: enumerate
     // every 60-char window (the q70 generate_series idiom), keep those

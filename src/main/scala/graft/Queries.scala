@@ -118,6 +118,41 @@ object Queries {
     idx
   }
 
+  /** The text arrival family's shared (corpus, incoming) recipe —
+    * q147's shape on documents: corpus = doc_id % 7 != 3; incoming =
+    * the % 7 == 3 slice plus EXACT text copies of every 10th corpus
+    * doc under shifted ids (planted Jaccard-1 hits whose signatures
+    * are identical, so they collide in every band deterministically).
+    */
+  private def textArrival(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val d = Tables.documents(s, dir)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3)
+      .select("doc_id", "text")
+    val incoming = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+      .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+          col("text")))
+    (corpus, incoming)
+  }
+
+  /** The write-once MinHash text index over the q153 corpus, probed by
+    * q154 — built per call for hermeticity outside Bench; within a
+    * Bench JVM `SharedStage.buildOnce` reuses it (the build lands on
+    * the first consumer in sorted order — the BASELINE.md charge-shift
+    * note applies).
+    */
+  private def textIndexDir(s: SparkSession, dir: String): String = {
+    val (corpus, _) = textArrival(s, dir)
+    val idx = "/tmp/graft_txtindex_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    SharedStage.buildOnce(idx, s"txtindex|$dir|t0.6") {
+      TextIndex.writeJaccardIndex(corpus, idx, threshold = 0.6)
+    }
+    idx
+  }
+
   /** q51's rolling fingerprint behind its LOUD ASCII gate premise: the
     * oracle's recursive walk is per-CHARACTER (ord/substr) while the
     * engine hashes UTF-8 BYTES — identical only on ASCII. A regenerated
@@ -599,6 +634,57 @@ object Queries {
         Ann.appendCpIndex(idx, corpus.filter(col("vec_id") % 11 === 5))
       }
       Ann.cosinePairsCpIndexed(idx, incoming, threshold = 0.4)
+    }),
+
+    // ---- The TEXT arrival family (r11): the MinHash analogue of
+    // q147/q148/q152, because at 100 TB text dedup IS the workload.
+    // Shared recipe (the q147 shape on documents): corpus = %7 != 3,
+    // incoming = the %7 == 3 slice plus EXACT text copies of every
+    // 10th corpus doc under shifted ids (planted J = 1 hits that
+    // collide in every band deterministically). One exact O(n·m)
+    // Jaccard oracle gates all three shapes — live, indexed, appended.
+
+    // LIVE arrival: shard vs corpus in one banded MinHash join where
+    // only incoming rows probe; banding (r, b) DERIVES from the
+    // (threshold, targetMiss) recall bound — b bands of r slots miss
+    // a pair at J >= t w.p. <= (1 - t^r)^b <= 1e-4 — never tuned.
+    // Candidates verify on TRUE shingle sets, so banding misses are
+    // the only approximation and they are bound by construction.
+    "q153_text_incremental_dedup" -> ((s, dir) => {
+      val (corpus, incoming) = textArrival(s, dir)
+      TextIndex.jaccardPairsIncremental(corpus, incoming,
+        threshold = 0.6)
+    }),
+
+    // The ARTIFACT form: corpus shingle sets + band rows + banding
+    // persist once (TextIndex.writeJaccardIndex, the EpochStore
+    // layout); the shard probes the STORE, re-shingling and re-hashing
+    // NOTHING on the corpus side — same exact oracle as q153, so the
+    // gate proves the roundtrip loses nothing.
+    "q154_text_dedup_indexed" -> ((s, dir) => {
+      val (_, incoming) = textArrival(s, dir)
+      TextIndex.jaccardPairsIndexed(textIndexDir(s, dir), incoming,
+        threshold = 0.6)
+    }),
+
+    // The APPEND quarter: the same final corpus built as a BASE build
+    // (corpus minus its %11 == 5 slice) plus ONE appendJaccardIndex
+    // epoch, probed by the same shard — append ≡ monolithic at the
+    // output. Unlike the cp family there is no parameter-currency
+    // premise to dodge: MinHash banding depends only on (threshold,
+    // targetMiss), never the corpus count, so a grown artifact cannot
+    // rot its parameters (TextIndex.appendJaccardIndex scaladoc).
+    "q155_text_dedup_appended" -> ((s, dir) => {
+      val (corpus, incoming) = textArrival(s, dir)
+      val idx = "/tmp/graft_txtindex_app_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"txtindexapp|$dir|t0.6") {
+        TextIndex.writeJaccardIndex(
+          corpus.filter(col("doc_id") % 11 =!= 5), idx, threshold = 0.6)
+        TextIndex.appendJaccardIndex(idx,
+          corpus.filter(col("doc_id") % 11 === 5))
+      }
+      TextIndex.jaccardPairsIndexed(idx, incoming, threshold = 0.6)
     }),
 
     // Cross-polytope ANN top-k at the gate: EXHAUSTIVE probe (probes =

@@ -737,32 +737,30 @@ object Ann {
     val nBands =
       if (bands > 0) bands else CrossPolytope.bandsFor(threshold, k, dim,
         targetMiss)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(p, true)
+    graft.sources.EpochStore.deleteAll(spark, dir)
     writeEpoch(spark, dir, 0, v, k, nBands, dim, targetMiss, threshold,
       n, paramsDerived = hashesPerBand <= 0 && bands <= 0)
   }
 
   /** One epoch's three writes, meta LAST (shared by base build and
     * append): vectors, band rows hashed under the artifact's frozen
-    * (k, bands, dim), then `meta_N` naming the epoch complete.
+    * (k, bands, dim), then `meta_N` naming the epoch complete — the
+    * write ordering and layout live in [[graft.sources.EpochStore]].
     */
   private def writeEpoch(spark: org.apache.spark.sql.SparkSession,
       dir: String, epoch: Int, v: DataFrame, k: Int, nBands: Int,
       dim: Int, targetMiss: Double, threshold: Double,
       totalCount: Long, paramsDerived: Boolean): Unit = {
-    v.write.mode("overwrite").parquet(s"$dir/vectors/epoch=$epoch")
-    v.select(col("vec_id"),
-        posexplode(expr(s"graft_cplsh(v, $k, $nBands, $dim)"))
-          .as(Seq("band_id", "code")))
-      .write.mode("overwrite").parquet(s"$dir/bands/epoch=$epoch")
     import spark.implicits._
-    Seq((CpIndexFamily, k, nBands, dim, targetMiss, threshold,
+    val bandRows = v.select(col("vec_id"),
+      posexplode(expr(s"graft_cplsh(v, $k, $nBands, $dim)"))
+        .as(Seq("band_id", "code")))
+    val meta = Seq((CpIndexFamily, k, nBands, dim, targetMiss, threshold,
         totalCount, epoch, paramsDerived))
       .toDF("family", "k", "bands", "dim", "target_miss", "threshold",
         "corpus_count", "epoch", "params_derived")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta_$epoch")
+    graft.sources.EpochStore.writeEpoch(dir, epoch,
+      Seq("vectors" -> v, "bands" -> bandRows), meta)
   }
 
   /** The artifact's serving state: (k, bands, threshold, targetMiss,
@@ -777,30 +775,11 @@ object Ann {
 
   private def cpIndexState(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, who: String): CpIndexState = {
-    val p = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rx = "meta_(\\d+)".r
-    val epochs =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .collect { case rx(n) => n.toInt }
-    // completeness = the meta READS, not "a meta_N directory exists":
-    // a crash during the meta job itself leaves meta_N holding only
-    // _temporary (the committer mkdirs it before any task commits),
-    // and treating that as current would brick every probe AND the
-    // documented retry path (r11 review). The highest READABLE meta
-    // serves; each lower epoch was admitted by the same rule when it
-    // was current.
-    val serving = epochs.sorted(Ordering[Int].reverse).view
-      .flatMap { n =>
-        try Some((n, spark.read.parquet(s"$indexDir/meta_$n").head()))
-        catch { case _: Exception => None }
-      }.headOption
-    require(serving.nonEmpty,
-      s"$who: no complete epoch at $indexDir (no readable meta_N) — " +
-        "the artifact is torn, missing, or a pre-epoch layout; " +
-        "(re)build it with writeCpIndex")
-    val (epoch, meta) = serving.get
+    // completeness = the meta READS (EpochStore's contract, r11
+    // review): the highest READABLE meta serves; each lower epoch was
+    // admitted by the same rule when it was current
+    val (epoch, meta) = graft.sources.EpochStore.servingState(spark,
+      indexDir, who, "writeCpIndex")
     val family = meta.getAs[String]("family")
     require(family == CpIndexFamily,
       s"$who: artifact at $indexDir was hashed by " +
@@ -842,14 +821,13 @@ object Ann {
     */
   private def indexVectors(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, epoch: Int): DataFrame =
-    spark.read.parquet(s"$indexDir/vectors")
-      .filter(col("epoch") <= epoch).select(col("vec_id"), col("v"))
+    graft.sources.EpochStore.tableThrough(spark, indexDir, "vectors",
+      epoch).select(col("vec_id"), col("v"))
 
   private def indexBands(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, epoch: Int): DataFrame =
-    spark.read.parquet(s"$indexDir/bands")
-      .filter(col("epoch") <= epoch)
-      .select(col("vec_id"), col("band_id"), col("code"))
+    graft.sources.EpochStore.tableThrough(spark, indexDir, "bands",
+      epoch).select(col("vec_id"), col("band_id"), col("code"))
 
   /** FOLD a deduped shard INTO the artifact — the missing quarter of
     * the index lifecycle (write → probe → search → APPEND): after

@@ -1,0 +1,385 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.plans.GraftFunctions
+import graft.sources.EpochStore
+
+/** The ARRIVAL lifecycle for text near-duplicate detection — the
+  * MinHash analogue of the embedding family's `Ann` index paths
+  * (q147/q148/q151/q152), because at 100 TB text dedup IS the
+  * workload: a corpus is deduplicated once, then every arriving shard
+  * must be checked against it without re-shingling or re-hashing what
+  * is already stored.
+  *
+  * Four shapes, mirroring the cp family one-for-one:
+  *   - [[jaccardPairsIncremental]] — live arrival: shard vs corpus in
+  *     one banded join where ONLY incoming rows probe (q153);
+  *   - [[writeJaccardIndex]] — the corpus half persisted once as an
+  *     epoch'd artifact: shingle sets, MinHash band rows, and the
+  *     derived banding (q154's build);
+  *   - [[jaccardPairsIndexed]] — probe the stored artifact per shard,
+  *     re-hashing NOTHING on the corpus side (q154);
+  *   - [[appendJaccardIndex]] — fold a deduped shard in as epoch N+1
+  *     under the artifact's frozen banding (q155).
+  *
+  * Semantics (all four): every pair at exact word-3-gram-shingle
+  * Jaccard ≥ `threshold` with at least one incoming side, canonical
+  * (doc_a < doc_b), verified on TRUE shingle sets — the banding only
+  * generates candidates, so its misses are the ONLY approximation,
+  * and they are bounded: a band of r MinHash slots collides with
+  * probability exactly J^r (Broder 1997), so b bands miss a pair at
+  * J ≥ t with probability ≤ (1 − t^r)^b ≤ `targetMiss` by
+  * [[bandingFor]]'s construction — the standard banding recall bound
+  * (Leskovec–Rajaraman–Ullman ch. 3), the same derive-don't-tune
+  * discipline as `CrossPolytope.bandsFor`. Unlike the cp family's k,
+  * the banding here depends ONLY on (threshold, targetMiss) — never
+  * on the corpus count — so an appended artifact's parameters cannot
+  * go stale and append needs no currency premise (documented at
+  * [[appendJaccardIndex]]).
+  *
+  * Docs with fewer than 3 words have no shingles and can never pair
+  * (both here and in the oracle's `len(ws) >= 3` walk); the one-id-
+  * space contract is checked over participating docs, folded into the
+  * sizing aggregation the probe already runs (the r9 no-extra-scan
+  * discipline).
+  */
+object TextIndex {
+
+  /** Artifact layout version: bumped if the shingling (w=3 word
+    * grams), the signature family (`graft_minhash64`), or the band
+    * hashing ever change, so an old artifact REFUSES against new probe
+    * code instead of silently losing recall.
+    */
+  private[graft] val JaccardIndexFamily = "minhash64-w3-v1"
+
+  /** Signature budget: `graft_minhash64` emits 64 slots. */
+  private val SigSlots = 64
+
+  /** Derive (rowsPerBand, bands) from the banding recall bound at the
+    * threshold: b(r) = ⌈ln targetMiss / ln(1 − t^r)⌉ bands of r slots
+    * miss a pair at J ≥ t w.p. ≤ targetMiss; choose the LARGEST r
+    * whose r·b(r) fits the 64-slot signature — r is the candidate
+    * filter (band collision at J falls as J^r), so within the budget
+    * more rows per band always means fewer dissimilar-pair candidates
+    * at the same recall. Refuses when even r = 1 does not fit: a
+    * (threshold, targetMiss) that needs more than 64 single-slot
+    * bands is asking this signature for recall it cannot certify.
+    */
+  def bandingFor(threshold: Double, targetMiss: Double): (Int, Int) = {
+    require(threshold > 0 && threshold < 1,
+      s"bandingFor: threshold must be in (0, 1), got $threshold")
+    require(targetMiss > 0 && targetMiss < 1,
+      s"bandingFor: targetMiss must be in (0, 1), got $targetMiss")
+    def bandsFor(r: Int): Int =
+      math.ceil(math.log(targetMiss) /
+        math.log1p(-math.pow(threshold, r))).toInt.max(1)
+    val fits = (1 to SigSlots)
+      .map(r => (r, bandsFor(r))).takeWhile { case (r, b) => r * b <= SigSlots }
+    require(fits.nonEmpty,
+      s"bandingFor: threshold $threshold at targetMiss $targetMiss " +
+        s"needs ${bandsFor(1)} single-slot bands — more than the " +
+        s"$SigSlots-slot signature holds. Raise the threshold, relax " +
+        "targetMiss, or this index family cannot certify that recall.")
+    fits.last
+  }
+
+  /** (doc_id, shingles, n) for docs with ≥ 3 words — distinct word
+    * 3-grams, the exact sets the verify joins count over.
+    */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), TextFns.shingles(col("ws"), 3).as("shingles"))
+      .withColumn("n", size(col("shingles")).cast("long"))
+
+  /** (doc_id, band_id, band_hash) under banding (r, b): band i hashes
+    * signature slots [i·r+1, i·r+r] salted by the band id — the q26
+    * `lshCandidates` band key, emitted as rows (this is what the
+    * artifact stores and what probes join on; the hash is
+    * Spark-internal and output-invisible, so it never needs oracle
+    * parity).
+    */
+  private def bandRows(sh: DataFrame, r: Int, b: Int): DataFrame = {
+    GraftFunctions.register(sh.sparkSession)
+    val bandCols = (0 until b).map { i =>
+      struct(lit(i).as("band_id"),
+        hash(slice(col("sig"), i * r + 1, r), lit(i)).as("band_hash"))
+    }
+    sh.select(col("doc_id"),
+        expr("graft_minhash64(shingles)").as("sig"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band_id").as("band_id"),
+        col("bh.band_hash").as("band_hash"))
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set against the
+    * shingle table `sh` (doc_id, shingles, n): semi-join prune to
+    * candidate docs, explode, count intersections, keep pairs passing
+    * the INTEGER cross-multiplied threshold (1e6·|∩| ≥ ppm·|∪| — no
+    * float compare at the boundary), emit (doc_a, doc_b, jaccard)
+    * with jaccard as the one correctly-rounded double division both
+    * engines share (the q26 output shape).
+    */
+  private def verifyExact(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val ppm = math.round(threshold * 1000000).toLong
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val pruned = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = pruned.select(col("doc_id"), col("n"))
+    val grams = pruned
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val inter = cand
+      .join(grams.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(grams.as("sb"),
+        col("doc_b") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("un", col("na") + col("nb") - col("ni"))
+      .filter(lit(1000000L) * col("ni") >= lit(ppm) * col("un"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("ni").cast("double") / col("un")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val PairDupConsequence: String =
+    "A shared doc_id would silently drop its real pair through the " +
+      "self-pair filter and double-match the verify joins; " +
+      "de-duplicate or re-key upstream."
+
+  /** LIVE arrival dedup: every pair at exact shingle-Jaccard ≥
+    * threshold with at least one `incoming` side — incoming×corpus
+    * and incoming×incoming, corpus×corpus structurally impossible
+    * (only incoming band rows probe). Banding derives from
+    * (threshold, targetMiss); the shard's band rows broadcast under
+    * the same size gate as the cp arrival paths (shard ≪ corpus is
+    * the contract — an oversized shard falls back to the shuffled
+    * plan, which completes). Per-shard cost: shingle+hash BOTH sides
+    * (the linear term [[jaccardPairsIndexed]] deletes), one banded
+    * join, exact verify over candidates only.
+    */
+  def jaccardPairsIncremental(corpus: DataFrame, incoming: DataFrame,
+      threshold: Double, targetMiss: Double = 1e-4): DataFrame = {
+    val (r, b) = bandingFor(threshold, targetMiss)
+    val all = graft.CacheScope.scoped(
+      shingled(corpus).withColumn("inc", lit(false))
+        .unionByName(shingled(incoming).withColumn("inc", lit(true))))
+    val agg = all.agg(count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("nd"),
+      count(when(col("inc"), lit(1))).as("ninc")).head()
+    require(agg.getLong(0) == agg.getLong(1),
+      "jaccardPairsIncremental: doc_id is not one id space — " +
+        s"${agg.getLong(0) - agg.getLong(1)} duplicate id(s) across " +
+        s"corpus ∪ incoming. $PairDupConsequence")
+    val nInc = agg.getLong(2)
+    // band rows per side, both read from the one cached shingle frame
+    // (two cache scans, no join to recover the side flag)
+    val incBands = graft.CacheScope.scoped(
+      bandRows(all.filter(col("inc")), r, b))
+    val allBands = bandRows(all.filter(!col("inc")), r, b)
+      .unionByName(incBands)
+    val hinted =
+      if (nInc * b <= Ann.MaxBroadcastBandRows) broadcast(incBands)
+      else incBands
+    val cand = hinted.as("x")
+      .join(allBands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    verifyExact(cand, all, threshold)
+  }
+
+  /** Write the corpus half as an epoch'd artifact ([[EpochStore]]
+    * layout — meta written LAST per epoch, torn epochs invisible):
+    *   - `docs/epoch=N`  (doc_id, shingles, n) — the exact-verify side
+    *   - `bands/epoch=N` (doc_id, band_id, band_hash) — the probe side
+    *   - `meta_N`        (family, rows_per_band, bands, threshold,
+    *                      target_miss, shingle_k, corpus_count, epoch)
+    * Banding derives from (threshold, targetMiss) and is FROZEN for
+    * the artifact's life — every epoch and every probe hashes under
+    * it. The base build deletes any previous artifact at `dir` first;
+    * a rebuild whose input reads this artifact's own files must build
+    * to a fresh directory (lineage recomputed after the delete finds
+    * nothing). Single writer, concurrent readers safe — the
+    * [[EpochStore]] contract.
+    */
+  def writeJaccardIndex(corpus: DataFrame, dir: String,
+      threshold: Double, targetMiss: Double = 1e-4): Unit = {
+    val spark = corpus.sparkSession
+    val (r, b) = bandingFor(threshold, targetMiss)
+    val sh = graft.CacheScope.scoped(shingled(corpus))
+    val agg = sh.agg(count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("nd")).head()
+    require(agg.getLong(0) == agg.getLong(1),
+      "writeJaccardIndex: doc_id is not one id space — " +
+        s"${agg.getLong(0) - agg.getLong(1)} duplicate id(s) within " +
+        s"the corpus. $PairDupConsequence")
+    EpochStore.deleteAll(spark, dir)
+    writeEpoch(dir, 0, sh, r, b, threshold, targetMiss, agg.getLong(0))
+  }
+
+  private def writeEpoch(dir: String, epoch: Int, sh: DataFrame,
+      r: Int, b: Int, threshold: Double, targetMiss: Double,
+      totalCount: Long): Unit = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val meta = Seq((JaccardIndexFamily, r, b, threshold, targetMiss,
+        3, totalCount, epoch))
+      .toDF("family", "rows_per_band", "bands", "threshold",
+        "target_miss", "shingle_k", "corpus_count", "epoch")
+    EpochStore.writeEpoch(dir, epoch,
+      Seq("docs" -> sh, "bands" -> bandRows(sh, r, b)), meta)
+  }
+
+  private case class JaccardIndexState(r: Int, b: Int,
+      threshold: Double, targetMiss: Double, count: Long, epoch: Int)
+
+  private def indexState(spark: org.apache.spark.sql.SparkSession,
+      dir: String, who: String): JaccardIndexState = {
+    val (epoch, meta) = EpochStore.servingState(spark, dir, who,
+      "writeJaccardIndex")
+    val family = meta.getAs[String]("family")
+    require(family == JaccardIndexFamily,
+      s"$who: artifact at $dir was hashed by family '$family' but " +
+        s"this code probes '$JaccardIndexFamily' — rebuild the index; " +
+        "probing across hash versions silently loses recall")
+    JaccardIndexState(meta.getAs[Int]("rows_per_band"),
+      meta.getAs[Int]("bands"), meta.getAs[Double]("threshold"),
+      meta.getAs[Double]("target_miss"),
+      meta.getAs[Long]("corpus_count"), epoch)
+  }
+
+  /** The shared drift front door of [[jaccardPairsIndexed]] and
+    * [[appendJaccardIndex]]'s probe side: the caller's (threshold,
+    * targetMiss) must equal the stored ones — the stored band rows
+    * were sized for the stored values, and a LOWER threshold than the
+    * artifact's would demand more bands than were stored.
+    */
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String, who: String, threshold: Double, targetMiss: Double)
+      : JaccardIndexState = {
+    val st = indexState(spark, dir, who)
+    def drift(name: String, stored: Any, asked: Any): Unit =
+      require(stored == asked,
+        s"$who: $name drift — artifact at $dir stores $name = $stored " +
+          s"but the probe asked $asked. The stored band rows were " +
+          "sized for the stored value; probing under a different one " +
+          "silently loses recall. Rebuild the index or match the " +
+          "artifact.")
+    drift("threshold", st.threshold, threshold)
+    drift("target_miss", st.targetMiss, targetMiss)
+    st
+  }
+
+  /** FOLD a deduped shard INTO the artifact as epoch N+1 under the
+    * FROZEN stored banding — meta last, so a torn append is invisible
+    * and simply retried. Unlike `Ann.appendCpIndex` there is NO
+    * parameter-currency premise: the banding recall bound depends
+    * only on (threshold, targetMiss), never on the corpus count, so
+    * an appended MinHash index cannot rot its parameters by growing —
+    * candidate volume grows with true collision mass, which verify
+    * already pays per candidate. One id space IS checked (shard-
+    * internal and shard∩stored both refuse — an id stored twice
+    * silently drops its future probe pairs). Single writer.
+    */
+  def appendJaccardIndex(indexDir: String, more: DataFrame): Unit = {
+    val spark = more.sparkSession
+    val st = indexState(spark, indexDir, "appendJaccardIndex")
+    val sh = graft.CacheScope.scoped(shingled(more))
+    val agg = sh.agg(count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("nd")).head()
+    require(agg.getLong(0) == agg.getLong(1),
+      "appendJaccardIndex: doc_id is not one id space — " +
+        s"${agg.getLong(0) - agg.getLong(1)} duplicate id(s) within " +
+        s"the appended shard. $PairDupConsequence")
+    val nClash = sh.select("doc_id")
+      .join(EpochStore.tableThrough(spark, indexDir, "docs", st.epoch)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(nClash == 0,
+      s"appendJaccardIndex: appended doc_id(s) already exist in the " +
+        s"index at $indexDir — one id space is the contract (an id " +
+        "stored twice silently drops its future probe pairs); re-key " +
+        "or dedup the shard first.")
+    writeEpoch(indexDir, st.epoch + 1, sh, st.r, st.b, st.threshold,
+      st.targetMiss, st.count + agg.getLong(0))
+  }
+
+  /** Probe a [[writeJaccardIndex]] artifact with an arriving shard —
+    * the same contract as [[jaccardPairsIncremental]], but the corpus
+    * side is never re-shingled or re-hashed: its shingle sets and
+    * band rows are READ from the artifact (epochs ≤ the serving
+    * epoch), so per-shard cost is the shard's own shingling+hashing
+    * plus columnar scans of the stored tables. Banding comes from the
+    * artifact's meta (zero derivation); drift and hash-family skew
+    * refuse loudly; id disjointness is CHECKED against the stored doc
+    * ids (a one-column pruned scan).
+    */
+  def jaccardPairsIndexed(indexDir: String, incoming: DataFrame,
+      threshold: Double, targetMiss: Double = 1e-4): DataFrame = {
+    val spark = incoming.sparkSession
+    val st = readMeta(spark, indexDir, "jaccardPairsIndexed",
+      threshold, targetMiss)
+    val inc = graft.CacheScope.scoped(shingled(incoming))
+    val agg = inc.agg(count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("nd")).head()
+    require(agg.getLong(0) == agg.getLong(1),
+      "jaccardPairsIndexed: doc_id is not one id space — " +
+        s"${agg.getLong(0) - agg.getLong(1)} duplicate id(s) within " +
+        s"the incoming shard. $PairDupConsequence")
+    val nInc = agg.getLong(0)
+    val storedDocs = EpochStore.tableThrough(spark, indexDir, "docs",
+      st.epoch)
+    val nClash = inc.select("doc_id")
+      .join(storedDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(nClash == 0,
+      "jaccardPairsIndexed: incoming doc_id(s) already exist in the " +
+        s"indexed corpus at $indexDir — one id space is the contract " +
+        "(a shared id silently drops its real pair); re-key the shard.")
+    val incBands = graft.CacheScope.scoped(bandRows(inc, st.r, st.b))
+    val allBands = EpochStore.tableThrough(spark, indexDir, "bands",
+        st.epoch)
+      .select(col("doc_id"), col("band_id"), col("band_hash"))
+      .unionByName(incBands)
+    val hinted =
+      if (nInc * st.b <= Ann.MaxBroadcastBandRows) broadcast(incBands)
+      else incBands
+    val cand = hinted.as("x")
+      .join(allBands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    verifyExact(cand, storedDocs.unionByName(inc), threshold)
+  }
+
+  /** Exact O(n·m) baseline for the incremental contract — test-only
+    * equivalence yardstick (the `Ann.cosinePairsBrute` role).
+    */
+  private[graft] def jaccardPairsBruteRestricted(corpus: DataFrame,
+      incoming: DataFrame, threshold: Double): DataFrame = {
+    val all = shingled(corpus).withColumn("inc", lit(false))
+      .unionByName(shingled(incoming).withColumn("inc", lit(true)))
+    val cand = all.as("x").join(all.as("y"),
+        col("x.doc_id") < col("y.doc_id") &&
+          (col("x.inc") || col("y.inc")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    verifyExact(cand, all, threshold)
+  }
+}
