@@ -160,6 +160,45 @@ object Oracles {
                sqrt(list_dot_product(b.v, b.v))) >= 0.4
       ORDER BY vec_a, vec_b"""
 
+  /** q156's ground truth — [[incrementalDedupOracle]] extended with the
+    * third arrival wave (double-scaled copies of the %7==3 slice's
+    * %9==4 rows at +9e6): the streaming probe→append loop's per-batch
+    * union must equal the ONE-SHOT incremental answer over all three
+    * waves, because each qualifying pair surfaces exactly once — when
+    * its later-arriving side probes, its earlier side is already
+    * corpus (base or appended epoch). The oracle knows nothing about
+    * batches: batch boundaries are provably output-invisible, which is
+    * exactly what the gate proves.
+    */
+  private val streamingIngestOracle: String = """
+      WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 7 <> 3),
+      inc AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 7 = 3
+        UNION ALL
+        SELECT vec_id + 5000000,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x * 1.001)
+        FROM embeddings WHERE vec_id % 7 <> 3 AND vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 9000000,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x * 1.001)
+        FROM embeddings WHERE vec_id % 7 = 3 AND vec_id % 9 = 4),
+      allv AS (
+        SELECT vec_id, v, FALSE AS inc FROM corpus
+        UNION ALL
+        SELECT vec_id, v, TRUE AS inc FROM inc)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM allv a JOIN allv b
+        ON a.vec_id < b.vec_id AND (a.inc OR b.inc)
+      WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      ORDER BY vec_a, vec_b"""
+
   /** The text arrival family's exact O(n·m) ground truth (q153/q154/
     * q155 — live, indexed, appended): every pair at exact word-3-gram
     * Jaccard ≥ 0.6 with at least one INCOMING side, canonical ids.
@@ -1773,6 +1812,12 @@ object Oracles {
     // append ≡ monolithic: the q152 index serves the SAME final corpus
     // as q147/q148, so the same exact pair oracle gates it unchanged
     "q152_incremental_dedup_appended" -> incrementalDedupOracle,
+
+    // The streaming probe→append loop: batch boundaries are provably
+    // output-invisible (each pair surfaces exactly once, when its
+    // later side arrives), so the batch-free exact pair SQL gates the
+    // whole cadence — probe, report, fold, repeat.
+    "q156_streaming_index_ingest" -> streamingIngestOracle,
 
     // The text arrival family (r11): one exact O(n·m) Jaccard oracle
     // gates the live banded path, the stored-artifact probe, and the

@@ -636,6 +636,19 @@ object Queries {
       Ann.cosinePairsCpIndexed(idx, incoming, threshold = 0.4)
     }),
 
+    // The index lifecycle's PRODUCTION CADENCE (r11): arriving shards
+    // as micro-batches, each probing the stored artifact for its pairs
+    // and FOLDING IN as a new epoch before the next fires — q148+q152
+    // composed into the Structured Streaming loop a 100 TB pipeline
+    // runs. Each qualifying pair surfaces exactly once (its later side
+    // probes when its earlier side is already corpus), so the union of
+    // per-batch reports is order-independent and the exact O(n·m)
+    // oracle gates the whole loop; a planted cross-batch wave pins the
+    // append fold as load-bearing (IndexIngest scaladoc).
+    "q156_streaming_index_ingest" -> ((s, dir) =>
+      graft.streaming.IndexIngest.ingestOnce(
+        s, dir, "q156_streaming_index_ingest")),
+
     // ---- The TEXT arrival family (r11): the MinHash analogue of
     // q147/q148/q152, because at 100 TB text dedup IS the workload.
     // Shared recipe (the q147 shape on documents): corpus = %7 != 3,

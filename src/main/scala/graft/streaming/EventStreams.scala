@@ -50,7 +50,7 @@ object EventStreams {
     * fresh per run, so resizing is safe. Same SparkContext, own conf +
     * catalog — the outer session's batch parallelism is untouched.
     */
-  private def streamingSession(spark: SparkSession,
+  private[graft] def streamingSession(spark: SparkSession,
       parts: Int = 8): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
@@ -203,7 +203,7 @@ object EventStreams {
     * construction. Disabled (the default), behavior is byte-for-byte
     * the old wipe-and-restage.
     */
-  private def stagedOnce(sfDir: String, dirs: String*)(build: => Unit): Unit = {
+  private[graft] def stagedOnce(sfDir: String, dirs: String*)(build: => Unit): Unit = {
     val reuse = java.lang.Boolean.getBoolean("graft.stage.reuse")
     val token = s"$stageNonce|$sfDir"
     val tokenPath = java.nio.file.Paths.get(dirs.head, "_graft_stage_token")
@@ -278,7 +278,7 @@ object EventStreams {
     * stamped-file set; the first call (empty set, idx 0) wipes the
     * directory.
     */
-  private def writeStampedBatch(srcDir: String, df: DataFrame, idx: Int,
+  private[graft] def writeStampedBatch(srcDir: String, df: DataFrame, idx: Int,
       stamped: Set[java.nio.file.Path], label: String)
       : Set[java.nio.file.Path] = {
     df.coalesce(1)

@@ -797,4 +797,43 @@ class EventsAndStreamingSpec extends AnyFunSuite {
       (3L, 7L, 8L, 0L)),
       s"boundary semantics: got $pairs")
   }
+
+  test("streaming index ingest: batch boundaries are output-invisible " +
+      "(drained union equals one-shot incremental over all waves) and " +
+      "the artifact ends fully folded") {
+    val name = "q156_streaming_index_ingest_spec"
+    val drained = CacheScope.withScope {
+      graft.streaming.IndexIngest.ingestOnce(spark, TestSpark.sf, name)
+        .as[(Long, Long)].collect().toSet
+    }
+    // the one-shot live incremental over the SAME three waves — batch
+    // boundaries must not add, drop, or duplicate a single pair
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = e.filter(col("vec_id") % 7 =!= 3)
+      .select("vec_id", "embedding")
+    def scaled(df: org.apache.spark.sql.DataFrame, shift: Long) =
+      df.select((col("vec_id") + lit(shift)).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x * lit(1.001d)).as("embedding"))
+    val waveA = e.filter(col("vec_id") % 7 === 3)
+      .select("vec_id", "embedding")
+    val incoming = waveA
+      .unionByName(scaled(corpus.filter(col("vec_id") % 10 === 0),
+        5000000L))
+      .unionByName(scaled(waveA.filter(col("vec_id") % 9 === 4),
+        9000000L))
+    val oneShot = CacheScope.withScope {
+      graft.operators.Ann.cosinePairsCpIncremental(corpus, incoming, 0.4)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(drained == oneShot && drained.nonEmpty,
+      s"drained ${drained.size} != one-shot ${oneShot.size}")
+    // the artifact holds base + all three folded waves: serving epoch 3,
+    // corpus_count = every participating vector
+    val meta = spark.read.parquet(s"/tmp/graft_stream_idx_$name/meta_3")
+      .head()
+    assert(meta.getAs[Int]("epoch") == 3)
+    assert(meta.getAs[Long]("corpus_count") ==
+      CacheScope.withScope { corpus.count() + incoming.count() })
+  }
 }
