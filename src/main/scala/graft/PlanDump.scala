@@ -29,7 +29,9 @@ object PlanDump {
     "q140_length_batches", "q141_image_neardup", "q142_linkage_segmented",
     "q143_bpe_merges", "q144_cosine_pairs_cp", "q145_bpe_encode",
     "q146_ann_cp", "q147_incremental_dedup", "q149_substring_spans",
-    "q150_span_removal", "q151_ann_cp_search_indexed")
+    "q150_span_removal", "q151_ann_cp_search_indexed",
+    "q152_incremental_dedup_appended", "q153_text_incremental_dedup",
+    "q154_text_dedup_indexed")
 
   /** Prose that must survive regeneration (r11: the q52 STATUS note was
     * hand-edited into the generated file once — a regen would have
@@ -80,7 +82,31 @@ object PlanDump {
         |rows against a columnar scan of the artifact's band rows, exact
         |cosine on candidates only, per-query rank window. Corpus growth
         |costs a linear stored-band scan, never a re-hash — the Stress
-        |`inc` section's q151 row measures that slope.""".stripMargin)
+        |`inc` section's q151 row measures that slope.""".stripMargin,
+    "q152_incremental_dedup_appended" ->
+      """The probe plan over an APPEND-built artifact (base epoch +
+        |one appended epoch) — identical probe shape to q148; the
+        |epoch'd layout appears as a partition filter on the stored
+        |band/vector scans (epochs ≤ the serving meta), which is how a
+        |torn append costs zero read bytes. The append itself is
+        |shard-local (hash map stage + epoch write + id semi-scan) and
+        |runs before this plan, not inside it.""".stripMargin,
+    "q153_text_incremental_dedup" ->
+      """The q147 arrival shape on TEXT (MinHash): only incoming band
+        |rows probe (broadcast under the size gate), candidates verify
+        |on true shingle sets with an integer cross-multiplied
+        |threshold. Banding (r, b) derives from Broder's exact per-band
+        |J^r identity and the recall bound at (threshold, targetMiss)
+        |within the 64-slot signature — derived, never tuned. The
+        |corpus shingle+hash map stages re-run per call; q154's stored
+        |artifact deletes exactly that term.""".stripMargin,
+    "q154_text_dedup_indexed" ->
+      """The stored-artifact form of q153: the corpus side's shingle
+        |sets and band rows are columnar scans of the EpochStore
+        |tables (epoch-pruned), so the plan's only map-stage hashing
+        |is the shard's own; banding comes from the artifact meta —
+        |zero derivation jobs. The Stress `txt`/`txt100` rows measure
+        |the live-vs-stored slope separation.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     // a renamed/removed query or a typoed notes key must refuse, not
