@@ -861,6 +861,24 @@ object Oracles {
             < w.weight_ppm
       ORDER BY d.doc_id""",
 
+    // Temperature mixing: the rate is floor(1e6 · sqrt(mn/toks)) — the
+    // EXACT op order the engine runs (cast, divide, sqrt, multiply,
+    // floor: each individually correctly rounded, so both engines land
+    // the identical ppm integer); the draw is the shared portable hash.
+    "q157_temperature_mixture" -> """
+      WITH st AS (SELECT source, sum(n_chars) AS toks
+                  FROM documents GROUP BY 1),
+      m AS (SELECT min(toks) AS mn FROM st),
+      w AS (SELECT source,
+              CAST(floor(1000000 * sqrt(CAST(mn AS DOUBLE) /
+                CAST(toks AS DOUBLE))) AS BIGINT) AS weight_ppm
+            FROM st, m)
+      SELECT d.doc_id, d.source, w.weight_ppm
+      FROM documents d JOIN w USING (source)
+      WHERE ((d.doc_id % 100003) * 2654435761) % 1000000007 % 1000000
+            < w.weight_ppm
+      ORDER BY d.doc_id""",
+
     // Sliding-window chunking: starts = {0, 20, …} below the token
     // count; 1-based inclusive list slice clamps the trailing chunk
     // exactly like Spark's slice(); fingerprints are md5 of the

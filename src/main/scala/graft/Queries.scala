@@ -813,6 +813,21 @@ object Queries {
         .select("doc_id", "source", "weight_ppm")
         .orderBy("doc_id")),
 
+    // TEMPERATURE-scaled source mixing (r11): p(source) ∝ mass^α, the
+    // T5/XLM-R re-weighting — materialized as per-source keep rates
+    // (min_mass/mass)^(1-α) in exact ppm. α = 0.5 here; the rate's
+    // quarter-power is a sqrt COMPOSITION (correctly rounded in every
+    // IEEE engine) never pow() (not correctly rounded — a last-ulp
+    // cross-engine diff under FLOOR flips a ppm step and the sample);
+    // rows keep by the q85 portable-hash draw. q121 is the α = 0
+    // point of the same family.
+    "q157_temperature_mixture" -> ((s, dir) =>
+      Sampling.temperatureSample(Tables.documents(s, dir),
+          idCol = "doc_id", groupCol = "source", sizeCol = "n_chars",
+          alpha = 0.5)
+        .select("doc_id", "source", "weight_ppm")
+        .orderBy("doc_id")),
+
     // RAG chunking: 40-token windows at stride 20 (50% overlap), chunk
     // text carried only as its md5 fingerprint — a pure narrow codegen
     // pipeline (split → sequence → posexplode → slice), zero shuffles.

@@ -83,6 +83,73 @@ object Sampling {
       idCol, col("weight_ppm"))
   }
 
+  /** TEMPERATURE-scaled mixture sampling — the `p(source) ∝ mass^α`
+    * source re-weighting every multi-source LLM training mix applies
+    * (T5 uses α ≈ 0.3 for C4 mixtures, XLM-R α = 0.7 across languages;
+    * α < 1 upweights small sources relative to their raw mass).
+    * Materialized as per-row keep rates: expected kept mass from a
+    * source must be ∝ mass^α, so the keep rate is ∝ mass^(α−1),
+    * normalized so the SMALLEST source keeps everything —
+    * `rate(s) = (min_mass / mass_s)^(1−α)`, in integral ppm.
+    * [[mixtureSample]] is exactly the α = 0 point (equal final mass);
+    * α = 1 is the identity mix.
+    *
+    * WHY α IS RESTRICTED to {0.25, 0.5, 0.75}: the gate-grade
+    * determinism contract. A general `pow(x, y)` is NOT a correctly-
+    * rounded operation in IEEE 754 — engines legally disagree in the
+    * last ulp, and a last-ulp disagreement under FLOOR flips a whole
+    * ppm step, i.e. a different sample. `sqrt` IS correctly rounded
+    * everywhere, so the three quarter-power exponents (1−α ∈
+    * {0.75, 0.5, 0.25}) are computed as sqrt COMPOSITIONS — x^0.5 =
+    * sqrt(x), x^0.25 = sqrt(sqrt(x)), x^0.75 = sqrt(x)·sqrt(sqrt(x))
+    * — a fixed sequence of individually correctly-rounded ops that
+    * every IEEE engine reproduces bit-for-bit (the q128 quantization
+    * discipline). The oracle mirrors the exact op ORDER:
+    * t = double(min_mass)/double(mass), then the composition, then
+    * FLOOR(1e6·r). Any other α refuses loudly rather than silently
+    * shipping an engine-dependent sample.
+    *
+    * Premise: group masses must stay under 2⁵³ (exact BIGINT→DOUBLE
+    * widening — ~9 PB of text per source at 1 B/char before it trips);
+    * checked on the |groups|-row stats frame, not the corpus.
+    *
+    * Scale shape: identical to [[mixtureSample]] — a |groups|-row
+    * stats frame broadcast both ways, then [[weightedSample]]'s pure
+    * narrow filter. No corpus shuffle at any size.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+      sizeCol: String, alpha: Double): DataFrame = {
+    val comp: Column => Column = alpha match {
+      case 0.5 => x => sqrt(x)
+      case 0.25 => x => sqrt(x) * sqrt(sqrt(x)) // (1-α) = 0.75
+      case 0.75 => x => sqrt(sqrt(x)) // (1-α) = 0.25
+      case a => throw new IllegalArgumentException(
+        s"temperatureSample: alpha = $a is not gate-grade portable — " +
+          "general pow() is not correctly rounded and engines disagree " +
+          "in the last ulp, which flips ppm steps under FLOOR. " +
+          "Supported: 0.25, 0.5, 0.75 (sqrt compositions; alpha = 0 " +
+          "is mixtureSample, alpha = 1 the identity mix).")
+    }
+    val totals = graft.CacheScope.scoped(df.groupBy(col(groupCol))
+      .agg(sum(col(sizeCol)).cast("long").as("_toks")))
+    val mn = totals.agg(min(col("_toks")).as("_mn"))
+    val weights = totals.crossJoin(broadcast(mn))
+      // exact-widening premise consumed through the rate column (+0 on
+      // success — the requireSpanHours idiom; a free-standing check
+      // column could be pruned before evaluating)
+      .select(col(groupCol),
+        (floor(lit(1000000d) *
+          comp(col("_mn").cast("double") / col("_toks").cast("double")))
+          .cast("long") +
+          coalesce(assert_true(col("_toks") < lit(9007199254740992L),
+            lit("temperatureSample: a group mass exceeds 2^53 — the " +
+              "BIGINT->DOUBLE widening would round and the sample " +
+              "stops being engine-portable")).cast("long"),
+            lit(0L))).as("weight_ppm"))
+    weightedSample(df.join(broadcast(weights), Seq(groupCol)),
+      idCol, col("weight_ppm"))
+  }
+
   /** The k rows of each stratum with the smallest (hash, id) order key.
     * Output: stratum column, id column, `sample_rank` (1..k).
     */

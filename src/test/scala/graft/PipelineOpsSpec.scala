@@ -151,6 +151,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again.toSeq === got.map(_._1).sorted.toSeq)
   }
 
+  // ------------------------------------------------ temperatureSample
+
+  test("temperatureSample: the sqrt-composition rates land exactly, " +
+      "alpha=0 would be mixtureSample, and unsupported alpha refuses") {
+    // masses: a = 100 (smallest, rate 1e6 at every alpha);
+    // b = 400 → t = 0.25: alpha 0.5 → sqrt(.25) = .5 → 500000;
+    // alpha 0.75 → .25^.25 = sqrt(sqrt(.25)); alpha 0.25 → .25^.75
+    val df = ((1L to 10L).map(i => (i, "a", 10L)) ++
+      (11L to 20L).map(i => (i, "b", 40L)))
+      .toDF("doc_id", "source", "n_chars")
+    def ratesAt(alpha: Double): Map[String, Long] = CacheScope.withScope {
+      Sampling.temperatureSample(df, "doc_id", "source", "n_chars", alpha)
+        .select("source", "weight_ppm").distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    }
+    // expected via the IDENTICAL Java IEEE op sequence the operator runs
+    def expect(t: Double, alpha: Double): Long = {
+      val r = alpha match {
+        case 0.5 => math.sqrt(t)
+        case 0.25 => math.sqrt(t) * math.sqrt(math.sqrt(t))
+        case 0.75 => math.sqrt(math.sqrt(t))
+      }
+      math.floor(1000000d * r).toLong
+    }
+    for (a <- Seq(0.25, 0.5, 0.75)) {
+      val got = ratesAt(a)
+      assert(got("a") == 1000000L, s"alpha=$a smallest source")
+      assert(got("b") == expect(0.25, a), s"alpha=$a heavier source")
+    }
+    assert(ratesAt(0.5)("b") == 500000L)
+    // the kept rows are exactly the portable-hash draws under the rate
+    def hash(id: Long) = ((id % 100003L) * 2654435761L) % 1000000007L
+    val kept = CacheScope.withScope {
+      Sampling.temperatureSample(df, "doc_id", "source", "n_chars", 0.5)
+        .filter(col("source") === "b")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+    }
+    assert(kept.toSeq ==
+      (11L to 20L).filter(i => hash(i) % 1000000L < 500000L))
+    // unsupported alpha refuses loudly, naming the determinism reason
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(df, "doc_id", "source", "n_chars", 0.3)
+    }
+    assert(e.getMessage.contains("correctly rounded"))
+    // a group mass at 2^53 refuses (the exact-widening premise)
+    val big = Seq((1L, "a", 9007199254740992L), (2L, "b", 1L))
+      .toDF("doc_id", "source", "n_chars")
+    val pe = intercept[Exception] {
+      CacheScope.withScope {
+        Sampling.temperatureSample(big, "doc_id", "source", "n_chars",
+          0.5).collect()
+      }
+    }
+    assert(pe.getMessage.contains("2^53"))
+  }
+
   // ----------------------------------------------------- hardNegatives
 
   test("hardNegatives excludes same-label neighbors even when they are " +
