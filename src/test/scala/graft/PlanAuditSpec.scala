@@ -82,6 +82,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "cross-joined (broadcast) onto the |groups|-row totals — same " +
       "bounds-frame mechanism as q50/q64; the corpus itself joins the " +
       "tiny weights frame by equi-key"),
+    "q157_temperature_mixture" -> ("q121's identical ONE-ROW " +
+      "min-group-mass bounds broadcast onto the |groups|-row totals " +
+      "(temperatureSample shares mixtureSample's stats shape); the " +
+      "corpus joins the tiny weights frame by equi-key"),
     "q124_hard_negatives" -> ("the label-mismatch top-k IS a broadcast " +
       "NL join (queries broadcast over corpus) by design — q24's exact " +
       "baseline shape with the mismatch predicate as the join condition"),
