@@ -213,18 +213,24 @@ object Stress {
     // re-hashes a 500k-doc corpus per shard, the indexed probe pays
     // only the stored band/shingle columnar scans. Exponent =
     // log₁₀(ratio)/2 (two decades).
+    // the text arrival family's shared fixtures (txt + txt100): both
+    // tiers are buildDocCorpus outputs and the fixed shard is drawn
+    // from the TRANSFORMED copy-0 space — see the txt section comment
+    val txtDoc1 = "/tmp/graft_stress_doc_1x"
+    def txtDocs(dir: String): DataFrame = spark.read
+      .parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    def txtShard(): DataFrame = txtDocs(txtDoc1)
+      .orderBy(col("doc_id")).limit(2200)
+      .select((col("doc_id") + lit(100000000000L)).as("doc_id"),
+        col("text"))
+
     if (section("txt100")) {
       val doc100 = "/tmp/graft_stress_doc_100x"
+      buildDocCorpus(spark, base, txtDoc1, 1)
       buildDocCorpus(spark, base, doc100, 100)
-      def txtDocs(dir: String): DataFrame = spark.read
-        .parquet(s"$dir/documents.parquet").select("doc_id", "text")
-      def txtShard(): DataFrame = txtDocs(base)
-        .orderBy(col("doc_id")).limit(2200)
-        .select((col("doc_id") + lit(100000000000L)).as("doc_id"),
-          col("text"))
       val idx1 = "/tmp/graft_stress_txtidx100_1x"
       val idx100 = "/tmp/graft_stress_txtidx100_100x"
-      Seq((base, idx1), (doc100, idx100)).foreach { case (src, idx) =>
+      Seq((txtDoc1, idx1), (doc100, idx100)).foreach { case (src, idx) =>
         CacheScope.withScope {
           operators.TextIndex.writeJaccardIndex(txtDocs(src), idx,
             threshold = 0.6)
@@ -237,7 +243,7 @@ object Stress {
         operators.TextIndex.jaccardPairsIndexed(idx, txtShard(),
           threshold = 0.6)
       Seq(("q153_text_incremental@0.6 fixed-shard (live reshingle)",
-            live(base), live(doc100)),
+            live(txtDoc1), live(doc100)),
           ("q154_text_indexed@0.6 fixed-shard (stored artifact)",
             probe(idx1), probe(idx100)))
         .foreach { case (label, mk1, mk100) =>
@@ -380,10 +386,16 @@ object Stress {
 
     // ---- the TEXT arrival family against a 10×-grown documents
     // corpus (r11 — the q147/q148/q152 measurement mirrored onto
-    // MinHash): a FIXED 2200-doc shard of verbatim base-corpus texts
-    // (ids shifted clear of every copy's id space; exact copies are
-    // planted J=1 hits against copy 0 in both tiers, and the per-copy
-    // word transform keeps other copies' shingles out of its way).
+    // MinHash): a FIXED 2200-doc shard drawn from the TRANSFORMED
+    // copy-0 text space (ids shifted clear of every copy's id space).
+    // Both tiers are buildDocCorpus outputs — the 1× tier is the
+    // 1-copy build, NOT the raw base table, because the per-copy word
+    // transform rewrites copy 0's text too (" " → " 0"); a verbatim
+    // base-text shard would have J=1 partners at 1× and NONE at 10×,
+    // silently shrinking the verify term across tiers (r11 review).
+    // Drawn this way, the shard's exact copies are planted J=1 hits
+    // against the identical transformed copy-0 docs in BOTH tiers,
+    // and the transform keeps other copies' shingles out of its way.
     // The live path re-shingles + re-hashes the corpus per call — its
     // expected slope is that linear term; the indexed probe reads the
     // stored shingle/band tables, so its only growth term is the
@@ -391,15 +403,10 @@ object Stress {
     // index per tier is written ONCE, untimed (the write amortizes
     // across every arriving shard — that amortization IS the claim).
     if (section("txt")) {
-      def txtDocs(dir: String): DataFrame = spark.read
-        .parquet(s"$dir/documents.parquet").select("doc_id", "text")
-      def txtShard(): DataFrame = txtDocs(base)
-        .orderBy(col("doc_id")).limit(2200)
-        .select((col("doc_id") + lit(100000000000L)).as("doc_id"),
-          col("text"))
+      buildDocCorpus(spark, base, txtDoc1, 1)
       val txtIdx1 = "/tmp/graft_stress_txtidx_1x"
       val txtIdx10 = "/tmp/graft_stress_txtidx_10x"
-      Seq((base, txtIdx1), (dir10, txtIdx10)).foreach { case (src, idx) =>
+      Seq((txtDoc1, txtIdx1), (dir10, txtIdx10)).foreach { case (src, idx) =>
         CacheScope.withScope {
           operators.TextIndex.writeJaccardIndex(txtDocs(src), idx,
             threshold = 0.6)
@@ -412,7 +419,7 @@ object Stress {
         operators.TextIndex.jaccardPairsIndexed(idx, txtShard(),
           threshold = 0.6)
       report("q153_text_incremental@0.6 fixed-shard (live reshingle)",
-        timed(txtLive(base)), timed(txtLive(dir10)))
+        timed(txtLive(txtDoc1)), timed(txtLive(dir10)))
       report("q154_text_indexed@0.6 fixed-shard (stored artifact)",
         timed(txtProbe(txtIdx1)), timed(txtProbe(txtIdx10)))
       // append LAST (mutates the artifacts, which are rebuilt at the

@@ -136,12 +136,17 @@ object Sampling {
     val weights = totals.crossJoin(broadcast(mn))
       // exact-widening premise consumed through the rate column (+0 on
       // success — the requireSpanHours idiom; a free-standing check
-      // column could be pruned before evaluating)
+      // column could be pruned before evaluating). The condition is
+      // coalesced to PASS on a NULL mass (assert_true(NULL) THROWS in
+      // Spark 4 — the r8 gotcha): an all-NULL-size group has no mass
+      // to mis-widen; its rate is NULL and its rows drop, exactly
+      // mixtureSample's behavior on the same input.
       .select(col(groupCol),
         (floor(lit(1000000d) *
           comp(col("_mn").cast("double") / col("_toks").cast("double")))
           .cast("long") +
-          coalesce(assert_true(col("_toks") < lit(9007199254740992L),
+          coalesce(assert_true(
+            coalesce(col("_toks") < lit(9007199254740992L), lit(true)),
             lit("temperatureSample: a group mass exceeds 2^53 — the " +
               "BIGINT->DOUBLE widening would round and the sample " +
               "stops being engine-portable")).cast("long"),

@@ -382,10 +382,7 @@ object TextDedup {
     // exchange at sf0.1.
     // cached: the band self-join and the verify path would otherwise both
     // re-derive shingles + signatures from the raw text
-    val shingled = graft.CacheScope.scoped(docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), TextFns.shingles(col("ws"), 3).as("shingles")))
+    val shingled = graft.CacheScope.scoped(shingleFrame(docs))
     val sigs = shingled.select(col("doc_id"),
       expr("graft_minhash64(shingles)").as("sig"))
     val cand = lshCandidates(sigs, bands, r, bucketCap)
@@ -420,13 +417,7 @@ object TextDedup {
     */
   private[graft] def lshCandidates(sigs: DataFrame, bands: Int, r: Int,
       bucketCap: Int): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        hash(slice(col("sig"), b * r + 1, r), lit(b)).as("band_hash"))
-    }
-    val raw = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
-      .select(col("doc_id"), col("bh.band_id"), col("bh.band_hash"))
+    val raw = minhashBandRows(sigs, r, bands)
     // (band, hash) -> slice count, ONLY where a bucket breaches the cap;
     // integral ceil division: (cnt + cap - 1) div cap
     val oversized = raw.groupBy(col("band_id"), col("band_hash"))
@@ -449,6 +440,38 @@ object TextDedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** (doc_id, shingles) distinct word-3-gram sets for docs with ≥ 3
+    * words — THE one shingling pipeline, shared by [[jaccardPairsLsh]]
+    * (q26) and the [[TextIndex]] artifact family so the two can never
+    * drift on what a shingle is (r11 review; the oracle's
+    * `len(ws) >= 3` + list_distinct walk mirrors it exactly).
+    */
+  private[operators] def shingleFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), TextFns.shingles(col("ws"), 3).as("shingles"))
+
+  /** (doc_id, band_id, band_hash) rows from (doc_id, sig) under
+    * banding (r, b): band i's key hashes signature slots
+    * [i·r+1, i·r+r] salted by the band id — THE one band-key
+    * construction, shared by the q26 self-join path and the
+    * [[TextIndex]] artifact family (r11 review: a second hand-copied
+    * formula is how two families silently stop colliding). The hash
+    * is Spark-internal and output-invisible (candidates always verify
+    * exactly), so it never needs oracle parity.
+    */
+  private[operators] def minhashBandRows(sigs: DataFrame, r: Int,
+      b: Int): DataFrame = {
+    val bandCols = (0 until b).map { i =>
+      struct(lit(i).as("band_id"),
+        hash(slice(col("sig"), i * r + 1, r), lit(i)).as("band_hash"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band_id").as("band_id"),
+        col("bh.band_hash").as("band_hash"))
   }
 
   /** Exact shingle-Jaccard for a given candidate-pair set: two semi-joins

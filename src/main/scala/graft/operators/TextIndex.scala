@@ -86,33 +86,34 @@ object TextIndex {
     fits.last
   }
 
-  /** (doc_id, shingles, n) for docs with ≥ 3 words — distinct word
-    * 3-grams, the exact sets the verify joins count over.
+  /** (doc_id, shingles, n) for docs with ≥ 3 words — the ONE shared
+    * shingling pipeline ([[TextDedup.shingleFrame]], so this family
+    * and q26 can never drift on what a shingle is) plus the set size
+    * the verify joins divide by.
     */
   private def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), TextFns.shingles(col("ws"), 3).as("shingles"))
+    TextDedup.shingleFrame(docs)
       .withColumn("n", size(col("shingles")).cast("long"))
 
-  /** (doc_id, band_id, band_hash) under banding (r, b): band i hashes
-    * signature slots [i·r+1, i·r+r] salted by the band id — the q26
-    * `lshCandidates` band key, emitted as rows (this is what the
-    * artifact stores and what probes join on; the hash is
-    * Spark-internal and output-invisible, so it never needs oracle
-    * parity).
+  /** (doc_id, band_id, band_hash) under banding (r, b): signatures
+    * via the codegen MinHash expression, band keys via the ONE shared
+    * construction ([[TextDedup.minhashBandRows]] — what the artifact
+    * stores and what probes join on).
+    *
+    * Hot-bucket stance (deliberately unsalted, unlike q26's
+    * self-join): the probe join costs |shard bucket| × |corpus
+    * bucket| per band key, so thousands of byte-identical docs
+    * collapsing into one bucket would make an arriving shard of the
+    * same text pay their product — but identical documents are
+    * exact-dedup's job ([[TextDedup.exactDupGroups]]) BEFORE a
+    * near-dup index is built or probed, the same documented stance as
+    * q26's cross-slice drop and the cp arrival paths.
     */
   private def bandRows(sh: DataFrame, r: Int, b: Int): DataFrame = {
     GraftFunctions.register(sh.sparkSession)
-    val bandCols = (0 until b).map { i =>
-      struct(lit(i).as("band_id"),
-        hash(slice(col("sig"), i * r + 1, r), lit(i)).as("band_hash"))
-    }
-    sh.select(col("doc_id"),
-        expr("graft_minhash64(shingles)").as("sig"))
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
-      .select(col("doc_id"), col("bh.band_id").as("band_id"),
-        col("bh.band_hash").as("band_hash"))
+    TextDedup.minhashBandRows(
+      sh.select(col("doc_id"),
+        expr("graft_minhash64(shingles)").as("sig")), r, b)
   }
 
   /** Exact-Jaccard verification of a candidate pair set against the

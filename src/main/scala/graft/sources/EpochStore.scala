@@ -77,10 +77,21 @@ object EpochStore {
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq.map(_.getPath.getName)
         .collect { case rx(n) => n.toInt }
+    // Only the TORN shapes skip to a lower epoch: an uncommitted
+    // meta_N holds no readable parquet (the committer's _temporary
+    // only → UNABLE_TO_INFER_SCHEMA / PATH_NOT_FOUND, an
+    // AnalysisException) or committed zero rows (head() throws
+    // NoSuchElement). Anything else — a transient I/O error, a
+    // permission failure — PROPAGATES: silently serving epoch N−1
+    // because epoch N hiccuped would emit an incomplete answer with
+    // no error, which is worse than failing the probe (r11 review).
     val serving = epochs.sorted(Ordering[Int].reverse).view
       .flatMap { n =>
         try Some((n, spark.read.parquet(s"$dir/meta_$n").head()))
-        catch { case _: Exception => None }
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+          case _: java.util.NoSuchElementException => None
+        }
       }.headOption
     require(serving.nonEmpty,
       s"$who: no complete epoch at $dir (no readable meta_N) — " +

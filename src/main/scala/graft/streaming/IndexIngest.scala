@@ -89,8 +89,20 @@ object IndexIngest {
     // the artifact and pair sink MUTATE during the drain — rebuilt
     // every run, never staged-reused
     EventStreams.deleteStagingForTest(java.nio.file.Paths.get(outDir))
-    val finalCount = corpus.count() + waveA.count() + waveB.count() +
-      waveC.count()
+    // final corpus count (base + all three waves) in ONE scan — the
+    // wave predicates are residue classes of the same table, so a
+    // single conditional aggregate replaces four filtered counts
+    // (r11 review: this query deliberately re-pays its loop every
+    // bench pass; the derivation must not add scans of its own)
+    val cnt = e.agg(
+      count(when(col("vec_id") % 7 =!= 3, 1)).as("corpus"),
+      count(when(col("vec_id") % 7 === 3, 1)).as("a"),
+      count(when(col("vec_id") % 7 =!= 3 && col("vec_id") % 10 === 0, 1))
+        .as("b"),
+      count(when(col("vec_id") % 7 === 3 && col("vec_id") % 9 === 4, 1))
+        .as("c")).head()
+    val finalCount = cnt.getLong(0) + cnt.getLong(1) + cnt.getLong(2) +
+      cnt.getLong(3)
     val k = CrossPolytope.chooseHashesPerBand(finalCount, 0.4, 64, 1e-4)
     val b = CrossPolytope.bandsFor(0.4, k, 64, 1e-4)
     graft.CacheScope.withScope {
