@@ -1837,6 +1837,42 @@ object Oracles {
     // whole cadence — probe, report, fold, repeat.
     "q156_streaming_index_ingest" -> streamingIngestOracle,
 
+    // The exact-dedup arrival lifecycle: the stored owner map is
+    // recomputed DECLARATIVELY (base min per fp, else the appended
+    // slice's min — the survivors contract means a slice doc whose fp
+    // is already base never becomes an owner), then the arrival
+    // verdicts against it; NULL-text docs are their own owner (NULL
+    // join/group semantics would otherwise diverge between engines'
+    // paths). The fingerprint is q20's oracle-proven recipe verbatim.
+    "q159_exact_dedup_indexed" -> """
+      WITH f AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        FROM documents),
+      corpus AS (SELECT doc_id, fp FROM f WHERE doc_id % 7 <> 3),
+      base AS (SELECT fp, min(doc_id) AS bo FROM corpus
+               WHERE doc_id % 11 <> 5 AND fp IS NOT NULL GROUP BY fp),
+      slice AS (SELECT fp, min(doc_id) AS so FROM corpus
+                WHERE doc_id % 11 = 5 AND fp IS NOT NULL GROUP BY fp),
+      stored AS (SELECT coalesce(b.fp, s.fp) AS fp,
+                        coalesce(b.bo, s.so) AS owner
+                 FROM base b FULL JOIN slice s ON b.fp = s.fp),
+      inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 7 = 3
+              UNION ALL
+              SELECT doc_id + 5000000, fp FROM corpus
+              WHERE doc_id % 10 = 0),
+      im AS (SELECT fp, min(doc_id) AS mi FROM inc
+             WHERE fp IS NOT NULL GROUP BY fp)
+      SELECT i.doc_id, i.fp,
+             CASE WHEN i.fp IS NULL THEN i.doc_id
+                  ELSE coalesce(st.owner, im.mi) END AS owner,
+             CAST(i.doc_id = CASE WHEN i.fp IS NULL THEN i.doc_id
+                  ELSE coalesce(st.owner, im.mi) END AS BIGINT) AS kept
+      FROM inc i LEFT JOIN stored st ON i.fp = st.fp
+                 LEFT JOIN im ON i.fp = im.fp
+      ORDER BY doc_id""",
+
     // The text arrival family (r11): one exact O(n·m) Jaccard oracle
     // gates the live banded path, the stored-artifact probe, and the
     // append-built artifact — the engine's MinHash banding must lose
@@ -1932,6 +1968,67 @@ object Oracles {
              md5(coalesce(a.cleaned, d.text)) AS clean_md5
       FROM documents d LEFT JOIN asm a USING (doc_id)
                        LEFT JOIN st USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    // Span decontamination, recomputed with NO hashing (the q149/q150
+    // discipline): a corpus window is marked iff its verbatim text
+    // appears as a window in the benchmark slice; islands, ranges and
+    // the string reconstruction are q150's oracle machinery verbatim —
+    // the engine's xxhash candidate stage never appears here, so a
+    // recall loss OR a collision leak would hash-diff at the gate.
+    "q158_span_decontaminate" -> """
+      WITH c AS (SELECT doc_id, text AS t FROM documents
+                 WHERE doc_id % 20 <> 3 AND length(text) >= 60),
+      b AS (SELECT text AS t FROM documents
+            WHERE doc_id % 20 = 3 AND length(text) >= 60),
+      bw AS (SELECT DISTINCT substr(t, CAST(i AS INT), 60) AS gram
+             FROM (SELECT t, unnest(generate_series(1, length(t) - 59))
+                     AS i FROM b)),
+      w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   substr(t, CAST(i AS INT), 60) AS gram
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, length(t) - 59)) AS i
+                  FROM c)),
+      del AS (SELECT w.doc_id, w.pos FROM w
+              WHERE w.gram IN (SELECT gram FROM bw)),
+      s AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER
+                     (PARTITION BY doc_id ORDER BY pos) <= 60
+                   THEN 0 ELSE 1 END AS brk FROM del),
+      g AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+            FROM s),
+      r AS (SELECT doc_id, min(pos) AS ds, max(pos) + 59 AS de
+            FROM g GROUP BY doc_id, rid),
+      seg AS (
+        SELECT doc_id,
+               coalesce(lag(de) OVER
+                 (PARTITION BY doc_id ORDER BY ds), 0) + 1 AS ks,
+               ds - 1 AS ke
+        FROM r
+        UNION ALL
+        SELECT doc_id, max(de) + 1 AS ks, NULL AS ke
+        FROM r GROUP BY doc_id),
+      asm AS (
+        SELECT seg.doc_id,
+               string_agg(substr(d.text, CAST(seg.ks AS INT),
+                 CAST(greatest(coalesce(seg.ke, length(d.text))
+                   - seg.ks + 1, 0) AS INT)), '' ORDER BY seg.ks)
+                 AS cleaned
+        FROM seg JOIN documents d USING (doc_id) GROUP BY seg.doc_id),
+      st AS (SELECT doc_id, count(*) AS n_cut,
+                    sum(de - ds + 1) AS chars_removed
+             FROM r GROUP BY doc_id)
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS orig_len,
+             CAST(length(coalesce(a.cleaned, d.text)) AS BIGINT)
+               AS clean_len,
+             CAST(coalesce(st.n_cut, 0) AS BIGINT) AS n_cut,
+             CAST(coalesce(st.chars_removed, 0) AS BIGINT)
+               AS chars_removed,
+             md5(coalesce(a.cleaned, d.text)) AS clean_md5
+      FROM documents d LEFT JOIN asm a USING (doc_id)
+                       LEFT JOIN st USING (doc_id)
+      WHERE d.doc_id % 20 <> 3
       ORDER BY d.doc_id""",
 
     // Multi-probe LSH probing ALL buckets (probeHamming = nPlanes) must

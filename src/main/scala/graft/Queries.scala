@@ -479,6 +479,24 @@ object Queries {
         w = 60)
         .orderBy(col("doc_id"))),
 
+    // SPAN-level decontamination (r11): q150's surgery aimed at a
+    // BENCHMARK — corpus windows whose verbatim text appears anywhere
+    // in the eval slice are cut and the cleaned corpus emitted,
+    // md5-gated byte-for-byte. The graded refinement of q93's
+    // whole-doc drop: a quoted eval passage costs the QUOTE, not the
+    // document. Benchmark = the q93 eval slice (%20 == 3); corpus =
+    // the rest; cross-split organic near-dups make the cut
+    // load-bearing at every gate SF (1/2/21 docs cut).
+    "q158_span_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("text",
+          asciiGuardedText("q158")(col("doc_id"), col("text")))
+      TextDedup.decontaminateSpans(
+        d.filter(col("doc_id") % 20 =!= 3),
+        d.filter(col("doc_id") % 20 === 3), w = 60)
+        .orderBy(col("doc_id"))
+    }),
+
     // Adversarial-DIAMETER components: 4 disjoint chains over the customer
     // id space (diameter ≈ |customer|/4 — 375 at sf0.01, far past the 50
     // one-hop-per-round iterations hash-min's maxIter allows, which is
@@ -698,6 +716,36 @@ object Queries {
           corpus.filter(col("doc_id") % 11 === 5))
       }
       TextIndex.jaccardPairsIndexed(idx, incoming, threshold = 0.6)
+    }),
+
+    // The EXACT-dedup arrival lifecycle (r11) — the third granularity
+    // of the stored-index story (embedding q148, shingle q154, now
+    // whole-doc identity): the corpus's normalize+md5 fingerprint →
+    // owner map persists on EpochStore; an arriving shard verdicts
+    // against ONE columnar scan of it (kept / dup-of-owner), and
+    // survivors fold in as a new epoch. The gate builds the index as
+    // base (%11 != 5) + a PROBED slice whose kept docs append (the
+    // survivors contract — at sf0.1 one fp genuinely straddles the
+    // split, so the premise is load-bearing), then verdicts the q147
+    // arrival shard; the oracle recomputes the two-tier owner map
+    // declaratively (base min, else slice min, else incoming min).
+    "q159_exact_dedup_indexed" -> ((s, dir) => {
+      val (corpus, incoming) = textArrival(s, dir)
+      val idx = "/tmp/graft_fpindex_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"fpindex|$dir") {
+        Dedup.writeFingerprintIndex(
+          corpus.filter(col("doc_id") % 11 =!= 5), idx)
+        val slice = corpus.filter(col("doc_id") % 11 === 5)
+        val kept = Dedup.dedupAgainstIndex(idx, slice)
+          .filter(col("kept")).select("doc_id")
+        Dedup.appendFingerprintIndex(idx,
+          slice.join(kept, Seq("doc_id"), "left_semi"))
+      }
+      Dedup.dedupAgainstIndex(idx, incoming)
+        .select(col("doc_id"), col("fp"), col("owner"),
+          col("kept").cast("long").as("kept"))
+        .orderBy(col("doc_id"))
     }),
 
     // Cross-polytope ANN top-k at the gate: EXHAUSTIVE probe (probes =

@@ -57,4 +57,154 @@ object Dedup {
   def exactGroups(df: DataFrame, key: Column, idCol: String): DataFrame =
     df.groupBy(key.as("dup_key"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+
+  // --------------------------------------------------------------------
+  // The EXACT-dedup ARRIVAL lifecycle (r11) — the third granularity of
+  // the stored-index family story (embedding cosine: q148/q151/q152;
+  // MinHash shingle Jaccard: q154/q155; and now whole-document exact
+  // identity), on the same graft.sources.EpochStore layout. The
+  // fingerprint is TextFns.fingerprint (normalize + md5, the q20
+  // oracle-proven recipe), so the whole path is exactly gateable.
+
+  /** Artifact layout version (bumped if the normalize+md5 recipe ever
+    * changes — probing across fingerprint versions silently treats
+    * every stored doc as novel).
+    */
+  private[graft] val FpIndexFamily = "fp-md5-norm-v1"
+
+  /** (doc_id, fp) for the given docs. NULL text → NULL fp: such a doc
+    * has no content to match and is always its own owner downstream.
+    */
+  private def fps(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+
+  /** Persist the corpus's fingerprint → owner map as epoch 0:
+    * `fps/epoch=N` (fp, owner = min doc_id per distinct fp; NULL fps
+    * are not stored — a NULL has no identity to collide with) and a
+    * one-row `meta_N` (family, corpus_count, fp_count, epoch). Deletes
+    * any previous artifact at `dir` first — the EpochStore contract
+    * (single writer; a rebuild reading this artifact's own files must
+    * build to a fresh directory).
+    */
+  def writeFingerprintIndex(corpus: DataFrame, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val f = graft.CacheScope.scoped(fps(corpus))
+    val counts = f.agg(count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("nd")).head()
+    require(counts.getLong(0) == counts.getLong(1),
+      "writeFingerprintIndex: doc_id is not one id space — " +
+        s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s) " +
+        "within the corpus; re-key upstream.")
+    val owners = f.filter(col("fp").isNotNull)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("owner"))
+    graft.sources.EpochStore.deleteAll(spark, dir)
+    writeFpEpoch(spark, dir, 0, owners, counts.getLong(0))
+  }
+
+  private def writeFpEpoch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, epoch: Int, owners: DataFrame,
+      totalCount: Long): Unit = {
+    import spark.implicits._
+    val meta = Seq((FpIndexFamily, totalCount, epoch))
+      .toDF("family", "corpus_count", "epoch")
+    graft.sources.EpochStore.writeEpoch(dir, epoch,
+      Seq("fps" -> owners), meta)
+  }
+
+  private def fpIndexState(spark: org.apache.spark.sql.SparkSession,
+      dir: String, who: String): (Int, Long) = {
+    val (epoch, meta) = graft.sources.EpochStore.servingState(spark,
+      dir, who, "writeFingerprintIndex")
+    val family = meta.getAs[String]("family")
+    require(family == FpIndexFamily,
+      s"$who: artifact at $dir was fingerprinted by family '$family' " +
+        s"but this code probes '$FpIndexFamily' — rebuild; probing " +
+        "across fingerprint versions treats every stored doc as novel")
+    (epoch, meta.getAs[Long]("corpus_count"))
+  }
+
+  /** Verdict an arriving shard against the stored corpus: per incoming
+    * doc — its fingerprint, its OWNER (the stored owner if the fp is
+    * already corpus, else the smallest incoming doc_id sharing it),
+    * and `kept` (it IS its own owner). NULL-fp docs (NULL text) are
+    * always kept as their own owner — a NULL has no identity to
+    * collide with, and SQL join/group NULL semantics would otherwise
+    * diverge between "no match" (joins) and "one group" (aggregates).
+    *
+    * Per-shard cost: the shard fingerprints in one map stage (and
+    * broadcasts, size-gated) against ONE columnar scan of the stored
+    * (fp, owner) table — corpus growth costs that scan, never a
+    * re-fingerprint. Survivors then fold in via
+    * [[appendFingerprintIndex]]; the probe→append loop is q156's
+    * cadence at the exact granularity.
+    */
+  def dedupAgainstIndex(indexDir: String, incoming: DataFrame)
+      : DataFrame = {
+    val spark = incoming.sparkSession
+    val (epoch, _) = fpIndexState(spark, indexDir, "dedupAgainstIndex")
+    val inc = graft.CacheScope.scoped(fps(incoming))
+    val counts = inc.agg(count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("nd")).head()
+    require(counts.getLong(0) == counts.getLong(1),
+      "dedupAgainstIndex: doc_id is not one id space — " +
+        s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s) " +
+        "within the incoming shard; re-key upstream.")
+    val stored = graft.sources.EpochStore.tableThrough(spark, indexDir,
+      "fps", epoch).select(col("fp"), col("owner").as("_stored_owner"))
+    val incHinted =
+      if (counts.getLong(0) <= Ann.MaxBroadcastBandRows) broadcast(inc)
+      else inc
+    val incMin = Window.partitionBy(col("fp"))
+    incHinted.join(stored, Seq("fp"), "left")
+      .withColumn("_inc_min", min(col("doc_id")).over(incMin))
+      .withColumn("owner", when(col("fp").isNull, col("doc_id"))
+        .otherwise(coalesce(col("_stored_owner"), col("_inc_min"))))
+      .withColumn("kept", col("doc_id") === col("owner"))
+      .select(col("doc_id"), col("fp"), col("owner"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fold a deduped shard's SURVIVORS into the artifact as epoch N+1.
+    * Three loud premises: one id space within the shard; no appended
+    * doc_id already stored as an owner; and — the survivors contract —
+    * no appended FINGERPRINT already stored (appending a doc whose fp
+    * is already corpus would create two owners for one identity;
+    * append what [[dedupAgainstIndex]] marked `kept`, not the raw
+    * shard). Shard-internal duplicate fps collapse to their min-id
+    * owner (they are one identity arriving together). No parameter
+    * currency exists to check: a fingerprint map has no parameters.
+    */
+  def appendFingerprintIndex(indexDir: String, survivors: DataFrame)
+      : Unit = {
+    val spark = survivors.sparkSession
+    val (epoch, prevCount) = fpIndexState(spark, indexDir,
+      "appendFingerprintIndex")
+    val f = graft.CacheScope.scoped(fps(survivors))
+    val counts = f.agg(count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("nd")).head()
+    require(counts.getLong(0) == counts.getLong(1),
+      "appendFingerprintIndex: doc_id is not one id space — " +
+        s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s) " +
+        "within the appended shard; re-key upstream.")
+    val stored = graft.sources.EpochStore.tableThrough(spark, indexDir,
+      "fps", epoch)
+    val idClash = f.select(col("doc_id").as("owner"))
+      .join(stored.select("owner"), Seq("owner"), "left_semi")
+      .limit(1).count()
+    require(idClash == 0,
+      s"appendFingerprintIndex: appended doc_id(s) already own stored " +
+        s"fingerprints at $indexDir — one id space is the contract.")
+    val owners = f.filter(col("fp").isNotNull)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("owner"))
+    val fpClash = owners.select("fp")
+      .join(stored.select("fp"), Seq("fp"), "left_semi")
+      .limit(1).count()
+    require(fpClash == 0,
+      s"appendFingerprintIndex: appended fingerprint(s) already exist " +
+        s"at $indexDir — two owners for one identity. Append the " +
+        "survivors dedupAgainstIndex marked kept, not the raw shard.")
+    writeFpEpoch(spark, indexDir, epoch + 1, owners,
+      prevCount + counts.getLong(0))
+  }
 }

@@ -845,6 +845,19 @@ object TextDedup {
     val del = marked.join(owners, Seq("gram"))
       .filter(col("doc_id") =!= col("owner"))
       .select(col("doc_id"), col("pos"))
+    cutMarkedSpans(docs, del, w)
+  }
+
+  /** The span-surgery half shared by [[removeDuplicateSpans]] (q150)
+    * and [[decontaminateSpans]] (q158): given (doc_id, pos) marked
+    * window starts, merge them into maximal delete ranges
+    * (gaps-and-islands — a start gap ≤ w overlaps/abuts), reassemble
+    * each cleaned string in ONE `aggregate()` fold over the per-doc
+    * sorted range array, and emit the q150 output shape with
+    * md5(cleaned) so a gate proves the reconstruction byte-for-byte.
+    */
+  private def cutMarkedSpans(docs: DataFrame, del: DataFrame, w: Int)
+      : DataFrame = {
     // merged delete ranges: distinct ranges are separated by >= 1 kept
     // char (next start-gap > w ⇒ next del_start >= prev del_end + 2),
     // so the fold below never sees an empty or negative kept segment
@@ -882,5 +895,65 @@ object TextDedup {
         coalesce(col("n_cut"), lit(0L)).as("n_cut"),
         coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
         md5(col("cleaned")).as("clean_md5"))
+  }
+
+  /** SPAN-level decontamination — the [[removeDuplicateSpans]] surgery
+    * aimed at a BENCHMARK instead of at the corpus itself: every
+    * `w`-char window of a corpus doc whose verbatim text appears as a
+    * window anywhere in `benchmark` is marked, marked windows merge to
+    * maximal delete ranges, and the cleaned corpus is emitted (q150's
+    * output shape, md5-gated byte-for-byte). This is the graded
+    * refinement of the whole-doc decontamination family (q93 drops a
+    * doc for ONE shared 13-gram; q135 scores containment): eval text
+    * quoted inside an otherwise-good document costs the QUOTE, not the
+    * document — the Lee et al. rewrite applied to train/test overlap.
+    *
+    * Matching is VERBATIM-CASE, like q150 (cut offsets index the
+    * original string; a case-normalized variant would need
+    * offset-preserving normalization).
+    *
+    * Scale shape: the ONLY corpus-sized frame is the fixed-width
+    * (doc_id, pos, xxhash64-of-window) explode — O(corpus_chars), the
+    * q149/q150 floor. The benchmark side is assumed ≪ corpus (the q93
+    * stance: eval sets are MBs against TBs): its distinct window-hash
+    * set broadcasts into the candidate semi-join, and candidates
+    * re-extract their TRUE window text and confirm against the
+    * benchmark's distinct window TEXT set — an xxhash collision can
+    * only ADD a candidate that the text confirm then removes, so the
+    * hash stage is output-invisible and the gate is exact.
+    */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+      w: Int): DataFrame = {
+    require(w >= 2, "a 1-char window marks shared letters; use w >= 2")
+    val t = graft.CacheScope.scoped(corpus
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"), col("text").as("t")))
+    def windowFrame(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(t) - ${w - 1}), " +
+          s"i -> xxhash64(substring(t, i, $w)))")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("h"))
+    val bt = graft.CacheScope.scoped(benchmark
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"), col("text").as("t")))
+    // benchmark-sized, read twice (hash set + text confirm) — pinned
+    val benchGrams = graft.CacheScope.scoped(bt
+      .select(posexplode(expr(
+        s"transform(sequence(1, length(t) - ${w - 1}), " +
+          s"i -> substring(t, i, $w))")).as(Seq("_p", "gram")))
+      .select(col("gram")).distinct())
+    val benchHashes = benchGrams
+      .select(xxhash64(col("gram")).as("h")).distinct()
+    val candidates = windowFrame(t)
+      .join(broadcast(benchHashes), Seq("h"), "left_semi")
+    // true-text confirm: candidates only (never corpus-sized)
+    val marked = candidates
+      .join(t, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(t, CAST(pos AS INT), $w)").as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    cutMarkedSpans(corpus, marked, w)
   }
 }

@@ -224,4 +224,70 @@ class SourcesAndDedupSpec extends AnyFunSuite {
     assert(back.agg(sum(col("amount").cast("decimal(18,2)"))).collect().head ==
       out.agg(sum(col("amount").cast("decimal(18,2)"))).collect().head)
   }
+
+  test("fingerprint index: verdicts against the stored owner map, " +
+      "incoming-internal dups collapse to their min, NULL text is its " +
+      "own owner, and the survivors-append premises refuse") {
+    val dir = "/tmp/graft_test_fpindex"
+    // corpus: docs 1 and 3 normalize to the SAME fingerprint ('Hello,
+    // World!' ≡ 'hello world'), doc 2 unique
+    val corpus = Seq((1L, "Hello, World!"), (2L, "something else"),
+      (3L, "hello world")).toDF("doc_id", "text")
+    CacheScope.withScope { Dedup.writeFingerprintIndex(corpus, dir) }
+    // incoming: 10 dups corpus (owner 1); 11 and 12 are novel twins
+    // (owner = min incoming 11); 13 unique novel; 14 NULL text
+    val incoming = Seq((10L, "HELLO world"), (11L, "brand new"),
+      (12L, "Brand New!"), (13L, "only once"),
+      (14L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = CacheScope.withScope {
+      Dedup.dedupAgainstIndex(dir, incoming)
+        .select("doc_id", "owner", "kept")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    }
+    assert(got == Set((10L, 1L, false), (11L, 11L, true),
+      (12L, 11L, false), (13L, 13L, true), (14L, 14L, true)))
+    // survivors-append: folding the KEPT docs in works and changes the
+    // next verdict (a repeat of 13's text is now a dup of 13)
+    CacheScope.withScope {
+      Dedup.appendFingerprintIndex(dir,
+        incoming.filter(col("doc_id").isin(11L, 13L)))
+    }
+    val after = CacheScope.withScope {
+      Dedup.dedupAgainstIndex(dir,
+          Seq((20L, "ONLY once")).toDF("doc_id", "text"))
+        .select("owner", "kept").collect().head
+    }
+    assert(after.getLong(0) == 13L && !after.getBoolean(1))
+    // raw-shard append refuses: fp already stored (two owners for one
+    // identity)
+    val fe = intercept[IllegalArgumentException] {
+      CacheScope.withScope {
+        Dedup.appendFingerprintIndex(dir,
+          Seq((30L, "hello WORLD")).toDF("doc_id", "text"))
+      }
+    }
+    assert(fe.getMessage.contains("already exist"))
+    // id collision with a stored owner refuses
+    val ie = intercept[IllegalArgumentException] {
+      CacheScope.withScope {
+        Dedup.appendFingerprintIndex(dir,
+          Seq((1L, "totally novel text")).toDF("doc_id", "text"))
+      }
+    }
+    assert(ie.getMessage.contains("one id space"))
+    // duplicate ids within the shard refuse (probe side)
+    val de = intercept[IllegalArgumentException] {
+      CacheScope.withScope {
+        Dedup.dedupAgainstIndex(dir,
+          Seq((40L, "x y z"), (40L, "p q r")).toDF("doc_id", "text"))
+      }
+    }
+    assert(de.getMessage.contains("one id space"))
+    // a missing artifact refuses by the caller's name
+    val ne = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex("/tmp/graft_test_fpindex_none", incoming)
+    }
+    assert(ne.getMessage.contains("no complete epoch"))
+  }
 }

@@ -1161,6 +1161,44 @@ class TextAndAnnSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5").digest(
       s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("decontaminateSpans: benchmark-overlapping windows are cut from " +
+      "EVERY corpus doc (no owner), matching is verbatim-case, clean " +
+      "docs pass through, and benchmark docs never appear in output") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    def frame(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, t) =>
+        org.apache.spark.sql.Row(id, t) }), schema)
+    // benchmark holds 'abcdefgh'; corpus docs 1 AND 2 quote it (both
+    // cut — decontamination has no min-id owner exemption, unlike
+    // q150); doc 3 shares 'ABCD' only case-insensitively (kept —
+    // verbatim-case); doc 4 clean; doc 5 NULL
+    val corpus = frame(Seq(1L -> "xxabcdefghyy", 2L -> "abcdefgh",
+      3L -> "zzABCDefghzz".toLowerCase.toUpperCase, // 'ZZABCDEFGHZZ'
+      4L -> "nothing shared here", 5L -> null.asInstanceOf[String]))
+    val bench = frame(Seq(100L -> "ppabcdefghqq"))
+    val got = CacheScope.withScope {
+      TextDedup.decontaminateSpans(corpus, bench, w = 4)
+        .collect().map { r =>
+          r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2),
+            r.getLong(3), r.getLong(4),
+            if (r.isNullAt(5)) null else r.getString(5)))
+        }.toMap
+    }
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L),
+      "output covers exactly the corpus docs")
+    assert(got(1L) == ((12L, 4L, 1L, 8L, md5Of("xxyy"))))
+    assert(got(2L) == ((8L, 0L, 1L, 8L, md5Of(""))),
+      "a doc that IS a benchmark quote is cut in full — no owner keeps")
+    assert(got(3L) == ((12L, 12L, 0L, 0L, md5Of("ZZABCDEFGHZZ"))),
+      "case-different text is NOT a match (verbatim-case contract)")
+    assert(got(4L)._3 == 0L && got(5L) == ((-1L, -1L, 0L, 0L, null)))
+  }
+
   test("removeDuplicateSpans: non-owner copies are cut to the expected " +
       "reconstructed strings; owner, unrelated, short and NULL docs " +
       "pass through") {
