@@ -246,13 +246,13 @@ object Oracles {
   /** The shared k-round CTE chain (words → toks0 → per-round idx/pairs/
     * best/fuse/toks) both BPE oracles build on.
     */
-  private def bpeCtes(k: Int): String = {
+  private def bpeCtes(k: Int, learnWhere: String = ""): String = {
     val sb = new StringBuilder(
-      """
+      s"""
       WITH RECURSIVE
       words AS (SELECT w, count(*) AS freq
                 FROM (SELECT unnest(string_split(text, ' ')) AS w
-                      FROM documents)
+                      FROM documents$learnWhere)
                 WHERE len(w) > 0 GROUP BY w),
       toks0 AS (SELECT w, freq, string_split(w, '') AS toks FROM words)""")
     for (i <- 1 to k) sb.append(s""",
@@ -308,6 +308,54 @@ object Oracles {
       FROM docw d JOIN toks$k t ON d.w = t.w
       WHERE len(d.w) > 0
       GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+  /** q160's frozen-tokenizer oracle: the q143 learn chain RESTRICTED
+    * to the learn slice (best1..bestk derive only from %3 != 1 docs),
+    * then an APPLY fuse chain over the FULL corpus's distinct words —
+    * each word char-splits and takes the k learned merges in rank
+    * order via the same recursive positional walk (provably ≡ the
+    * engine's fold; see bpeCtes). The apply chain needs no
+    * frequencies: merges are already chosen, only the fuse applies.
+    */
+  private def bpeFrozenEncodeOracle(k: Int): String = {
+    val sb = new StringBuilder(
+      bpeCtes(k, " WHERE doc_id % 3 <> 1"))
+    sb.append("""
+      ,
+      atoks0 AS (SELECT w, string_split(w, '') AS toks
+                 FROM (SELECT DISTINCT w
+                       FROM (SELECT unnest(string_split(text, ' ')) AS w
+                             FROM documents)
+                       WHERE len(w) > 0))""")
+    for (i <- 1 to k) sb.append(s""",
+      afuse$i AS (
+        SELECT w, toks, lhs, rhs, 1 AS pos,
+               CAST([] AS VARCHAR[]) AS acc
+        FROM atoks${i - 1} CROSS JOIN best$i
+        UNION ALL
+        SELECT w, toks, lhs, rhs,
+          CASE WHEN pos < len(toks) AND toks[pos] = lhs
+                    AND toks[pos+1] = rhs
+               THEN pos + 2 ELSE pos + 1 END,
+          CASE WHEN pos < len(toks) AND toks[pos] = lhs
+                    AND toks[pos+1] = rhs
+               THEN list_append(acc, lhs || rhs)
+               ELSE list_append(acc, toks[pos]) END
+        FROM afuse$i WHERE pos <= len(toks)),
+      atoks$i AS (SELECT w, acc AS toks FROM afuse$i
+                  WHERE pos = len(toks) + 1)""")
+    sb.append(s""",
+      docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents)
+      SELECT d.doc_id,
+             count(*) AS n_words,
+             CAST(sum(len(d.w)) AS BIGINT) AS n_chars,
+             CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens
+      FROM docw d JOIN atoks$k t ON d.w = t.w
+      WHERE len(d.w) > 0
+      GROUP BY d.doc_id ORDER BY d.doc_id""")
+    sb.toString
+  }
 
   /** Blocked edit-distance near-dup contract shared by q50 (all-pairs
     * within block, loud maxBlock premise) and q142 (segment-pigeonhole
@@ -1717,6 +1765,7 @@ object Oracles {
     // under the same 6 learned merges — the oracle reads the unrolled
     // chain's FINAL word table, the engine its final fold state.
     "q145_bpe_encode" -> bpeEncodeOracle(6),
+    "q160_bpe_encode_frozen" -> bpeFrozenEncodeOracle(6),
 
     // The segment-pigeonhole path shares q50's EXACT contract — the
     // candidate refinement must lose nothing vs the blocked join.

@@ -31,7 +31,8 @@ object PlanDump {
     "q146_ann_cp", "q147_incremental_dedup", "q149_substring_spans",
     "q150_span_removal", "q151_ann_cp_search_indexed",
     "q152_incremental_dedup_appended", "q153_text_incremental_dedup",
-    "q154_text_dedup_indexed")
+    "q154_text_dedup_indexed", "q158_span_decontaminate",
+    "q159_exact_dedup_indexed")
 
   /** Prose that must survive regeneration (r11: the q52 STATUS note was
     * hand-edited into the generated file once — a regen would have
@@ -106,7 +107,23 @@ object PlanDump {
         |tables (epoch-pruned), so the plan's only map-stage hashing
         |is the shard's own; banding comes from the artifact meta —
         |zero derivation jobs. The Stress `txt`/`txt100` rows measure
-        |the live-vs-stored slope separation.""".stripMargin)
+        |the live-vs-stored slope separation.""".stripMargin,
+    "q158_span_decontaminate" ->
+      """q150's span surgery aimed at a BENCHMARK: the only
+        |corpus-sized frame is the fixed-width window-hash explode; the
+        |benchmark's hash set broadcasts into the candidate semi-join
+        |and candidates confirm on TRUE window text (an xxhash
+        |collision can only ADD a candidate the text confirm removes),
+        |then the shared cutMarkedSpans range/fold machinery
+        |reassembles the cleaned strings. Matching is verbatim-case;
+        |there is no owner exemption — every quoting doc is cut.""".stripMargin,
+    "q159_exact_dedup_indexed" ->
+      """The exact-granularity arrival verdict: the shard fingerprints
+        |in one map stage and (size-gated) broadcasts against a single
+        |columnar scan of the stored (fp, owner) table; the per-fp min
+        |window runs over the SHARD only. Corpus growth costs the
+        |two-column scan, never a re-fingerprint — the cheapest of the
+        |three stored-index arrival shapes.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     // a renamed/removed query or a typoed notes key must refuse, not

@@ -958,6 +958,25 @@ object Queries {
     "q143_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(Tables.documents(s, dir), k = 6)),
 
+    // FROZEN tokenizer applied at arrival (r11): the merge table
+    // learned on the %3 != 1 slice persists as an EpochStore artifact
+    // (a tokenizer is immutable once frozen — deliberately NO append),
+    // and the FULL corpus encodes against the store: unseen words
+    // char-split and take the k stored merges in rank order, so the
+    // apply corpus is independent of the learn corpus — what q145
+    // (self-learned encode) cannot do. Oracle: the q143 learn chain
+    // restricted to the slice, then an APPLY fuse chain over the full
+    // corpus's distinct words.
+    "q160_bpe_encode_frozen" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val idx = "/tmp/graft_bpemerges_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"bpemerges|$dir|k6") {
+        Bpe.writeMerges(d.filter(col("doc_id") % 3 =!= 1), idx, k = 6)
+      }
+      Bpe.encodeWithStoredMerges(idx, d)
+    }),
+
     // Hamming-banded NEAR-duplicate image matching (r7 VERDICT #1 —
     // the one documented-but-unbuilt scale variant): exact-hash groups
     // collapse to min-id representatives, the 64-bit dHash splits into

@@ -152,7 +152,11 @@ object Stress {
     // the scaladoc's documented decision point for the rolling
     // Rabin-Karp upgrade (TextDedup.duplicateSpans).
     if (section("span")) {
-      Seq("q149_substring_spans", "q150_span_removal").foreach { q =>
+      // q158 rides the same O(total_chars) window-explode floor as
+      // q149/q150 (both its corpus AND its %20 benchmark slice grow
+      // with the tier), so it joins their rows directly
+      Seq("q149_substring_spans", "q150_span_removal",
+          "q158_span_decontaminate").foreach { q =>
         CacheScope.withScope {
           Queries.all(q)(spark, "/root/testdata/sf0.001")
             .write.format("noop").mode("overwrite").save()
@@ -435,6 +439,21 @@ object Stress {
       }
       report("q155_text_append@0.6 fixed-shard (1 pass)",
         timeTxtAppend(txtIdx1), timeTxtAppend(txtIdx10))
+      // the EXACT-granularity arrival (q159) on the same fixtures: a
+      // fixed shard verdicts against the stored fingerprint map — the
+      // cheapest stored-index probe, expected ~flat (one two-column
+      // columnar scan is the only corpus-growth term)
+      val fpIdx1 = "/tmp/graft_stress_fpidx_1x"
+      val fpIdx10 = "/tmp/graft_stress_fpidx_10x"
+      Seq((txtDoc1, fpIdx1), (dir10, fpIdx10)).foreach { case (src, idx) =>
+        CacheScope.withScope {
+          operators.Dedup.writeFingerprintIndex(txtDocs(src), idx)
+        }
+      }
+      def fpProbe(idx: String): () => DataFrame = () =>
+        operators.Dedup.dedupAgainstIndex(idx, txtShard())
+      report("q159_exact_dedup_indexed fixed-shard (stored fp map)",
+        timed(fpProbe(fpIdx1)), timed(fpProbe(fpIdx10)))
     }
 
     // ---- 100× point for the sub-ρ path (r9): the sign-LSH family's

@@ -45,6 +45,96 @@ object Bpe {
   def learnMerges(docs: DataFrame, k: Int): DataFrame =
     learnCore(docs, k)._1
 
+  /** THE left-to-right fuse (one merge applied to one token array) —
+    * shared by the learn loop and the stored-merge apply path so the
+    * two can never drift on what a fuse is. Consumes `toks` against
+    * the row's (lhs, rhs) columns.
+    */
+  private val FuseExpr: String =
+    """aggregate(toks, CAST(array() AS ARRAY<STRING>), (acc, x) ->
+      |  CASE WHEN size(acc) > 0
+      |            AND element_at(acc, -1) = lhs AND x = rhs
+      |       THEN concat(slice(acc, 1, size(acc) - 1),
+      |                   array(concat(lhs, rhs)))
+      |       ELSE concat(acc, array(x)) END)""".stripMargin
+
+  /** Artifact version for [[writeMerges]] — bumped if the fuse or the
+    * merge-table semantics ever change.
+    */
+  private[graft] val MergesFamily = "bpe-merges-v1"
+
+  /** FREEZE a tokenizer: learn the k-round merge table over `docs` and
+    * persist it as an [[graft.sources.EpochStore]] artifact (single
+    * epoch — a frozen tokenizer is immutable by definition, so there
+    * is deliberately NO append API; retraining is a rebuild). The k
+    * rows (merge_rank, lhs, rhs, pair_count) are everything an apply
+    * site needs — the learn corpus's word table is a cache, not part
+    * of the tokenizer.
+    */
+  def writeMerges(docs: DataFrame, dir: String, k: Int): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = learnCore(docs, k)._1
+    graft.sources.EpochStore.deleteAll(spark, dir)
+    graft.sources.EpochStore.writeEpoch(dir, 0,
+      Seq("merges" -> merges),
+      Seq((MergesFamily, k, 0)).toDF("family", "k", "epoch"))
+  }
+
+  /** ENCODE against a FROZEN tokenizer ([[writeMerges]] artifact) —
+    * the apply-at-arrival shape every training pipeline runs once its
+    * tokenizer is fixed: per doc (doc_id, n_words, n_chars, n_tokens),
+    * the q145 output, but the merges come from the store and the
+    * corpus being encoded is INDEPENDENT of the corpus that learned
+    * them — unseen words encode correctly (char-split, then the k
+    * stored merges applied in rank order), where [[encodeCounts]]
+    * could only encode the words its own learn loop had seen.
+    *
+    * Scale shape: the merge table is k ≤ 64 rows; encoding is k
+    * vocab-sized fuse rounds over the APPLY corpus's distinct words
+    * (each round a 1-row broadcast + the shared fold, round-
+    * checkpointed like the learn loop) and then one corpus-sized word
+    * explode joined to the vocab-sized encoded table. Hash-family
+    * drift refuses loudly via the artifact meta.
+    */
+  def encodeWithStoredMerges(indexDir: String, docs: DataFrame)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    val (epoch, meta) = graft.sources.EpochStore.servingState(spark,
+      indexDir, "encodeWithStoredMerges", "writeMerges")
+    val family = meta.getAs[String]("family")
+    require(family == MergesFamily,
+      s"encodeWithStoredMerges: artifact at $indexDir holds family " +
+        s"'$family' but this code applies '$MergesFamily' — rebuild; " +
+        "applying across fuse versions silently mistokenizes")
+    val k = meta.getAs[Int]("k")
+    val merges = graft.CacheScope.scoped(graft.sources.EpochStore
+      .tableThrough(spark, indexDir, "merges", epoch))
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .withColumn("toks",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    for (rank <- 1 to k) {
+      words = words.crossJoin(broadcast(
+          merges.filter(col("merge_rank") === rank)
+            .select(col("lhs"), col("rhs"))))
+        .withColumn("toks", expr(FuseExpr))
+        .select("w", "toks")
+        .roundCheckpoint()
+    }
+    val encoded = words.select(col("w"),
+      size(col("toks")).cast("long").as("n_toks"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(encoded), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BPE ENCODING with self-learned merges: learn the k-round merge
     * table over `docs` (identical to [[learnMerges]]), then count each
     * document's encoded tokens — the apply side of the learn→apply
@@ -103,13 +193,7 @@ object Bpe {
             col("rhs"), col("n").cast("long").as("pair_count")))
       merges = if (merges == null) best else merges.unionByName(best)
       words = words.crossJoin(broadcast(best.select("lhs", "rhs")))
-        .withColumn("toks", expr(
-          """aggregate(toks, CAST(array() AS ARRAY<STRING>), (acc, x) ->
-            |  CASE WHEN size(acc) > 0
-            |            AND element_at(acc, -1) = lhs AND x = rhs
-            |       THEN concat(slice(acc, 1, size(acc) - 1),
-            |                   array(concat(lhs, rhs)))
-            |       ELSE concat(acc, array(x)) END)""".stripMargin))
+        .withColumn("toks", expr(FuseExpr))
         .select("w", "freq", "toks")
         .roundCheckpoint()
       // the eager round checkpoint just materialized `best` (the

@@ -384,6 +384,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.forall(r => r._4 < r._3))
   }
 
+  test("frozen tokenizer: stored merges encode an INDEPENDENT corpus — " +
+      "unseen words char-split and take the k merges in rank order; " +
+      "family drift and a missing artifact refuse") {
+    val dir = "/tmp/graft_test_bpemerges"
+    val learn = Seq("aaab aaab b", "aaab ab aab", "b aab aaab")
+    CacheScope.withScope {
+      Bpe.writeMerges(learn.toDF("text"), dir, k = 3)
+    }
+    // the apply corpus shares NO doc with the learn corpus and carries
+    // words the learn loop never saw ('aaaa', 'zz') — encodeCounts
+    // (self-learned) structurally cannot encode these
+    val applyCorpus = Seq((0L, "aaab aaaa"), (1L, "zz b aab"))
+    val (merges, _) = refBpeFull(learn, 3)
+    def fuse(toks: List[String], l: String, r: String): List[String] = {
+      val acc = scala.collection.mutable.ListBuffer.empty[String]
+      toks.foreach { x =>
+        if (acc.nonEmpty && acc.last == l && x == r) {
+          acc.remove(acc.length - 1); acc += (l + r)
+        } else acc += x
+      }
+      acc.toList
+    }
+    def encode(w: String): List[String] =
+      merges.foldLeft(w.map(_.toString).toList) {
+        case (t, (_, l, r, _)) => fuse(t, l, r)
+      }
+    val expected = applyCorpus.map { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty).toSeq
+      (id, ws.size.toLong, ws.map(_.length.toLong).sum,
+        ws.map(w => encode(w).size.toLong).sum)
+    }
+    val got = CacheScope.withScope {
+      Bpe.encodeWithStoredMerges(dir, applyCorpus.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    assert(got === expected)
+    // a foreign artifact at the path refuses by family; a missing one
+    // by the no-complete-epoch contract
+    val ne = intercept[IllegalArgumentException] {
+      Bpe.encodeWithStoredMerges("/tmp/graft_test_bpemerges_none",
+        applyCorpus.toDF("doc_id", "text"))
+    }
+    assert(ne.getMessage.contains("no complete epoch"))
+    val fpDir = "/tmp/graft_test_bpemerges_foreign"
+    CacheScope.withScope {
+      graft.operators.Dedup.writeFingerprintIndex(
+        Seq((1L, "some text")).toDF("doc_id", "text"), fpDir)
+    }
+    val fe = intercept[IllegalArgumentException] {
+      Bpe.encodeWithStoredMerges(fpDir,
+        applyCorpus.toDF("doc_id", "text"))
+    }
+    assert(fe.getMessage.contains("family"))
+  }
+
   test("bpe refuses loudly when k exceeds the learnable merges") {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
