@@ -118,12 +118,15 @@ object PlanDump {
         |reassembles the cleaned strings. Matching is verbatim-case;
         |there is no owner exemption — every quoting doc is cut.""".stripMargin,
     "q159_exact_dedup_indexed" ->
-      """The exact-granularity arrival verdict: the shard fingerprints
-        |in one map stage and (size-gated) broadcasts against a single
-        |columnar scan of the stored (fp, owner) table; the per-fp min
-        |window runs over the SHARD only. Corpus growth costs the
-        |two-column scan, never a re-fingerprint — the cheapest of the
-        |three stored-index arrival shapes.""".stripMargin)
+      """The exact-granularity arrival verdict, shaped as hits ∪
+        |misses so the SHARD is genuinely the build side: an INNER
+        |probe join (stored table STREAMS, broadcast shard builds —
+        |Spark cannot build the preserved side of a left-outer join,
+        |which made the first cut's hint a silent no-op, r11 second
+        |review) plus a shard-sized anti join for the non-matches; the
+        |per-fp min window runs over the SHARD only. Corpus growth
+        |costs the two-column stored scan, never a re-fingerprint —
+        |the cheapest of the three stored-index arrival shapes.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     // a renamed/removed query or a typoed notes key must refuse, not

@@ -152,11 +152,33 @@ object Dedup {
         "within the incoming shard; re-key upstream.")
     val stored = graft.sources.EpochStore.tableThrough(spark, indexDir,
       "fps", epoch).select(col("fp"), col("owner").as("_stored_owner"))
-    val incHinted =
-      if (counts.getLong(0) <= Ann.MaxBroadcastBandRows) broadcast(inc)
-      else inc
+    // The shard must be the BROADCAST side and the stored table must
+    // STREAM — but Spark cannot build the preserved (left) side of a
+    // left-outer join, so a hinted `inc LEFT JOIN stored` silently
+    // ignores the hint and, past the stored table's auto-broadcast
+    // size, shuffles the corpus-sized stored side per shard (r11
+    // second review — the regenerated plan proved the first cut's
+    // hint was a no-op). Shape it as hits ∪ misses instead: an INNER
+    // join with the shard as build side (stored streams), then the
+    // shard's non-matches by a shard-sized anti join. An oversized
+    // shard falls back to the plain shuffled left join, which
+    // completes.
+    val joined =
+      if (counts.getLong(0) <= Ann.MaxBroadcastBandRows) {
+        // read twice (union + the misses anti join) — pinned
+        val hits = graft.CacheScope.scoped(
+          stored.join(broadcast(inc.filter(col("fp").isNotNull)),
+              Seq("fp"))
+            .select(col("doc_id"), col("fp"), col("_stored_owner")))
+        val misses = inc
+          .join(broadcast(hits.select("doc_id")), Seq("doc_id"),
+            "left_anti")
+          .withColumn("_stored_owner", lit(null).cast("long"))
+          .select(col("doc_id"), col("fp"), col("_stored_owner"))
+        hits.unionByName(misses)
+      } else inc.join(stored, Seq("fp"), "left")
     val incMin = Window.partitionBy(col("fp"))
-    incHinted.join(stored, Seq("fp"), "left")
+    joined
       .withColumn("_inc_min", min(col("doc_id")).over(incMin))
       .withColumn("owner", when(col("fp").isNull, col("doc_id"))
         .otherwise(coalesce(col("_stored_owner"), col("_inc_min"))))

@@ -934,9 +934,10 @@ object TextDedup {
           s"i -> xxhash64(substring(t, i, $w)))")).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         col("h"))
-    val bt = graft.CacheScope.scoped(benchmark
+    // consumed once (benchGrams below is the frame read twice) — no pin
+    val bt = benchmark
       .filter(length(col("text")) >= w)
-      .select(col("doc_id"), col("text").as("t")))
+      .select(col("doc_id"), col("text").as("t"))
     // benchmark-sized, read twice (hash set + text confirm) — pinned
     val benchGrams = graft.CacheScope.scoped(bt
       .select(posexplode(expr(

@@ -235,10 +235,19 @@ class SourcesAndDedupSpec extends AnyFunSuite {
       (3L, "hello world")).toDF("doc_id", "text")
     CacheScope.withScope { Dedup.writeFingerprintIndex(corpus, dir) }
     // incoming: 10 dups corpus (owner 1); 11 and 12 are novel twins
-    // (owner = min incoming 11); 13 unique novel; 14 NULL text
-    val incoming = Seq((10L, "HELLO world"), (11L, "brand new"),
-      (12L, "Brand New!"), (13L, "only once"),
-      (14L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // (owner = min incoming 11); 13 unique novel; 14 NULL text —
+    // built via Row + explicit schema (the CLAUDE.md null-frame rule)
+    val incSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val incoming = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        (10L, "HELLO world"), (11L, "brand new"), (12L, "Brand New!"),
+        (13L, "only once"), (14L, null.asInstanceOf[String]))
+        .map { case (id, t) => org.apache.spark.sql.Row(id, t) }),
+      incSchema)
     val got = CacheScope.withScope {
       Dedup.dedupAgainstIndex(dir, incoming)
         .select("doc_id", "owner", "kept")
