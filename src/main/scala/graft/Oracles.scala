@@ -232,6 +232,76 @@ object Oracles {
       FROM pairs WHERE 1000000 * ni >= 600000 * un
       ORDER BY doc_a, doc_b"""
 
+  /** BM25 in the same exact integer formula as the engine (see
+    * Bm25.scaladoc): rational idf (2N−2df+1)/(2df+1), k1=6/5, b=3/4
+    * folded into 44·ad·tf / (20·ad·tf + 6·ad + 18·dl), one floor
+    * division per term — shared by q86 (live), q165 (stored index),
+    * and q166 (appended + compacted index).
+    */
+  private val bm25Oracle: String = """
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               string_split(text, ' ') AS toks
+        FROM documents),
+      stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS BIGINT) // greatest(count(*), 1) AS ad
+        FROM base),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+        WHERE term IN ('spark', 'hash', 'window')
+        GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      SELECT doc_id,
+             CAST(sum((1000000 * (2*n_docs - 2*df + 1) * 44 * ad * tf)
+                      // ((2*df + 1) * (20*ad*tf + 6*ad + 18*dl)))
+               AS BIGINT) AS score_micro,
+             count(*) AS n_terms
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+      ORDER BY score_micro DESC, doc_id
+      LIMIT 50"""
+
+  /** q159/q163's exact-dedup arrival ground truth: the stored owner
+    * map recomputed DECLARATIVELY as two tiers (base min per fp, else
+    * the appended slice's min — the survivors contract means a slice
+    * doc whose fp is already base never becomes an owner), then the
+    * arrival verdicts against it; NULL-text docs are their own owner.
+    * The fingerprint is q20's oracle-proven recipe verbatim. Epochs,
+    * compaction, and vacuum never appear here — which is exactly what
+    * the q163 gate proves about them.
+    */
+  private val fpArrivalOracle: String = """
+      WITH f AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        FROM documents),
+      corpus AS (SELECT doc_id, fp FROM f WHERE doc_id % 7 <> 3),
+      base AS (SELECT fp, min(doc_id) AS bo FROM corpus
+               WHERE doc_id % 11 <> 5 AND fp IS NOT NULL GROUP BY fp),
+      slice AS (SELECT fp, min(doc_id) AS so FROM corpus
+                WHERE doc_id % 11 = 5 AND fp IS NOT NULL GROUP BY fp),
+      stored AS (SELECT coalesce(b.fp, s.fp) AS fp,
+                        coalesce(b.bo, s.so) AS owner
+                 FROM base b FULL JOIN slice s ON b.fp = s.fp),
+      inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 7 = 3
+              UNION ALL
+              SELECT doc_id + 5000000, fp FROM corpus
+              WHERE doc_id % 10 = 0),
+      im AS (SELECT fp, min(doc_id) AS mi FROM inc
+             WHERE fp IS NOT NULL GROUP BY fp)
+      SELECT i.doc_id, i.fp,
+             CASE WHEN i.fp IS NULL THEN i.doc_id
+                  ELSE coalesce(st.owner, im.mi) END AS owner,
+             CAST(i.doc_id = CASE WHEN i.fp IS NULL THEN i.doc_id
+                  ELSE coalesce(st.owner, im.mi) END AS BIGINT) AS kept
+      FROM inc i LEFT JOIN stored st ON i.fp = st.fp
+                 LEFT JOIN im ON i.fp = im.fp
+      ORDER BY doc_id"""
+
   /** q143's BPE merge learning unrolled to exactly the operator's k
     * rounds: per round, pairs are counted positionally over the current
     * tokenization (overlaps included, weighted by word frequency), the
@@ -1893,33 +1963,62 @@ object Oracles {
     // verdicts against it; NULL-text docs are their own owner (NULL
     // join/group semantics would otherwise diverge between engines'
     // paths). The fingerprint is q20's oracle-proven recipe verbatim.
-    "q159_exact_dedup_indexed" -> """
+    "q159_exact_dedup_indexed" -> fpArrivalOracle,
+
+    // COMPACTION gates (r12): compacted ≡ sprawled at the probe
+    // output, one per stored-index family — the exact oracles know
+    // nothing about epochs, so a compaction that dropped, duplicated,
+    // or re-owned a single row hash-diffs. q163 also VACUUMS, so the
+    // probe can only have served the floored rewrite.
+    "q161_cp_dedup_compacted" -> incrementalDedupOracle,
+    "q162_text_dedup_compacted" -> textIncrementalOracle,
+    "q163_fp_dedup_compacted" -> fpArrivalOracle,
+
+    // The fp ingestion loop, batch-free (q164): a doc verdicts once,
+    // in its own wave, and its owner is the min id of the EARLIEST
+    // tier sharing its fingerprint — base corpus, then waves A/B/C in
+    // arrival order — because each wave's survivors fold in (and the
+    // artifact compacts) before the next probes. The CASE over tiers
+    // is exactly "stored owner at probe time"; batch boundaries are
+    // provably output-invisible, which is what the gate proves.
+    "q164_streaming_fp_ingest" -> """
       WITH f AS (
         SELECT doc_id,
                md5(trim(regexp_replace(regexp_replace(lower(text),
                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
         FROM documents),
       corpus AS (SELECT doc_id, fp FROM f WHERE doc_id % 7 <> 3),
-      base AS (SELECT fp, min(doc_id) AS bo FROM corpus
-               WHERE doc_id % 11 <> 5 AND fp IS NOT NULL GROUP BY fp),
-      slice AS (SELECT fp, min(doc_id) AS so FROM corpus
-                WHERE doc_id % 11 = 5 AND fp IS NOT NULL GROUP BY fp),
-      stored AS (SELECT coalesce(b.fp, s.fp) AS fp,
-                        coalesce(b.bo, s.so) AS owner
-                 FROM base b FULL JOIN slice s ON b.fp = s.fp),
-      inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 7 = 3
-              UNION ALL
-              SELECT doc_id + 5000000, fp FROM corpus
-              WHERE doc_id % 10 = 0),
-      im AS (SELECT fp, min(doc_id) AS mi FROM inc
-             WHERE fp IS NOT NULL GROUP BY fp)
+      t0 AS (SELECT fp, min(doc_id) AS o FROM corpus
+             WHERE fp IS NOT NULL GROUP BY fp),
+      wa AS (SELECT doc_id, fp FROM f WHERE doc_id % 7 = 3),
+      wb AS (SELECT doc_id + 5000000 AS doc_id, fp FROM corpus
+             WHERE doc_id % 10 = 0),
+      wc AS (SELECT doc_id + 9000000 AS doc_id, fp FROM wa
+             WHERE doc_id % 9 = 4),
+      t1 AS (SELECT fp, min(doc_id) AS o FROM wa
+             WHERE fp IS NOT NULL GROUP BY fp),
+      t2 AS (SELECT fp, min(doc_id) AS o FROM wb
+             WHERE fp IS NOT NULL GROUP BY fp),
+      t3 AS (SELECT fp, min(doc_id) AS o FROM wc
+             WHERE fp IS NOT NULL GROUP BY fp),
+      inc AS (SELECT doc_id, fp, 1 AS tier FROM wa
+              UNION ALL SELECT doc_id, fp, 2 FROM wb
+              UNION ALL SELECT doc_id, fp, 3 FROM wc)
       SELECT i.doc_id, i.fp,
              CASE WHEN i.fp IS NULL THEN i.doc_id
-                  ELSE coalesce(st.owner, im.mi) END AS owner,
-             CAST(i.doc_id = CASE WHEN i.fp IS NULL THEN i.doc_id
-                  ELSE coalesce(st.owner, im.mi) END AS BIGINT) AS kept
-      FROM inc i LEFT JOIN stored st ON i.fp = st.fp
-                 LEFT JOIN im ON i.fp = im.fp
+                  WHEN i.tier = 1 THEN coalesce(t0.o, t1.o)
+                  WHEN i.tier = 2 THEN coalesce(t0.o, t1.o, t2.o)
+                  ELSE coalesce(t0.o, t1.o, t2.o, t3.o) END AS owner,
+             CAST(i.doc_id =
+               CASE WHEN i.fp IS NULL THEN i.doc_id
+                    WHEN i.tier = 1 THEN coalesce(t0.o, t1.o)
+                    WHEN i.tier = 2 THEN coalesce(t0.o, t1.o, t2.o)
+                    ELSE coalesce(t0.o, t1.o, t2.o, t3.o) END
+               AS BIGINT) AS kept
+      FROM inc i LEFT JOIN t0 ON i.fp = t0.fp
+                 LEFT JOIN t1 ON i.fp = t1.fp
+                 LEFT JOIN t2 ON i.fp = t2.fp
+                 LEFT JOIN t3 ON i.fp = t3.fp
       ORDER BY doc_id""",
 
     // The text arrival family (r11): one exact O(n·m) Jaccard oracle
@@ -2348,31 +2447,16 @@ object Oracles {
     // BM25 in the same exact integer formula (see Bm25.scaladoc):
     // rational idf (2N-2df+1)/(2df+1), k1=6/5, b=3/4 folded into
     // 44·ad·tf / (20·ad·tf + 6·ad + 18·dl), one floor division per term.
-    "q86_bm25" -> """
-      WITH base AS (
-        SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-               string_split(text, ' ') AS toks
-        FROM documents),
-      stats AS (
-        SELECT count(*) AS n_docs,
-               CAST(sum(dl) AS BIGINT) // greatest(count(*), 1) AS ad
-        FROM base),
-      tf AS (
-        SELECT doc_id, dl, term, count(*) AS tf
-        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
-        WHERE term IN ('spark', 'hash', 'window')
-        GROUP BY 1, 2, 3),
-      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
-      SELECT doc_id,
-             CAST(sum((1000000 * (2*n_docs - 2*df + 1) * 44 * ad * tf)
-                      // ((2*df + 1) * (20*ad*tf + 6*ad + 18*dl)))
-               AS BIGINT) AS score_micro,
-             count(*) AS n_terms
-      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-      GROUP BY doc_id
-      ORDER BY score_micro DESC, doc_id
-      LIMIT 50""",
+    "q86_bm25" -> bm25Oracle,
+
+    // The STORED-INDEX retrieval forms (r12): the index persists
+    // postings/df/lengths/stats once and scores query batches against
+    // the store — same exact integer formula, so q86's oracle gates
+    // both the base artifact (q165) and the appended-then-compacted
+    // one (q166, pinning that df/N/Σdl additivity across epochs is
+    // exact, not approximate).
+    "q165_bm25_indexed" -> bm25Oracle,
+    "q166_bm25_index_appended" -> bm25Oracle,
 
     // Image-format features in closed form: format by the planted id
     // cycle, resolution by the raster definition, pixel sum by the q29

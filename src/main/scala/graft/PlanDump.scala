@@ -32,7 +32,9 @@ object PlanDump {
     "q150_span_removal", "q151_ann_cp_search_indexed",
     "q152_incremental_dedup_appended", "q153_text_incremental_dedup",
     "q154_text_dedup_indexed", "q158_span_decontaminate",
-    "q159_exact_dedup_indexed")
+    "q159_exact_dedup_indexed", "q161_cp_dedup_compacted",
+    "q163_fp_dedup_compacted", "q165_bm25_indexed",
+    "q166_bm25_index_appended")
 
   /** Prose that must survive regeneration (r11: the q52 STATUS note was
     * hand-edited into the generated file once — a regen would have

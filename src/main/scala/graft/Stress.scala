@@ -75,7 +75,7 @@ object Stress {
     // run everything — lets a single section re-run without repaying
     // the full ~10-minute sweep
     val known = Set("heavy", "emb", "skew", "link", "emb100", "inc",
-      "inc100", "span", "span100", "txt", "txt100")
+      "inc100", "span", "span100", "txt", "txt100", "cmp")
     // emb100 (the 220k-vector third decade) is EXCLUDED from the
     // no-args sweep: measured, its 100× pass OOMs the 8 GB local heap
     // when it runs AFTER the full heavy+emb sections' accumulated
@@ -454,6 +454,49 @@ object Stress {
         operators.Dedup.dedupAgainstIndex(idx, txtShard())
       report("q159_exact_dedup_indexed fixed-shard (stored fp map)",
         timed(fpProbe(fpIdx1)), timed(fpProbe(fpIdx10)))
+    }
+
+    // ---- COMPACTION vs SPRAWL (r12, the r11-VERDICT #1 done
+    // criterion): the SAME artifact built as an epoch-per-shard sprawl
+    // (the q164 production cadence — base + 23 probe→append rounds)
+    // vs that sprawl compacted + vacuumed; a fixed shard probes both.
+    // The delta is pure layout cost — small-file fan-in in the
+    // stored-table scans and the O(epochs) meta walk — because the
+    // row set is identical by the compaction contract (q163 gates
+    // that; this row prices it).
+    if (section("cmp")) {
+      buildDocCorpus(spark, base, txtDoc1, 1)
+      val nEpochs = 24
+      val sprawl = "/tmp/graft_stress_fpidx_sprawl"
+      val compacted = "/tmp/graft_stress_fpidx_compact"
+      def buildSprawl(dir: String): Unit = {
+        val docs = txtDocs(txtDoc1)
+        CacheScope.withScope {
+          operators.Dedup.writeFingerprintIndex(
+            docs.filter(col("doc_id") % nEpochs === 0), dir)
+        }
+        (1 until nEpochs).foreach { k =>
+          CacheScope.withScope {
+            val slice = docs.filter(col("doc_id") % nEpochs === k)
+            val kept = operators.Dedup.dedupAgainstIndex(dir, slice)
+              .filter(col("kept")).select("doc_id")
+            operators.Dedup.appendFingerprintIndex(dir,
+              slice.join(kept, Seq("doc_id"), "left_semi"))
+          }
+        }
+      }
+      buildSprawl(sprawl)
+      buildSprawl(compacted)
+      CacheScope.withScope {
+        operators.Dedup.compactFingerprintIndex(spark, compacted)
+        operators.Dedup.vacuumFingerprintIndex(spark, compacted)
+      }
+      def fpProbeAt(idx: String): () => DataFrame = () =>
+        operators.Dedup.dedupAgainstIndex(idx, txtShard())
+      val tS = timed(fpProbeAt(sprawl))
+      val tC = timed(fpProbeAt(compacted))
+      println(f"STRESS fp_probe_${nEpochs}%d-epoch-sprawl-vs-compacted " +
+        f"t_sprawl=$tS%.2fs t_compacted=$tC%.2fs ratio=${tS / tC}%.2f")
     }
 
     // ---- 100× point for the sub-ρ path (r9): the sign-LSH family's

@@ -750,7 +750,7 @@ object Ann {
   private def writeEpoch(spark: org.apache.spark.sql.SparkSession,
       dir: String, epoch: Int, v: DataFrame, k: Int, nBands: Int,
       dim: Int, targetMiss: Double, threshold: Double,
-      totalCount: Long, paramsDerived: Boolean): Unit = {
+      totalCount: Long, paramsDerived: Boolean, floor: Int = 0): Unit = {
     import spark.implicits._
     val bandRows = v.select(col("vec_id"),
       posexplode(expr(s"graft_cplsh(v, $k, $nBands, $dim)"))
@@ -760,7 +760,7 @@ object Ann {
       .toDF("family", "k", "bands", "dim", "target_miss", "threshold",
         "corpus_count", "epoch", "params_derived")
     graft.sources.EpochStore.writeEpoch(dir, epoch,
-      Seq("vectors" -> v, "bands" -> bandRows), meta)
+      Seq("vectors" -> v, "bands" -> bandRows), meta, floor)
   }
 
   /** The artifact's serving state: (k, bands, threshold, targetMiss,
@@ -771,15 +771,16 @@ object Ann {
     */
   private case class CpIndexState(k: Int, bands: Int, threshold: Double,
       targetMiss: Double, dim: Int, count: Long, epoch: Int,
-      paramsDerived: Boolean)
+      floor: Int, paramsDerived: Boolean)
 
   private def cpIndexState(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, who: String): CpIndexState = {
     // completeness = the meta READS (EpochStore's contract, r11
     // review): the highest READABLE meta serves; each lower epoch was
     // admitted by the same rule when it was current
-    val (epoch, meta) = graft.sources.EpochStore.servingState(spark,
+    val st = graft.sources.EpochStore.servingState(spark,
       indexDir, who, "writeCpIndex")
+    val meta = st.meta
     val family = meta.getAs[String]("family")
     require(family == CpIndexFamily,
       s"$who: artifact at $indexDir was hashed by " +
@@ -788,19 +789,19 @@ object Ann {
         "loses recall")
     CpIndexState(meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
       meta.getAs[Double]("threshold"), meta.getAs[Double]("target_miss"),
-      meta.getAs[Int]("dim"), meta.getAs[Long]("corpus_count"), epoch,
-      meta.getAs[Boolean]("params_derived"))
+      meta.getAs[Int]("dim"), meta.getAs[Long]("corpus_count"), st.epoch,
+      st.floor, meta.getAs[Boolean]("params_derived"))
   }
 
   /** Read a [[writeCpIndex]] artifact's serving state and refuse, by
     * `who`'s name, on hash-family or parameter drift between the
     * artifact and the probe — the shared front door of
     * [[cosinePairsCpIndexed]] and [[cpTopKIndexed]]. Returns the
-    * stored (hashesPerBand, bands, servingEpoch).
+    * stored (hashesPerBand, bands, floor, servingEpoch).
     */
   private def readCpMeta(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, who: String, threshold: Double, dim: Int,
-      targetMiss: Double): (Int, Int, Int) = {
+      targetMiss: Double): (Int, Int, Int, Int) = {
     val st = cpIndexState(spark, indexDir, who)
     def drift(name: String, stored: Any, asked: Any): Unit =
       require(stored == asked,
@@ -812,7 +813,7 @@ object Ann {
     drift("threshold", st.threshold, threshold)
     drift("dim", st.dim, dim)
     drift("target_miss", st.targetMiss, targetMiss)
-    (st.k, st.bands, st.epoch)
+    (st.k, st.bands, st.floor, st.epoch)
   }
 
   /** The artifact's vectors / band rows through `epoch` — partition
@@ -820,14 +821,14 @@ object Ann {
     * without reading a byte of them.
     */
   private def indexVectors(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, epoch: Int): DataFrame =
+      indexDir: String, floor: Int, epoch: Int): DataFrame =
     graft.sources.EpochStore.tableThrough(spark, indexDir, "vectors",
-      epoch).select(col("vec_id"), col("v"))
+      floor, epoch).select(col("vec_id"), col("v"))
 
   private def indexBands(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, epoch: Int): DataFrame =
+      indexDir: String, floor: Int, epoch: Int): DataFrame =
     graft.sources.EpochStore.tableThrough(spark, indexDir, "bands",
-      epoch).select(col("vec_id"), col("band_id"), col("code"))
+      floor, epoch).select(col("vec_id"), col("band_id"), col("code"))
 
   /** FOLD a deduped shard INTO the artifact — the missing quarter of
     * the index lifecycle (write → probe → search → APPEND): after
@@ -891,7 +892,8 @@ object Ann {
           "growth.")
     }
     val nClash = v.select("vec_id")
-      .join(indexVectors(spark, indexDir, st.epoch).select("vec_id"),
+      .join(indexVectors(spark, indexDir, st.floor, st.epoch)
+          .select("vec_id"),
         Seq("vec_id"), "left_semi")
       .limit(1).count()
     require(nClash == 0,
@@ -900,7 +902,40 @@ object Ann {
         "twice silently drops its future probe pairs); re-key or dedup " +
         "the shard first.")
     writeEpoch(spark, indexDir, st.epoch + 1, v, st.k, st.bands, st.dim,
-      st.targetMiss, st.threshold, total, st.paramsDerived)
+      st.targetMiss, st.threshold, total, st.paramsDerived, st.floor)
+  }
+
+  /** COMPACT the artifact — the fourth quarter of the lifecycle
+    * (write → probe → search → append → compact, r11 VERDICT #1): a
+    * production cadence appends one epoch per micro-batch (q156), so
+    * a long-lived index accumulates hundreds of small epochs and every
+    * probe pays their file fan-in plus [[graft.sources.EpochStore
+    * .servingState]]'s O(epochs) meta walk. Compaction rewrites the
+    * live row set into ONE fresh epoch under the same frozen
+    * parameters and meta-last/torn-safe discipline (the family meta —
+    * k, bands, dim, counts — is carried verbatim: compaction moves
+    * bytes, never rows, so every probe and premise is unchanged by
+    * construction, and the q161 gate pins it). Appends continue after
+    * a compaction (the floor carries forward); superseded epochs stay
+    * on disk until [[vacuumCpIndex]]. Returns false when the artifact
+    * is already a single live epoch. Single writer, like append.
+    */
+  def compactCpIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Boolean = {
+    cpIndexState(spark, indexDir, "compactCpIndex") // family refusal
+    graft.sources.EpochStore.compact(spark, indexDir,
+      Seq("vectors", "bands"), "compactCpIndex", "writeCpIndex")
+  }
+
+  /** Reclaim epochs a [[compactCpIndex]] superseded — see
+    * [[graft.sources.EpochStore.vacuum]] (safe against readers of the
+    * current serving state; quiesce pre-compaction probes first).
+    */
+  def vacuumCpIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    cpIndexState(spark, indexDir, "vacuumCpIndex") // family refusal
+    graft.sources.EpochStore.vacuum(spark, indexDir,
+      Seq("vectors", "bands"), "vacuumCpIndex", "writeCpIndex")
   }
 
   /** Probe a [[writeCpIndex]] artifact with an arriving shard — the
@@ -924,20 +959,25 @@ object Ann {
     * count job; incoming∩corpus collisions are a left-semi probe of
     * the artifact's vectors (a one-column pruned scan — small next to
     * the band scan the probe join itself pays).
+    *
+    * The trailing `orderBy` exists ONLY for deterministic gating (the
+    * repo-wide hash-gate convention) — a throughput consumer feeding
+    * the pairs into a join or closure should drop it; at 100 TB it is
+    * a global sort the downstream plan does not need.
     */
   def cosinePairsCpIndexed(indexDir: String, incoming: DataFrame,
       threshold: Double, dim: Int = 64, targetMiss: Double = 1e-4)
       : DataFrame = {
     val spark = incoming.sparkSession
     GraftFunctions.register(spark)
-    val (k, nBands, epoch) = readCpMeta(spark, indexDir,
+    val (k, nBands, floor, epoch) = readCpMeta(spark, indexDir,
       "cosinePairsCpIndexed", threshold, dim, targetMiss)
 
     val inc = graft.CacheScope.scoped(incoming.select(col("vec_id"),
       VecFns.toDouble(col("embedding")).as("v")))
     val nInc = requireDistinctIds(inc, "cosinePairsCpIndexed(incoming)",
       "within the incoming shard")
-    val corpusVecs = indexVectors(spark, indexDir, epoch)
+    val corpusVecs = indexVectors(spark, indexDir, floor, epoch)
     val nClash = inc.select("vec_id")
       .join(corpusVecs.select("vec_id"), Seq("vec_id"), "left_semi")
       .limit(1).count()
@@ -950,7 +990,7 @@ object Ann {
       .select(col("vec_id"), lit(true).as("inc"),
         posexplode(expr(s"graft_cplsh(v, $k, $nBands, $dim)"))
           .as(Seq("band_id", "code"))))
-    val allBands = indexBands(spark, indexDir, epoch)
+    val allBands = indexBands(spark, indexDir, floor, epoch)
       .select(col("vec_id"), lit(false).as("inc"), col("band_id"),
         col("code"))
       .unionByName(incBands)
@@ -1023,7 +1063,7 @@ object Ann {
       : DataFrame = {
     val spark = queries.sparkSession
     GraftFunctions.register(spark)
-    val (kHashes, nBands, epoch) = readCpMeta(spark, indexDir,
+    val (kHashes, nBands, floor, epoch) = readCpMeta(spark, indexDir,
       "cpTopKIndexed", threshold, dim, targetMiss)
     val q = graft.CacheScope.scoped(queries.select(col("vec_id"),
       VecFns.toDouble(col("embedding")).as("qv")))
@@ -1039,7 +1079,7 @@ object Ann {
       posexplode(expr(s"graft_cplsh(qv, $kHashes, $nBands, $dim)"))
         .as(Seq("band_id", "code")))
     val cand = hintIfSmall(qBands, nQ * nBands)
-      .join(indexBands(spark, indexDir, epoch)
+      .join(indexBands(spark, indexDir, floor, epoch)
           .select(col("vec_id").as("neighbor_id"), col("band_id"),
             col("code")),
         Seq("band_id", "code"))
@@ -1047,7 +1087,7 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
     val scored = cand
-      .join(indexVectors(spark, indexDir, epoch)
+      .join(indexVectors(spark, indexDir, floor, epoch)
           .select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
         Seq("neighbor_id"))
       .join(q.select(col("vec_id").as("query_id"), col("qv")),

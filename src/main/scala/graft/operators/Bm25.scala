@@ -137,4 +137,195 @@ object Bm25 {
       .withColumn("brank", row_number().over(w))
       .filter(col("brank") <= k)
   }
+
+  // --------------------------------------------------------------------
+  // The STORED-INDEX retrieval form (r12, r11 VERDICT #4): [[topK]]
+  // recomputes the corpus half — postings, document frequencies, doc
+  // lengths, the (N, avgdl) stats — on EVERY call, the exact asymmetry
+  // the cp/text/fp families closed for dedup in r10/r11. Persist that
+  // half once on the shared graft.sources.EpochStore layout and score
+  // query batches against the store: per query-batch cost is columnar
+  // scans of query-term postings, zero corpus tokenization.
+  //
+  // APPEND IS EXACT BY ADDITIVITY, not a refusal (the r11 VERDICT asked
+  // for refuse-vs-recompute to be decided and pinned): unlike the cp
+  // family's k ~ log n, every corpus statistic BM25 needs is additive
+  // over disjoint document sets — df(term) sums across epochs, N and
+  // Σdl ride the meta cumulatively, and avgdl = Σdl DIV N recomputes
+  // from those sums at probe time — so an appended index scores
+  // IDENTICALLY to a monolithic rebuild (the q166 gate proves it
+  // through an append + compaction). Disjointness is the same one-id-
+  // space premise every index family refuses on.
+
+  /** Artifact layout version: bumped if the tokenizer (whitespace
+    * split) or the posting schema ever change — scoring across
+    * tokenizer versions silently mis-weights every term.
+    */
+  private[graft] val Bm25IndexFamily = "bm25-ws-v1"
+
+  /** The tokenized corpus half: postings (term, doc_id, tf, dl —
+    * dl denormalized so scoring never joins a lengths table) and the
+    * per-doc membership/length table (doc_id, dl — every doc, even
+    * ones whose text yields no postings row, so the append id-space
+    * check is exact).
+    */
+  private def tokenized(docs: DataFrame): (DataFrame, DataFrame) = {
+    val lengths = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val postings = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    (postings, lengths)
+  }
+
+  private def writeBm25Epoch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, epoch: Int, postings: DataFrame, lengths: DataFrame,
+      nDocs: Long, sumDl: Long, floor: Int = 0): Unit = {
+    import spark.implicits._
+    val dfs = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val meta = Seq((Bm25IndexFamily, nDocs, sumDl, epoch))
+      .toDF("family", "n_docs", "sum_dl", "epoch")
+    graft.sources.EpochStore.writeEpoch(dir, epoch,
+      Seq("postings" -> postings, "docs" -> lengths, "dfs" -> dfs),
+      meta, floor)
+  }
+
+  /** Persist the corpus half as epoch 0 of an [[graft.sources
+    * .EpochStore]] artifact: `postings/` (term, doc_id, tf, dl),
+    * `docs/` (doc_id, dl), `dfs/` (term, per-epoch df), and a one-row
+    * meta carrying the CUMULATIVE (n_docs, Σdl) — meta written LAST,
+    * torn epochs invisible, single writer, the layout contract.
+    * Deletes any previous artifact at `dir` first (a rebuild whose
+    * input reads this artifact's own files must build elsewhere).
+    */
+  def writeBm25Index(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val d = graft.CacheScope.scoped(docs.select("doc_id", "text"))
+    val c = d.agg(count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("nd"),
+      coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+        .as("sum_dl")).head()
+    require(c.getLong(0) == c.getLong(1),
+      "writeBm25Index: doc_id is not one id space — " +
+        s"${c.getLong(0) - c.getLong(1)} duplicate id(s) within the " +
+        "corpus; a doc indexed twice double-counts df and N. Re-key " +
+        "upstream.")
+    val (postings, lengths) = tokenized(d)
+    graft.sources.EpochStore.deleteAll(spark, dir)
+    writeBm25Epoch(spark, dir, 0, postings, lengths, c.getLong(0),
+      c.getLong(2))
+  }
+
+  private case class Bm25IndexState(nDocs: Long, sumDl: Long,
+      epoch: Int, floor: Int)
+
+  private def bm25IndexState(spark: org.apache.spark.sql.SparkSession,
+      dir: String, who: String): Bm25IndexState = {
+    val st = graft.sources.EpochStore.servingState(spark, dir, who,
+      "writeBm25Index")
+    val family = st.meta.getAs[String]("family")
+    require(family == Bm25IndexFamily,
+      s"$who: artifact at $dir was tokenized by family '$family' but " +
+        s"this code scores '$Bm25IndexFamily' — rebuild; scoring " +
+        "across tokenizer versions silently mis-weights every term")
+    Bm25IndexState(st.meta.getAs[Long]("n_docs"),
+      st.meta.getAs[Long]("sum_dl"), st.epoch, st.floor)
+  }
+
+  /** FOLD new documents into the artifact as epoch N+1 — EXACT, never
+    * approximate: df sums across epochs, (N, Σdl) ride the meta
+    * cumulatively, avgdl recomputes from them at probe time (see the
+    * section comment — the additivity decision the r11 VERDICT asked
+    * to be pinned; q166 gates append ≡ monolithic). One id space
+    * refuses (shard-internal and shard∩stored — an id appended twice
+    * double-counts df and N). Meta last; torn appends invisible and
+    * retried. Single writer.
+    */
+  def appendBm25Index(indexDir: String, moreDocs: DataFrame): Unit = {
+    val spark = moreDocs.sparkSession
+    val st = bm25IndexState(spark, indexDir, "appendBm25Index")
+    val d = graft.CacheScope.scoped(moreDocs.select("doc_id", "text"))
+    val c = d.agg(count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("nd"),
+      coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+        .as("sum_dl")).head()
+    require(c.getLong(0) == c.getLong(1),
+      "appendBm25Index: doc_id is not one id space — " +
+        s"${c.getLong(0) - c.getLong(1)} duplicate id(s) within the " +
+        "appended shard; re-key upstream.")
+    val idClash = d.select("doc_id")
+      .join(graft.sources.EpochStore.tableThrough(spark, indexDir,
+          "docs", st.floor, st.epoch).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(idClash == 0,
+      s"appendBm25Index: appended doc_id(s) already indexed at " +
+        s"$indexDir — one id space is the contract (an id indexed " +
+        "twice double-counts df and N); re-key or dedup the shard " +
+        "first.")
+    val (postings, lengths) = tokenized(d)
+    writeBm25Epoch(spark, indexDir, st.epoch + 1, postings, lengths,
+      st.nDocs + c.getLong(0), st.sumDl + c.getLong(2), st.floor)
+  }
+
+  /** Score a bag-of-words query against the STORED index — [[topK]]'s
+    * exact contract and output shape (doc_id, score_micro, n_terms;
+    * ties on ascending doc_id; only docs containing ≥ 1 query term),
+    * but the corpus is never tokenized: per-call cost is a columnar
+    * scan of the stored postings/dfs pruned to the query terms, with
+    * (N, avgdl) read from the meta as LITERALS (no 1-row broadcast
+    * join in the plan at all). df per term SUMS across epochs —
+    * additive over the disjoint doc sets the append premise
+    * guarantees — so a grown index scores identically to a rebuild.
+    */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val st = bm25IndexState(spark, indexDir, "topKIndexed")
+    val ad = st.sumDl / math.max(st.nDocs, 1L)
+    val tf = graft.sources.EpochStore.tableThrough(spark, indexDir,
+        "postings", st.floor, st.epoch)
+      .filter(col("term").isin(queryTerms: _*))
+    val dfreq = graft.sources.EpochStore.tableThrough(spark, indexDir,
+        "dfs", st.floor, st.epoch)
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("n_docs", lit(st.nDocs))
+      .withColumn("ad", lit(ad))
+      .withColumn("score_micro_t", expr(scoreMicroT))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_micro_t")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** COMPACT the artifact — live epochs rewritten into ONE fresh
+    * epoch, meta (cumulative N, Σdl) carried verbatim; per-epoch df
+    * rows for a term become multiple rows in one epoch, which the
+    * probe's sum-across-rows already aggregates, so compaction moves
+    * bytes, never scores. See [[graft.sources.EpochStore.compact]].
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Boolean = {
+    bm25IndexState(spark, indexDir, "compactBm25Index")
+    graft.sources.EpochStore.compact(spark, indexDir,
+      Seq("postings", "docs", "dfs"), "compactBm25Index",
+      "writeBm25Index")
+  }
+
+  /** Reclaim epochs a [[compactBm25Index]] superseded — see
+    * [[graft.sources.EpochStore.vacuum]]. */
+  def vacuumBm25Index(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    bm25IndexState(spark, indexDir, "vacuumBm25Index")
+    graft.sources.EpochStore.vacuum(spark, indexDir,
+      Seq("postings", "docs", "dfs"), "vacuumBm25Index",
+      "writeBm25Index")
+  }
 }

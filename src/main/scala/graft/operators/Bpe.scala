@@ -100,8 +100,9 @@ object Bpe {
   def encodeWithStoredMerges(indexDir: String, docs: DataFrame)
       : DataFrame = {
     val spark = docs.sparkSession
-    val (epoch, meta) = graft.sources.EpochStore.servingState(spark,
+    val st = graft.sources.EpochStore.servingState(spark,
       indexDir, "encodeWithStoredMerges", "writeMerges")
+    val meta = st.meta
     val family = meta.getAs[String]("family")
     require(family == MergesFamily,
       s"encodeWithStoredMerges: artifact at $indexDir holds family " +
@@ -109,7 +110,7 @@ object Bpe {
         "applying across fuse versions silently mistokenizes")
     val k = meta.getAs[Int]("k")
     val merges = graft.CacheScope.scoped(graft.sources.EpochStore
-      .tableThrough(spark, indexDir, "merges", epoch))
+      .tableThrough(spark, indexDir, "merges", st.floor, st.epoch))
     var words = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0).distinct()

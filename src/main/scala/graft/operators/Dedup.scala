@@ -104,24 +104,40 @@ object Dedup {
 
   private def writeFpEpoch(spark: org.apache.spark.sql.SparkSession,
       dir: String, epoch: Int, owners: DataFrame,
-      totalCount: Long): Unit = {
+      totalCount: Long, floor: Int = 0): Unit = {
     import spark.implicits._
     val meta = Seq((FpIndexFamily, totalCount, epoch))
       .toDF("family", "corpus_count", "epoch")
     graft.sources.EpochStore.writeEpoch(dir, epoch,
-      Seq("fps" -> owners), meta)
+      Seq("fps" -> owners), meta, floor)
   }
 
+  /** Broadcast cap for the shard side of [[dedupAgainstIndex]]'s probe
+    * (r11 ADVICE: this path must not silently couple to the ANN cap's
+    * sizing argument). A fingerprint row is ~2× a cp band row — a
+    * 32-char md5 string (~56 B with UTF-8 + offsets) plus a long
+    * doc_id vs (long, int, long) — so half the row budget keeps the
+    * SAME heap reasoning: 4M rows ≈ ~800 MB hashed at ~200 B/row,
+    * ~2× transiently during build, comfortable on the 8 GB heap and
+    * still orders of magnitude above every gate/stress shard. Past
+    * the cap the probe falls back to the plain shuffled left join,
+    * which completes.
+    */
+  private[graft] val MaxBroadcastFpRows: Long = 4L * 1000 * 1000
+
+  private case class FpIndexState(floor: Int, epoch: Int, count: Long)
+
   private def fpIndexState(spark: org.apache.spark.sql.SparkSession,
-      dir: String, who: String): (Int, Long) = {
-    val (epoch, meta) = graft.sources.EpochStore.servingState(spark,
+      dir: String, who: String): FpIndexState = {
+    val st = graft.sources.EpochStore.servingState(spark,
       dir, who, "writeFingerprintIndex")
-    val family = meta.getAs[String]("family")
+    val family = st.meta.getAs[String]("family")
     require(family == FpIndexFamily,
       s"$who: artifact at $dir was fingerprinted by family '$family' " +
         s"but this code probes '$FpIndexFamily' — rebuild; probing " +
         "across fingerprint versions treats every stored doc as novel")
-    (epoch, meta.getAs[Long]("corpus_count"))
+    FpIndexState(st.floor, st.epoch,
+      st.meta.getAs[Long]("corpus_count"))
   }
 
   /** Verdict an arriving shard against the stored corpus: per incoming
@@ -136,13 +152,15 @@ object Dedup {
     * broadcasts, size-gated) against ONE columnar scan of the stored
     * (fp, owner) table — corpus growth costs that scan, never a
     * re-fingerprint. Survivors then fold in via
-    * [[appendFingerprintIndex]]; the probe→append loop is q156's
-    * cadence at the exact granularity.
+    * [[appendFingerprintIndex]]; the probe→append loop runs live as
+    * q164's streaming cadence. The trailing `orderBy` exists ONLY for
+    * deterministic gating — a throughput consumer should drop it; at
+    * 100 TB it is a global sort downstream plans do not need.
     */
   def dedupAgainstIndex(indexDir: String, incoming: DataFrame)
       : DataFrame = {
     val spark = incoming.sparkSession
-    val (epoch, _) = fpIndexState(spark, indexDir, "dedupAgainstIndex")
+    val st = fpIndexState(spark, indexDir, "dedupAgainstIndex")
     val inc = graft.CacheScope.scoped(fps(incoming))
     val counts = inc.agg(count(lit(1)).as("n"),
       count_distinct(col("doc_id")).as("nd")).head()
@@ -151,7 +169,8 @@ object Dedup {
         s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s) " +
         "within the incoming shard; re-key upstream.")
     val stored = graft.sources.EpochStore.tableThrough(spark, indexDir,
-      "fps", epoch).select(col("fp"), col("owner").as("_stored_owner"))
+      "fps", st.floor, st.epoch)
+      .select(col("fp"), col("owner").as("_stored_owner"))
     // The shard must be the BROADCAST side and the stored table must
     // STREAM — but Spark cannot build the preserved (left) side of a
     // left-outer join, so a hinted `inc LEFT JOIN stored` silently
@@ -164,7 +183,7 @@ object Dedup {
     // shard falls back to the plain shuffled left join, which
     // completes.
     val joined =
-      if (counts.getLong(0) <= Ann.MaxBroadcastBandRows) {
+      if (counts.getLong(0) <= MaxBroadcastFpRows) {
         // read twice (union + the misses anti join) — pinned
         val hits = graft.CacheScope.scoped(
           stored.join(broadcast(inc.filter(col("fp").isNotNull)),
@@ -200,8 +219,7 @@ object Dedup {
   def appendFingerprintIndex(indexDir: String, survivors: DataFrame)
       : Unit = {
     val spark = survivors.sparkSession
-    val (epoch, prevCount) = fpIndexState(spark, indexDir,
-      "appendFingerprintIndex")
+    val st = fpIndexState(spark, indexDir, "appendFingerprintIndex")
     val f = graft.CacheScope.scoped(fps(survivors))
     val counts = f.agg(count(lit(1)).as("n"),
       count_distinct(col("doc_id")).as("nd")).head()
@@ -210,7 +228,7 @@ object Dedup {
         s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s) " +
         "within the appended shard; re-key upstream.")
     val stored = graft.sources.EpochStore.tableThrough(spark, indexDir,
-      "fps", epoch)
+      "fps", st.floor, st.epoch)
     val idClash = f.select(col("doc_id").as("owner"))
       .join(stored.select("owner"), Seq("owner"), "left_semi")
       .limit(1).count()
@@ -226,7 +244,33 @@ object Dedup {
       s"appendFingerprintIndex: appended fingerprint(s) already exist " +
         s"at $indexDir — two owners for one identity. Append the " +
         "survivors dedupAgainstIndex marked kept, not the raw shard.")
-    writeFpEpoch(spark, indexDir, epoch + 1, owners,
-      prevCount + counts.getLong(0))
+    writeFpEpoch(spark, indexDir, st.epoch + 1, owners,
+      st.count + counts.getLong(0), st.floor)
+  }
+
+  /** COMPACT the artifact — the (fp, owner) map's live epochs rewritten
+    * into ONE fresh epoch, meta last (see
+    * [[graft.sources.EpochStore.compact]]): the q164 streaming cadence
+    * appends one epoch per arriving shard, and every probe's columnar
+    * scan pays the small-file fan-in forever. Owners are disjoint
+    * across epochs by the append premise, so the union IS the map —
+    * compaction moves bytes, never rows (q163 gate). Returns false
+    * when already a single live epoch. Single writer; reclaim
+    * superseded epochs via [[vacuumFingerprintIndex]].
+    */
+  def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Boolean = {
+    fpIndexState(spark, indexDir, "compactFingerprintIndex")
+    graft.sources.EpochStore.compact(spark, indexDir, Seq("fps"),
+      "compactFingerprintIndex", "writeFingerprintIndex")
+  }
+
+  /** Reclaim epochs a [[compactFingerprintIndex]] superseded — see
+    * [[graft.sources.EpochStore.vacuum]]. */
+  def vacuumFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    fpIndexState(spark, indexDir, "vacuumFingerprintIndex")
+    graft.sources.EpochStore.vacuum(spark, indexDir, Seq("fps"),
+      "vacuumFingerprintIndex", "writeFingerprintIndex")
   }
 }

@@ -122,7 +122,10 @@ object TextIndex {
     * the INTEGER cross-multiplied threshold (1e6·|∩| ≥ ppm·|∪| — no
     * float compare at the boundary), emit (doc_a, doc_b, jaccard)
     * with jaccard as the one correctly-rounded double division both
-    * engines share (the q26 output shape).
+    * engines share (the q26 output shape). The trailing `orderBy`
+    * exists ONLY for deterministic gating — a throughput consumer
+    * should drop it; at 100 TB it is a global sort downstream plans
+    * do not need.
     */
   private def verifyExact(cand: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
@@ -233,7 +236,7 @@ object TextIndex {
 
   private def writeEpoch(dir: String, epoch: Int, sh: DataFrame,
       r: Int, b: Int, threshold: Double, targetMiss: Double,
-      totalCount: Long): Unit = {
+      totalCount: Long, floor: Int = 0): Unit = {
     val spark = sh.sparkSession
     import spark.implicits._
     val meta = Seq((JaccardIndexFamily, r, b, threshold, targetMiss,
@@ -241,16 +244,18 @@ object TextIndex {
       .toDF("family", "rows_per_band", "bands", "threshold",
         "target_miss", "shingle_k", "corpus_count", "epoch")
     EpochStore.writeEpoch(dir, epoch,
-      Seq("docs" -> sh, "bands" -> bandRows(sh, r, b)), meta)
+      Seq("docs" -> sh, "bands" -> bandRows(sh, r, b)), meta, floor)
   }
 
   private case class JaccardIndexState(r: Int, b: Int,
-      threshold: Double, targetMiss: Double, count: Long, epoch: Int)
+      threshold: Double, targetMiss: Double, count: Long, epoch: Int,
+      floor: Int)
 
   private def indexState(spark: org.apache.spark.sql.SparkSession,
       dir: String, who: String): JaccardIndexState = {
-    val (epoch, meta) = EpochStore.servingState(spark, dir, who,
+    val st = EpochStore.servingState(spark, dir, who,
       "writeJaccardIndex")
+    val meta = st.meta
     val family = meta.getAs[String]("family")
     require(family == JaccardIndexFamily,
       s"$who: artifact at $dir was hashed by family '$family' but " +
@@ -259,7 +264,7 @@ object TextIndex {
     JaccardIndexState(meta.getAs[Int]("rows_per_band"),
       meta.getAs[Int]("bands"), meta.getAs[Double]("threshold"),
       meta.getAs[Double]("target_miss"),
-      meta.getAs[Long]("corpus_count"), epoch)
+      meta.getAs[Long]("corpus_count"), st.epoch, st.floor)
   }
 
   /** The shared drift front door of [[jaccardPairsIndexed]] and
@@ -306,8 +311,8 @@ object TextIndex {
         s"${agg.getLong(0) - agg.getLong(1)} duplicate id(s) within " +
         s"the appended shard. $PairDupConsequence")
     val nClash = sh.select("doc_id")
-      .join(EpochStore.tableThrough(spark, indexDir, "docs", st.epoch)
-          .select("doc_id"),
+      .join(EpochStore.tableThrough(spark, indexDir, "docs", st.floor,
+          st.epoch).select("doc_id"),
         Seq("doc_id"), "left_semi")
       .limit(1).count()
     require(nClash == 0,
@@ -316,7 +321,33 @@ object TextIndex {
         "stored twice silently drops its future probe pairs); re-key " +
         "or dedup the shard first.")
     writeEpoch(indexDir, st.epoch + 1, sh, st.r, st.b, st.threshold,
-      st.targetMiss, st.count + agg.getLong(0))
+      st.targetMiss, st.count + agg.getLong(0), st.floor)
+  }
+
+  /** COMPACT the artifact — rewrite the live epochs into ONE fresh
+    * epoch under the FROZEN stored banding, meta last (see
+    * [[graft.sources.EpochStore.compact]]): the q155/q164-style
+    * append cadence sprawls one epoch per shard, and every probe pays
+    * the file fan-in forever. The family meta (banding, counts) is
+    * carried verbatim — compaction moves bytes, never rows — so
+    * probes and the append's id-space premise are unchanged (q162
+    * gate). Returns false when already a single live epoch. Single
+    * writer; superseded epochs reclaim via [[vacuumJaccardIndex]].
+    */
+  def compactJaccardIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Boolean = {
+    indexState(spark, indexDir, "compactJaccardIndex") // family refusal
+    EpochStore.compact(spark, indexDir, Seq("docs", "bands"),
+      "compactJaccardIndex", "writeJaccardIndex")
+  }
+
+  /** Reclaim epochs a [[compactJaccardIndex]] superseded — see
+    * [[graft.sources.EpochStore.vacuum]]. */
+  def vacuumJaccardIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    indexState(spark, indexDir, "vacuumJaccardIndex") // family refusal
+    EpochStore.vacuum(spark, indexDir, Seq("docs", "bands"),
+      "vacuumJaccardIndex", "writeJaccardIndex")
   }
 
   /** Probe a [[writeJaccardIndex]] artifact with an arriving shard —
@@ -343,7 +374,7 @@ object TextIndex {
         s"the incoming shard. $PairDupConsequence")
     val nInc = agg.getLong(0)
     val storedDocs = EpochStore.tableThrough(spark, indexDir, "docs",
-      st.epoch)
+      st.floor, st.epoch)
     val nClash = inc.select("doc_id")
       .join(storedDocs.select("doc_id"), Seq("doc_id"), "left_semi")
       .limit(1).count()
@@ -353,7 +384,7 @@ object TextIndex {
         "(a shared id silently drops its real pair); re-key the shard.")
     val incBands = graft.CacheScope.scoped(bandRows(inc, st.r, st.b))
     val allBands = EpochStore.tableThrough(spark, indexDir, "bands",
-        st.epoch)
+        st.floor, st.epoch)
       .select(col("doc_id"), col("band_id"), col("band_hash"))
       .unionByName(incBands)
     val hinted =

@@ -15,10 +15,19 @@ import graft.plans.CrossPolytope
   * the artifact as a new epoch ([[Ann.appendCpIndex]]) before the next
   * batch fires — q148 and q152 composed into the loop a 100 TB
   * ingestion pipeline actually runs, driven by Structured Streaming's
-  * `foreachBatch` (exactly-once per-batch side effects at the
-  * checkpoint's grain; the epoch layout's meta-written-last makes the
-  * append side idempotent under retry — a torn epoch is invisible and
-  * rewritten).
+  * `foreachBatch`. The retry contract is scoped precisely (r11
+  * ADVICE): only a TORN append is idempotent — a batch that dies
+  * mid-epoch leaves no meta, is invisible, and replays cleanly — but
+  * a batch replayed after its append COMMITTED (a crash between the
+  * append and the checkpoint commit) REFUSES on the shard-vs-stored
+  * id-clash check, and a replay after the pair-sink write would
+  * double-write pairs, which the duplicate-pair invariant below
+  * refuses. Both failure shapes are LOUD — the drained result is
+  * never silently wrong — but a mid-drain crash fails the run for a
+  * restart from scratch rather than resuming; a resumable variant
+  * would skip already-stored ids per batch, at the cost of masking
+  * genuine id-space violations, and this gate deliberately keeps the
+  * violation check.
   *
   * WHY THE RESULT IS EXACTLY GATEABLE: each pair with at least one
   * incoming side surfaces EXACTLY ONCE — when its later-arriving side
@@ -161,5 +170,139 @@ object IndexIngest {
         "one micro-batch")
     pairs.select(col("vec_a"), col("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** The SAME production cadence at the EXACT-dedup granularity (q164,
+    * r11 VERDICT #3 — "the loop a real exact-dedup pipeline runs most"):
+    * arriving document shards verdict against the stored fingerprint
+    * index ([[graft.operators.Dedup.dedupAgainstIndex]]), report
+    * (doc_id, fp, owner, kept), and their SURVIVORS — exactly the
+    * kept docs — fold in ([[graft.operators.Dedup
+    * .appendFingerprintIndex]]) before the next batch fires. After
+    * every fold the loop COMPACTS and VACUUMS the artifact
+    * (single-writer holds inside `foreachBatch`), so the gate also
+    * pins probe-after-compaction ≡ at every batch boundary — the
+    * composition a year-long cadence actually needs (r11 VERDICT #1:
+    * compaction is what keeps `tableThrough` from scanning an epoch
+    * per historical shard).
+    *
+    * WHY THE RESULT IS EXACTLY GATEABLE, batch-free: a doc verdicts
+    * exactly once, in its own batch, and its owner is the min-id doc
+    * of the EARLIEST tier (base corpus, then wave A, B, C in mtime
+    * order) sharing its fingerprint — because each tier's survivors
+    * are folded in before the next probes, "stored owner" at wave k
+    * IS coalesce(tier₀…tier₍ₖ₋₁₎ owners), and within-batch misses take
+    * the batch's own min id. The oracle recomputes that tier-coalesce
+    * declaratively, knowing nothing about batches.
+    *
+    * Staged arrival (mtime-ordered, the q156 discipline): wave A = the
+    * `doc_id % 7 == 3` slice; wave B = EXACT text copies of every 10th
+    * corpus doc (+5e6 — planted dups against the STORED base); wave
+    * C = exact copies of A's `% 9 == 4` slice (+9e6 — its owners are
+    * wave-A ids wherever A's text was novel, measured non-empty at
+    * every SF, so the pairs span batch boundaries and prove the FOLD
+    * is load-bearing, not just the probe). The same retry contract as
+    * [[ingestOnce]]: torn appends replay invisibly; a committed-append
+    * replay refuses on the id clash; a doc verdicting twice refuses on
+    * the exactly-once invariant below.
+    */
+  def fpIngestOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val idxDir = s"/tmp/graft_stream_idx_$queryName"
+    val outDir = s"/tmp/graft_stream_verdicts_$queryName"
+    val ss = EventStreams.streamingSession(spark)
+
+    val d = graft.Tables.documents(ss, sfDir)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3)
+      .select("doc_id", "text")
+    val waveA = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+    val waveB = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
+    val waveC = waveA.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + lit(9000000L)).as("doc_id"), col("text"))
+
+    EventStreams.stagedOnce(sfDir, srcDir) {
+      var stamped = Set.empty[java.nio.file.Path]
+      stamped = EventStreams.writeStampedBatch(srcDir, waveA, 0, stamped,
+        s"$queryName wave A")
+      stamped = EventStreams.writeStampedBatch(srcDir, waveB, 1, stamped,
+        s"$queryName wave B")
+      EventStreams.writeStampedBatch(srcDir, waveC, 2, stamped,
+        s"$queryName wave C")
+      ()
+    }
+
+    // the artifact and verdict sink MUTATE during the drain — rebuilt
+    // every run, never staged-reused (the q116/q156 precedent)
+    EventStreams.deleteStagingForTest(java.nio.file.Paths.get(outDir))
+    graft.CacheScope.withScope {
+      graft.operators.Dedup.writeFingerprintIndex(corpus, idxDir)
+    }
+
+    val src = ss.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    try {
+      val q = src.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.CacheScope.withScope {
+            val bs = batch.sparkSession
+            // verdict FIRST, report — then fold the batch's kept docs
+            // (read back from the sink: one materialization serves
+            // both the report and the survivor selection), compact,
+            // and reclaim before the next batch fires
+            graft.operators.Dedup.dedupAgainstIndex(idxDir, batch)
+              .withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(outDir)
+            val kept = bs.read.parquet(outDir)
+              .filter(col("batch_id") === id && col("kept"))
+              .select("doc_id")
+            graft.operators.Dedup.appendFingerprintIndex(idxDir,
+              batch.join(kept, Seq("doc_id"), "left_semi"))
+            graft.operators.Dedup.compactFingerprintIndex(bs, idxDir)
+            graft.operators.Dedup.vacuumFingerprintIndex(bs, idxDir)
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      val walk = java.nio.file.Files.walk(ckpt)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+
+    val verdicts = graft.CacheScope.scoped(spark.read.parquet(outDir))
+    // LOUD premise: wave-C copies of wave-A docs must be owned by their
+    // wave-A originals across the batch boundary — provable only if
+    // wave A's survivors were FOLDED IN (and survived the compaction +
+    // vacuum) before wave C probed
+    require(verdicts.filter(col("doc_id") >= 9000000L && !col("kept") &&
+        col("owner") < 5000000L && col("owner") % 7 === 3).limit(1)
+        .count() == 1L,
+      s"$queryName premise violated: no wave-C doc is owned by its " +
+        "wave-A original — the per-batch survivor fold (or the " +
+        "compacted artifact) is not feeding later probes")
+    // exactly-once: a doc verdicting in two batches means a batch
+    // re-fired without its append, or the sink double-wrote
+    val dup = verdicts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    require(dup.limit(1).count() == 0L,
+      s"$queryName invariant violated: a doc verdicted in more than " +
+        "one micro-batch")
+    verdicts.select(col("doc_id"), col("fp"), col("owner"),
+        col("kept").cast("long").as("kept"))
+      .orderBy(col("doc_id"))
   }
 }

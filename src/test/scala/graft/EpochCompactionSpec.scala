@@ -1,0 +1,248 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Bm25, Dedup, TextIndex}
+
+/** The COMPACTION quarter of the stored-index lifecycle (r12):
+  * compacted ≡ sprawled at every family's probe output, torn
+  * compactions invisible, appends continuing above the floor, vacuum
+  * reclaiming exactly the superseded epochs — plus the BM25 stored
+  * index's additive-append exactness and its refusals.
+  */
+class EpochCompactionSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def epochDirs(dir: String, table: String): Set[Int] = {
+    val root = new java.io.File(s"$dir/$table")
+    if (!root.exists()) Set.empty
+    else root.listFiles().toSeq.map(_.getName)
+      .collect { case s if s.startsWith("epoch=") =>
+        s.stripPrefix("epoch=").toInt }.toSet
+  }
+
+  private def metas(dir: String): Set[Int] = {
+    val root = new java.io.File(dir)
+    if (!root.exists()) Set.empty
+    else root.listFiles().toSeq.map(_.getName)
+      .collect { case s if s.startsWith("meta_") =>
+        s.stripPrefix("meta_").toInt }.toSet
+  }
+
+  test("cp compaction: append → compact → append serves identically to " +
+      "a monolithic build; a torn compaction is invisible and retries; " +
+      "vacuum reclaims exactly the sub-floor epochs") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = e.select("vec_id", "embedding")
+    val base = corpus.filter(col("vec_id") % 5 =!= 2)
+    val g1 = corpus.filter(col("vec_id") % 5 === 2 &&
+      col("vec_id") % 3 =!= 1)
+    val g2 = corpus.filter(col("vec_id") % 5 === 2 &&
+      col("vec_id") % 3 === 1)
+    val incoming = e.filter(col("vec_id") % 9 === 1)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val mono = "/tmp/graft_test_cpcmp_mono"
+    val cmp = "/tmp/graft_test_cpcmp"
+    // pin parameters from the FINAL count on both paths so the only
+    // difference is the construction (the q152 planned-growth sizing)
+    val n = corpus.count()
+    val k = graft.plans.CrossPolytope.chooseHashesPerBand(n, 0.4, 64, 1e-4)
+    val b = graft.plans.CrossPolytope.bandsFor(0.4, k, 64, 1e-4)
+    CacheScope.withScope {
+      Ann.writeCpIndex(corpus, mono, 0.4, hashesPerBand = k, bands = b)
+    }
+    CacheScope.withScope {
+      Ann.writeCpIndex(base, cmp, 0.4, hashesPerBand = k, bands = b)
+      Ann.appendCpIndex(cmp, g1)
+      assert(Ann.compactCpIndex(spark, cmp),
+        "a two-epoch artifact must compact")
+      Ann.appendCpIndex(cmp, g2)
+    }
+    // epochs now: 0 (base), 1 (g1), 2 (compacted, floor), 3 (g2)
+    assert(epochDirs(cmp, "vectors") == Set(0, 1, 2, 3) &&
+      metas(cmp) == Set(0, 1, 2, 3))
+    val viaCmp = CacheScope.withScope {
+      Ann.cosinePairsCpIndexed(cmp, incoming, 0.4)
+        .as[(Long, Long)].collect().toSet
+    }
+    val viaMono = CacheScope.withScope {
+      Ann.cosinePairsCpIndexed(mono, incoming, 0.4)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(viaCmp == viaMono && viaCmp.nonEmpty,
+      s"compacted-path probe ${viaCmp.size} != monolithic ${viaMono.size}")
+    // TORN compaction: epoch=4 data lands with NO meta_4 — scaled-id
+    // copies that would pair with incoming if served. Invisible.
+    spark.read.parquet(s"$cmp/vectors/epoch=3")
+      .select((col("vec_id") + 700000L).as("vec_id"), col("v"))
+      .write.parquet(s"$cmp/vectors/epoch=4")
+    val viaTorn = CacheScope.withScope {
+      Ann.cosinePairsCpIndexed(cmp, incoming, 0.4)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(viaTorn == viaCmp,
+      "a torn compaction (data without meta_N) must be invisible")
+    // the RETRY path: a real compact targets the same epoch number the
+    // torn attempt used (serving + 1 = 4) and overwrites it
+    assert(CacheScope.withScope { Ann.compactCpIndex(spark, cmp) })
+    val afterRetry = CacheScope.withScope {
+      Ann.cosinePairsCpIndexed(cmp, incoming, 0.4)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(afterRetry == viaMono,
+      "compaction retried over a torn attempt must serve unchanged")
+    // vacuum: exactly the sub-floor epochs and their metas disappear;
+    // the probe is unchanged afterwards
+    Ann.vacuumCpIndex(spark, cmp)
+    assert(epochDirs(cmp, "vectors") == Set(4) &&
+      epochDirs(cmp, "bands") == Set(4) && metas(cmp) == Set(4),
+      s"vacuum left ${epochDirs(cmp, "vectors")} / ${metas(cmp)}")
+    val afterVacuum = CacheScope.withScope {
+      Ann.cosinePairsCpIndexed(cmp, incoming, 0.4)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(afterVacuum == viaMono,
+      "a vacuumed artifact must serve the identical row set")
+    // an artifact that is already one live epoch declines to compact
+    assert(!Ann.compactCpIndex(spark, cmp),
+      "compacting a single-live-epoch artifact must be a no-op")
+  }
+
+  test("text compaction: append → compact serves identically; appends " +
+      "continue above the floor") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val base = corpus.filter(col("doc_id") % 5 =!= 2)
+    val g1 = corpus.filter(col("doc_id") % 5 === 2 &&
+      col("doc_id") % 3 =!= 1)
+    val g2 = corpus.filter(col("doc_id") % 5 === 2 &&
+      col("doc_id") % 3 === 1)
+    val incoming = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+      .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text")))
+    val mono = "/tmp/graft_test_txtcmp_mono"
+    val cmp = "/tmp/graft_test_txtcmp"
+    CacheScope.withScope { TextIndex.writeJaccardIndex(corpus, mono, 0.6) }
+    CacheScope.withScope {
+      TextIndex.writeJaccardIndex(base, cmp, 0.6)
+      TextIndex.appendJaccardIndex(cmp, g1)
+      assert(TextIndex.compactJaccardIndex(spark, cmp))
+      TextIndex.appendJaccardIndex(cmp, g2)
+      TextIndex.vacuumJaccardIndex(spark, cmp)
+    }
+    assert(epochDirs(cmp, "docs") == Set(2, 3) && metas(cmp) == Set(2, 3))
+    val viaCmp = CacheScope.withScope {
+      TextIndex.jaccardPairsIndexed(cmp, incoming, 0.6)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val viaMono = CacheScope.withScope {
+      TextIndex.jaccardPairsIndexed(mono, incoming, 0.6)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    assert(viaCmp == viaMono && viaCmp.nonEmpty,
+      s"compacted text probe ${viaCmp.size} != monolithic ${viaMono.size}")
+  }
+
+  test("fp compaction + vacuum: verdicts unchanged; the floored artifact " +
+      "is the only thing left on disk") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val base = corpus.filter(col("doc_id") % 5 =!= 2)
+    val grown = corpus.filter(col("doc_id") % 5 === 2)
+    val incoming = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+      .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text")))
+    val mono = "/tmp/graft_test_fpcmp_mono"
+    val cmp = "/tmp/graft_test_fpcmp"
+    CacheScope.withScope { Dedup.writeFingerprintIndex(corpus, mono) }
+    CacheScope.withScope {
+      Dedup.writeFingerprintIndex(base, cmp)
+      val kept = Dedup.dedupAgainstIndex(cmp, grown)
+        .filter(col("kept")).select("doc_id")
+      Dedup.appendFingerprintIndex(cmp,
+        grown.join(kept, Seq("doc_id"), "left_semi"))
+      assert(Dedup.compactFingerprintIndex(spark, cmp))
+      Dedup.vacuumFingerprintIndex(spark, cmp)
+    }
+    assert(epochDirs(cmp, "fps") == Set(2) && metas(cmp) == Set(2))
+    val viaCmp = CacheScope.withScope {
+      Dedup.dedupAgainstIndex(cmp, incoming)
+        .as[(Long, String, Long, Boolean)].collect().toSet
+    }
+    // note: the monolithic map and the probed-slice map agree on
+    // OWNERS only where the survivors contract made them agree — the
+    // grown slice here was PROBED first, so both paths store min-id
+    // owners over the same doc set and verdicts must be identical
+    val viaMono = CacheScope.withScope {
+      Dedup.dedupAgainstIndex(mono, incoming)
+        .as[(Long, String, Long, Boolean)].collect().toSet
+    }
+    assert(viaCmp == viaMono && viaCmp.nonEmpty,
+      s"compacted fp verdicts ${viaCmp.size} != monolithic ${viaMono.size}")
+  }
+
+  test("bm25 stored index: indexed scoring equals the live operator; " +
+      "append + compact is exact by additivity; refusals are loud") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val docs = d.select("doc_id", "text")
+    val terms = Seq("spark", "hash", "window")
+    val mono = "/tmp/graft_test_bm25_mono"
+    val app = "/tmp/graft_test_bm25_app"
+    CacheScope.withScope { Bm25.writeBm25Index(docs, mono) }
+    val live = CacheScope.withScope {
+      Bm25.topK(docs, terms, 50).as[(Long, Long, Long)].collect().toSeq
+    }
+    val indexed = CacheScope.withScope {
+      Bm25.topKIndexed(spark, mono, terms, 50)
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    assert(indexed == live && live.nonEmpty,
+      "indexed BM25 must reproduce the live operator's exact ranking")
+    // append + compact: df sums across epochs, N/Σdl ride the meta —
+    // the grown artifact must score identically to the monolithic one
+    CacheScope.withScope {
+      Bm25.writeBm25Index(docs.filter(col("doc_id") % 5 =!= 2), app)
+      Bm25.appendBm25Index(app, docs.filter(col("doc_id") % 5 === 2))
+      assert(Bm25.compactBm25Index(spark, app))
+      Bm25.vacuumBm25Index(spark, app)
+    }
+    val viaApp = CacheScope.withScope {
+      Bm25.topKIndexed(spark, app, terms, 50).as[(Long, Long, Long)].collect().toSeq
+    }
+    assert(viaApp == live,
+      "append+compact-built BM25 index must score identically — " +
+        "df/N/Σdl additivity is the exactness claim")
+    // duplicate ids within the corpus refuse at build
+    val be = intercept[IllegalArgumentException] {
+      CacheScope.withScope {
+        Bm25.writeBm25Index(docs.unionByName(docs.limit(1)),
+          "/tmp/graft_test_bm25_dup")
+      }
+    }
+    assert(be.getMessage.contains("not one id space"))
+    // an appended id already indexed refuses
+    val ae = intercept[IllegalArgumentException] {
+      CacheScope.withScope { Bm25.appendBm25Index(app, docs.limit(1)) }
+    }
+    assert(ae.getMessage.contains("already indexed"))
+    // family drift: probing a foreign EpochStore artifact refuses by
+    // family name (a cp index is a complete epoch of the wrong family)
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val foreign = "/tmp/graft_test_bm25_foreign"
+    CacheScope.withScope {
+      Ann.writeCpIndex(e.select("vec_id", "embedding"), foreign, 0.4)
+    }
+    val fe = intercept[IllegalArgumentException] {
+      Bm25.topKIndexed(spark, foreign, terms, 50)
+    }
+    assert(fe.getMessage.contains("family"))
+    // no artifact refuses by name
+    val ne = intercept[IllegalArgumentException] {
+      Bm25.topKIndexed(spark, "/tmp/graft_test_bm25_nonexistent", terms, 50)
+    }
+    assert(ne.getMessage.contains("no complete epoch"))
+  }
+}
