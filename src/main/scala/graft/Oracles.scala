@@ -1981,6 +1981,39 @@ object Oracles {
     // artifact compacts) before the next probes. The CASE over tiers
     // is exactly "stored owner at probe time"; batch boundaries are
     // provably output-invisible, which is what the gate proves.
+    // The text ingestion loop, batch-free (q167): the q153 exact
+    // Jaccard oracle extended with the third wave — pairs with >= 1
+    // incoming side over inc = A ∪ B ∪ C; batch boundaries are
+    // provably output-invisible (each pair surfaces exactly once:
+    // when its later side probes, its earlier side is already corpus
+    // — base, appended, or compacted epoch).
+    "q167_streaming_text_ingest" -> """
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        FROM tok WHERE len(ws) >= 3),
+      corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 3),
+      inc AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 = 3
+              UNION ALL
+              SELECT doc_id + 5000000, s FROM corpus
+              WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 9000000, s FROM sh
+              WHERE doc_id % 7 = 3 AND doc_id % 9 = 4),
+      alld AS (SELECT doc_id, s, FALSE AS is_inc FROM corpus
+               UNION ALL SELECT doc_id, s, TRUE AS is_inc FROM inc),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.s, b.s)) AS ni,
+               len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+        FROM alld a JOIN alld b
+          ON a.doc_id < b.doc_id AND (a.is_inc OR b.is_inc))
+      SELECT doc_a, doc_b, CAST(ni AS DOUBLE) / un AS jaccard
+      FROM pairs WHERE 1000000 * ni >= 600000 * un
+      ORDER BY doc_a, doc_b""",
+
     "q164_streaming_fp_ingest" -> """
       WITH f AS (
         SELECT doc_id,
@@ -2457,6 +2490,46 @@ object Oracles {
     // exact, not approximate).
     "q165_bm25_indexed" -> bm25Oracle,
     "q166_bm25_index_appended" -> bm25Oracle,
+
+    // Batched retrieval against the stored index (q168): q129's BM25
+    // half verbatim — per-query top-20 over distinct query tokens,
+    // self-retrieval excluded, the same exact integer formula — the
+    // engine reads postings/df from the artifact and must reproduce
+    // the recomputed ranking bit-for-bit.
+    "q168_bm25_batched_indexed" -> """
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               string_split(text, ' ') AS toks
+        FROM documents),
+      stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS BIGINT) // greatest(count(*), 1) AS ad
+        FROM base),
+      qterms AS (
+        SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+        FROM base WHERE doc_id % 101 = 0),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+        WHERE term IN (SELECT DISTINCT term FROM qterms)
+        GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(sum((1000000 * (2*n_docs - 2*df + 1) * 44 * ad * tf)
+                        // ((2*df + 1) * (20*ad*tf + 6*ad + 18*dl)))
+                 AS BIGINT) AS bm25_micro
+        FROM tf JOIN dfreq USING (term)
+                JOIN qterms q USING (term)
+                CROSS JOIN stats
+        WHERE tf.doc_id <> q.query_id
+        GROUP BY 1, 2)
+      SELECT query_id, doc_id, bm25_micro,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY bm25_micro DESC, doc_id) AS INTEGER) AS brank
+      FROM scored
+      QUALIFY brank <= 20 ORDER BY query_id, brank""",
 
     // Image-format features in closed form: format by the planted id
     // cycle, resolution by the raster definition, pixel sum by the q29

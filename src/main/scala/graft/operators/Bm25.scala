@@ -305,6 +305,48 @@ object Bm25 {
       .limit(k)
   }
 
+  /** BATCHED retrieval against the STORED index — [[topKPerQuery]]'s
+    * exact contract (top-k per query over its DISTINCT tokens, df =
+    * true corpus document frequency, a query never retrieves itself,
+    * rank-limited window per query_id — never a global sort), with the
+    * corpus half read from the artifact: per-batch cost is a columnar
+    * scan of the stored postings pruned to the terms ANY query uses
+    * (left-semi against the broadcast query-term set — predicate
+    * pushdown keeps non-query terms unread), the summed stored df, and
+    * (N, avgdl) from the meta as literals. The shape an eval-mining or
+    * RAG job runs daily against a frozen corpus index.
+    */
+  def topKPerQueryIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, k: Int): DataFrame = {
+    val st = bm25IndexState(spark, indexDir, "topKPerQueryIndexed")
+    val ad = st.sumDl / math.max(st.nDocs, 1L)
+    // distinct query terms, pinned: feeds the postings pruning
+    // semi-join, the df pruning, and the scoring fan-out
+    val qterms = graft.CacheScope.scoped(queries
+      .select(col("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term")))
+    val anyTerm = qterms.select("term").distinct()
+    val tf = graft.sources.EpochStore.tableThrough(spark, indexDir,
+        "postings", st.floor, st.epoch)
+      .join(broadcast(anyTerm), Seq("term"), "left_semi")
+    val dfreq = graft.sources.EpochStore.tableThrough(spark, indexDir,
+        "dfs", st.floor, st.epoch)
+      .join(broadcast(anyTerm), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+    tf.join(broadcast(dfreq), "term")
+      .join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("n_docs", lit(st.nDocs))
+      .withColumn("ad", lit(ad))
+      .withColumn("score_micro_t", expr(scoreMicroT))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_micro_t")).as("bm25_micro"))
+      .withColumn("brank", row_number().over(w))
+      .filter(col("brank") <= k)
+  }
+
   /** COMPACT the artifact — live epochs rewritten into ONE fresh
     * epoch, meta (cumulative N, Σdl) carried verbatim; per-epoch df
     * rows for a term become multiple rows in one epoch, which the

@@ -305,4 +305,112 @@ object IndexIngest {
         col("kept").cast("long").as("kept"))
       .orderBy(col("doc_id"))
   }
+
+  /** The SAME production cadence at the NEAR-dup TEXT granularity
+    * (q167): arriving document shards probe the stored MinHash index
+    * for their Jaccard pairs ([[graft.operators.TextIndex
+    * .jaccardPairsIndexed]]), report them, and fold in
+    * ([[graft.operators.TextIndex.appendJaccardIndex]]) — then the
+    * artifact COMPACTS + VACUUMS before the next batch fires, so the
+    * text family's two-table (docs + bands) compaction is exercised
+    * mid-drain the way q164 exercises the fp family's. Banding is
+    * count-independent (no parameter pinning needed — the one family
+    * where a streaming cadence can never straddle a currency step).
+    *
+    * Exactly gateable by the q156 argument verbatim: each pair at
+    * J ≥ threshold with ≥ 1 incoming side surfaces EXACTLY ONCE — its
+    * later-arriving side probes when its earlier side is already
+    * corpus — so the drained union equals the one-shot incremental
+    * answer over all three waves, and one batch-free exact O(n·m)
+    * Jaccard oracle gates the loop. Waves (mtime-ordered): A = the
+    * `doc_id % 7 == 3` slice; B = EXACT text copies of every 10th
+    * corpus doc (+5e6 — planted J=1 hits against the STORED base);
+    * C = exact copies of A's `% 9 == 4` slice (+9e6 — J=1 pairs whose
+    * sides live in DIFFERENT batches, surfacing only if wave A's fold
+    * survived the compaction; the loud premise below).
+    */
+  def textIngestOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val idxDir = s"/tmp/graft_stream_idx_$queryName"
+    val outDir = s"/tmp/graft_stream_pairs_$queryName"
+    val ss = EventStreams.streamingSession(spark)
+
+    val d = graft.Tables.documents(ss, sfDir)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3)
+      .select("doc_id", "text")
+    val waveA = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+    val waveB = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
+    val waveC = waveA.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + lit(9000000L)).as("doc_id"), col("text"))
+
+    EventStreams.stagedOnce(sfDir, srcDir) {
+      var stamped = Set.empty[java.nio.file.Path]
+      stamped = EventStreams.writeStampedBatch(srcDir, waveA, 0, stamped,
+        s"$queryName wave A")
+      stamped = EventStreams.writeStampedBatch(srcDir, waveB, 1, stamped,
+        s"$queryName wave B")
+      EventStreams.writeStampedBatch(srcDir, waveC, 2, stamped,
+        s"$queryName wave C")
+      ()
+    }
+
+    // artifact + pair sink MUTATE during the drain — rebuilt every run
+    EventStreams.deleteStagingForTest(java.nio.file.Paths.get(outDir))
+    graft.CacheScope.withScope {
+      graft.operators.TextIndex.writeJaccardIndex(corpus, idxDir,
+        threshold = 0.6)
+    }
+
+    val src = ss.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    try {
+      val q = src.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.CacheScope.withScope {
+            val bs = batch.sparkSession
+            graft.operators.TextIndex.jaccardPairsIndexed(idxDir, batch,
+                threshold = 0.6)
+              .withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(outDir)
+            graft.operators.TextIndex.appendJaccardIndex(idxDir, batch)
+            graft.operators.TextIndex.compactJaccardIndex(bs, idxDir)
+            graft.operators.TextIndex.vacuumJaccardIndex(bs, idxDir)
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      val walk = java.nio.file.Files.walk(ckpt)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+
+    val pairs = graft.CacheScope.scoped(spark.read.parquet(outDir))
+    // LOUD premise: wave C's exact copies of wave-A docs pair at J=1
+    // across the batch boundary — provable only if wave A's fold
+    // survived the mid-drain compaction + vacuum before wave C probed
+    require(pairs.filter(col("doc_b") >= 9000000L &&
+        col("doc_a") < 5000000L && col("doc_a") % 7 === 3).limit(1)
+        .count() == 1L,
+      s"$queryName premise violated: no cross-batch pair between wave " +
+        "C and wave A surfaced — the per-batch append fold (or the " +
+        "compacted artifact) is not feeding later probes")
+    val dup = pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    require(dup.limit(1).count() == 0L,
+      s"$queryName invariant violated: a pair surfaced in more than " +
+        "one micro-batch")
+    pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

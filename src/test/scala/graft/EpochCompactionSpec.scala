@@ -244,5 +244,21 @@ class EpochCompactionSpec extends AnyFunSuite {
       Bm25.topKIndexed(spark, "/tmp/graft_test_bm25_nonexistent", terms, 50)
     }
     assert(ne.getMessage.contains("no complete epoch"))
+    // BATCHED retrieval against the store equals the live batched
+    // operator — same formula, df summed across epochs, self-retrieval
+    // excluded (q168's contract; checked on the append+compact-built
+    // artifact so the additive-df path is the one under test)
+    val queries = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val liveBatch = CacheScope.withScope {
+      Bm25.topKPerQuery(docs, queries, 5)
+        .as[(Long, Long, Long, Int)].collect().toSet
+    }
+    val idxBatch = CacheScope.withScope {
+      Bm25.topKPerQueryIndexed(spark, app, queries, 5)
+        .as[(Long, Long, Long, Int)].collect().toSet
+    }
+    assert(idxBatch == liveBatch && liveBatch.nonEmpty,
+      "indexed batched BM25 must reproduce the live batched ranking")
   }
 }
