@@ -486,7 +486,17 @@ object Stress {
         }
       }
       buildSprawl(sprawl)
-      buildSprawl(compacted)
+      // byte-identical copy instead of a second ~47-job build (r12
+      // review): the comparison needs identical inputs, not a second
+      // construction
+      locally {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val src = new org.apache.hadoop.fs.Path(sprawl)
+        val dst = new org.apache.hadoop.fs.Path(compacted)
+        val fs = src.getFileSystem(conf)
+        fs.delete(dst, true)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+      }
       CacheScope.withScope {
         operators.Dedup.compactFingerprintIndex(spark, compacted)
         operators.Dedup.vacuumFingerprintIndex(spark, compacted)

@@ -29,6 +29,22 @@ object Compaction {
       .map(_.getLen).sum
   }
 
+  /** Output-file count for `bytes` of input at `targetFileBytes` per
+    * file — the ONE sizing arithmetic every compaction rides (this
+    * directory form and [[EpochStore.compact]]'s per-table rewrites).
+    * A pathological target (1 byte against a PB directory) must not
+    * silently truncate through toInt into a wrong-but-plausible count.
+    */
+  private[sources] def partsFor(bytes: Long, targetFileBytes: Long,
+      who: String): Int = {
+    val partsL = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes)
+    require(partsL <= Int.MaxValue,
+      s"$who: compaction would need $partsL output files — raise " +
+        "targetFileBytes")
+    partsL.toInt
+  }
+
   /** Rewrite the parquet directory `inDir` into `outDir` with files of
     * roughly `targetFileBytes` (input-bytes ceiling division; parquet
     * re-encoding may shrink them further). Returns the compacted frame.
@@ -36,14 +52,8 @@ object Compaction {
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
     require(targetFileBytes > 0, "target file size must be positive")
-    val bytes = dataBytes(spark, inDir)
-    val partsL = math.max(1L,
-      (bytes + targetFileBytes - 1) / targetFileBytes)
-    // a pathological target (1 byte against a PB directory) must not
-    // silently truncate through toInt into a wrong-but-plausible count
-    require(partsL <= Int.MaxValue,
-      s"compaction would need $partsL output files — raise targetFileBytes")
-    val parts = partsL.toInt
+    val parts = partsFor(dataBytes(spark, inDir), targetFileBytes,
+      "compactParquet")
     spark.read.parquet(inDir)
       .repartition(parts)
       .write.mode("overwrite").parquet(outDir)

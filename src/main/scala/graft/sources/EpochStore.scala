@@ -187,19 +187,26 @@ object EpochStore {
     * (`[floor, serving]`) into the single fresh epoch `serving + 1`,
     * meta written LAST with `floor_epoch = serving + 1` — so the new
     * epoch both IS the whole artifact and supersedes everything below
-    * it in one atomic meta commit. A compaction that dies mid-write is
-    * a torn epoch like any other: invisible, retried. The family meta
-    * row is carried VERBATIM (same family string, same parameters,
-    * same cumulative counts — compaction moves bytes, never rows), so
-    * every family premise (drift refusals, parameter currency) holds
-    * across it unchanged.
+    * it in one atomic meta commit. A compaction that dies mid-write
+    * leaves only hidden staging (below) or a torn epoch — invisible
+    * either way, retried. The family meta row is carried VERBATIM
+    * (same family string, same parameters, same cumulative counts —
+    * compaction moves bytes, never rows), so every family premise
+    * (drift refusals, parameter currency) holds across it unchanged.
     *
-    * Refuses mid-compact serve skew: if the serving epoch ADVANCED
-    * while the rewrite ran (a concurrent append — the single-writer
-    * contract violated), committing the compacted meta would silently
-    * DROP that append's rows from the serving set; the torn compacted
-    * epoch is left invisible and the caller retries after serializing
-    * writers.
+    * The rewrite STAGES OUTSIDE the epoch namespace (a dot-prefixed
+    * dir Spark's listing ignores) and only RENAMES into
+    * `epoch=<target>` after re-checking that the serving epoch did
+    * not advance — so a concurrent append (a single-writer-contract
+    * violation) is detected and REFUSED without the rewrite ever
+    * having clobbered the append's committed data, and the appended
+    * state keeps serving. The refusal is best-effort DETECTION of a
+    * contract violation, not a concurrency guarantee: like any
+    * parquet layout without a table format, two writers racing inside
+    * the rename→meta window can still corrupt the artifact —
+    * serialize writers externally; that is the contract. (Concurrent
+    * READERS remain safe under serialized writers: they serve the
+    * highest complete meta, and staging is invisible to them.)
     *
     * Output files are sized from the live input bytes (128 MB target,
     * the [[Compaction]] convention) — the point of compacting is to
@@ -220,31 +227,42 @@ object EpochStore {
     val target = st.epoch + 1
     tables.foreach { name =>
       val bytes = liveBytes(fs, dir, name, st)
-      val partsL = math.max(1L,
-        (bytes + targetFileBytes - 1) / targetFileBytes)
-      require(partsL <= Int.MaxValue,
-        s"$who: compaction would need $partsL output files for " +
-          s"'$name' — raise targetFileBytes")
+      val parts = Compaction.partsFor(bytes, targetFileBytes,
+        s"$who ('$name')")
       // read the live epoch dirs EXPLICITLY (not the table root with a
-      // pruning filter): the rewrite's own target is a sibling subdir
-      // of that root, and a root listing must never race the output —
-      // a retried torn compaction would otherwise re-list its own
-      // half-written epoch
+      // pruning filter): the staging dir is a sibling of them, and a
+      // root listing must never race the output — a retried torn
+      // compaction would otherwise re-list its own half-written stage
       val liveDirs = (st.floor to st.epoch)
         .map(n => s"$dir/$name/epoch=$n")
         .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
       spark.read.parquet(liveDirs: _*)
-        .repartition(partsL.toInt)
-        .write.mode("overwrite").parquet(s"$dir/$name/epoch=$target")
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$dir/$name/$StagingDir")
     }
+    beforeCompactCommit()
     val now = servingState(spark, dir, who, rebuildHint)
     require(now.epoch == st.epoch,
       s"$who: the artifact at $dir advanced during compaction " +
         s"(epoch ${st.epoch} → ${now.epoch}) — a concurrent append " +
         "violated the single-writer contract, and committing the " +
-        "compacted meta would silently drop its rows. The compacted " +
-        s"epoch $target has no meta and is invisible; serialize " +
-        "writers and retry.")
+        "compacted meta would silently drop its rows. The rewrite " +
+        "was left in hidden staging (never renamed into the epoch " +
+        "namespace — readers serve the appended state untouched); " +
+        "serialize writers and retry.")
+    tables.foreach { name =>
+      val stage = new org.apache.hadoop.fs.Path(s"$dir/$name/$StagingDir")
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/$name/epoch=$target")
+      // the re-check above just proved no meta_<target> exists, so any
+      // data already at the target is a TORN epoch (a died append or
+      // compaction) — exactly what the retry contract overwrites. (An
+      // in-flight concurrent writer's pre-meta data is
+      // indistinguishable from torn garbage; that hazard is what the
+      // single-writer contract exists for — see the scaladoc.)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      require(fs.rename(stage, dst),
+        s"$who: could not rename $stage to $dst")
+    }
     val carried = spark.createDataFrame(
         java.util.Collections.singletonList(st.meta),
         st.meta.schema)
@@ -253,6 +271,17 @@ object EpochStore {
     writeEpoch(dir, target, Seq.empty, carried, floor = target)
     true
   }
+
+  /** The hidden rewrite-staging dir inside each table root — dot-
+    * prefixed, so Spark's file listing never reads it as data.
+    */
+  private val StagingDir = ".compact_staging"
+
+  /** Test-only seam: runs after the staged rewrite and BEFORE the
+    * serve-skew re-check — the only way to exercise the concurrent-
+    * append refusal without a real race. Never set outside tests.
+    */
+  private[graft] var beforeCompactCommit: () => Unit = () => ()
 
   /** Reclaim the sprawl a [[compact]] superseded: delete every
     * table's `epoch=N` directories AND every `meta_N` with

@@ -63,6 +63,65 @@ object IndexIngest {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(DoubleType))))
 
+  /** Stage three mtime-ordered waves into `srcDir` behind the
+    * [[EventStreams.stagedOnce]] reuse discipline — the one staging
+    * path all three ingestion gates share (r12 review: the scaffolding
+    * was triplicated and could drift).
+    */
+  private def stageWaves(sfDir: String, srcDir: String,
+      queryName: String, waves: Seq[DataFrame]): Unit =
+    EventStreams.stagedOnce(sfDir, srcDir) {
+      waves.zipWithIndex.foldLeft(Set.empty[java.nio.file.Path]) {
+        case (stamped, (df, i)) =>
+          EventStreams.writeStampedBatch(srcDir, df, i, stamped,
+            s"$queryName wave ${('A' + i).toChar}")
+      }
+      ()
+    }
+
+  /** Drain `srcDir` one file per micro-batch under AvailableNow,
+    * running `perBatch` inside a cache scope, with the checkpoint in a
+    * tempdir removed afterwards — the one drive loop all three
+    * ingestion gates share.
+    */
+  private def drainBatches(ss: SparkSession, srcDir: String,
+      schema: StructType, perBatch: (DataFrame, Long) => Unit): Unit = {
+    val src = ss.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    try {
+      val q = src.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.CacheScope.withScope { perBatch(batch, id) }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      val walk = java.nio.file.Files.walk(ckpt)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+  }
+
+  /** The exactly-once invariant all three gates share: a key surfacing
+    * in two micro-batches means a batch re-fired without its append or
+    * the sink double-wrote.
+    */
+  private def requireExactlyOnce(df: DataFrame, keys: Seq[String],
+      queryName: String, what: String): Unit = {
+    val dup = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    require(dup.limit(1).count() == 0L,
+      s"$queryName invariant violated: a $what surfaced in more than " +
+        "one micro-batch")
+  }
+
   def ingestOnce(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
@@ -84,16 +143,7 @@ object IndexIngest {
     val waveB = scaled(corpus.filter(col("vec_id") % 10 === 0), 5000000L)
     val waveC = scaled(waveA.filter(col("vec_id") % 9 === 4), 9000000L)
 
-    EventStreams.stagedOnce(sfDir, srcDir) {
-      var stamped = Set.empty[java.nio.file.Path]
-      stamped = EventStreams.writeStampedBatch(srcDir, waveA, 0, stamped,
-        s"$queryName wave A")
-      stamped = EventStreams.writeStampedBatch(srcDir, waveB, 1, stamped,
-        s"$queryName wave B")
-      EventStreams.writeStampedBatch(srcDir, waveC, 2, stamped,
-        s"$queryName wave C")
-      ()
-    }
+    stageWaves(sfDir, srcDir, queryName, Seq(waveA, waveB, waveC))
 
     // the artifact and pair sink MUTATE during the drain — rebuilt
     // every run, never staged-reused
@@ -119,35 +169,15 @@ object IndexIngest {
         hashesPerBand = k, bands = b)
     }
 
-    val src = ss.readStream
-      .schema(embSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
-    try {
-      val q = src.writeStream
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          graft.CacheScope.withScope {
-            // probe FIRST (the arriving shard against everything already
-            // corpus), report, then fold the shard in for the batches
-            // behind it
-            Ann.cosinePairsCpIndexed(idxDir, batch, threshold = 0.4)
-              .withColumn("batch_id", lit(id))
-              .write.mode("append").parquet(outDir)
-            Ann.appendCpIndex(idxDir, batch)
-          }
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    } finally {
-      val walk = java.nio.file.Files.walk(ckpt)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      finally walk.close()
-    }
+    drainBatches(ss, srcDir, embSchema, (batch, id) => {
+      // probe FIRST (the arriving shard against everything already
+      // corpus), report, then fold the shard in for the batches
+      // behind it
+      Ann.cosinePairsCpIndexed(idxDir, batch, threshold = 0.4)
+        .withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(outDir)
+      Ann.appendCpIndex(idxDir, batch)
+    })
 
     val pairs = graft.CacheScope.scoped(spark.read.parquet(outDir))
     // LOUD premise: the planted wave-C copies pair with their wave-A
@@ -161,13 +191,8 @@ object IndexIngest {
         "C and wave A surfaced — the per-batch append fold is not " +
         "feeding later probes")
     // each pair surfaces exactly once (the order-independence argument
-    // above) — a duplicate would mean a batch re-fired without its
-    // append, or an append landed before its own probe
-    val dup = pairs.groupBy(col("vec_a"), col("vec_b"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-    require(dup.limit(1).count() == 0L,
-      s"$queryName invariant violated: a pair surfaced in more than " +
-        "one micro-batch")
+    // above)
+    requireExactlyOnce(pairs, Seq("vec_a", "vec_b"), queryName, "pair")
     pairs.select(col("vec_a"), col("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -227,16 +252,7 @@ object IndexIngest {
     val waveC = waveA.filter(col("doc_id") % 9 === 4)
       .select((col("doc_id") + lit(9000000L)).as("doc_id"), col("text"))
 
-    EventStreams.stagedOnce(sfDir, srcDir) {
-      var stamped = Set.empty[java.nio.file.Path]
-      stamped = EventStreams.writeStampedBatch(srcDir, waveA, 0, stamped,
-        s"$queryName wave A")
-      stamped = EventStreams.writeStampedBatch(srcDir, waveB, 1, stamped,
-        s"$queryName wave B")
-      EventStreams.writeStampedBatch(srcDir, waveC, 2, stamped,
-        s"$queryName wave C")
-      ()
-    }
+    stageWaves(sfDir, srcDir, queryName, Seq(waveA, waveB, waveC))
 
     // the artifact and verdict sink MUTATE during the drain — rebuilt
     // every run, never staged-reused (the q116/q156 precedent)
@@ -245,43 +261,23 @@ object IndexIngest {
       graft.operators.Dedup.writeFingerprintIndex(corpus, idxDir)
     }
 
-    val src = ss.readStream
-      .schema(docSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
-    try {
-      val q = src.writeStream
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          graft.CacheScope.withScope {
-            val bs = batch.sparkSession
-            // verdict FIRST, report — then fold the batch's kept docs
-            // (read back from the sink: one materialization serves
-            // both the report and the survivor selection), compact,
-            // and reclaim before the next batch fires
-            graft.operators.Dedup.dedupAgainstIndex(idxDir, batch)
-              .withColumn("batch_id", lit(id))
-              .write.mode("append").parquet(outDir)
-            val kept = bs.read.parquet(outDir)
-              .filter(col("batch_id") === id && col("kept"))
-              .select("doc_id")
-            graft.operators.Dedup.appendFingerprintIndex(idxDir,
-              batch.join(kept, Seq("doc_id"), "left_semi"))
-            graft.operators.Dedup.compactFingerprintIndex(bs, idxDir)
-            graft.operators.Dedup.vacuumFingerprintIndex(bs, idxDir)
-          }
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    } finally {
-      val walk = java.nio.file.Files.walk(ckpt)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      finally walk.close()
-    }
+    drainBatches(ss, srcDir, docSchema, (batch, id) => {
+      val bs = batch.sparkSession
+      // verdict FIRST, report — then fold the batch's kept docs
+      // (read back from the sink: one materialization serves both the
+      // report and the survivor selection), compact, and reclaim
+      // before the next batch fires
+      graft.operators.Dedup.dedupAgainstIndex(idxDir, batch)
+        .withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(outDir)
+      val kept = bs.read.parquet(outDir)
+        .filter(col("batch_id") === id && col("kept"))
+        .select("doc_id")
+      graft.operators.Dedup.appendFingerprintIndex(idxDir,
+        batch.join(kept, Seq("doc_id"), "left_semi"))
+      graft.operators.Dedup.compactFingerprintIndex(bs, idxDir)
+      graft.operators.Dedup.vacuumFingerprintIndex(bs, idxDir)
+    })
 
     val verdicts = graft.CacheScope.scoped(spark.read.parquet(outDir))
     // LOUD premise: wave-C copies of wave-A docs must be owned by their
@@ -294,13 +290,7 @@ object IndexIngest {
       s"$queryName premise violated: no wave-C doc is owned by its " +
         "wave-A original — the per-batch survivor fold (or the " +
         "compacted artifact) is not feeding later probes")
-    // exactly-once: a doc verdicting in two batches means a batch
-    // re-fired without its append, or the sink double-wrote
-    val dup = verdicts.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-    require(dup.limit(1).count() == 0L,
-      s"$queryName invariant violated: a doc verdicted in more than " +
-        "one micro-batch")
+    requireExactlyOnce(verdicts, Seq("doc_id"), queryName, "doc verdict")
     verdicts.select(col("doc_id"), col("fp"), col("owner"),
         col("kept").cast("long").as("kept"))
       .orderBy(col("doc_id"))
@@ -346,16 +336,7 @@ object IndexIngest {
     val waveC = waveA.filter(col("doc_id") % 9 === 4)
       .select((col("doc_id") + lit(9000000L)).as("doc_id"), col("text"))
 
-    EventStreams.stagedOnce(sfDir, srcDir) {
-      var stamped = Set.empty[java.nio.file.Path]
-      stamped = EventStreams.writeStampedBatch(srcDir, waveA, 0, stamped,
-        s"$queryName wave A")
-      stamped = EventStreams.writeStampedBatch(srcDir, waveB, 1, stamped,
-        s"$queryName wave B")
-      EventStreams.writeStampedBatch(srcDir, waveC, 2, stamped,
-        s"$queryName wave C")
-      ()
-    }
+    stageWaves(sfDir, srcDir, queryName, Seq(waveA, waveB, waveC))
 
     // artifact + pair sink MUTATE during the drain — rebuilt every run
     EventStreams.deleteStagingForTest(java.nio.file.Paths.get(outDir))
@@ -364,36 +345,16 @@ object IndexIngest {
         threshold = 0.6)
     }
 
-    val src = ss.readStream
-      .schema(docSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
-    try {
-      val q = src.writeStream
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          graft.CacheScope.withScope {
-            val bs = batch.sparkSession
-            graft.operators.TextIndex.jaccardPairsIndexed(idxDir, batch,
-                threshold = 0.6)
-              .withColumn("batch_id", lit(id))
-              .write.mode("append").parquet(outDir)
-            graft.operators.TextIndex.appendJaccardIndex(idxDir, batch)
-            graft.operators.TextIndex.compactJaccardIndex(bs, idxDir)
-            graft.operators.TextIndex.vacuumJaccardIndex(bs, idxDir)
-          }
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    } finally {
-      val walk = java.nio.file.Files.walk(ckpt)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      finally walk.close()
-    }
+    drainBatches(ss, srcDir, docSchema, (batch, id) => {
+      val bs = batch.sparkSession
+      graft.operators.TextIndex.jaccardPairsIndexed(idxDir, batch,
+          threshold = 0.6)
+        .withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(outDir)
+      graft.operators.TextIndex.appendJaccardIndex(idxDir, batch)
+      graft.operators.TextIndex.compactJaccardIndex(bs, idxDir)
+      graft.operators.TextIndex.vacuumJaccardIndex(bs, idxDir)
+    })
 
     val pairs = graft.CacheScope.scoped(spark.read.parquet(outDir))
     // LOUD premise: wave C's exact copies of wave-A docs pair at J=1
@@ -405,11 +366,7 @@ object IndexIngest {
       s"$queryName premise violated: no cross-batch pair between wave " +
         "C and wave A surfaced — the per-batch append fold (or the " +
         "compacted artifact) is not feeding later probes")
-    val dup = pairs.groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-    require(dup.limit(1).count() == 0L,
-      s"$queryName invariant violated: a pair surfaced in more than " +
-        "one micro-batch")
+    requireExactlyOnce(pairs, Seq("doc_a", "doc_b"), queryName, "pair")
     pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
