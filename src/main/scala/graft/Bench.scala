@@ -147,7 +147,7 @@ object Bench {
     // must not pay its fixed multi-second tax (r10 ADVICE); it reports
     // as JSON null so a consumer can tell "skipped" from "fast"
     val mediaClass =
-      Set("q29_", "q99_", "q105_", "q117_", "q130_", "q141_")
+      Set("q29_", "q99_", "q105_", "q117_", "q130_", "q141_", "q169_")
     val calibMedia: Option[Double] =
       if (only.isDefined &&
           !selected.exists { case (n, _) => mediaClass.exists(n.startsWith) })

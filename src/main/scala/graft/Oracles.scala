@@ -1227,6 +1227,26 @@ object Oracles {
     // banded engine path must lose nothing. xor/bit_count operate on
     // the same 32/32 split halves the engine carries (each half is
     // nonnegative, so signed xor is the plain bit xor).
+    // The dHash arrival index (q169): exact Hamming <= 3 pairs with
+    // >= 1 incoming side over RAW media ids — including Hamming 0
+    // (no rep collapse in the arrival contract) — recomputed from the
+    // closed-form raster hashes with no banding anywhere; the engine's
+    // pigeonhole candidates + stored-artifact roundtrip (through an
+    // append, a compaction, and a vacuum) must lose nothing.
+    "q169_image_neardup_indexed" -> s"""
+      WITH $dhashCte,
+      alld AS (SELECT media_id, dhash_hi, dhash_lo,
+                      media_id % 7 = 3 AS is_inc FROM h)
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+                  bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
+               AS hamming
+      FROM alld a JOIN alld b
+        ON a.media_id < b.media_id AND (a.is_inc OR b.is_inc)
+      WHERE bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+            bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+      ORDER BY media_a, media_b""",
+
     "q141_image_neardup" -> s"""
       WITH $dhashCte,
       reps AS (SELECT dhash_hi, dhash_lo, min(media_id) AS rep
@@ -2490,6 +2510,10 @@ object Oracles {
     // exact, not approximate).
     "q165_bm25_indexed" -> bm25Oracle,
     "q166_bm25_index_appended" -> bm25Oracle,
+    // q170: the streaming-maintained index (base + three appended
+    // waves + per-fold compaction) must score the FULL corpus exactly
+    // — additivity means the drain is output-invisible.
+    "q170_streaming_bm25_maintain" -> bm25Oracle,
 
     // Batched retrieval against the stored index (q168): q129's BM25
     // half verbatim — per-query top-20 over distinct query tokens,

@@ -34,7 +34,8 @@ object PlanDump {
     "q154_text_dedup_indexed", "q158_span_decontaminate",
     "q159_exact_dedup_indexed", "q161_cp_dedup_compacted",
     "q163_fp_dedup_compacted", "q165_bm25_indexed",
-    "q166_bm25_index_appended", "q168_bm25_batched_indexed")
+    "q166_bm25_index_appended", "q168_bm25_batched_indexed",
+    "q169_image_neardup_indexed")
 
   /** Prose that must survive regeneration (r11: the q52 STATUS note was
     * hand-edited into the generated file once — a regen would have

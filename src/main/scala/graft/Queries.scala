@@ -876,6 +876,18 @@ object Queries {
       graft.streaming.IndexIngest.textIngestOnce(
         s, dir, "q167_streaming_text_ingest")),
 
+    // STREAMING index MAINTENANCE for the retrieval family (q170):
+    // arriving waves APPEND into the stored BM25 postings index
+    // (compact + vacuum per fold), and retrieval runs against the
+    // grown artifact — df/N/Σdl additivity makes the maintained index
+    // score bit-identically to one built whole, so the q86 oracle
+    // gates the drain with no batch dependence. Every index family
+    // now has its streaming cadence gated: cp q156, fp q164, text
+    // q167, retrieval here.
+    "q170_streaming_bm25_maintain" -> ((s, dir) =>
+      graft.streaming.IndexIngest.bm25IngestOnce(
+        s, dir, "q170_streaming_bm25_maintain")),
+
     // ---- STORED-INDEX lexical retrieval (r12, r11 VERDICT #4): q86
     // recomputed postings/df/lengths/stats per call — the same
     // asymmetry q148/q154/q159 closed for dedup. The corpus half
@@ -1145,6 +1157,36 @@ object Queries {
         Bpe.writeMerges(d.filter(col("doc_id") % 3 =!= 1), idx, k = 6)
       }
       Bpe.encodeWithStoredMerges(idx, d)
+    }),
+
+    // The dHash ARRIVAL index (r12) — the FIFTH granularity of the
+    // stored-index story (embedding q148, shingle q154, fingerprint
+    // q159, postings q165, now IMAGE perceptual hash) and the
+    // strongest asymmetry of them all: the corpus half is DECODE +
+    // hash, and at 100 TB the decode dwarfs every re-hash the other
+    // families amortize. The corpus's dHashes + 4×16 band sub-keys
+    // persist on EpochStore (built here as base + append + COMPACT +
+    // VACUUM — the fifth family's full lifecycle in one gate); the
+    // arriving shard decodes ONLY itself and verdicts against
+    // columnar scans. Contract: every pair at Hamming <= 3 with >= 1
+    // incoming side, INCLUDING Hamming 0 (an arrival identical to a
+    // stored image is the most important hit), raw ids. The oracle
+    // recomputes from the closed-form raster with no banding.
+    "q169_image_neardup_indexed" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.filter(col("doc_id") % 7 =!= 3)
+      val incoming = d.filter(col("doc_id") % 7 === 3)
+      val idx = "/tmp/graft_dhashindex_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"dhashindex|$dir") {
+        Multimodal.writeDHashIndex(
+          corpus.filter(col("doc_id") % 11 =!= 5), idx)
+        Multimodal.appendDHashIndex(idx,
+          corpus.filter(col("doc_id") % 11 === 5))
+        Multimodal.compactDHashIndex(s, idx)
+        Multimodal.vacuumDHashIndex(s, idx)
+      }
+      Multimodal.imageDHashNearIndexed(idx, incoming)
     }),
 
     // Hamming-banded NEAR-duplicate image matching (r7 VERDICT #1 —

@@ -507,6 +507,34 @@ object Stress {
       val tC = timed(fpProbeAt(compacted))
       println(f"STRESS fp_probe_${nEpochs}%d-epoch-sprawl-vs-compacted " +
         f"t_sprawl=$tS%.2fs t_compacted=$tC%.2fs ratio=${tS / tC}%.2f")
+
+      // ---- the IMAGE arrival index (q169): a FIXED shard of arriving
+      // images vs 1x and 10x stored corpora — the strongest asymmetry
+      // of the family story, because the stored side's DECODE ran once
+      // at build time and the probe decodes only the shard: expected
+      // near-flat growth (columnar hash/band scans are the only
+      // corpus-size term). Shard ids shift clear of every copy's id
+      // space; hashes derive from ids, so cross-shard pairs are the
+      // organic 16x8-raster collision density at both tiers.
+      buildCorpus(spark, base, dir10)
+      val dh1 = "/tmp/graft_stress_dhidx_1x"
+      val dh10 = "/tmp/graft_stress_dhidx_10x"
+      Seq((txtDoc1, dh1), (dir10, dh10)).foreach { case (src, idx) =>
+        CacheScope.withScope {
+          operators.Multimodal.writeDHashIndex(spark.read
+            .parquet(s"$src/documents.parquet"), idx)
+        }
+      }
+      def imgShard(): DataFrame = spark.read
+        .parquet(s"$txtDoc1/documents.parquet")
+        .orderBy(col("doc_id")).limit(6600)
+        .select((col("doc_id") + lit(300000000000L)).as("doc_id"),
+          col("text"), col("n_chars"))
+        .filter(col("doc_id") % 3 === 0)
+      def dhProbe(idx: String): () => DataFrame = () =>
+        operators.Multimodal.imageDHashNearIndexed(idx, imgShard())
+      report("q169_image_neardup_indexed fixed-shard (stored dhash)",
+        timed(dhProbe(dh1)), timed(dhProbe(dh10)))
     }
 
     // ---- 100× point for the sub-ρ path (r9): the sign-LSH family's

@@ -648,4 +648,216 @@ object Multimodal {
       })
       .toDF("media_id", "frame_idx", "width", "height", "frame_sum")
   }
+
+  // ---------------------------------------- the dHash ARRIVAL index
+  // (r12 — the FIFTH granularity of the stored-index story, and the
+  // strongest arrival asymmetry of them all: the corpus half of image
+  // near-dup detection is DECODE + hash, and at 100 TB the decode is
+  // orders more expensive than any re-hash the text/embedding families
+  // amortize away. The corpus's dHashes and banded sub-keys persist
+  // once on graft.sources.EpochStore; arriving shards decode ONLY
+  // themselves.)
+
+  /** Artifact layout version: bumped if the grid convention (8×9 point
+    * samples), the packing, or the 4×16 banding ever change — probing
+    * across hash versions silently loses recall.
+    */
+  private[graft] val DHashIndexFamily = "dhash-8x9-b4x16-v1"
+
+  /** Broadcast cap for an incoming shard's band rows: (long, int, long)
+    * ≈ the cp band-row width the 8M-row ≈ ~800 MB heap argument was
+    * sized for (Ann.MaxBroadcastBandRows); named separately so an ANN
+    * retune cannot silently invalidate this path (the r11-ADVICE
+    * discipline). Past the cap the probe joins as a shuffle, which
+    * completes.
+    */
+  private[graft] val MaxBroadcastDHashRows: Long = 8L * 1000 * 1000
+
+  /** (media_id, band_id, band_key) under the FROZEN 4×16-bit banding —
+    * the ONE banding construction the artifact stores and probes join
+    * on (shared with [[nearPairsFromHashes]]'s keying: band 0/1 from
+    * the lo half, 2/3 from the hi half).
+    */
+  private def dHashBandRows(hashes: DataFrame): DataFrame = {
+    def key(band: Int): Column = {
+      val half = if (band >= 2) col("dhash_hi") else col("dhash_lo")
+      shiftright(half, 16 * (band % 2)).bitwiseAND(lit(0xFFFFL))
+    }
+    hashes.select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_id"), key(b).as("band_key"))): _*))
+          .as("bk"))
+      .select(col("media_id"), col("bk.band_id").as("band_id"),
+        col("bk.band_key").as("band_key"))
+  }
+
+  private def requireOneMediaIdSpace(hashes: DataFrame, who: String,
+      scope: String): Long = {
+    val c = hashes.agg(count(lit(1)).as("n"),
+      count_distinct(col("media_id")).as("nd")).head()
+    require(c.getLong(0) == c.getLong(1),
+      s"$who: media_id is not one id space — " +
+        s"${c.getLong(0) - c.getLong(1)} duplicate id(s) $scope; a " +
+        "shared id silently drops its real pair through the self-pair " +
+        "filter. Re-key upstream.")
+    c.getLong(0)
+  }
+
+  private def writeDHashEpoch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, epoch: Int, hashes: DataFrame, totalCount: Long,
+      floor: Int = 0): Unit = {
+    import spark.implicits._
+    val meta = Seq((DHashIndexFamily, 4, totalCount, epoch))
+      .toDF("family", "bands", "corpus_count", "epoch")
+    graft.sources.EpochStore.writeEpoch(dir, epoch,
+      Seq("hashes" -> hashes.select("media_id", "dhash_hi", "dhash_lo"),
+        "bands" -> dHashBandRows(hashes)), meta, floor)
+  }
+
+  private case class DHashIndexState(count: Long, epoch: Int, floor: Int)
+
+  private def dHashIndexState(spark: org.apache.spark.sql.SparkSession,
+      dir: String, who: String): DHashIndexState = {
+    val st = graft.sources.EpochStore.servingState(spark, dir, who,
+      "writeDHashIndex")
+    val family = st.meta.getAs[String]("family")
+    require(family == DHashIndexFamily,
+      s"$who: artifact at $dir was hashed by family '$family' but " +
+        s"this code probes '$DHashIndexFamily' — rebuild; probing " +
+        "across hash versions silently loses recall")
+    DHashIndexState(st.meta.getAs[Long]("corpus_count"), st.epoch,
+      st.floor)
+  }
+
+  /** Persist the corpus half of image near-dup detection as epoch 0 of
+    * an [[graft.sources.EpochStore]] artifact: the DECODED corpus's
+    * dHashes (`hashes/`: media_id, dhash_hi, dhash_lo) and their 4×16
+    * band sub-keys (`bands/`), meta LAST. The decode — the expensive
+    * half at any scale — runs exactly once per corpus image, ever:
+    * arriving shards ([[imageDHashNearIndexed]]) decode only
+    * themselves. Deletes any previous artifact at `dir` first (the
+    * EpochStore base-build contract). Stance on exact-duplicate
+    * groups: a corpus stored RAW pays pair volume ∝ group size per
+    * matching arrival — run exact dedup (q130/q159) first and index
+    * survivors, the same documented stance as the text family's
+    * hot-bucket note.
+    */
+  def writeDHashIndex(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val h = graft.CacheScope.scoped(dHashes(docs).toDF())
+    requireOneMediaIdSpace(h, "writeDHashIndex", "within the corpus")
+    graft.sources.EpochStore.deleteAll(spark, dir)
+    writeDHashEpoch(spark, dir, 0, h, h.count())
+  }
+
+  /** FOLD an arriving shard's survivors into the artifact as epoch
+    * N+1 under the FROZEN 4×16 banding — no parameter-currency premise
+    * exists (the banding is count-independent, like MinHash); one id
+    * space refuses (shard-internal and shard∩stored). Deliberately NO
+    * stored-hash-clash refusal: a near-dup index legitimately stores
+    * images within Hamming 3 of each other — which docs to keep is the
+    * CALLER's survivor policy, decided from the probe's pairs. Single
+    * writer; meta last; torn appends invisible and retried.
+    */
+  def appendDHashIndex(indexDir: String, more: DataFrame): Unit = {
+    val spark = more.sparkSession
+    val st = dHashIndexState(spark, indexDir, "appendDHashIndex")
+    val h = graft.CacheScope.scoped(dHashes(more).toDF())
+    val n = requireOneMediaIdSpace(h, "appendDHashIndex",
+      "within the appended shard")
+    val clash = h.select("media_id")
+      .join(graft.sources.EpochStore.tableThrough(spark, indexDir,
+          "hashes", st.floor, st.epoch).select("media_id"),
+        Seq("media_id"), "left_semi")
+      .limit(1).count()
+    require(clash == 0,
+      s"appendDHashIndex: appended media_id(s) already indexed at " +
+        s"$indexDir — one id space is the contract (an id stored twice " +
+        "silently drops its future probe pairs); re-key or dedup the " +
+        "shard first.")
+    writeDHashEpoch(spark, indexDir, st.epoch + 1, h, st.count + n,
+      st.floor)
+  }
+
+  /** Probe the stored artifact with an arriving shard: every pair at
+    * Hamming ≤ `maxHamming` with at least one incoming side — raw
+    * media ids, canonical (media_a < media_b), INCLUDING Hamming 0 (an
+    * arrival identical to a stored image is the most important hit;
+    * unlike [[imageDHashNear]]'s rep-collapsed contract there is no
+    * group collapse to make 0 impossible). Only the SHARD decodes;
+    * the corpus side is columnar scans of the stored hash/band tables.
+    * Candidates come from the 4×16 pigeonhole banding (lossless for
+    * maxHamming < 4, enforced) with the shard's band rows broadcast
+    * under [[MaxBroadcastDHashRows]]; the exact bit_count verify keeps
+    * true pairs only. The trailing `orderBy` exists ONLY for
+    * deterministic gating — throughput consumers should drop it.
+    */
+  def imageDHashNearIndexed(indexDir: String, incoming: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = incoming.sparkSession
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"imageDHashNearIndexed: maxHamming = $maxHamming breaks the " +
+        "pigeonhole premise — 4 stored bands of 16 bits catch " +
+        "Hamming <= 3")
+    val st = dHashIndexState(spark, indexDir, "imageDHashNearIndexed")
+    val inc = graft.CacheScope.scoped(dHashes(incoming).toDF())
+    val nInc = requireOneMediaIdSpace(inc, "imageDHashNearIndexed",
+      "within the incoming shard")
+    val storedHashes = graft.sources.EpochStore.tableThrough(spark,
+      indexDir, "hashes", st.floor, st.epoch)
+    val clash = inc.select("media_id")
+      .join(storedHashes.select("media_id"), Seq("media_id"), "left_semi")
+      .limit(1).count()
+    require(clash == 0,
+      "imageDHashNearIndexed: incoming media_id(s) already exist in " +
+        s"the indexed corpus at $indexDir — one id space is the " +
+        "contract (a shared id silently drops its real pair); re-key " +
+        "the shard.")
+    val incBands = graft.CacheScope.scoped(dHashBandRows(inc))
+    val allBands = graft.sources.EpochStore.tableThrough(spark, indexDir,
+        "bands", st.floor, st.epoch)
+      .select("media_id", "band_id", "band_key")
+      .unionByName(incBands)
+    val hinted =
+      if (nInc * 4 <= MaxBroadcastDHashRows) broadcast(incBands)
+      else incBands
+    val cand = hinted.as("x")
+      .join(allBands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.media_id") =!= col("y.media_id"))
+      .select(least(col("x.media_id"), col("y.media_id")).as("media_a"),
+        greatest(col("x.media_id"), col("y.media_id")).as("media_b"))
+      .distinct()
+    val h = storedHashes.unionByName(inc)
+    cand
+      .join(h.select(col("media_id").as("media_a"),
+        col("dhash_hi").as("ha"), col("dhash_lo").as("la")), Seq("media_a"))
+      .join(h.select(col("media_id").as("media_b"),
+        col("dhash_hi").as("hb"), col("dhash_lo").as("lb")), Seq("media_b"))
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** COMPACT / reclaim the artifact — see
+    * [[graft.sources.EpochStore.compact]] / `vacuum`; the family meta
+    * carries verbatim (compaction moves bytes, never rows).
+    */
+  def compactDHashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Boolean = {
+    dHashIndexState(spark, indexDir, "compactDHashIndex")
+    graft.sources.EpochStore.compact(spark, indexDir,
+      Seq("hashes", "bands"), "compactDHashIndex", "writeDHashIndex")
+  }
+
+  def vacuumDHashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    dHashIndexState(spark, indexDir, "vacuumDHashIndex")
+    graft.sources.EpochStore.vacuum(spark, indexDir,
+      Seq("hashes", "bands"), "vacuumDHashIndex", "writeDHashIndex")
+  }
 }

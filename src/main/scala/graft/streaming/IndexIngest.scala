@@ -370,4 +370,55 @@ object IndexIngest {
     pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** STREAMING index MAINTENANCE for the BM25 family (q170): arriving
+    * document waves FOLD into the stored postings index
+    * ([[graft.operators.Bm25.appendBm25Index]]) as they land, the
+    * artifact compacts + vacuums after every fold, and retrieval runs
+    * against the final grown artifact. Because BM25's corpus
+    * statistics are ADDITIVE over disjoint doc sets (df sums across
+    * epochs, N/Σdl ride the meta — the q166 exactness), an index
+    * maintained by ANY number of streaming appends scores
+    * bit-identically to one built whole — so the q86 oracle over the
+    * FULL corpus gates the drained artifact with no batch-dependence
+    * at all. This closes the cadence story across every index family:
+    * cp (q156), fingerprint (q164), MinHash text (q167), and the
+    * retrieval index here — the four mutations a living corpus
+    * artifact undergoes, each gated exactly.
+    *
+    * Waves (mtime-ordered, ORIGINAL ids — retrieval needs the real
+    * corpus, so the split is by residue, not id-shifted copies):
+    * base = `doc_id % 7 != 3`; waves A/B/C = the `% 7 == 3` slice
+    * split by `doc_id % 3` = 0/1/2.
+    */
+  def bm25IngestOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val idxDir = s"/tmp/graft_stream_idx_$queryName"
+    val ss = EventStreams.streamingSession(spark)
+
+    val d = graft.Tables.documents(ss, sfDir)
+    val base = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val arriving = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+    val waves = (0 to 2).map(r =>
+      arriving.filter(col("doc_id") % 3 === r))
+
+    stageWaves(sfDir, srcDir, queryName, waves)
+
+    // the artifact MUTATES during the drain — rebuilt every run
+    graft.CacheScope.withScope {
+      graft.operators.Bm25.writeBm25Index(base, idxDir)
+    }
+
+    drainBatches(ss, srcDir, docSchema, (batch, id) => {
+      val bs = batch.sparkSession
+      graft.operators.Bm25.appendBm25Index(idxDir, batch)
+      graft.operators.Bm25.compactBm25Index(bs, idxDir)
+      graft.operators.Bm25.vacuumBm25Index(bs, idxDir)
+    })
+
+    graft.operators.Bm25.topKIndexed(spark, idxDir,
+      Seq("spark", "hash", "window"), k = 50)
+  }
 }

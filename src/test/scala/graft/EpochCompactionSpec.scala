@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Ann, Bm25, Dedup, TextIndex}
+import graft.operators.{Ann, Bm25, Dedup, Multimodal, TextIndex}
 
 /** The COMPACTION quarter of the stored-index lifecycle (r12):
   * compacted ≡ sprawled at every family's probe output, torn
@@ -322,5 +322,80 @@ class EpochCompactionSpec extends AnyFunSuite {
     }
     assert(idxBatch == liveBatch && liveBatch.nonEmpty,
       "indexed batched BM25 must reproduce the live batched ranking")
+  }
+
+  test("dhash arrival index: indexed probe equals the exact restricted " +
+      "pair set including Hamming 0; append+compact-built serves " +
+      "identically; refusals are loud") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3)
+    val incoming = d.filter(col("doc_id") % 7 === 3)
+    val mono = "/tmp/graft_test_dhash_mono"
+    CacheScope.withScope { Multimodal.writeDHashIndex(corpus, mono) }
+    val got = CacheScope.withScope {
+      Multimodal.imageDHashNearIndexed(mono, incoming)
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    // exact restricted baseline straight from the shared decode+hash
+    // stage — no banding anywhere
+    val ch = CacheScope.withScope {
+      Multimodal.dHashes(corpus).collect().toSeq }
+    val ih = CacheScope.withScope {
+      Multimodal.dHashes(incoming).collect().toSeq }
+    val all = ch.map(r => (r.media_id, r.dhash_hi, r.dhash_lo, false)) ++
+      ih.map(r => (r.media_id, r.dhash_hi, r.dhash_lo, true))
+    val expected = (for {
+      a <- all; b <- all
+      if a._1 < b._1 && (a._4 || b._4)
+      hm = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if hm <= 3
+    } yield (a._1, b._1, hm.toLong)).toSet
+    assert(got == expected && got.nonEmpty,
+      s"indexed probe ${got.size} != exact restricted ${expected.size}")
+    assert(expected.exists(_._3 == 0L),
+      "test premise: the arrival contract's Hamming-0 inclusion must " +
+        "be load-bearing (an inc-side identical-hash pair exists)")
+    // the full lifecycle build (base + append + compact + vacuum) must
+    // serve the identical pair set
+    val app = "/tmp/graft_test_dhash_app"
+    CacheScope.withScope {
+      Multimodal.writeDHashIndex(
+        corpus.filter(col("doc_id") % 5 =!= 2), app)
+      Multimodal.appendDHashIndex(app,
+        corpus.filter(col("doc_id") % 5 === 2))
+      assert(Multimodal.compactDHashIndex(spark, app))
+      Multimodal.vacuumDHashIndex(spark, app)
+    }
+    val viaApp = CacheScope.withScope {
+      Multimodal.imageDHashNearIndexed(app, incoming)
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    assert(viaApp == expected,
+      "append+compact+vacuum-built dhash index must serve identically")
+    // pigeonhole premise: 4 stored bands certify Hamming <= 3 only
+    val pe = intercept[IllegalArgumentException] {
+      Multimodal.imageDHashNearIndexed(mono, incoming, maxHamming = 4)
+    }
+    assert(pe.getMessage.contains("pigeonhole"))
+    // id collision with the stored corpus refuses
+    val ce = intercept[IllegalArgumentException] {
+      CacheScope.withScope {
+        Multimodal.imageDHashNearIndexed(mono,
+          incoming.unionByName(
+            corpus.filter(col("doc_id") % 3 === 0).limit(1)))
+      }
+    }
+    assert(ce.getMessage.contains("already exist"))
+    // family drift: probing a foreign EpochStore artifact refuses
+    // (built inline — a test must not depend on a sibling's artifact)
+    val foreign = "/tmp/graft_test_dhash_foreign"
+    CacheScope.withScope {
+      Bm25.writeBm25Index(d.limit(5).select("doc_id", "text"), foreign)
+    }
+    val fe = intercept[IllegalArgumentException] {
+      Multimodal.imageDHashNearIndexed(foreign, incoming)
+    }
+    assert(fe.getMessage.contains("family"))
   }
 }
