@@ -1227,6 +1227,19 @@ object Oracles {
     // banded engine path must lose nothing. xor/bit_count operate on
     // the same 32/32 split halves the engine carries (each half is
     // nonnegative, so signed xor is the plain bit xor).
+    "q141_image_neardup" -> s"""
+      WITH $dhashCte,
+      reps AS (SELECT dhash_hi, dhash_lo, min(media_id) AS rep
+               FROM h GROUP BY 1, 2)
+      SELECT a.rep AS media_a, b.rep AS media_b,
+             CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+                  bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
+               AS hamming
+      FROM reps a JOIN reps b ON a.rep < b.rep
+      WHERE bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+            bit_count(xor(a.dhash_lo, b.dhash_lo)) BETWEEN 1 AND 3
+      ORDER BY media_a, media_b""",
+
     // The dHash arrival index (q169): exact Hamming <= 3 pairs with
     // >= 1 incoming side over RAW media ids — including Hamming 0
     // (no rep collapse in the arrival contract) — recomputed from the
@@ -1245,19 +1258,6 @@ object Oracles {
         ON a.media_id < b.media_id AND (a.is_inc OR b.is_inc)
       WHERE bit_count(xor(a.dhash_hi, b.dhash_hi)) +
             bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
-      ORDER BY media_a, media_b""",
-
-    "q141_image_neardup" -> s"""
-      WITH $dhashCte,
-      reps AS (SELECT dhash_hi, dhash_lo, min(media_id) AS rep
-               FROM h GROUP BY 1, 2)
-      SELECT a.rep AS media_a, b.rep AS media_b,
-             CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) +
-                  bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
-               AS hamming
-      FROM reps a JOIN reps b ON a.rep < b.rep
-      WHERE bit_count(xor(a.dhash_hi, b.dhash_hi)) +
-            bit_count(xor(a.dhash_lo, b.dhash_lo)) BETWEEN 1 AND 3
       ORDER BY media_a, media_b""",
 
     // Gopher rule battery in the same exact integer comparisons the

@@ -513,22 +513,33 @@ object Stress {
       // of the family story, because the stored side's DECODE ran once
       // at build time and the probe decodes only the shard: expected
       // near-flat growth (columnar hash/band scans are the only
-      // corpus-size term). Shard ids shift clear of every copy's id
-      // space; hashes derive from ids, so cross-shard pairs are the
-      // organic 16x8-raster collision density at both tiers.
-      buildCorpus(spark, base, dir10)
+      // corpus-size term). The raster depends ONLY on id mod 256
+      // (w/h/pixels all reduce mod 256/16/8), so BOTH the copy offset
+      // and the shard shift must be ≢ 0 mod 256 or every copy/shard
+      // image is an exact duplicate of its source and the row measures
+      // planted-dup pair volume instead of the scan term (r12 review:
+      // the first cut used k·1e8 and 3e11 — both ≡ 0 mod 256). Copy
+      // offset 100000002 and shard shift 3000000000003 are ≡ 0 mod 3
+      // (the image slice survives) and ≡ 2 / 3 mod 256 (organic
+      // rasters). Corpora build INLINE (only documents is needed — no
+      // 4-table buildCorpus).
+      val baseDocs = spark.read.parquet(s"$base/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+      def imgCorpus(nCopies: Int): DataFrame =
+        (0 until nCopies).map(k => baseDocs.select(
+            (col("doc_id") + lit(k * 100000002L)).as("doc_id"),
+            col("text"), col("n_chars")))
+          .reduce(_ unionByName _)
       val dh1 = "/tmp/graft_stress_dhidx_1x"
       val dh10 = "/tmp/graft_stress_dhidx_10x"
-      Seq((txtDoc1, dh1), (dir10, dh10)).foreach { case (src, idx) =>
+      Seq((1, dh1), (10, dh10)).foreach { case (n, idx) =>
         CacheScope.withScope {
-          operators.Multimodal.writeDHashIndex(spark.read
-            .parquet(s"$src/documents.parquet"), idx)
+          operators.Multimodal.writeDHashIndex(imgCorpus(n), idx)
         }
       }
-      def imgShard(): DataFrame = spark.read
-        .parquet(s"$txtDoc1/documents.parquet")
+      def imgShard(): DataFrame = baseDocs
         .orderBy(col("doc_id")).limit(6600)
-        .select((col("doc_id") + lit(300000000000L)).as("doc_id"),
+        .select((col("doc_id") + lit(3000000000003L)).as("doc_id"),
           col("text"), col("n_chars"))
         .filter(col("doc_id") % 3 === 0)
       def dhProbe(idx: String): () => DataFrame = () =>

@@ -524,11 +524,9 @@ object Multimodal {
     val reps = graft.CacheScope.scoped(hashes
       .groupBy(col("dhash_hi"), col("dhash_lo"))
       .agg(min(col("media_id")).as("rep")))
-    def bandKey(band: Int): Column = {
-      val half = if (band >= 2) col("dhash_hi") else col("dhash_lo")
+    def bandKey(band: Int): Column =
       struct(lit(band).as("band"),
-        shiftright(half, 16 * (band % 2)).bitwiseAND(lit(0xFFFFL)).as("key"))
-    }
+        dHashBandKey(band, col("dhash_hi"), col("dhash_lo")).as("key"))
     val banded = reps.select(col("rep"), col("dhash_hi"), col("dhash_lo"),
       explode(array((0 until 4).map(bandKey): _*)).as("bk"))
       .select(col("rep"), col("dhash_hi"), col("dhash_lo"),
@@ -673,23 +671,27 @@ object Multimodal {
     */
   private[graft] val MaxBroadcastDHashRows: Long = 8L * 1000 * 1000
 
-  /** (media_id, band_id, band_key) under the FROZEN 4×16-bit banding —
-    * the ONE banding construction the artifact stores and probes join
-    * on (shared with [[nearPairsFromHashes]]'s keying: band 0/1 from
-    * the lo half, 2/3 from the hi half).
+  /** THE 4×16-bit band-key construction — band 0/1 from the lo half,
+    * 2/3 from the hi half — shared by [[nearPairsFromHashes]] (the
+    * live q141 path) and [[dHashBandRows]] (what the artifact stores
+    * and probes join on), so the two paths cannot drift (r12 review:
+    * they were two hand-synchronized copies).
     */
-  private def dHashBandRows(hashes: DataFrame): DataFrame = {
-    def key(band: Int): Column = {
-      val half = if (band >= 2) col("dhash_hi") else col("dhash_lo")
-      shiftright(half, 16 * (band % 2)).bitwiseAND(lit(0xFFFFL))
-    }
+  private def dHashBandKey(band: Int, hi: Column, lo: Column): Column =
+    shiftright(if (band >= 2) hi else lo, 16 * (band % 2))
+      .bitwiseAND(lit(0xFFFFL))
+
+  /** (media_id, band_id, band_key) under the FROZEN 4×16-bit banding.
+    */
+  private def dHashBandRows(hashes: DataFrame): DataFrame =
     hashes.select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
         explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band_id"), key(b).as("band_key"))): _*))
+          struct(lit(b).as("band_id"),
+            dHashBandKey(b, col("dhash_hi"), col("dhash_lo"))
+              .as("band_key"))): _*))
           .as("bk"))
       .select(col("media_id"), col("bk.band_id").as("band_id"),
         col("bk.band_key").as("band_key"))
-  }
 
   private def requireOneMediaIdSpace(hashes: DataFrame, who: String,
       scope: String): Long = {
@@ -745,9 +747,10 @@ object Multimodal {
   def writeDHashIndex(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
     val h = graft.CacheScope.scoped(dHashes(docs).toDF())
-    requireOneMediaIdSpace(h, "writeDHashIndex", "within the corpus")
+    val n = requireOneMediaIdSpace(h, "writeDHashIndex",
+      "within the corpus")
     graft.sources.EpochStore.deleteAll(spark, dir)
-    writeDHashEpoch(spark, dir, 0, h, h.count())
+    writeDHashEpoch(spark, dir, 0, h, n)
   }
 
   /** FOLD an arriving shard's survivors into the artifact as epoch
