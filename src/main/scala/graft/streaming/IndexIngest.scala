@@ -263,16 +263,16 @@ object IndexIngest {
 
     drainBatches(ss, srcDir, docSchema, (batch, id) => {
       val bs = batch.sparkSession
-      // verdict FIRST, report — then fold the batch's kept docs
-      // (read back from the sink: one materialization serves both the
-      // report and the survivor selection), compact, and reclaim
-      // before the next batch fires
-      graft.operators.Dedup.dedupAgainstIndex(idxDir, batch)
-        .withColumn("batch_id", lit(id))
+      // verdict FIRST (pinned: ONE materialization serves both the
+      // sink report and the survivor selection — re-reading the
+      // cumulative sink per batch would pay O(batches²) listing over
+      // a long cadence; r12 ADVICE), report — then fold the batch's
+      // kept docs, compact, and reclaim before the next batch fires
+      val verdict = graft.CacheScope.scoped(
+        graft.operators.Dedup.dedupAgainstIndex(idxDir, batch))
+      verdict.withColumn("batch_id", lit(id))
         .write.mode("append").parquet(outDir)
-      val kept = bs.read.parquet(outDir)
-        .filter(col("batch_id") === id && col("kept"))
-        .select("doc_id")
+      val kept = verdict.filter(col("kept")).select("doc_id")
       graft.operators.Dedup.appendFingerprintIndex(idxDir,
         batch.join(kept, Seq("doc_id"), "left_semi"))
       graft.operators.Dedup.compactFingerprintIndex(bs, idxDir)
