@@ -136,10 +136,10 @@ object Oracles {
     * copies scale in DOUBLE on both sides (a float-side scale would
     * widen differently and shift last-ulp cosines).
     */
-  private val incrementalDedupOracle: String = """
+  private def incrementalDedupOracleWith(corpusAnd: String): String = s"""
       WITH corpus AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id % 7 <> 3),
+        FROM embeddings WHERE vec_id % 7 <> 3$corpusAnd),
       inc AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings WHERE vec_id % 7 = 3
@@ -159,6 +159,17 @@ object Oracles {
               (sqrt(list_dot_product(a.v, a.v)) *
                sqrt(list_dot_product(b.v, b.v))) >= 0.4
       ORDER BY vec_a, vec_b"""
+
+  private val incrementalDedupOracle: String =
+    incrementalDedupOracleWith("")
+
+  /** q176: the cp arrival ground truth over the corpus minus the
+    * still-retracted vectors (the delete set was vec_id ≡ 2 mod 13,
+    * even half re-appended — the q171/q172/q173 construction at the
+    * embedding granularity).
+    */
+  private val cpDeletedOracle: String = incrementalDedupOracleWith(
+    " AND NOT (vec_id % 13 = 2 AND vec_id % 2 = 1)")
 
   /** q156's ground truth — [[incrementalDedupOracle]] extended with the
     * third arrival wave (double-scaled copies of the %7==3 slice's
@@ -208,14 +219,15 @@ object Oracles {
     * (1e6·|∩| ≥ 6e5·|∪|), and jaccard is the one correctly-rounded
     * double division both engines share (the q26 conventions).
     */
-  private val textIncrementalOracle: String = """
+  private def textIncrementalOracleWith(corpusAnd: String): String = s"""
       WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       sh AS (
         SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
         FROM tok WHERE len(ws) >= 3),
-      corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 3),
+      corpus AS (SELECT doc_id, s FROM sh
+                 WHERE doc_id % 7 <> 3$corpusAnd),
       inc AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 = 3
               UNION ALL
               SELECT doc_id + 5000000, s FROM corpus
@@ -232,18 +244,33 @@ object Oracles {
       FROM pairs WHERE 1000000 * ni >= 600000 * un
       ORDER BY doc_a, doc_b"""
 
+  private val textIncrementalOracle: String =
+    textIncrementalOracleWith("")
+
+  /** q173: the q153 ground truth over the corpus MINUS the docs still
+    * retracted at probe time — the delete set is the stored (≥3-word)
+    * docs ≡ 2 (mod 13), of which the even half was re-appended, so
+    * exactly the odd half stays gone. The engine's tombstones, delete
+    * epochs, compaction, and vacuum never appear here — which is the
+    * delete gates' whole point.
+    */
+  private val textDeletedOracle: String =
+    textIncrementalOracleWith(
+      " AND NOT (doc_id % 13 = 2 AND doc_id % 2 = 1)")
+
   /** BM25 in the same exact integer formula as the engine (see
     * Bm25.scaladoc): rational idf (2N−2df+1)/(2df+1), k1=6/5, b=3/4
     * folded into 44·ad·tf / (20·ad·tf + 6·ad + 18·dl), one floor
     * division per term — shared by q86 (live), q165 (stored index),
-    * and q166 (appended + compacted index).
+    * q166 (appended + compacted index), and q172 (deleted index, over
+    * the corpus minus the still-retracted docs).
     */
-  private val bm25Oracle: String = """
+  private def bm25OracleWith(docsWhere: String): String = s"""
       WITH base AS (
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
                string_split(text, ' ') AS toks
-        FROM documents),
+        FROM documents$docsWhere),
       stats AS (
         SELECT count(*) AS n_docs,
                CAST(sum(dl) AS BIGINT) // greatest(count(*), 1) AS ad
@@ -264,6 +291,11 @@ object Oracles {
       ORDER BY score_micro DESC, doc_id
       LIMIT 50"""
 
+  private val bm25Oracle: String = bm25OracleWith("")
+
+  private val bm25DeletedOracle: String = bm25OracleWith(
+    " WHERE NOT (doc_id % 13 = 2 AND doc_id % 2 = 1)")
+
   /** q159/q163's exact-dedup arrival ground truth: the stored owner
     * map recomputed DECLARATIVELY as two tiers (base min per fp, else
     * the appended slice's min — the survivors contract means a slice
@@ -273,7 +305,7 @@ object Oracles {
     * compaction, and vacuum never appear here — which is exactly what
     * the q163 gate proves about them.
     */
-  private val fpArrivalOracle: String = """
+  private def fpArrivalOracleWith(storedWhere: String): String = s"""
       WITH f AS (
         SELECT doc_id,
                md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -284,9 +316,11 @@ object Oracles {
                WHERE doc_id % 11 <> 5 AND fp IS NOT NULL GROUP BY fp),
       slice AS (SELECT fp, min(doc_id) AS so FROM corpus
                 WHERE doc_id % 11 = 5 AND fp IS NOT NULL GROUP BY fp),
-      stored AS (SELECT coalesce(b.fp, s.fp) AS fp,
-                        coalesce(b.bo, s.so) AS owner
-                 FROM base b FULL JOIN slice s ON b.fp = s.fp),
+      stored AS (SELECT * FROM (
+                   SELECT coalesce(b.fp, s.fp) AS fp,
+                          coalesce(b.bo, s.so) AS owner
+                   FROM base b FULL JOIN slice s ON b.fp = s.fp)
+                 $storedWhere),
       inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 7 = 3
               UNION ALL
               SELECT doc_id + 5000000, fp FROM corpus
@@ -301,6 +335,17 @@ object Oracles {
       FROM inc i LEFT JOIN stored st ON i.fp = st.fp
                  LEFT JOIN im ON i.fp = im.fp
       ORDER BY doc_id"""
+
+  private val fpArrivalOracle: String = fpArrivalOracleWith("")
+
+  /** q171: the stored owner map MINUS the still-retracted owners — the
+    * delete set was the live owners ≡ 2 (mod 13), the even half
+    * re-appended (same ids, same fingerprints, so the map entry is
+    * restored verbatim), leaving exactly the odd half gone; their
+    * fingerprints are novel again and fall to the incoming-min tier.
+    */
+  private val fpDeletedOracle: String = fpArrivalOracleWith(
+    "WHERE NOT (owner % 13 = 2 AND owner % 2 = 1)")
 
   /** q143's BPE merge learning unrolled to exactly the operator's k
     * rounds: per round, pairs are counted positionally over the current
@@ -450,10 +495,16 @@ object Oracles {
     * `WITH $dhashCte, ...` — terminal CTE is `h(media_id, dhash_hi,
     * dhash_lo)`.
     */
-  private val dhashCte: String = """img AS (
-        SELECT doc_id AS media_id,
-               8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
-        FROM documents WHERE doc_id % 3 = 0),
+  /** The same chain over an arbitrary media-id set (one `media_id`
+    * column): the raster, grid, and packing depend ONLY on media_id —
+    * exactly like the engine's `encodePng(media_id)` synthesis — so a
+    * shifted copy's closed-form hash is automatically its source's
+    * when the shift is ≡ 0 mod 256 (the q175 planted pairs).
+    */
+  private def dhashCteOver(idsSql: String): String = s"""img AS (
+        SELECT media_id,
+               8 + media_id % 16 AS w, 8 + media_id % 8 AS h
+        FROM ($idsSql)),
       grid AS (
         SELECT media_id, j, i,
                (i * (w - 1)) // 8 AS x0,
@@ -476,6 +527,9 @@ object Oracles {
                    THEN b * (CAST(1 AS BIGINT) << (8*j + i))
                    ELSE 0 END) AS BIGINT) AS dhash_lo
         FROM bits GROUP BY 1)"""
+
+  private val dhashCte: String = dhashCteOver(
+    "SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0")
 
   /** Exact cosine-pairs contract shared by q28 (blocked-exact path) and
     * q52 (LSH-banded path): every (a<b) pair with cosine >= 0.4. The
@@ -1260,6 +1314,35 @@ object Oracles {
             bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
       ORDER BY media_a, media_b""",
 
+    // The dHash STREAMING ingestion loop (q175, r13): batch-free by
+    // the q156 exactly-once argument, so the oracle is the one-shot
+    // restricted pair walk over corpus ∪ all three waves — the
+    // closed-form raster extended with the planted ≡ 0 mod 768 copies
+    // (≡ 0 mod 3 keeps them images, ≡ 0 mod 256 makes them exact
+    // raster duplicates, so the SAME closed form hashes them right).
+    "q175_streaming_dhash_ingest" -> s"""
+      WITH ${dhashCteOver("""
+        SELECT doc_id AS media_id FROM documents
+        WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 5000448 FROM documents
+        WHERE doc_id % 7 <> 3 AND doc_id % 10 = 0 AND doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 9000192 FROM documents
+        WHERE doc_id % 7 = 3 AND doc_id % 9 = 6""")},
+      alld AS (SELECT media_id, dhash_hi, dhash_lo,
+                      media_id % 7 = 3 OR media_id >= 5000448
+                        AS is_inc FROM h)
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+                  bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
+               AS hamming
+      FROM alld a JOIN alld b
+        ON a.media_id < b.media_id AND (a.is_inc OR b.is_inc)
+      WHERE bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+            bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+      ORDER BY media_a, media_b""",
+
     // Gopher rule battery in the same exact integer comparisons the
     // engine runs: cross-multiplied mean-length bounds, 5·alpha ≥
     // 4·words, distinct-stopword floor (list_intersect dedupes, like
@@ -1994,6 +2077,32 @@ object Oracles {
     "q162_text_dedup_compacted" -> textIncrementalOracle,
     "q163_fp_dedup_compacted" -> fpArrivalOracle,
 
+    // DELETE gates (r13): probe-after-delete ≡ rebuild-without-deleted
+    // — the oracles recompute the final corpus declaratively (the
+    // still-retracted docs simply absent), knowing nothing about
+    // tombstones, delete epochs, re-appends, compaction, or vacuum.
+    "q171_fp_dedup_deleted" -> fpDeletedOracle,
+    "q173_text_dedup_deleted" -> textDeletedOracle,
+    "q176_cp_dedup_deleted" -> cpDeletedOracle,
+    // q177: q169's exact raster pair walk with the still-retracted
+    // images (stored slice ≡ 2 mod 13, odd half) absent from the
+    // corpus side — incoming (%7==3) rows are never retracted
+    "q177_dhash_deleted" -> s"""
+      WITH $dhashCte,
+      alld AS (SELECT media_id, dhash_hi, dhash_lo,
+                      media_id % 7 = 3 AS is_inc FROM h
+               WHERE media_id % 7 = 3
+                  OR NOT (media_id % 13 = 2 AND media_id % 2 = 1))
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+                  bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
+               AS hamming
+      FROM alld a JOIN alld b
+        ON a.media_id < b.media_id AND (a.is_inc OR b.is_inc)
+      WHERE bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+            bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+      ORDER BY media_a, media_b""",
+
     // The fp ingestion loop, batch-free (q164): a doc verdicts once,
     // in its own wave, and its owner is the min id of the EARLIEST
     // tier sharing its fingerprint — base corpus, then waves A/B/C in
@@ -2082,6 +2191,42 @@ object Oracles {
     "q153_text_incremental_dedup" -> textIncrementalOracle,
     "q154_text_dedup_indexed" -> textIncrementalOracle,
     "q155_text_dedup_appended" -> textIncrementalOracle,
+
+    // MinHash top-k SEARCH over the stored index (q174, r13): per
+    // query doc the k nearest STORED docs at exact Jaccard ≥ 0.6,
+    // ranked on integer ppm (⌊10⁶·|∩|/|∪|⌋ — the float policy), ties
+    // on ascending stored id — recomputed as the restricted O(n·m)
+    // walk with a rank window; the engine's banding and the threshold
+    // floor are exactly what make this plain SQL (q151's argument).
+    "q174_text_jaccard_topk" -> """
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        FROM tok WHERE len(ws) >= 3),
+      corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 3),
+      inc AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 = 3
+              UNION ALL
+              SELECT doc_id + 5000000, s FROM corpus
+              WHERE doc_id % 10 = 0),
+      pairs AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+               len(list_intersect(q.s, c.s)) AS ni,
+               len(q.s) + len(c.s) - len(list_intersect(q.s, c.s)) AS un
+        FROM inc q CROSS JOIN corpus c),
+      hits AS (
+        SELECT query_id, doc_id,
+               CAST((1000000 * ni) // un AS BIGINT) AS jaccard_ppm
+        FROM pairs WHERE 1000000 * ni >= 600000 * un),
+      ranked AS (
+        SELECT query_id, doc_id, jaccard_ppm,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY jaccard_ppm DESC, doc_id) AS BIGINT) AS jrank
+        FROM hits)
+      SELECT query_id, doc_id, jaccard_ppm, jrank
+      FROM ranked WHERE jrank <= 5
+      ORDER BY query_id, jrank""",
 
     // Span-level exact dedup, recomputed with NO hashing: enumerate
     // every 60-char window (the q70 generate_series idiom), keep those
@@ -2510,6 +2655,12 @@ object Oracles {
     // exact, not approximate).
     "q165_bm25_indexed" -> bm25Oracle,
     "q166_bm25_index_appended" -> bm25Oracle,
+    // q172 (r13): the DELETED index — docs ≡ 2 (mod 13) retracted,
+    // the even half re-appended — must score exactly like an index
+    // that never held the still-retracted docs: negative df epochs,
+    // tombstoned postings, shrunken (N, Σdl) meta, compaction and
+    // vacuum are all output-invisible.
+    "q172_bm25_deleted" -> bm25DeletedOracle,
     // q170: the streaming-maintained index (base + three appended
     // waves + per-fold compaction) must score the FULL corpus exactly
     // — additivity means the drain is output-invisible.

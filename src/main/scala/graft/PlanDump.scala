@@ -35,7 +35,8 @@ object PlanDump {
     "q159_exact_dedup_indexed", "q161_cp_dedup_compacted",
     "q163_fp_dedup_compacted", "q165_bm25_indexed",
     "q166_bm25_index_appended", "q168_bm25_batched_indexed",
-    "q169_image_neardup_indexed")
+    "q169_image_neardup_indexed", "q171_fp_dedup_deleted",
+    "q172_bm25_deleted", "q174_text_jaccard_topk")
 
   /** Prose that must survive regeneration (r11: the q52 STATUS note was
     * hand-edited into the generated file once — a regen would have
@@ -43,6 +44,22 @@ object PlanDump {
     * plan block.
     */
   val notes: Map[String, String] = Map(
+    "q172_bm25_deleted" ->
+      """The probe plan here should read IDENTICALLY shaped to q165's —
+        |that is the point. The delete epoch's negative df rows are served
+        |by the same summed dfs scan, and the final artifact is compacted,
+        |so the live range holds zero tombstones and `deletesThrough`'s
+        |driver-side existence probe short-circuits: no anti-join appears.
+        |An UNCOMPACTED artifact with live tombstones adds one hash/merge
+        |anti-join against the (small) deletes table per suppressed-table
+        |scan — equi on the id with the epoch qualifier as a join
+        |condition, never a nested loop (PlanAuditSpec would catch one).""".stripMargin,
+    "q174_text_jaccard_topk" ->
+      """Top-k search at the text granularity: query bands broadcast onto
+        |the STORED band scan only (query×query candidates structurally
+        |absent), exact verify joins pruned to candidate docs by left-semi,
+        |per-query ranking is a rank-limited window on query_id — never a
+        |global sort. Integer-ppm scores keep the ranking oracle-exact.""".stripMargin,
     "q52_cosine_pairs_lsh" ->
       """**Status: GATE, not a production path** (r9 VERDICT #6). q52 retains the
         |sign-hyperplane banded family deliberately, as that family's own

@@ -888,6 +888,20 @@ object Queries {
       graft.streaming.IndexIngest.bm25IngestOnce(
         s, dir, "q170_streaming_bm25_maintain")),
 
+    // The IMAGE granularity of the q156/q164/q167 cadence (q175, r13 —
+    // the one foreachBatch asymmetry r12 left): media waves probe the
+    // stored dHash index (only the shard decodes, ever), fold in, and
+    // the artifact compacts + vacuums per batch. Planted ≡ 0 mod 768
+    // copies give cross-batch Hamming-0 pairs (≡ 0 mod 3 keeps a copy
+    // an image, ≡ 0 mod 256 makes its raster an exact duplicate —
+    // the CLAUDE.md mod-256 gotcha used deliberately); each pair
+    // surfaces exactly once, so one closed-form raster oracle gates
+    // the drain batch-free. Every index family's streaming cadence is
+    // now gated: cp q156, fp q164, text q167, BM25 q170, image here.
+    "q175_streaming_dhash_ingest" -> ((s, dir) =>
+      graft.streaming.IndexIngest.dHashIngestOnce(
+        s, dir, "q175_streaming_dhash_ingest")),
+
     // ---- STORED-INDEX lexical retrieval (r12, r11 VERDICT #4): q86
     // recomputed postings/df/lengths/stats per call — the same
     // asymmetry q148/q154/q159 closed for dedup. The corpus half
@@ -928,6 +942,180 @@ object Queries {
         Bm25.compactBm25Index(s, idx)
       }
       Bm25.topKIndexed(s, idx, Seq("spark", "hash", "window"), k = 50)
+    }),
+
+    // ---- DELETE / tombstone epochs (r13, r12 VERDICT #1): the LAST
+    // lifecycle quarter — the layout was append-only, so a takedown /
+    // retraction / corrupted-shard replacement forced a full rebuild
+    // of a 100 TB artifact. A delete is one more epoch: layout-owned
+    // tombstones (deletes/epoch=N) suppress older rows at probe time
+    // via an epoch-qualified anti-join (so a deleted id may be
+    // re-appended and serves again), the family meta shrinks in the
+    // same meta-last commit, and compact folds the tombstones away
+    // PHYSICALLY. One gate per family composes the full sequence —
+    // build → append → DELETE → re-append half → compact → vacuum —
+    // and the oracle recomputes the final state declaratively, knowing
+    // nothing about epochs: probe-after-delete ≡ rebuild-without-
+    // deleted is the hash-exact claim.
+
+    // fp family: retract the live owners ≡ 2 (mod 13) — the delete set
+    // is filtered from storedOwners and SNAPSHOT to parquet first
+    // (lineage over a mutating artifact would silently re-read the
+    // post-delete state) — then the even half re-appends BEFORE the
+    // compaction, so the epoch-qualified tombstone (suppress the past,
+    // serve the re-append) is live in both the probe and the rewrite.
+    "q171_fp_dedup_deleted" -> ((s, dir) => {
+      val (corpus, incoming) = textArrival(s, dir)
+      val idx = "/tmp/graft_fpindex_del_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"fpindexdel|$dir") {
+        Dedup.writeFingerprintIndex(
+          corpus.filter(col("doc_id") % 11 =!= 5), idx)
+        val slice = corpus.filter(col("doc_id") % 11 === 5)
+        val kept = Dedup.dedupAgainstIndex(idx, slice)
+          .filter(col("kept")).select("doc_id")
+        Dedup.appendFingerprintIndex(idx,
+          slice.join(kept, Seq("doc_id"), "left_semi"))
+        val doomedDir = idx + "_doomed"
+        Dedup.storedOwners(s, idx).filter(col("owner") % 13 === 2)
+          .select(col("owner").as("doc_id"))
+          .write.mode("overwrite").parquet(doomedDir)
+        val doomed = s.read.parquet(doomedDir)
+        Dedup.deleteFromFingerprintIndex(idx, doomed)
+        Dedup.appendFingerprintIndex(idx,
+          corpus.join(doomed.filter(col("doc_id") % 2 === 0),
+            Seq("doc_id"), "left_semi"))
+        Dedup.compactFingerprintIndex(s, idx)
+        Dedup.vacuumFingerprintIndex(s, idx)
+      }
+      Dedup.dedupAgainstIndex(idx, incoming)
+        .select(col("doc_id"), col("fp"), col("owner"),
+          col("kept").cast("long").as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 family: deletion is the additivity story in REVERSE — the
+    // delete epoch carries NEGATIVE df rows and the shrunken (N, Σdl)
+    // meta, so the probe's existing sum-across-epochs serves the
+    // retracted state with zero plan change, and compact re-sums df so
+    // the negatives physically cancel. Deleted index ≡ index over
+    // documents-minus-deleted, bit-for-bit, under the q86 formula.
+    "q172_bm25_deleted" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val idx = "/tmp/graft_bm25index_del_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"bm25indexdel|$dir") {
+        Bm25.writeBm25Index(d, idx)
+        Bm25.deleteFromBm25Index(idx,
+          d.filter(col("doc_id") % 13 === 2).select("doc_id"))
+        Bm25.appendBm25Index(idx,
+          d.filter(col("doc_id") % 13 === 2 && col("doc_id") % 2 === 0)
+            .select("doc_id", "text"))
+        Bm25.compactBm25Index(s, idx)
+        Bm25.vacuumBm25Index(s, idx)
+      }
+      Bm25.topKIndexed(s, idx, Seq("spark", "hash", "window"), k = 50)
+    }),
+
+    // text family: retract the stored docs ≡ 2 (mod 13) (only ≥3-word
+    // docs were ever stored — storedDocIds is the liveness truth,
+    // snapshot like q171's), re-append the even half, compact, vacuum;
+    // both tables (docs + bands) suppress on the same tombstones. The
+    // q153 oracle with the corpus minus the still-deleted docs.
+    "q173_text_dedup_deleted" -> ((s, dir) => {
+      val (corpus, incoming) = textArrival(s, dir)
+      val idx = "/tmp/graft_txtindex_del_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"txtindexdel|$dir|t0.6") {
+        TextIndex.writeJaccardIndex(corpus, idx, threshold = 0.6)
+        val doomedDir = idx + "_doomed"
+        TextIndex.storedDocIds(s, idx).filter(col("doc_id") % 13 === 2)
+          .write.mode("overwrite").parquet(doomedDir)
+        val doomed = s.read.parquet(doomedDir)
+        TextIndex.deleteFromJaccardIndex(idx, doomed)
+        TextIndex.appendJaccardIndex(idx,
+          corpus.join(doomed.filter(col("doc_id") % 2 === 0),
+            Seq("doc_id"), "left_semi"))
+        TextIndex.compactJaccardIndex(s, idx)
+        TextIndex.vacuumJaccardIndex(s, idx)
+      }
+      TextIndex.jaccardPairsIndexed(idx, incoming, threshold = 0.6)
+    }),
+
+    // cp family: the same delete composition at the embedding
+    // granularity — parameters pinned EXPLICITLY from the pre-delete
+    // count (so neither the append nor the shrink can trip a currency
+    // step; deleteFromCpIndex documents why shrink never needs one),
+    // probed by the q147 shard. With base-build-only construction,
+    // every corpus vector is live, so the delete set is declarative.
+    "q176_cp_dedup_deleted" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") % 7 =!= 3)
+        .select("vec_id", "embedding")
+      val incoming = e.filter(col("vec_id") % 7 === 3)
+        .select("vec_id", "embedding")
+        .unionByName(corpus.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + lit(5000000L)).as("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              x => x * lit(1.001d)).as("embedding")))
+      val idx = "/tmp/graft_cpindex_del_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"cpindexdel|$dir|t0.4") {
+        val k = graft.plans.CrossPolytope.chooseHashesPerBand(
+          corpus.count(), 0.4, 64, 1e-4)
+        val b = graft.plans.CrossPolytope.bandsFor(0.4, k, 64, 1e-4)
+        Ann.writeCpIndex(corpus, idx, threshold = 0.4,
+          hashesPerBand = k, bands = b)
+        Ann.deleteFromCpIndex(idx,
+          corpus.filter(col("vec_id") % 13 === 2).select("vec_id"))
+        Ann.appendCpIndex(idx,
+          corpus.filter(col("vec_id") % 13 === 2 &&
+            col("vec_id") % 2 === 0))
+        Ann.compactCpIndex(s, idx)
+        Ann.vacuumCpIndex(s, idx)
+      }
+      Ann.cosinePairsCpIndexed(idx, incoming, threshold = 0.4)
+    }),
+
+    // dHash family: the takedown composition at the image granularity
+    // (the canonical delete use-case — a stored image must become
+    // bytes on no disk, which the spec half of this gate pins); the
+    // delete set is the stored image slice (doc_id % 3 == 0) ≡ 2
+    // (mod 13), even half re-appended, probed by the %7==3 arrivals.
+    "q177_dhash_deleted" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.filter(col("doc_id") % 7 =!= 3)
+      val incoming = d.filter(col("doc_id") % 7 === 3)
+      val idx = "/tmp/graft_dhashidx_del_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"dhashidxdel|$dir") {
+        Multimodal.writeDHashIndex(corpus, idx)
+        Multimodal.deleteFromDHashIndex(idx,
+          corpus.filter(col("doc_id") % 13 === 2 &&
+              col("doc_id") % 3 === 0)
+            .select(col("doc_id").as("media_id")))
+        Multimodal.appendDHashIndex(idx,
+          corpus.filter(col("doc_id") % 13 === 2 &&
+            col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0))
+        Multimodal.compactDHashIndex(s, idx)
+        Multimodal.vacuumDHashIndex(s, idx)
+      }
+      Multimodal.imageDHashNearIndexed(idx, incoming)
+    }),
+
+    // ---- MinHash top-k SEARCH over the stored text index (r13, r12
+    // VERDICT #4 — the q151 shape at the text granularity): per query
+    // doc, the k nearest stored docs among those at Jaccard ≥ the
+    // stored threshold, ranked on integer ppm (the float policy), ties
+    // on ascending stored id. Shares q154's artifact — one index
+    // serving pairs AND search is the deployment story. The threshold
+    // floor makes the contract exact in plain SQL (q151's argument):
+    // candidates from the stored banding, verified on true shingle
+    // sets, ranked declaratively.
+    "q174_text_jaccard_topk" -> ((s, dir) => {
+      val (_, incoming) = textArrival(s, dir)
+      TextIndex.jaccardTopKIndexed(textIndexDir(s, dir), incoming,
+        k = 5, threshold = 0.6)
     }),
 
     // Cross-polytope ANN top-k at the gate: EXHAUSTIVE probe (probes =

@@ -75,7 +75,7 @@ object Stress {
     // run everything — lets a single section re-run without repaying
     // the full ~10-minute sweep
     val known = Set("heavy", "emb", "skew", "link", "emb100", "inc",
-      "inc100", "span", "span100", "txt", "txt100", "cmp")
+      "inc100", "span", "span100", "txt", "txt100", "cmp", "del")
     // emb100 (the 220k-vector third decade) is EXCLUDED from the
     // no-args sweep: measured, its 100× pass OOMs the 8 GB local heap
     // when it runs AFTER the full heavy+emb sections' accumulated
@@ -546,6 +546,75 @@ object Stress {
         operators.Multimodal.imageDHashNearIndexed(idx, imgShard())
       report("q169_image_neardup_indexed fixed-shard (stored dhash)",
         timed(dhProbe(dh1)), timed(dhProbe(dh10)))
+    }
+
+    // ---- DELETE / TOMBSTONES (r13): two prices. (1) The delete
+    // OPERATION at 1× vs 10× — its only corpus-size terms are the
+    // liveness premise (an anti-join LIMIT 1 against the live
+    // two-column map) and the owner-snapshot scan, so near-flat is the
+    // claim. (2) The PROBE with the tombstones still LIVE (the
+    // epoch-qualified anti-join in every stored-table read) vs the
+    // same artifact after compact + vacuum folded them away — the
+    // delta prices serving deletes live, and the fold is what removes
+    // it (the `cmp` sprawl row's argument, at the delete quarter).
+    if (section("del")) {
+      buildDocCorpus(spark, base, txtDoc1, 1)
+      val docDel10 = "/tmp/graft_stress_doc_del10x"
+      buildDocCorpus(spark, base, docDel10, 10)
+      val idx1 = "/tmp/graft_stress_fpdelidx_1x"
+      val idx10 = "/tmp/graft_stress_fpdelidx_10x"
+      Seq((txtDoc1, idx1), (docDel10, idx10)).foreach { case (src, idx) =>
+        CacheScope.withScope {
+          operators.Dedup.writeFingerprintIndex(txtDocs(src), idx)
+        }
+      }
+      // delete sets: the stored owners ≡ 2 (mod 13), SNAPSHOT first
+      // (lineage over a mutating artifact re-reads the mutated state —
+      // the operator scaladoc's rule)
+      def doom(idx: String, out: String): DataFrame = {
+        CacheScope.withScope {
+          operators.Dedup.storedOwners(spark, idx)
+            .filter(col("owner") % 13 === 2)
+            .select(col("owner").as("doc_id"))
+            .write.mode("overwrite").parquet(out)
+        }
+        spark.read.parquet(out)
+      }
+      val doomed1 = doom(idx1, "/tmp/graft_stress_fpdel_doom1")
+      val doomed10 = doom(idx10, "/tmp/graft_stress_fpdel_doom10")
+      // one pass each — an id set deletes once (the append-timing rule)
+      def timeDelete(idx: String, ids: DataFrame): Double = {
+        val t0 = System.nanoTime()
+        CacheScope.withScope {
+          operators.Dedup.deleteFromFingerprintIndex(idx, ids)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      report("fp_delete_op owners%13==2 (1 pass)",
+        timeDelete(idx1, doomed1), timeDelete(idx10, doomed10))
+      // probe the 10× artifact with its tombstones LIVE, then after a
+      // compact + vacuum folded them away (byte-identical copy — the
+      // cmp section's identical-inputs discipline)
+      val folded10 = "/tmp/graft_stress_fpdelidx_10x_folded"
+      locally {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val src = new org.apache.hadoop.fs.Path(idx10)
+        val dst = new org.apache.hadoop.fs.Path(folded10)
+        val fs = src.getFileSystem(conf)
+        fs.delete(dst, true)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+      }
+      CacheScope.withScope {
+        operators.Dedup.compactFingerprintIndex(spark, folded10)
+        operators.Dedup.vacuumFingerprintIndex(spark, folded10)
+      }
+      def fpDelProbe(idx: String): () => DataFrame = () =>
+        operators.Dedup.dedupAgainstIndex(idx, txtShard())
+      val tLive = timed(fpDelProbe(idx10))
+      val tFold = timed(fpDelProbe(folded10))
+      println(f"STRESS fp_probe_tombstones-live-vs-folded@10x " +
+        f"t_live=$tLive%.2fs t_folded=$tFold%.2fs " +
+        f"ratio=${tLive / tFold}%.2f")
     }
 
     // ---- 100× point for the sub-ρ path (r9): the sign-LSH family's

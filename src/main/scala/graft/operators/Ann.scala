@@ -822,13 +822,59 @@ object Ann {
     */
   private def indexVectors(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, floor: Int, epoch: Int): DataFrame =
-    graft.sources.EpochStore.tableThrough(spark, indexDir, "vectors",
-      floor, epoch).select(col("vec_id"), col("v"))
+    graft.sources.EpochStore.tableThroughLive(spark, indexDir,
+      "vectors", "vec_id", floor, epoch).select(col("vec_id"), col("v"))
 
   private def indexBands(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, floor: Int, epoch: Int): DataFrame =
-    graft.sources.EpochStore.tableThrough(spark, indexDir, "bands",
-      floor, epoch).select(col("vec_id"), col("band_id"), col("code"))
+    graft.sources.EpochStore.tableThroughLive(spark, indexDir, "bands",
+      "vec_id", floor, epoch)
+      .select(col("vec_id"), col("band_id"), col("code"))
+
+  /** RETRACT stored vectors (r13 — the delete quarter): one tombstone
+    * epoch suppresses them from every probe ([[graft.sources
+    * .EpochStore.writeDeleteEpoch]] — meta-last, the shrunken
+    * corpus_count in the same commit). NO parameter-currency refusal,
+    * deliberately (the mirror of [[appendCpIndex]]'s): a shrunken
+    * corpus leaves the stored k LARGER than the count-optimal one,
+    * which can only LOWER candidate volume — recall stays certified
+    * by the stored (k, bands) banding bound, which never depended on
+    * the count; at worst the probe pays k-toolarge hash cost, and the
+    * rebuild decision is the caller's. Loud premises: one id space;
+    * every id CURRENTLY LIVE. A deleted id may be re-appended
+    * afterwards; physical reclaim = [[compactCpIndex]] +
+    * [[vacuumCpIndex]]. Single writer.
+    */
+  def deleteFromCpIndex(indexDir: String, ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    val st = cpIndexState(spark, indexDir, "deleteFromCpIndex")
+    val del = graft.CacheScope.scoped(
+      ids.select(col("vec_id").cast("long").as("id")))
+    val counts = del.agg(count(lit(1)).as("n"),
+      count_distinct(col("id")).as("nd")).head()
+    require(counts.getLong(0) == counts.getLong(1),
+      "deleteFromCpIndex: the delete set is not one id space — " +
+        s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s); " +
+        "de-duplicate it upstream.")
+    val missing = del.join(
+        indexVectors(spark, indexDir, st.floor, st.epoch)
+          .select(col("vec_id").as("id")),
+        Seq("id"), "left_anti")
+      .limit(1).count()
+    require(missing == 0,
+      s"deleteFromCpIndex: delete id(s) are not live in the index at " +
+        s"$indexDir — a retraction must name stored vectors " +
+        "(already-deleted or never-stored ids refuse loudly, they do " +
+        "not no-op).")
+    import spark.implicits._
+    val meta = Seq((CpIndexFamily, st.k, st.bands, st.dim,
+        st.targetMiss, st.threshold, st.count - counts.getLong(0),
+        st.epoch + 1, st.paramsDerived))
+      .toDF("family", "k", "bands", "dim", "target_miss", "threshold",
+        "corpus_count", "epoch", "params_derived")
+    graft.sources.EpochStore.writeDeleteEpoch(indexDir, st.epoch + 1,
+      del, Seq.empty, meta, st.floor)
+  }
 
   /** FOLD a deduped shard INTO the artifact — the missing quarter of
     * the index lifecycle (write → probe → search → APPEND): after
@@ -924,7 +970,9 @@ object Ann {
       indexDir: String): Boolean = {
     cpIndexState(spark, indexDir, "compactCpIndex") // family refusal
     graft.sources.EpochStore.compact(spark, indexDir,
-      Seq("vectors", "bands"), "compactCpIndex", "writeCpIndex")
+      Seq(graft.sources.EpochStore.CompactTable("vectors", Some("vec_id")),
+        graft.sources.EpochStore.CompactTable("bands", Some("vec_id"))),
+      "compactCpIndex", "writeCpIndex")
   }
 
   /** Reclaim epochs a [[compactCpIndex]] superseded — see
@@ -932,10 +980,10 @@ object Ann {
     * current serving state; quiesce pre-compaction probes first).
     */
   def vacuumCpIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String, graceMs: Long = 0L): Unit = {
     cpIndexState(spark, indexDir, "vacuumCpIndex") // family refusal
     graft.sources.EpochStore.vacuum(spark, indexDir,
-      Seq("vectors", "bands"), "vacuumCpIndex", "writeCpIndex")
+      Seq("vectors", "bands"), "vacuumCpIndex", "writeCpIndex", graceMs)
   }
 
   /** Probe a [[writeCpIndex]] artifact with an arriving shard — the

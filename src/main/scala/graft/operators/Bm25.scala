@@ -258,8 +258,8 @@ object Bm25 {
         s"${c.getLong(0) - c.getLong(1)} duplicate id(s) within the " +
         "appended shard; re-key upstream.")
     val idClash = d.select("doc_id")
-      .join(graft.sources.EpochStore.tableThrough(spark, indexDir,
-          "docs", st.floor, st.epoch).select("doc_id"),
+      .join(graft.sources.EpochStore.tableThroughLive(spark, indexDir,
+          "docs", "doc_id", st.floor, st.epoch).select("doc_id"),
         Seq("doc_id"), "left_semi")
       .limit(1).count()
     require(idClash == 0,
@@ -270,6 +270,60 @@ object Bm25 {
     val (postings, lengths) = tokenized(d)
     writeBm25Epoch(spark, indexDir, st.epoch + 1, postings, lengths,
       st.nDocs + c.getLong(0), st.sumDl + c.getLong(2), st.floor)
+  }
+
+  /** RETRACT stored documents (r13 — the deletion side of the
+    * additivity story): BM25's corpus statistics are additive over
+    * disjoint doc sets in BOTH directions, so a delete is one more
+    * epoch carrying NEGATIVE df rows — per term, minus the number of
+    * deleted docs containing it, computed from the live postings —
+    * while N and Σdl shrink on the meta in the same meta-last commit.
+    * The probe's existing sum-across-epochs then serves the retracted
+    * df with ZERO plan change, and postings/docs rows suppress via the
+    * layout tombstones, so a deleted index scores bit-identically to
+    * one rebuilt without the deleted docs (the q172 gate). Loud
+    * premises: one id space; every id CURRENTLY LIVE in the stored
+    * docs table. A deleted id may be re-appended afterwards (its new
+    * postings bring new positive df rows — the sums compose); physical
+    * reclaim = [[compactBm25Index]] (which re-sums df so the negatives
+    * cancel) + [[vacuumBm25Index]]. Single writer.
+    */
+  def deleteFromBm25Index(indexDir: String, ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    val st = bm25IndexState(spark, indexDir, "deleteFromBm25Index")
+    val del = graft.CacheScope.scoped(
+      ids.select(col("doc_id").cast("long").as("id")))
+    val counts = del.agg(count(lit(1)).as("n"),
+      count_distinct(col("id")).as("nd")).head()
+    require(counts.getLong(0) == counts.getLong(1),
+      "deleteFromBm25Index: the delete set is not one id space — " +
+        s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s); " +
+        "de-duplicate it upstream.")
+    // the deleted docs' (count, Σdl) and the liveness premise in ONE
+    // scan of the live docs table
+    val liveDocs = graft.sources.EpochStore.tableThroughLive(spark,
+      indexDir, "docs", "doc_id", st.floor, st.epoch)
+    val hit = liveDocs.join(broadcast(del),
+        liveDocs("doc_id") === del("id"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
+    require(hit.getLong(0) == counts.getLong(0),
+      s"deleteFromBm25Index: ${counts.getLong(0) - hit.getLong(0)} " +
+        s"delete id(s) are not live in the index at $indexDir — a " +
+        "retraction must name stored docs (already-deleted or " +
+        "never-stored ids refuse loudly, they do not no-op).")
+    // negative df rows: per term, minus the deleted docs containing it
+    val negDfs = graft.sources.EpochStore.tableThroughLive(spark,
+        indexDir, "postings", "doc_id", st.floor, st.epoch)
+      .join(broadcast(del), col("doc_id") === col("id"))
+      .groupBy(col("term"))
+      .agg((lit(0L) - count(lit(1))).as("df"))
+    import spark.implicits._
+    val meta = Seq((Bm25IndexFamily, st.nDocs - hit.getLong(0),
+        st.sumDl - hit.getLong(1), st.epoch + 1))
+      .toDF("family", "n_docs", "sum_dl", "epoch")
+    graft.sources.EpochStore.writeDeleteEpoch(indexDir, st.epoch + 1,
+      del, Seq("dfs" -> negDfs), meta, st.floor)
   }
 
   /** Score a bag-of-words query against the STORED index — [[topK]]'s
@@ -287,8 +341,8 @@ object Bm25 {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val st = bm25IndexState(spark, indexDir, "topKIndexed")
     val ad = st.sumDl / math.max(st.nDocs, 1L)
-    val tf = graft.sources.EpochStore.tableThrough(spark, indexDir,
-        "postings", st.floor, st.epoch)
+    val tf = graft.sources.EpochStore.tableThroughLive(spark, indexDir,
+        "postings", "doc_id", st.floor, st.epoch)
       .filter(col("term").isin(queryTerms: _*))
     val dfreq = graft.sources.EpochStore.tableThrough(spark, indexDir,
         "dfs", st.floor, st.epoch)
@@ -326,8 +380,8 @@ object Bm25 {
       .select(col("query_id"),
         explode(array_distinct(split(col("text"), " "))).as("term")))
     val anyTerm = qterms.select("term").distinct()
-    val tf = graft.sources.EpochStore.tableThrough(spark, indexDir,
-        "postings", st.floor, st.epoch)
+    val tf = graft.sources.EpochStore.tableThroughLive(spark, indexDir,
+        "postings", "doc_id", st.floor, st.epoch)
       .join(broadcast(anyTerm), Seq("term"), "left_semi")
     val dfreq = graft.sources.EpochStore.tableThrough(spark, indexDir,
         "dfs", st.floor, st.epoch)
@@ -357,17 +411,27 @@ object Bm25 {
       indexDir: String): Boolean = {
     bm25IndexState(spark, indexDir, "compactBm25Index")
     graft.sources.EpochStore.compact(spark, indexDir,
-      Seq("postings", "docs", "dfs"), "compactBm25Index",
-      "writeBm25Index")
+      Seq(graft.sources.EpochStore.CompactTable("postings",
+          Some("doc_id")),
+        graft.sources.EpochStore.CompactTable("docs", Some("doc_id")),
+        // per-epoch df rows are an ADDITIVE aggregate, not id-keyed:
+        // tombstones never suppress them (deletes wrote negative rows
+        // instead); the rewrite re-sums per term so those negatives
+        // physically cancel, and exact zeros (a term fully retracted)
+        // drop — sums, which are all any probe consumes, are unchanged
+        graft.sources.EpochStore.CompactTable("dfs", None,
+          d => d.groupBy(col("term")).agg(sum(col("df")).as("df"))
+            .filter(col("df") =!= 0))),
+      "compactBm25Index", "writeBm25Index")
   }
 
   /** Reclaim epochs a [[compactBm25Index]] superseded — see
     * [[graft.sources.EpochStore.vacuum]]. */
   def vacuumBm25Index(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String, graceMs: Long = 0L): Unit = {
     bm25IndexState(spark, indexDir, "vacuumBm25Index")
     graft.sources.EpochStore.vacuum(spark, indexDir,
       Seq("postings", "docs", "dfs"), "vacuumBm25Index",
-      "writeBm25Index")
+      "writeBm25Index", graceMs)
   }
 }

@@ -168,8 +168,8 @@ object Dedup {
       "dedupAgainstIndex: doc_id is not one id space — " +
         s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s) " +
         "within the incoming shard; re-key upstream.")
-    val stored = graft.sources.EpochStore.tableThrough(spark, indexDir,
-      "fps", st.floor, st.epoch)
+    val stored = graft.sources.EpochStore.tableThroughLive(spark,
+      indexDir, "fps", "owner", st.floor, st.epoch)
       .select(col("fp"), col("owner").as("_stored_owner"))
     // The shard must be the BROADCAST side and the stored table must
     // STREAM — but Spark cannot build the preserved (left) side of a
@@ -227,8 +227,8 @@ object Dedup {
       "appendFingerprintIndex: doc_id is not one id space — " +
         s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s) " +
         "within the appended shard; re-key upstream.")
-    val stored = graft.sources.EpochStore.tableThrough(spark, indexDir,
-      "fps", st.floor, st.epoch)
+    val stored = graft.sources.EpochStore.tableThroughLive(spark,
+      indexDir, "fps", "owner", st.floor, st.epoch)
     val idClash = f.select(col("doc_id").as("owner"))
       .join(stored.select("owner"), Seq("owner"), "left_semi")
       .limit(1).count()
@@ -248,6 +248,62 @@ object Dedup {
       st.count + counts.getLong(0), st.floor)
   }
 
+  /** The live (fp, owner) map the artifact currently serves —
+    * tombstone-aware, the "audit what the index holds" read (and the
+    * frame a retraction pipeline filters its delete set from; snapshot
+    * it to disk before mutating, or its lineage re-reads the mutated
+    * artifact).
+    */
+  def storedOwners(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val st = fpIndexState(spark, indexDir, "storedOwners")
+    graft.sources.EpochStore.tableThroughLive(spark, indexDir, "fps",
+      "owner", st.floor, st.epoch)
+  }
+
+  /** RETRACT stored documents (r13 — takedown / dedup retraction /
+    * corrupted-shard replacement): one DELETE epoch tombstones the
+    * given owner ids ([[graft.sources.EpochStore.writeDeleteEpoch]] —
+    * meta-last, so the shrunken corpus_count and the tombstones commit
+    * atomically), and every probe immediately serves the retracted
+    * state: the fingerprints those docs owned are novel again (the
+    * next arrival claims them as its own). Two loud premises: the
+    * delete set is one id space, and every id is a CURRENTLY LIVE
+    * stored owner — retracting a doc that is not stored is a caller
+    * bug, not a no-op. A tombstone names the PAST, so a deleted id may
+    * be re-appended afterwards (it serves again); physical reclaim is
+    * [[compactFingerprintIndex]] + [[vacuumFingerprintIndex]], which
+    * fold the tombstones away. Single writer, like every mutation.
+    */
+  def deleteFromFingerprintIndex(indexDir: String, ids: DataFrame)
+      : Unit = {
+    val spark = ids.sparkSession
+    val st = fpIndexState(spark, indexDir, "deleteFromFingerprintIndex")
+    val del = graft.CacheScope.scoped(
+      ids.select(col("doc_id").cast("long").as("id")))
+    val counts = del.agg(count(lit(1)).as("n"),
+      count_distinct(col("id")).as("nd")).head()
+    require(counts.getLong(0) == counts.getLong(1),
+      "deleteFromFingerprintIndex: the delete set is not one id " +
+        s"space — ${counts.getLong(0) - counts.getLong(1)} duplicate " +
+        "id(s); de-duplicate it upstream.")
+    val live = graft.sources.EpochStore.tableThroughLive(spark,
+      indexDir, "fps", "owner", st.floor, st.epoch)
+    val missing = del.join(live.select(col("owner").as("id")),
+      Seq("id"), "left_anti").limit(1).count()
+    require(missing == 0,
+      s"deleteFromFingerprintIndex: delete id(s) are not live stored " +
+        s"owners at $indexDir — a retraction must name stored docs " +
+        "(already-deleted or never-stored ids refuse loudly, they do " +
+        "not no-op).")
+    import spark.implicits._
+    val meta = Seq((FpIndexFamily, st.count - counts.getLong(0),
+        st.epoch + 1))
+      .toDF("family", "corpus_count", "epoch")
+    graft.sources.EpochStore.writeDeleteEpoch(indexDir, st.epoch + 1,
+      del, Seq.empty, meta, st.floor)
+  }
+
   /** COMPACT the artifact — the (fp, owner) map's live epochs rewritten
     * into ONE fresh epoch, meta last (see
     * [[graft.sources.EpochStore.compact]]): the q164 streaming cadence
@@ -261,16 +317,17 @@ object Dedup {
   def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Boolean = {
     fpIndexState(spark, indexDir, "compactFingerprintIndex")
-    graft.sources.EpochStore.compact(spark, indexDir, Seq("fps"),
+    graft.sources.EpochStore.compact(spark, indexDir,
+      Seq(graft.sources.EpochStore.CompactTable("fps", Some("owner"))),
       "compactFingerprintIndex", "writeFingerprintIndex")
   }
 
   /** Reclaim epochs a [[compactFingerprintIndex]] superseded — see
     * [[graft.sources.EpochStore.vacuum]]. */
   def vacuumFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String, graceMs: Long = 0L): Unit = {
     fpIndexState(spark, indexDir, "vacuumFingerprintIndex")
     graft.sources.EpochStore.vacuum(spark, indexDir, Seq("fps"),
-      "vacuumFingerprintIndex", "writeFingerprintIndex")
+      "vacuumFingerprintIndex", "writeFingerprintIndex", graceMs)
   }
 }

@@ -769,8 +769,8 @@ object Multimodal {
     val n = requireOneMediaIdSpace(h, "appendDHashIndex",
       "within the appended shard")
     val clash = h.select("media_id")
-      .join(graft.sources.EpochStore.tableThrough(spark, indexDir,
-          "hashes", st.floor, st.epoch).select("media_id"),
+      .join(graft.sources.EpochStore.tableThroughLive(spark, indexDir,
+          "hashes", "media_id", st.floor, st.epoch).select("media_id"),
         Seq("media_id"), "left_semi")
       .limit(1).count()
     require(clash == 0,
@@ -806,8 +806,8 @@ object Multimodal {
     val inc = graft.CacheScope.scoped(dHashes(incoming).toDF())
     val nInc = requireOneMediaIdSpace(inc, "imageDHashNearIndexed",
       "within the incoming shard")
-    val storedHashes = graft.sources.EpochStore.tableThrough(spark,
-      indexDir, "hashes", st.floor, st.epoch)
+    val storedHashes = graft.sources.EpochStore.tableThroughLive(spark,
+      indexDir, "hashes", "media_id", st.floor, st.epoch)
     val clash = inc.select("media_id")
       .join(storedHashes.select("media_id"), Seq("media_id"), "left_semi")
       .limit(1).count()
@@ -817,8 +817,8 @@ object Multimodal {
         "contract (a shared id silently drops its real pair); re-key " +
         "the shard.")
     val incBands = graft.CacheScope.scoped(dHashBandRows(inc))
-    val allBands = graft.sources.EpochStore.tableThrough(spark, indexDir,
-        "bands", st.floor, st.epoch)
+    val allBands = graft.sources.EpochStore.tableThroughLive(spark,
+        indexDir, "bands", "media_id", st.floor, st.epoch)
       .select("media_id", "band_id", "band_key")
       .unionByName(incBands)
     val hinted =
@@ -846,6 +846,46 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /** RETRACT stored images (r13 — takedown is the CANONICAL image
+    * use-case): one tombstone epoch suppresses them from every probe,
+    * the shrunken corpus_count in the same meta-last commit. No
+    * parameter currency exists to re-derive (the 4×16 banding is
+    * fixed). Loud premises: one id space; every id CURRENTLY LIVE. A
+    * deleted id may be re-appended afterwards; physical reclaim =
+    * [[compactDHashIndex]] + [[vacuumDHashIndex]] — after which the
+    * retracted images' hashes are bytes on no disk, the
+    * right-to-be-forgotten end state. Single writer.
+    */
+  def deleteFromDHashIndex(indexDir: String, ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    val st = dHashIndexState(spark, indexDir, "deleteFromDHashIndex")
+    val del = graft.CacheScope.scoped(
+      ids.select(col("media_id").cast("long").as("id")))
+    val counts = del.agg(count(lit(1)).as("n"),
+      count_distinct(col("id")).as("nd")).head()
+    require(counts.getLong(0) == counts.getLong(1),
+      "deleteFromDHashIndex: the delete set is not one id space — " +
+        s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s); " +
+        "de-duplicate it upstream.")
+    val missing = del.join(
+        graft.sources.EpochStore.tableThroughLive(spark, indexDir,
+          "hashes", "media_id", st.floor, st.epoch)
+          .select(col("media_id").as("id")),
+        Seq("id"), "left_anti")
+      .limit(1).count()
+    require(missing == 0,
+      s"deleteFromDHashIndex: delete id(s) are not live in the index " +
+        s"at $indexDir — a retraction must name stored images " +
+        "(already-deleted or never-stored ids refuse loudly, they do " +
+        "not no-op).")
+    import spark.implicits._
+    val meta = Seq((DHashIndexFamily, 4,
+        st.count - counts.getLong(0), st.epoch + 1))
+      .toDF("family", "bands", "corpus_count", "epoch")
+    graft.sources.EpochStore.writeDeleteEpoch(indexDir, st.epoch + 1,
+      del, Seq.empty, meta, st.floor)
+  }
+
   /** COMPACT / reclaim the artifact — see
     * [[graft.sources.EpochStore.compact]] / `vacuum`; the family meta
     * carries verbatim (compaction moves bytes, never rows).
@@ -854,13 +894,17 @@ object Multimodal {
       indexDir: String): Boolean = {
     dHashIndexState(spark, indexDir, "compactDHashIndex")
     graft.sources.EpochStore.compact(spark, indexDir,
-      Seq("hashes", "bands"), "compactDHashIndex", "writeDHashIndex")
+      Seq(graft.sources.EpochStore.CompactTable("hashes",
+          Some("media_id")),
+        graft.sources.EpochStore.CompactTable("bands", Some("media_id"))),
+      "compactDHashIndex", "writeDHashIndex")
   }
 
   def vacuumDHashIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String, graceMs: Long = 0L): Unit = {
     dHashIndexState(spark, indexDir, "vacuumDHashIndex")
     graft.sources.EpochStore.vacuum(spark, indexDir,
-      Seq("hashes", "bands"), "vacuumDHashIndex", "writeDHashIndex")
+      Seq("hashes", "bands"), "vacuumDHashIndex", "writeDHashIndex",
+      graceMs)
   }
 }

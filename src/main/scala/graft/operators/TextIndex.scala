@@ -311,8 +311,8 @@ object TextIndex {
         s"${agg.getLong(0) - agg.getLong(1)} duplicate id(s) within " +
         s"the appended shard. $PairDupConsequence")
     val nClash = sh.select("doc_id")
-      .join(EpochStore.tableThrough(spark, indexDir, "docs", st.floor,
-          st.epoch).select("doc_id"),
+      .join(EpochStore.tableThroughLive(spark, indexDir, "docs",
+          "doc_id", st.floor, st.epoch).select("doc_id"),
         Seq("doc_id"), "left_semi")
       .limit(1).count()
     require(nClash == 0,
@@ -322,6 +322,60 @@ object TextIndex {
         "or dedup the shard first.")
     writeEpoch(indexDir, st.epoch + 1, sh, st.r, st.b, st.threshold,
       st.targetMiss, st.count + agg.getLong(0), st.floor)
+  }
+
+  /** The live stored doc ids — tombstone-aware, the "audit what the
+    * index holds" read (and the frame a retraction pipeline filters
+    * its delete set from; snapshot it to disk before mutating, or its
+    * lineage re-reads the mutated artifact).
+    */
+  def storedDocIds(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val st = indexState(spark, indexDir, "storedDocIds")
+    EpochStore.tableThroughLive(spark, indexDir, "docs", "doc_id",
+      st.floor, st.epoch).select("doc_id")
+  }
+
+  /** RETRACT stored documents (r13 — takedown / retraction): one
+    * DELETE epoch tombstones the given doc ids across BOTH tables
+    * (docs + bands suppress on the same id at probe time), with the
+    * shrunken corpus_count committing in the same meta-last write.
+    * Loud premises: one id space, and every id is CURRENTLY LIVE in
+    * the stored docs table — note only docs with ≥ 3 words were ever
+    * stored, so retracting a shorter doc refuses (it was never
+    * indexed). A tombstone names the past: the id may be re-appended
+    * afterwards. Physical reclaim = [[compactJaccardIndex]] +
+    * [[vacuumJaccardIndex]]. Banding is count-independent, so a
+    * shrunken corpus cannot rot the stored parameters (the same
+    * argument as append, in reverse). Single writer.
+    */
+  def deleteFromJaccardIndex(indexDir: String, ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    val st = indexState(spark, indexDir, "deleteFromJaccardIndex")
+    val del = graft.CacheScope.scoped(
+      ids.select(col("doc_id").cast("long").as("id")))
+    val counts = del.agg(count(lit(1)).as("n"),
+      count_distinct(col("id")).as("nd")).head()
+    require(counts.getLong(0) == counts.getLong(1),
+      "deleteFromJaccardIndex: the delete set is not one id space — " +
+        s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s); " +
+        "de-duplicate it upstream.")
+    val live = EpochStore.tableThroughLive(spark, indexDir, "docs",
+      "doc_id", st.floor, st.epoch)
+    val missing = del.join(live.select(col("doc_id").as("id")),
+      Seq("id"), "left_anti").limit(1).count()
+    require(missing == 0,
+      s"deleteFromJaccardIndex: delete id(s) are not live in the " +
+        s"index at $indexDir — a retraction must name stored docs " +
+        "(already-deleted, never-stored, or sub-3-word ids refuse " +
+        "loudly, they do not no-op).")
+    import spark.implicits._
+    val meta = Seq((JaccardIndexFamily, st.r, st.b, st.threshold,
+        st.targetMiss, 3, st.count - counts.getLong(0), st.epoch + 1))
+      .toDF("family", "rows_per_band", "bands", "threshold",
+        "target_miss", "shingle_k", "corpus_count", "epoch")
+    EpochStore.writeDeleteEpoch(indexDir, st.epoch + 1, del, Seq.empty,
+      meta, st.floor)
   }
 
   /** COMPACT the artifact — rewrite the live epochs into ONE fresh
@@ -337,17 +391,19 @@ object TextIndex {
   def compactJaccardIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Boolean = {
     indexState(spark, indexDir, "compactJaccardIndex") // family refusal
-    EpochStore.compact(spark, indexDir, Seq("docs", "bands"),
+    EpochStore.compact(spark, indexDir,
+      Seq(EpochStore.CompactTable("docs", Some("doc_id")),
+        EpochStore.CompactTable("bands", Some("doc_id"))),
       "compactJaccardIndex", "writeJaccardIndex")
   }
 
   /** Reclaim epochs a [[compactJaccardIndex]] superseded — see
     * [[graft.sources.EpochStore.vacuum]]. */
   def vacuumJaccardIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String, graceMs: Long = 0L): Unit = {
     indexState(spark, indexDir, "vacuumJaccardIndex") // family refusal
     EpochStore.vacuum(spark, indexDir, Seq("docs", "bands"),
-      "vacuumJaccardIndex", "writeJaccardIndex")
+      "vacuumJaccardIndex", "writeJaccardIndex", graceMs)
   }
 
   /** Probe a [[writeJaccardIndex]] artifact with an arriving shard —
@@ -373,8 +429,8 @@ object TextIndex {
         s"${agg.getLong(0) - agg.getLong(1)} duplicate id(s) within " +
         s"the incoming shard. $PairDupConsequence")
     val nInc = agg.getLong(0)
-    val storedDocs = EpochStore.tableThrough(spark, indexDir, "docs",
-      st.floor, st.epoch)
+    val storedDocs = EpochStore.tableThroughLive(spark, indexDir,
+      "docs", "doc_id", st.floor, st.epoch)
     val nClash = inc.select("doc_id")
       .join(storedDocs.select("doc_id"), Seq("doc_id"), "left_semi")
       .limit(1).count()
@@ -383,8 +439,8 @@ object TextIndex {
         s"indexed corpus at $indexDir — one id space is the contract " +
         "(a shared id silently drops its real pair); re-key the shard.")
     val incBands = graft.CacheScope.scoped(bandRows(inc, st.r, st.b))
-    val allBands = EpochStore.tableThrough(spark, indexDir, "bands",
-        st.floor, st.epoch)
+    val allBands = EpochStore.tableThroughLive(spark, indexDir,
+        "bands", "doc_id", st.floor, st.epoch)
       .select(col("doc_id"), col("band_id"), col("band_hash"))
       .unionByName(incBands)
     val hinted =
@@ -399,6 +455,94 @@ object TextIndex {
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
     verifyExact(cand, storedDocs.unionByName(inc), threshold)
+  }
+
+  /** Top-k SEARCH against the stored artifact (r12 VERDICT #4 — the
+    * q151 shape at the text granularity): for each query doc, the k
+    * nearest STORED docs among those at shingle-Jaccard ≥ the stored
+    * threshold — the "find what this new document most duplicates"
+    * curation probe. The threshold FLOOR is what makes the contract
+    * exactly oracle-gateable (q151's argument verbatim): candidates
+    * come from the stored banding, whose misses at J ≥ t are bounded
+    * by the artifact's targetMiss, and everything at the floor is
+    * verified on TRUE shingle sets — so the ranked output is plain
+    * SQL over exact Jaccard.
+    *
+    * Similarity is INTEGER ppm (⌊10⁶·|∩| / |∪|⌋ — the float policy:
+    * ranking on a fresh double would not be cross-engine stable);
+    * ties break on ascending stored doc_id. Output: (query_id,
+    * doc_id, jaccard_ppm, jrank), deterministic order. Per-query-batch
+    * cost: the batch's own shingling + one banded join against the
+    * stored band rows + exact verify over candidates — query×query
+    * pairs are structurally absent (only query bands probe, only
+    * stored bands answer), unlike [[jaccardPairsIndexed]]'s union.
+    */
+  def jaccardTopKIndexed(indexDir: String, queries: DataFrame, k: Int,
+      threshold: Double, targetMiss: Double = 1e-4): DataFrame = {
+    require(k > 0, s"jaccardTopKIndexed: k must be positive, got $k")
+    val spark = queries.sparkSession
+    val st = readMeta(spark, indexDir, "jaccardTopKIndexed",
+      threshold, targetMiss)
+    val inc = graft.CacheScope.scoped(shingled(queries))
+    val agg = inc.agg(count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("nd")).head()
+    require(agg.getLong(0) == agg.getLong(1),
+      "jaccardTopKIndexed: doc_id is not one id space — " +
+        s"${agg.getLong(0) - agg.getLong(1)} duplicate id(s) within " +
+        s"the query batch. $PairDupConsequence")
+    val nInc = agg.getLong(0)
+    val storedDocs = EpochStore.tableThroughLive(spark, indexDir,
+      "docs", "doc_id", st.floor, st.epoch)
+    val nClash = inc.select("doc_id")
+      .join(storedDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(nClash == 0,
+      "jaccardTopKIndexed: query doc_id(s) already exist in the " +
+        s"indexed corpus at $indexDir — one id space is the contract " +
+        "(a shared id would score a doc against itself); re-key the " +
+        "batch.")
+    val incBands = bandRows(inc, st.r, st.b)
+    val storedBands = EpochStore.tableThroughLive(spark, indexDir,
+      "bands", "doc_id", st.floor, st.epoch)
+    val hinted =
+      if (nInc * st.b <= Ann.MaxBroadcastBandRows) broadcast(incBands)
+      else incBands
+    // DIRECTED candidates: query side probes, stored side answers
+    val cand = hinted.as("x")
+      .join(storedBands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("query_id"),
+        col("y.doc_id").as("doc_id"))
+      .distinct()
+    // exact verify at the floor, then rank within each query
+    val ppm = math.round(threshold * 1000000).toLong
+    val qGrams = inc
+      .join(cand.select(col("query_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("query_id"), col("n").as("nq"),
+        explode(col("shingles")).as("shingle"))
+    val sGrams = storedDocs
+      .join(cand.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n").as("ns"),
+        explode(col("shingles")).as("shingle"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("jaccard_ppm").desc, col("doc_id"))
+    cand
+      .join(qGrams, Seq("query_id"))
+      .join(sGrams, Seq("doc_id", "shingle"))
+      .groupBy(col("query_id"), col("doc_id"), col("nq"), col("ns"))
+      .agg(count(lit(1)).as("ni"))
+      .withColumn("un", col("nq") + col("ns") - col("ni"))
+      .filter(lit(1000000L) * col("ni") >= lit(ppm) * col("un"))
+      .withColumn("jaccard_ppm",
+        expr("(1000000L * ni) DIV un"))
+      .withColumn("jrank", row_number().over(w))
+      .filter(col("jrank") <= k)
+      .select(col("query_id"), col("doc_id"), col("jaccard_ppm"),
+        col("jrank").cast("long").as("jrank"))
+      .orderBy(col("query_id"), col("jrank"))
   }
 
   /** Exact O(n·m) baseline for the incremental contract — test-only

@@ -156,13 +156,103 @@ object EpochStore {
     * pruning on the epoch directory column skips torn higher epochs
     * AND compacted-away lower ones without reading a byte of them.
     * Callers project their own columns (the epoch column is dropped
-    * here).
+    * here). NOT tombstone-aware — families with a delete entry point
+    * read through [[tableThroughLive]] instead.
     */
   def tableThrough(spark: SparkSession, dir: String, name: String,
       floor: Int, epoch: Int): DataFrame =
     spark.read.parquet(s"$dir/$name")
       .filter(col("epoch") >= floor && col("epoch") <= epoch)
       .drop("epoch")
+
+  // --------------------------------------------------------------------
+  // TOMBSTONES (r13 — the DELETE quarter of the lifecycle, r12 VERDICT
+  // #1): the layout was append-only, so retracting a stored document (a
+  // dedup retraction, a takedown/right-to-be-forgotten request, a
+  // corrupted-shard replacement) forced a FULL rebuild of a 100 TB
+  // artifact. A delete is now one more epoch: the layout-owned
+  // `deletes/epoch=N` table holds the retracted row ids, committed by
+  // the same meta-last discipline (a torn delete is invisible and
+  // retried; the family meta carries its shrunken cumulative counts in
+  // the same commit, so counts and tombstones can never skew). Readers
+  // apply live tombstones as an anti-join at [[tableThroughLive]] time;
+  // [[compact]] folds them away PHYSICALLY (tombstoned rows are dropped
+  // from the rewrite and no deletes table is carried above the floor),
+  // so delete + compact + vacuum reclaims the bytes.
+  //
+  // A tombstone names the PAST, not the id forever: it suppresses rows
+  // only in epochs STRICTLY BELOW its own, so a deleted id may be
+  // re-appended afterwards and serves again — the epoch-qualified
+  // anti-join (`row.epoch < tombstone.epoch`) is what makes
+  // delete → re-append → delete sequences compose without any
+  // cross-epoch bookkeeping.
+
+  /** The layout-owned tombstone table: `deletes/epoch=N` holds one
+    * LONG `id` column naming the rows epoch N retracted.
+    */
+  private[graft] val DeletesTable = "deletes"
+
+  /** Write a DELETE epoch: `ids` (exactly one LONG column named `id`)
+    * lands as the layout-owned deletes table, any family side tables
+    * (e.g. BM25's negative df rows) land beside it, and the family's
+    * UPDATED meta (shrunken cumulative counts, same family string and
+    * parameters) commits LAST — tombstones and counts move atomically
+    * or not at all. Which ids are legal to retract is family
+    * semantics: families refuse ids that are not currently live
+    * BEFORE calling this.
+    */
+  def writeDeleteEpoch(dir: String, epoch: Int, ids: DataFrame,
+      extraTables: Seq[(String, DataFrame)], meta: DataFrame,
+      floor: Int): Unit = {
+    require(ids.schema.length == 1 && ids.schema.head.name == "id" &&
+        ids.schema.head.dataType ==
+          org.apache.spark.sql.types.LongType,
+      "writeDeleteEpoch: ids must be exactly one LONG column named " +
+        s"'id', got ${ids.schema.simpleString}")
+    writeEpoch(dir, epoch, (DeletesTable -> ids) +: extraTables, meta,
+      floor)
+  }
+
+  /** The LIVE tombstones in `[floor, epoch]` as (id, del_epoch) — or
+    * None when the artifact has no delete epoch in the live range (the
+    * common case: one driver-side existence probe, zero plan change).
+    */
+  def deletesThrough(spark: SparkSession, dir: String, floor: Int,
+      epoch: Int): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$DeletesTable")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rx = "epoch=(\\d+)".r
+    val anyLive = fs.exists(root) && fs.listStatus(root).exists(s =>
+      s.getPath.getName match {
+        case rx(n) => n.toInt >= floor && n.toInt <= epoch
+        case _ => false
+      })
+    if (!anyLive) None
+    else Some(spark.read.parquet(s"$dir/$DeletesTable")
+      .filter(col("epoch") >= floor && col("epoch") <= epoch)
+      .select(col("id"), col("epoch").cast("int").as("del_epoch")))
+  }
+
+  /** A table's live rows MINUS tombstoned ones: a row from epoch e is
+    * suppressed by tombstone (id, del_epoch) iff `idCol` matches and
+    * e < del_epoch — the epoch-qualified anti-join that lets a deleted
+    * id be re-appended (see the tombstone section comment). The join
+    * keeps its equi component on the id, so Spark plans a hash/merge
+    * anti join (never a nested loop); with no live tombstones the plan
+    * is [[tableThrough]]'s, unchanged.
+    */
+  def tableThroughLive(spark: SparkSession, dir: String, name: String,
+      idCol: String, floor: Int, epoch: Int): DataFrame = {
+    val rows = spark.read.parquet(s"$dir/$name")
+      .filter(col("epoch") >= floor && col("epoch") <= epoch)
+    val live = deletesThrough(spark, dir, floor, epoch) match {
+      case None => rows
+      case Some(dels) =>
+        rows.join(dels, rows(idCol) === dels("id") &&
+          rows("epoch") < dels("del_epoch"), "left_anti")
+    }
+    live.drop("epoch")
+  }
 
   /** Bytes of committed data files across a table's live epochs —
     * driver-side listing only, sizes the compaction's output file
@@ -183,16 +273,33 @@ object EpochStore {
       .map(_.getLen).sum
   }
 
+  /** One table in a [[compact]] rewrite: `idCol` names the column the
+    * layout-owned tombstones suppress (None for tables not keyed by a
+    * row id — e.g. BM25's per-epoch df aggregate); `rewrite` is an
+    * optional family hook applied to the live row set before it lands
+    * (e.g. re-aggregating additive rows so delete-epoch negatives
+    * physically cancel) — it must preserve the table's schema and the
+    * semantics the family's probes consume.
+    */
+  final case class CompactTable(name: String,
+      idCol: Option[String] = None,
+      rewrite: DataFrame => DataFrame = identity)
+
   /** COMPACT the artifact: rewrite every table's live row set
-    * (`[floor, serving]`) into the single fresh epoch `serving + 1`,
-    * meta written LAST with `floor_epoch = serving + 1` — so the new
-    * epoch both IS the whole artifact and supersedes everything below
-    * it in one atomic meta commit. A compaction that dies mid-write
-    * leaves only hidden staging (below) or a torn epoch — invisible
-    * either way, retried. The family meta row is carried VERBATIM
-    * (same family string, same parameters, same cumulative counts —
-    * compaction moves bytes, never rows), so every family premise
-    * (drift refusals, parameter currency) holds across it unchanged.
+    * (`[floor, serving]`, MINUS tombstoned rows — see the tombstone
+    * section comment) into the single fresh epoch `serving + 1`, meta
+    * written LAST with `floor_epoch = serving + 1` — so the new epoch
+    * both IS the whole artifact and supersedes everything below it in
+    * one atomic meta commit. Tombstones fold away PHYSICALLY: the
+    * rewrite drops the rows they suppress, no deletes table is carried
+    * above the floor, and [[vacuum]] reclaims the old ones — so
+    * delete + compact is how a 100 TB artifact actually sheds retracted
+    * bytes. A compaction that dies mid-write leaves only hidden staging
+    * (below) or a torn epoch — invisible either way, retried. The
+    * family meta row is carried VERBATIM (same family string, same
+    * parameters, same cumulative counts — deletes already shrank them
+    * in their own commit), so every family premise (drift refusals,
+    * parameter currency) holds across it unchanged.
     *
     * The rewrite STAGES OUTSIDE the epoch namespace (a dot-prefixed
     * dir Spark's listing ignores) and only RENAMES into
@@ -216,8 +323,8 @@ object EpochStore {
     * Returns false (and writes nothing) when the artifact is already
     * a single live epoch — compacting it again would only move bytes.
     */
-  def compact(spark: SparkSession, dir: String, tables: Seq[String],
-      who: String, rebuildHint: String,
+  def compact(spark: SparkSession, dir: String,
+      tables: Seq[CompactTable], who: String, rebuildHint: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
     require(targetFileBytes > 0, s"$who: target file size must be positive")
     val st = servingState(spark, dir, who, rebuildHint)
@@ -225,20 +332,35 @@ object EpochStore {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = st.epoch + 1
-    tables.foreach { name =>
-      val bytes = liveBytes(fs, dir, name, st)
+    // the live tombstones, computed once for every table's rewrite; a
+    // delete always writes a NEW epoch above its floor, so live
+    // tombstones imply epoch > floor and the early return above can
+    // never hide them
+    val dels = deletesThrough(spark, dir, st.floor, st.epoch)
+    tables.foreach { t =>
+      val bytes = liveBytes(fs, dir, t.name, st)
       val parts = Compaction.partsFor(bytes, targetFileBytes,
-        s"$who ('$name')")
+        s"$who ('${t.name}')")
       // read the live epoch dirs EXPLICITLY (not the table root with a
       // pruning filter): the staging dir is a sibling of them, and a
       // root listing must never race the output — a retried torn
-      // compaction would otherwise re-list its own half-written stage
+      // compaction would otherwise re-list its own half-written stage.
+      // basePath keeps the epoch partition column for the
+      // epoch-qualified tombstone anti-join.
       val liveDirs = (st.floor to st.epoch)
-        .map(n => s"$dir/$name/epoch=$n")
+        .map(n => s"$dir/${t.name}/epoch=$n")
         .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-      spark.read.parquet(liveDirs: _*)
+      val raw = spark.read.option("basePath", s"$dir/${t.name}")
+        .parquet(liveDirs: _*)
+      val alive = (dels, t.idCol) match {
+        case (Some(dd), Some(ic)) =>
+          raw.join(dd, raw(ic) === dd("id") &&
+            raw("epoch") < dd("del_epoch"), "left_anti")
+        case _ => raw
+      }
+      t.rewrite(alive.drop("epoch"))
         .repartition(parts)
-        .write.mode("overwrite").parquet(s"$dir/$name/$StagingDir")
+        .write.mode("overwrite").parquet(s"$dir/${t.name}/$StagingDir")
     }
     beforeCompactCommit()
     val now = servingState(spark, dir, who, rebuildHint)
@@ -249,10 +371,14 @@ object EpochStore {
         "compacted meta would silently drop its rows. The rewrite " +
         "was left in hidden staging (never renamed into the epoch " +
         "namespace — readers serve the appended state untouched); " +
-        "serialize writers and retry.")
-    tables.foreach { name =>
-      val stage = new org.apache.hadoop.fs.Path(s"$dir/$name/$StagingDir")
-      val dst = new org.apache.hadoop.fs.Path(s"$dir/$name/epoch=$target")
+        "serialize writers and retry. This is best-effort DETECTION, " +
+        "not a guarantee: a writer racing inside the rename→meta " +
+        "window is still undetected (the single-writer contract).")
+    tables.foreach { t =>
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$dir/${t.name}/$StagingDir")
+      val dst = new org.apache.hadoop.fs.Path(
+        s"$dir/${t.name}/epoch=$target")
       // the re-check above just proved no meta_<target> exists, so any
       // data already at the target is a TORN epoch (a died append or
       // compaction) — exactly what the retry contract overwrites. (An
@@ -263,6 +389,13 @@ object EpochStore {
       require(fs.rename(stage, dst),
         s"$who: could not rename $stage to $dst")
     }
+    // every family meta carries its serving epoch in an `epoch` column
+    // (all current families do); fail fast on a new family that forgot
+    // rather than silently carrying a stale epoch number in its meta
+    require(st.meta.schema.fieldNames.contains("epoch"),
+      s"$who: the family meta at $dir has no 'epoch' column — every " +
+        "EpochStore family meta must carry its serving epoch so " +
+        "compact can rewrite it; fix the family's writeEpoch call")
     val carried = spark.createDataFrame(
         java.util.Collections.singletonList(st.meta),
         st.meta.schema)
@@ -285,20 +418,45 @@ object EpochStore {
 
   /** Reclaim the sprawl a [[compact]] superseded: delete every
     * table's `epoch=N` directories AND every `meta_N` with
-    * N < the serving floor. A no-op on a never-compacted artifact
-    * (floor 0). Safe against readers of the CURRENT serving state
-    * (they never scan below the floor); NOT safe against a reader
-    * still mid-probe on a pre-compaction serving state — quiesce
-    * first (see the object scaladoc).
+    * N < the serving floor, plus any leaked rewrite staging (a
+    * refused or crashed compaction leaves `.compact_staging` behind;
+    * it is invisible to readers, so deleting it is always safe —
+    * r12 ADVICE). Epoch reclaim is a no-op on a never-compacted
+    * artifact (floor 0).
+    *
+    * `graceMs` (r12 VERDICT #2 — the reader-safety window): sub-floor
+    * epochs became superseded the instant the floor's meta committed;
+    * a reader that BEGAN its probe before then may still be scanning
+    * them. With `graceMs > 0`, nothing below the floor is reclaimed
+    * until at least that long after the floor meta's commit — so any
+    * probe that started before the compaction and finishes within the
+    * grace window cannot have its files deleted under it. The default
+    * 0 keeps the quiesce-first contract (right inside single-writer
+    * `foreachBatch` loops, where no concurrent reader exists); at
+    * production scale pass a grace comfortably above the longest
+    * probe.
     */
   def vacuum(spark: SparkSession, dir: String, tables: Seq[String],
-      who: String, rebuildHint: String): Unit = {
+      who: String, rebuildHint: String, graceMs: Long = 0L): Unit = {
+    require(graceMs >= 0, s"$who: graceMs must be >= 0, got $graceMs")
     val st = servingState(spark, dir, who, rebuildHint)
-    if (st.floor == 0) return
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val epochRx = "epoch=(\\d+)".r
     tables.foreach { name =>
+      val stage = new org.apache.hadoop.fs.Path(s"$dir/$name/$StagingDir")
+      if (fs.exists(stage)) { fs.delete(stage, true); () }
+    }
+    if (st.floor == 0) return
+    if (graceMs > 0) {
+      val floorMeta = new org.apache.hadoop.fs.Path(s"$dir/meta_${st.floor}")
+      val supersededAt = fs.getFileStatus(floorMeta).getModificationTime
+      if (System.currentTimeMillis() - supersededAt < graceMs) return
+    }
+    val epochRx = "epoch=(\\d+)".r
+    // the layout-owned deletes table sweeps with the family tables —
+    // compact folds tombstones away above the floor, so sub-floor
+    // delete epochs are as superseded as the data they retracted
+    (tables :+ DeletesTable).distinct.foreach { name =>
       val root = new org.apache.hadoop.fs.Path(s"$dir/$name")
       if (fs.exists(root)) fs.listStatus(root).foreach { s =>
         s.getPath.getName match {

@@ -371,6 +371,91 @@ object IndexIngest {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  private val mediaSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("n_chars", LongType)))
+
+  /** The SAME production cadence at the IMAGE granularity (q175, r13 —
+    * the one foreachBatch asymmetry the r12 verdict left): arriving
+    * media waves probe the stored dHash index for their near-dup pairs
+    * ([[graft.operators.Multimodal.imageDHashNearIndexed]] — only the
+    * shard decodes, ever), report, fold in, and the artifact COMPACTS
+    * + VACUUMS before the next batch fires. Exactly gateable by the
+    * q156 argument verbatim: each Hamming ≤ 3 pair with ≥ 1 incoming
+    * side surfaces EXACTLY ONCE (its later-arriving side probes when
+    * the earlier side is already corpus), so the drained union equals
+    * the one-shot incremental answer and ONE closed-form raster oracle
+    * gates the loop batch-free.
+    *
+    * Waves (mtime-ordered): A = the `doc_id % 7 == 3` slice; B =
+    * copies of every 10th corpus doc at +5 000 448; C = copies of A's
+    * `% 9 == 6` slice at +9 000 192. The offsets are DELIBERATELY
+    * ≡ 0 mod 768 = lcm(3, 256): ≡ 0 mod 3 keeps a copied image an
+    * image (kind rides doc_id % 3), and ≡ 0 mod 256 makes the copy's
+    * raster an EXACT duplicate of its source (the synthetic raster
+    * reduces entirely mod 256) — planted Hamming-0 pairs whose sides
+    * live in DIFFERENT batches, the fold-is-load-bearing premise.
+    * (The OPPOSITE offset rule from the stress fixtures, which want
+    * organic collisions — CLAUDE.md's mod-256 gotcha, used here on
+    * purpose.) Note % 9 == 6 ⇒ ≡ 0 mod 3: a wave-C residue like the
+    * fp family's % 9 == 4 would select ZERO images — every id ≡ 4
+    * mod 9 is ≡ 1 mod 3, an audio doc (measured: 8/8/79 wave-C
+    * images across the three SFs with % 9 == 6).
+    */
+  def dHashIngestOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val idxDir = s"/tmp/graft_stream_idx_$queryName"
+    val outDir = s"/tmp/graft_stream_pairs_$queryName"
+    val ss = EventStreams.streamingSession(spark)
+
+    val d = graft.Tables.documents(ss, sfDir)
+      .select("doc_id", "text", "n_chars")
+    val corpus = d.filter(col("doc_id") % 7 =!= 3)
+    val waveA = d.filter(col("doc_id") % 7 === 3)
+    def shifted(df: DataFrame, off: Long): DataFrame =
+      df.select((col("doc_id") + lit(off)).as("doc_id"), col("text"),
+        col("n_chars"))
+    val waveB = shifted(corpus.filter(col("doc_id") % 10 === 0), 5000448L)
+    val waveC = shifted(waveA.filter(col("doc_id") % 9 === 6), 9000192L)
+
+    stageWaves(sfDir, srcDir, queryName, Seq(waveA, waveB, waveC))
+
+    // the artifact and pair sink MUTATE during the drain — rebuilt
+    // every run (the q116/q156 deliberate-restage class)
+    EventStreams.deleteStagingForTest(java.nio.file.Paths.get(outDir))
+    graft.CacheScope.withScope {
+      graft.operators.Multimodal.writeDHashIndex(corpus, idxDir)
+    }
+
+    drainBatches(ss, srcDir, mediaSchema, (batch, id) => {
+      val bs = batch.sparkSession
+      graft.operators.Multimodal.imageDHashNearIndexed(idxDir, batch)
+        .withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(outDir)
+      graft.operators.Multimodal.appendDHashIndex(idxDir, batch)
+      graft.operators.Multimodal.compactDHashIndex(bs, idxDir)
+      graft.operators.Multimodal.vacuumDHashIndex(bs, idxDir)
+    })
+
+    val pairs = graft.CacheScope.scoped(spark.read.parquet(outDir))
+    // LOUD premise: wave C's exact raster copies of wave-A images pair
+    // at Hamming 0 across the batch boundary — provable only if wave
+    // A's fold survived the mid-drain compaction + vacuum before wave
+    // C probed
+    require(pairs.filter(col("media_b") >= 9000192L &&
+        col("media_a") < 5000448L && col("media_a") % 7 === 3).limit(1)
+        .count() == 1L,
+      s"$queryName premise violated: no cross-batch pair between wave " +
+        "C and wave A surfaced — the per-batch append fold (or the " +
+        "compacted artifact) is not feeding later probes")
+    requireExactlyOnce(pairs, Seq("media_a", "media_b"), queryName,
+      "pair")
+    pairs.select(col("media_a"), col("media_b"), col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** STREAMING index MAINTENANCE for the BM25 family (q170): arriving
     * document waves FOLD into the stored postings index
     * ([[graft.operators.Bm25.appendBm25Index]]) as they land, the

@@ -246,6 +246,93 @@ class EpochCompactionSpec extends AnyFunSuite {
       s"compacted fp verdicts ${viaCmp.size} != sprawled ${viaSprawl.size}")
   }
 
+  test("an EMPTY meta_N directory (the torn-committer shape) skips to " +
+      "the last complete epoch — pins the Spark error-condition " +
+      "coupling in EpochStore.servingState (r12 ADVICE)") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val dir = "/tmp/graft_test_tornmeta"
+    CacheScope.withScope { Dedup.writeFingerprintIndex(corpus, dir) }
+    val incoming = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+    val before = CacheScope.withScope {
+      Dedup.dedupAgainstIndex(dir, incoming)
+        .as[(Long, String, Long, Boolean)].collect().toSet
+    }
+    // the committer mkdirs meta_N before any task commits — a crash
+    // mid-meta leaves exactly an EMPTY directory; if a Spark bump
+    // renames UNABLE_TO_INFER_SCHEMA this test fails in CI instead of
+    // bricking a production probe
+    assert(new java.io.File(s"$dir/meta_1").mkdirs())
+    val after = CacheScope.withScope {
+      Dedup.dedupAgainstIndex(dir, incoming)
+        .as[(Long, String, Long, Boolean)].collect().toSet
+    }
+    assert(after == before && before.nonEmpty,
+      "an empty meta_N dir must be skipped as torn, serving epoch N-1")
+  }
+
+  test("vacuum: a grace period defers sub-floor reclaim so a " +
+      "pre-compaction reader still succeeds; leaked compact staging " +
+      "is always reclaimed; grace 0 reclaims immediately") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val base = corpus.filter(col("doc_id") % 5 =!= 2)
+    val grown = corpus.filter(col("doc_id") % 5 === 2)
+    val dir = "/tmp/graft_test_vacgrace"
+    CacheScope.withScope {
+      Dedup.writeFingerprintIndex(base, dir)
+      val kept = Dedup.dedupAgainstIndex(dir, grown)
+        .filter(col("kept")).select("doc_id")
+      Dedup.appendFingerprintIndex(dir,
+        grown.join(kept, Seq("doc_id"), "left_semi"))
+    }
+    // the serving state a slow reader pinned BEFORE the compaction
+    val pre = graft.sources.EpochStore.servingState(spark, dir,
+      "test", "writeFingerprintIndex")
+    assert(pre.floor == 0 && pre.epoch == 1)
+    CacheScope.withScope {
+      assert(Dedup.compactFingerprintIndex(spark, dir))
+    }
+    // a refused/crashed compaction's leaked staging: plant one
+    val stage = new java.io.File(s"$dir/fps/.compact_staging")
+    assert(stage.mkdirs())
+    // vacuum inside a 1-hour grace window: staging reclaimed, but
+    // every sub-floor epoch survives…
+    Dedup.vacuumFingerprintIndex(spark, dir, graceMs = 3600L * 1000)
+    assert(!stage.exists(),
+      "leaked .compact_staging must be reclaimed even inside the grace")
+    assert(epochDirs(dir, "fps") == Set(0, 1, 2) &&
+      metas(dir) == Set(0, 1, 2),
+      s"grace window must defer reclaim, left ${epochDirs(dir, "fps")}")
+    // …so the pre-compaction reader's scan still succeeds
+    val staleRead = graft.sources.EpochStore.tableThrough(spark, dir,
+      "fps", pre.floor, pre.epoch).count()
+    assert(staleRead > 0,
+      "a reader mid-probe on the pre-compaction serving state must " +
+        "still read inside the grace window")
+    // grace 0 (the foreachBatch-loop default) reclaims immediately
+    Dedup.vacuumFingerprintIndex(spark, dir)
+    assert(epochDirs(dir, "fps") == Set(2) && metas(dir) == Set(2))
+  }
+
+  test("compact refuses a family meta with no epoch column — the " +
+      "carried-meta rewrite premise fails fast on a forgetful family") {
+    val dir = "/tmp/graft_test_noepochmeta"
+    graft.sources.EpochStore.deleteAll(spark, dir)
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val badMeta = Seq(("fake-family-v0", 2L)).toDF("family", "n")
+    graft.sources.EpochStore.writeEpoch(dir, 0, Seq("t" -> rows), badMeta)
+    graft.sources.EpochStore.writeEpoch(dir, 1, Seq("t" -> rows
+      .withColumn("id", col("id") + 10L)), badMeta)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.EpochStore.compact(spark, dir,
+        Seq(graft.sources.EpochStore.CompactTable("t", Some("id"))),
+        "test", "rebuild")
+    }
+    assert(e.getMessage.contains("no 'epoch' column"))
+  }
+
   test("bm25 stored index: indexed scoring equals the live operator; " +
       "append + compact is exact by additivity; refusals are loud") {
     val d = Tables.documents(spark, TestSpark.sf)

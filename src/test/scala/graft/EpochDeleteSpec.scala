@@ -1,0 +1,423 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Bm25, Dedup, TextIndex}
+
+/** The DELETE quarter of the stored-index lifecycle (r13, r12 VERDICT
+  * #1): tombstone epochs suppress retracted rows at probe time
+  * (epoch-qualified — a deleted id may be re-appended and serves
+  * again), family meta counts shrink in the same commit, compact folds
+  * the tombstones away physically, and the refusals are loud. The
+  * hash-exact probe-after-delete ≡ rebuild-without-deleted claims are
+  * the q171/q172/q173 oracle gates; this spec pins the mechanics those
+  * gates compose.
+  */
+class EpochDeleteSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def epochDirs(dir: String, table: String): Set[Int] = {
+    val root = new java.io.File(s"$dir/$table")
+    if (!root.exists()) Set.empty
+    else root.listFiles().toSeq.map(_.getName)
+      .collect { case s if s.startsWith("epoch=") =>
+        s.stripPrefix("epoch=").toInt }.toSet
+  }
+
+  test("fp delete: probe-after-delete equals an engine rebuild without " +
+      "the deleted docs; a tombstone names the past (re-append before " +
+      "compact serves); delete+compact+vacuum physically reclaims") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val incoming = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+    val dir = "/tmp/graft_test_fpdel"
+    val rebuilt = "/tmp/graft_test_fpdel_rebuilt"
+    CacheScope.withScope { Dedup.writeFingerprintIndex(corpus, dir) }
+    // the delete set: stored owners ≡ 2 (mod 13), snapshot to disk
+    // BEFORE mutating (the lineage rule the operator scaladoc states)
+    val doomedDir = "/tmp/graft_test_fpdel_doomed"
+    CacheScope.withScope {
+      Dedup.storedOwners(spark, dir).filter(col("owner") % 13 === 2)
+        .select(col("owner").as("doc_id"))
+        .write.mode("overwrite").parquet(doomedDir)
+    }
+    val doomed = spark.read.parquet(doomedDir)
+    assert(doomed.limit(1).count() == 1, "test premise: a non-empty " +
+      "delete set must exist at this SF")
+    CacheScope.withScope { Dedup.deleteFromFingerprintIndex(dir, doomed) }
+    // the engine yardstick: a fresh build over corpus-minus-deleted
+    CacheScope.withScope {
+      Dedup.writeFingerprintIndex(
+        corpus.join(doomed, Seq("doc_id"), "left_anti"), rebuilt)
+    }
+    val afterDelete = CacheScope.withScope {
+      Dedup.dedupAgainstIndex(dir, incoming)
+        .as[(Long, String, Long, Boolean)].collect().toSet
+    }
+    val viaRebuild = CacheScope.withScope {
+      Dedup.dedupAgainstIndex(rebuilt, incoming)
+        .as[(Long, String, Long, Boolean)].collect().toSet
+    }
+    assert(afterDelete == viaRebuild && afterDelete.nonEmpty,
+      "probe-after-delete must equal rebuild-without-deleted")
+    // the deleted owners are gone from the audit read
+    assert(CacheScope.withScope {
+      Dedup.storedOwners(spark, dir)
+        .filter(col("owner") % 13 === 2).limit(1).count()
+    } == 0, "deleted owners must not be live")
+    // RE-APPEND a deleted doc BEFORE any compaction: the tombstone
+    // suppresses only epochs below itself, so the re-appended row
+    // serves — this is the epoch-qualified anti-join, live
+    val one = doomed.orderBy(col("doc_id")).limit(1)
+    CacheScope.withScope {
+      Dedup.appendFingerprintIndex(dir,
+        corpus.join(one, Seq("doc_id"), "left_semi"))
+    }
+    val oneId = one.as[Long].head()
+    assert(CacheScope.withScope {
+      Dedup.storedOwners(spark, dir)
+        .filter(col("owner") === oneId).count()
+    } == 1L, "a re-appended deleted id must serve again")
+    // compact + vacuum: tombstones fold away physically — no deletes
+    // table remains, and the audit read is unchanged by the rewrite
+    val beforeCompact = CacheScope.withScope {
+      Dedup.storedOwners(spark, dir).as[(String, Long)].collect().toSet
+    }
+    CacheScope.withScope {
+      assert(Dedup.compactFingerprintIndex(spark, dir))
+      Dedup.vacuumFingerprintIndex(spark, dir)
+    }
+    assert(epochDirs(dir, "deletes").isEmpty,
+      "compact+vacuum must fold tombstone epochs away physically")
+    assert(epochDirs(dir, "fps").size == 1)
+    val afterCompact = CacheScope.withScope {
+      Dedup.storedOwners(spark, dir).as[(String, Long)].collect().toSet
+    }
+    assert(afterCompact == beforeCompact,
+      "the compacted rewrite must serve the identical live map")
+    // the physically-rewritten fps table holds no tombstoned row: the
+    // raw parquet (no tombstone logic) equals the live read
+    val raw = spark.read.parquet(s"$dir/fps").drop("epoch")
+      .as[(String, Long)].collect().toSet
+    assert(raw == afterCompact,
+      "tombstoned rows must be physically absent after compact")
+  }
+
+  test("fp delete refusals: a non-live id refuses (already-deleted or " +
+      "never-stored); a duplicated delete set refuses") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val dir = "/tmp/graft_test_fpdel_refuse"
+    CacheScope.withScope { Dedup.writeFingerprintIndex(corpus, dir) }
+    val doomedDir = "/tmp/graft_test_fpdel_refuse_doomed"
+    CacheScope.withScope {
+      Dedup.storedOwners(spark, dir).filter(col("owner") % 13 === 2)
+        .select(col("owner").as("doc_id")).limit(3)
+        .write.mode("overwrite").parquet(doomedDir)
+    }
+    val doomed = spark.read.parquet(doomedDir)
+    // never-stored ids refuse
+    val ne = intercept[IllegalArgumentException] {
+      CacheScope.withScope {
+        Dedup.deleteFromFingerprintIndex(dir,
+          Seq(987654321L).toDF("doc_id"))
+      }
+    }
+    assert(ne.getMessage.contains("not live stored owners"))
+    // a duplicated delete set refuses
+    val de = intercept[IllegalArgumentException] {
+      CacheScope.withScope {
+        Dedup.deleteFromFingerprintIndex(dir,
+          doomed.unionByName(doomed.limit(1)))
+      }
+    }
+    assert(de.getMessage.contains("not one id space"))
+    // deleting twice refuses (the ids are no longer live)
+    CacheScope.withScope { Dedup.deleteFromFingerprintIndex(dir, doomed) }
+    val te = intercept[IllegalArgumentException] {
+      CacheScope.withScope { Dedup.deleteFromFingerprintIndex(dir, doomed) }
+    }
+    assert(te.getMessage.contains("not live stored owners"))
+  }
+
+  test("bm25 delete: deleted index scores bit-identically to the live " +
+      "operator over corpus-minus-deleted; negative df rows cancel " +
+      "physically at compact; delete composes with re-append") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val docs = d.select("doc_id", "text")
+    val terms = Seq("spark", "hash", "window")
+    val dir = "/tmp/graft_test_bm25del"
+    CacheScope.withScope { Bm25.writeBm25Index(docs, dir) }
+    val gone = docs.filter(col("doc_id") % 13 === 2)
+    CacheScope.withScope {
+      Bm25.deleteFromBm25Index(dir, gone.select("doc_id"))
+    }
+    val live = CacheScope.withScope {
+      Bm25.topK(docs.filter(col("doc_id") % 13 =!= 2), terms, 50)
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    val viaDeleted = CacheScope.withScope {
+      Bm25.topKIndexed(spark, dir, terms, 50)
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    assert(viaDeleted == live && live.nonEmpty,
+      "the deleted index must score exactly like the live operator " +
+        "over the shrunken corpus — df/N/Σdl additivity in reverse")
+    // re-append the even half, then the scoring matches that corpus
+    CacheScope.withScope {
+      Bm25.appendBm25Index(dir, gone.filter(col("doc_id") % 2 === 0))
+    }
+    val liveBack = CacheScope.withScope {
+      Bm25.topK(docs.filter(col("doc_id") % 13 =!= 2 ||
+        col("doc_id") % 2 === 0), terms, 50)
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    val viaBack = CacheScope.withScope {
+      Bm25.topKIndexed(spark, dir, terms, 50)
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    assert(viaBack == liveBack,
+      "delete + re-append must score the composed corpus exactly")
+    // compact: the dfs rewrite re-sums, so no negative row survives
+    CacheScope.withScope {
+      assert(Bm25.compactBm25Index(spark, dir))
+      Bm25.vacuumBm25Index(spark, dir)
+    }
+    assert(epochDirs(dir, "deletes").isEmpty &&
+      epochDirs(dir, "dfs").size == 1)
+    val negRows = spark.read.parquet(s"$dir/dfs")
+      .filter(col("df") <= 0).count()
+    assert(negRows == 0,
+      "compact must physically cancel delete-epoch negative df rows")
+    val viaCompact = CacheScope.withScope {
+      Bm25.topKIndexed(spark, dir, terms, 50)
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    assert(viaCompact == liveBack,
+      "compaction must not move a single score")
+  }
+
+  test("text delete: probe-after-delete equals an engine rebuild " +
+      "without the deleted docs; a sub-3-word (never-stored) id " +
+      "refuses; top-k search respects the tombstones") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val incoming = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+      .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text")))
+    val dir = "/tmp/graft_test_txtdel"
+    val rebuilt = "/tmp/graft_test_txtdel_rebuilt"
+    CacheScope.withScope { TextIndex.writeJaccardIndex(corpus, dir, 0.6) }
+    val doomedDir = "/tmp/graft_test_txtdel_doomed"
+    CacheScope.withScope {
+      TextIndex.storedDocIds(spark, dir).filter(col("doc_id") % 13 === 2)
+        .write.mode("overwrite").parquet(doomedDir)
+    }
+    val doomed = spark.read.parquet(doomedDir)
+    assert(doomed.limit(1).count() == 1, "test premise: non-empty")
+    CacheScope.withScope { TextIndex.deleteFromJaccardIndex(dir, doomed) }
+    CacheScope.withScope {
+      TextIndex.writeJaccardIndex(
+        corpus.join(doomed, Seq("doc_id"), "left_anti"), rebuilt, 0.6)
+    }
+    val afterDelete = CacheScope.withScope {
+      TextIndex.jaccardPairsIndexed(dir, incoming, 0.6)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val viaRebuild = CacheScope.withScope {
+      TextIndex.jaccardPairsIndexed(rebuilt, incoming, 0.6)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    assert(afterDelete == viaRebuild && afterDelete.nonEmpty,
+      "probe-after-delete must equal rebuild-without-deleted")
+    // the search form serves the same retracted state
+    val searchDel = CacheScope.withScope {
+      TextIndex.jaccardTopKIndexed(dir, incoming, k = 5, threshold = 0.6)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    val searchRebuilt = CacheScope.withScope {
+      TextIndex.jaccardTopKIndexed(rebuilt, incoming, k = 5,
+        threshold = 0.6).as[(Long, Long, Long, Long)].collect().toSet
+    }
+    assert(searchDel == searchRebuilt && searchDel.nonEmpty,
+      "top-k search must respect tombstones")
+    // a doc too short to shingle was never stored — deleting it refuses
+    val shortIds = Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") % 7 =!= 3 &&
+        size(split(col("text"), " ")) < 3)
+      .select("doc_id").limit(1)
+    if (shortIds.count() == 1) {
+      val se = intercept[IllegalArgumentException] {
+        CacheScope.withScope {
+          TextIndex.deleteFromJaccardIndex(dir, shortIds)
+        }
+      }
+      assert(se.getMessage.contains("not live"))
+    }
+  }
+
+  test("cp delete: probe-after-delete equals a rebuild without the " +
+      "deleted vectors (parameters pinned so the only difference is " +
+      "the construction); no currency refusal on shrink, by design") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = e.filter(col("vec_id") % 7 =!= 3)
+      .select("vec_id", "embedding")
+    val incoming = e.filter(col("vec_id") % 7 === 3)
+      .select("vec_id", "embedding")
+    val dir = "/tmp/graft_test_cpdel"
+    val rebuilt = "/tmp/graft_test_cpdel_rebuilt"
+    val n = corpus.count()
+    val k = graft.plans.CrossPolytope.chooseHashesPerBand(n, 0.4, 64, 1e-4)
+    val b = graft.plans.CrossPolytope.bandsFor(0.4, k, 64, 1e-4)
+    CacheScope.withScope {
+      graft.operators.Ann.writeCpIndex(corpus, dir, 0.4,
+        hashesPerBand = k, bands = b)
+      graft.operators.Ann.deleteFromCpIndex(dir,
+        corpus.filter(col("vec_id") % 13 === 2).select("vec_id"))
+      graft.operators.Ann.writeCpIndex(
+        corpus.filter(col("vec_id") % 13 =!= 2), rebuilt, 0.4,
+        hashesPerBand = k, bands = b)
+    }
+    val afterDelete = CacheScope.withScope {
+      graft.operators.Ann.cosinePairsCpIndexed(dir, incoming, 0.4)
+        .as[(Long, Long)].collect().toSet
+    }
+    val viaRebuild = CacheScope.withScope {
+      graft.operators.Ann.cosinePairsCpIndexed(rebuilt, incoming, 0.4)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(afterDelete == viaRebuild && afterDelete.nonEmpty,
+      "cp probe-after-delete must equal rebuild-without-deleted")
+    // compact folds the tombstones away; the probe is unchanged
+    CacheScope.withScope {
+      assert(graft.operators.Ann.compactCpIndex(spark, dir))
+      graft.operators.Ann.vacuumCpIndex(spark, dir)
+    }
+    assert(epochDirs(dir, "deletes").isEmpty)
+    val afterCompact = CacheScope.withScope {
+      graft.operators.Ann.cosinePairsCpIndexed(dir, incoming, 0.4)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(afterCompact == viaRebuild)
+  }
+
+  test("dhash delete: probe-after-delete equals a rebuild without the " +
+      "deleted images; delete + compact + vacuum leaves the retracted " +
+      "hashes on no disk (the takedown end state)") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3)
+    val incoming = d.filter(col("doc_id") % 7 === 3)
+    val dir = "/tmp/graft_test_dhashdel"
+    val rebuilt = "/tmp/graft_test_dhashdel_rebuilt"
+    CacheScope.withScope {
+      graft.operators.Multimodal.writeDHashIndex(corpus, dir)
+      // only the image slice (doc_id % 3 == 0) is ever stored — the
+      // delete set must name LIVE media ids
+      graft.operators.Multimodal.deleteFromDHashIndex(dir,
+        corpus.filter(col("doc_id") % 13 === 2 && col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("media_id")))
+      graft.operators.Multimodal.writeDHashIndex(
+        corpus.filter(col("doc_id") % 13 =!= 2 || col("doc_id") % 3 =!= 0),
+        rebuilt)
+    }
+    val afterDelete = CacheScope.withScope {
+      graft.operators.Multimodal.imageDHashNearIndexed(dir, incoming)
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    val viaRebuild = CacheScope.withScope {
+      graft.operators.Multimodal.imageDHashNearIndexed(rebuilt, incoming)
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    assert(afterDelete == viaRebuild && afterDelete.nonEmpty,
+      "dhash probe-after-delete must equal rebuild-without-deleted")
+    CacheScope.withScope {
+      assert(graft.operators.Multimodal.compactDHashIndex(spark, dir))
+      graft.operators.Multimodal.vacuumDHashIndex(spark, dir)
+    }
+    assert(epochDirs(dir, "deletes").isEmpty)
+    // the raw hashes table (no tombstone logic) holds no retracted id
+    val rawRetracted = spark.read.parquet(s"$dir/hashes")
+      .filter(col("media_id") % 13 === 2).count()
+    assert(rawRetracted == 0,
+      "retracted hashes must be physically absent after compact+vacuum")
+    val afterCompact = CacheScope.withScope {
+      graft.operators.Multimodal.imageDHashNearIndexed(dir, incoming)
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    assert(afterCompact == viaRebuild)
+  }
+
+  test("text top-k search: ranked output equals the exact restricted " +
+      "walk; k truncates; query ids clashing with stored ids refuse") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val incoming = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+      .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text")))
+    val dir = "/tmp/graft_test_txttopk"
+    CacheScope.withScope { TextIndex.writeJaccardIndex(corpus, dir, 0.6) }
+    val got = CacheScope.withScope {
+      TextIndex.jaccardTopKIndexed(dir, incoming, k = 5, threshold = 0.6)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    // exact restricted walk from the brute pair baseline: directed
+    // (query, stored) at J >= 0.6, ppm-ranked
+    val brute = CacheScope.withScope {
+      TextIndex.jaccardPairsBruteRestricted(corpus, incoming, 0.6)
+        .as[(Long, Long, Double)].collect().toSeq
+    }
+    // canonical pairs -> directed: incoming ids are %7==3 or >= 5e6,
+    // stored are the rest; keep only query-vs-stored pairs
+    def isInc(id: Long): Boolean = id % 7 == 3 || id >= 5000000L
+    // distinct word-3-gram counts, recomputed independently of the
+    // engine's shingling pipeline (the same definition, test-local)
+    val shSizes = CacheScope.withScope {
+      corpus.unionByName(incoming)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), size(array_distinct(expr(
+          "transform(sequence(0, size(ws) - 3), " +
+            "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
+          .cast("long").as("n"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val directed = brute.flatMap { case (a, b, _) =>
+      if (isInc(a) && !isInc(b)) Some((a, b))
+      else if (isInc(b) && !isInc(a)) Some((b, a))
+      else None
+    }
+    // expected: group by query, rank by ppm desc then stored id; the
+    // exact ppm reconstructs from the jaccard identity (j = ni/un with
+    // un = nq+ns−ni ⇒ ni = j·(nq+ns)/(1+j), algebraically exact and
+    // ≪ 0.5 from the rounded double, so round() recovers the integer)
+    val bruteMap = brute.map { case (a, b, j) => ((a, b), j) }.toMap
+    def ppmOf(q: Long, s: Long): Long = {
+      val j = bruteMap.getOrElse((math.min(q, s), math.max(q, s)), -1.0)
+      val (nq, ns) = (shSizes(q), shSizes(s))
+      // j = ni/un with un = nq+ns-ni  =>  ni = j*(nq+ns)/(1+j)
+      val ni = math.round(j * (nq + ns) / (1.0 + j))
+      val un = nq + ns - ni
+      1000000L * ni / un
+    }
+    val expected = directed.groupBy(_._1).toSeq.flatMap { case (q, ps) =>
+      ps.map { case (_, s) => (q, s, ppmOf(q, s)) }
+        .sortBy { case (_, s, ppm) => (-ppm, s) }
+        .take(5).zipWithIndex
+        .map { case ((qq, s, ppm), i) => (qq, s, ppm, (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._4))
+    assert(got == expected && got.nonEmpty,
+      s"top-k search ${got.size} rows != exact walk ${expected.size}")
+    // id-space clash refuses
+    val ce = intercept[IllegalArgumentException] {
+      CacheScope.withScope {
+        TextIndex.jaccardTopKIndexed(dir,
+          incoming.unionByName(corpus.limit(1)), k = 5, threshold = 0.6)
+      }
+    }
+    assert(ce.getMessage.contains("one id space"))
+  }
+}

@@ -118,7 +118,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q115_streaming_ttl_state", "q116_streaming_restart",
       "q125_streaming_full_outer_join", "q132_streaming_update_rollup",
       "q156_streaming_index_ingest", "q164_streaming_fp_ingest",
-      "q167_streaming_text_ingest", "q170_streaming_bm25_maintain")
+      "q167_streaming_text_ingest", "q170_streaming_bm25_maintain",
+      "q175_streaming_dhash_ingest")
 
   test("no unsanctioned nested-loop or cartesian join in any batch plan") {
     val offenders = Queries.all.toSeq.sortBy(_._1)
