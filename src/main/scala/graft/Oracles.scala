@@ -296,6 +296,83 @@ object Oracles {
   private val bm25DeletedOracle: String = bm25OracleWith(
     " WHERE NOT (doc_id % 13 = 2 AND doc_id % 2 = 1)")
 
+  /** q179: retrieval at two historical horizons of one artifact —
+    * as-of 0 scores the base corpus (doc_id % 11 <> 5) with the BASE
+    * stats (N, Σdl, df all pre-append: the appended docs influence
+    * nothing, not even avgdl), as-of 1 the full corpus pre-delete.
+    * Each horizon is the q86 formula over its declarative corpus.
+    */
+  private val bm25AsOfOracle: String = s"""
+      SELECT 0 AS as_of, v.* FROM (${bm25OracleWith(
+        " WHERE doc_id % 11 <> 5")}) v
+      UNION ALL
+      SELECT 1 AS as_of, v.* FROM ($bm25Oracle) v
+      ORDER BY as_of, score_micro DESC, doc_id"""
+
+  /** q158/q180's span-decontamination recompute, parameterized by the
+    * benchmark set's WHERE (q158: the whole eval slice; q180: the
+    * slice minus the still-retired benchmarks) — hash-free, the
+    * q149/q150 discipline: a corpus window is marked iff its verbatim
+    * text appears as a window in the benchmark set; islands, ranges
+    * and the string reconstruction are q150's oracle machinery
+    * verbatim, so a recall loss OR an xxhash collision leak in the
+    * engine would hash-diff at the gate.
+    */
+  private def spanDecontamOracleWith(benchWhere: String): String = s"""
+      WITH c AS (SELECT doc_id, text AS t FROM documents
+                 WHERE doc_id % 20 <> 3 AND length(text) >= 60),
+      b AS (SELECT text AS t FROM documents
+            WHERE ($benchWhere) AND length(text) >= 60),
+      bw AS (SELECT DISTINCT substr(t, CAST(i AS INT), 60) AS gram
+             FROM (SELECT t, unnest(generate_series(1, length(t) - 59))
+                     AS i FROM b)),
+      w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   substr(t, CAST(i AS INT), 60) AS gram
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, length(t) - 59)) AS i
+                  FROM c)),
+      del AS (SELECT w.doc_id, w.pos FROM w
+              WHERE w.gram IN (SELECT gram FROM bw)),
+      s AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER
+                     (PARTITION BY doc_id ORDER BY pos) <= 60
+                   THEN 0 ELSE 1 END AS brk FROM del),
+      g AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+            FROM s),
+      r AS (SELECT doc_id, min(pos) AS ds, max(pos) + 59 AS de
+            FROM g GROUP BY doc_id, rid),
+      seg AS (
+        SELECT doc_id,
+               coalesce(lag(de) OVER
+                 (PARTITION BY doc_id ORDER BY ds), 0) + 1 AS ks,
+               ds - 1 AS ke
+        FROM r
+        UNION ALL
+        SELECT doc_id, max(de) + 1 AS ks, NULL AS ke
+        FROM r GROUP BY doc_id),
+      asm AS (
+        SELECT seg.doc_id,
+               string_agg(substr(d.text, CAST(seg.ks AS INT),
+                 CAST(greatest(coalesce(seg.ke, length(d.text))
+                   - seg.ks + 1, 0) AS INT)), '' ORDER BY seg.ks)
+                 AS cleaned
+        FROM seg JOIN documents d USING (doc_id) GROUP BY seg.doc_id),
+      st AS (SELECT doc_id, count(*) AS n_cut,
+                    sum(de - ds + 1) AS chars_removed
+             FROM r GROUP BY doc_id)
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS orig_len,
+             CAST(length(coalesce(a.cleaned, d.text)) AS BIGINT)
+               AS clean_len,
+             CAST(coalesce(st.n_cut, 0) AS BIGINT) AS n_cut,
+             CAST(coalesce(st.chars_removed, 0) AS BIGINT)
+               AS chars_removed,
+             md5(coalesce(a.cleaned, d.text)) AS clean_md5
+      FROM documents d LEFT JOIN asm a USING (doc_id)
+                       LEFT JOIN st USING (doc_id)
+      WHERE d.doc_id % 20 <> 3
+      ORDER BY d.doc_id"""
+
   /** q159/q163's exact-dedup arrival ground truth: the stored owner
     * map recomputed DECLARATIVELY as two tiers (base min per fp, else
     * the appended slice's min — the survivors contract means a slice
@@ -305,7 +382,7 @@ object Oracles {
     * compaction, and vacuum never appear here — which is exactly what
     * the q163 gate proves about them.
     */
-  private def fpArrivalOracleWith(storedWhere: String): String = s"""
+  private val fpArrivalCtes: String = """
       WITH f AS (
         SELECT doc_id,
                md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -316,25 +393,34 @@ object Oracles {
                WHERE doc_id % 11 <> 5 AND fp IS NOT NULL GROUP BY fp),
       slice AS (SELECT fp, min(doc_id) AS so FROM corpus
                 WHERE doc_id % 11 = 5 AND fp IS NOT NULL GROUP BY fp),
-      stored AS (SELECT * FROM (
-                   SELECT coalesce(b.fp, s.fp) AS fp,
-                          coalesce(b.bo, s.so) AS owner
-                   FROM base b FULL JOIN slice s ON b.fp = s.fp)
-                 $storedWhere),
+      stored0 AS (SELECT coalesce(b.fp, s.fp) AS fp,
+                         coalesce(b.bo, s.so) AS owner
+                  FROM base b FULL JOIN slice s ON b.fp = s.fp),
       inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 7 = 3
               UNION ALL
               SELECT doc_id + 5000000, fp FROM corpus
               WHERE doc_id % 10 = 0),
       im AS (SELECT fp, min(doc_id) AS mi FROM inc
-             WHERE fp IS NOT NULL GROUP BY fp)
+             WHERE fp IS NOT NULL GROUP BY fp)"""
+
+  /** The verdict SELECT over [[fpArrivalCtes]], parameterized by the
+    * stored owner map's SQL (a filter over `stored0`) — shared by the
+    * single-horizon oracles and q178's two-horizon union so the
+    * verdict logic cannot drift between them.
+    */
+  private def fpVerdict(storedSql: String): String = s"""
       SELECT i.doc_id, i.fp,
              CASE WHEN i.fp IS NULL THEN i.doc_id
                   ELSE coalesce(st.owner, im.mi) END AS owner,
              CAST(i.doc_id = CASE WHEN i.fp IS NULL THEN i.doc_id
                   ELSE coalesce(st.owner, im.mi) END AS BIGINT) AS kept
-      FROM inc i LEFT JOIN stored st ON i.fp = st.fp
-                 LEFT JOIN im ON i.fp = im.fp
-      ORDER BY doc_id"""
+      FROM inc i LEFT JOIN ($storedSql) st ON i.fp = st.fp
+                 LEFT JOIN im ON i.fp = im.fp"""
+
+  private def fpArrivalOracleWith(storedWhere: String): String =
+    fpArrivalCtes +
+      fpVerdict(s"SELECT * FROM stored0 $storedWhere") +
+      "\n      ORDER BY doc_id"
 
   private val fpArrivalOracle: String = fpArrivalOracleWith("")
 
@@ -346,6 +432,23 @@ object Oracles {
     */
   private val fpDeletedOracle: String = fpArrivalOracleWith(
     "WHERE NOT (owner % 13 = 2 AND owner % 2 = 1)")
+
+  /** q178: the SAME mutated artifact probed at two historical
+    * horizons — as-of epoch 1 is the full post-append owner map (the
+    * q159 state, before any delete existed), as-of epoch 2 is the map
+    * with ALL ≡ 2 (mod 13) owners retracted (the post-delete,
+    * pre-re-append state no serving probe can see again). Epochs,
+    * tombstones, and the re-append never appear here — the gate's
+    * claim is that the engine's time-travel reads reproduce exactly
+    * these two declarative corpora.
+    */
+  private val fpAsOfOracle: String = fpArrivalCtes + s"""
+      SELECT 1 AS as_of, v.* FROM (${fpVerdict(
+        "SELECT * FROM stored0")}) v
+      UNION ALL
+      SELECT 2 AS as_of, v.* FROM (${fpVerdict(
+        "SELECT * FROM stored0 WHERE NOT (owner % 13 = 2)")}) v
+      ORDER BY as_of, doc_id"""
 
   /** q143's BPE merge learning unrolled to exactly the operator's k
     * rounds: per round, pairs are counted positionally over the current
@@ -2322,60 +2425,21 @@ object Oracles {
     // the string reconstruction are q150's oracle machinery verbatim —
     // the engine's xxhash candidate stage never appears here, so a
     // recall loss OR a collision leak would hash-diff at the gate.
-    "q158_span_decontaminate" -> """
-      WITH c AS (SELECT doc_id, text AS t FROM documents
-                 WHERE doc_id % 20 <> 3 AND length(text) >= 60),
-      b AS (SELECT text AS t FROM documents
-            WHERE doc_id % 20 = 3 AND length(text) >= 60),
-      bw AS (SELECT DISTINCT substr(t, CAST(i AS INT), 60) AS gram
-             FROM (SELECT t, unnest(generate_series(1, length(t) - 59))
-                     AS i FROM b)),
-      w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                   substr(t, CAST(i AS INT), 60) AS gram
-            FROM (SELECT doc_id, t,
-                         unnest(generate_series(1, length(t) - 59)) AS i
-                  FROM c)),
-      del AS (SELECT w.doc_id, w.pos FROM w
-              WHERE w.gram IN (SELECT gram FROM bw)),
-      s AS (SELECT doc_id, pos,
-              CASE WHEN pos - lag(pos) OVER
-                     (PARTITION BY doc_id ORDER BY pos) <= 60
-                   THEN 0 ELSE 1 END AS brk FROM del),
-      g AS (SELECT doc_id, pos,
-              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS rid
-            FROM s),
-      r AS (SELECT doc_id, min(pos) AS ds, max(pos) + 59 AS de
-            FROM g GROUP BY doc_id, rid),
-      seg AS (
-        SELECT doc_id,
-               coalesce(lag(de) OVER
-                 (PARTITION BY doc_id ORDER BY ds), 0) + 1 AS ks,
-               ds - 1 AS ke
-        FROM r
-        UNION ALL
-        SELECT doc_id, max(de) + 1 AS ks, NULL AS ke
-        FROM r GROUP BY doc_id),
-      asm AS (
-        SELECT seg.doc_id,
-               string_agg(substr(d.text, CAST(seg.ks AS INT),
-                 CAST(greatest(coalesce(seg.ke, length(d.text))
-                   - seg.ks + 1, 0) AS INT)), '' ORDER BY seg.ks)
-                 AS cleaned
-        FROM seg JOIN documents d USING (doc_id) GROUP BY seg.doc_id),
-      st AS (SELECT doc_id, count(*) AS n_cut,
-                    sum(de - ds + 1) AS chars_removed
-             FROM r GROUP BY doc_id)
-      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS orig_len,
-             CAST(length(coalesce(a.cleaned, d.text)) AS BIGINT)
-               AS clean_len,
-             CAST(coalesce(st.n_cut, 0) AS BIGINT) AS n_cut,
-             CAST(coalesce(st.chars_removed, 0) AS BIGINT)
-               AS chars_removed,
-             md5(coalesce(a.cleaned, d.text)) AS clean_md5
-      FROM documents d LEFT JOIN asm a USING (doc_id)
-                       LEFT JOIN st USING (doc_id)
-      WHERE d.doc_id % 20 <> 3
-      ORDER BY d.doc_id""",
+    "q158_span_decontaminate" -> spanDecontamOracleWith(
+      "doc_id % 20 = 3"),
+
+    // q180: the SAME hash-free recompute with the benchmark set = the
+    // eval slice minus the still-retired benchmarks (the delete set
+    // was the stored docs ≡ 2 mod 13, of which the ≡ 0 mod 3 third
+    // was restored) — the engine's artifact, epochs, tombstones,
+    // compaction, and vacuum never appear here, which is the stored-
+    // suite gate's whole claim.
+    "q180_decontaminate_indexed" -> spanDecontamOracleWith(
+      "doc_id % 20 = 3 AND NOT (doc_id % 13 = 2 AND doc_id % 3 <> 0)"),
+
+    "q178_fp_dedup_asof" -> fpAsOfOracle,
+
+    "q179_bm25_asof" -> bm25AsOfOracle,
 
     // Multi-probe LSH probing ALL buckets (probeHamming = nPlanes) must
     // equal the exact top-k — the sign-bit buckets route, they never

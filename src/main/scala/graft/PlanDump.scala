@@ -36,7 +36,8 @@ object PlanDump {
     "q163_fp_dedup_compacted", "q165_bm25_indexed",
     "q166_bm25_index_appended", "q168_bm25_batched_indexed",
     "q169_image_neardup_indexed", "q171_fp_dedup_deleted",
-    "q172_bm25_deleted", "q174_text_jaccard_topk")
+    "q172_bm25_deleted", "q174_text_jaccard_topk",
+    "q179_bm25_asof", "q180_decontaminate_indexed")
 
   /** Prose that must survive regeneration (r11: the q52 STATUS note was
     * hand-edited into the generated file once — a regen would have
@@ -54,6 +55,27 @@ object PlanDump {
         |anti-join against the (small) deletes table per suppressed-table
         |scan — equi on the id with the epoch qualifier as a join
         |condition, never a nested loop (PlanAuditSpec would catch one).""".stripMargin,
+    "q179_bm25_asof" ->
+      """Two historical horizons of one mutated artifact in one plan:
+        |each side's (N, avgdl) are LITERALS from that horizon's meta
+        |row and its postings/dfs scans carry the horizon's epoch range
+        |as partition filters — as-of is pure partition pruning plus a
+        |different literal pair, the same plan shape as q165 twice. No
+        |tombstone anti-join appears on either side: the delete epoch
+        |(2) is above both horizons, so `deletesThrough`'s driver-side
+        |existence probe short-circuits.""".stripMargin,
+    "q180_decontaminate_indexed" ->
+      """q158's plan with the benchmark half read from the stored suite:
+        |the distinct live gram set comes from a columnar scan of the
+        |artifact's `grams` table (epoch-pruned to [floor, serving] —
+        |compacted here, so one epoch and no tombstone anti-join)
+        |instead of an eval-slice explode; the corpus-sized window-hash
+        |explode, broadcast candidate semi-join, true-text confirm, and
+        |cutMarkedSpans surgery are byte-identical to the live path
+        |(one shared implementation). The artifact's value is the
+        |VERSIONED suite — append/retire/as-of — not the skipped
+        |benchmark explode; probe cost is corpus-dominated either
+        |way.""".stripMargin,
     "q174_text_jaccard_topk" ->
       """Top-k search at the text granularity: query bands broadcast onto
         |the STORED band scan only (query×query candidates structurally

@@ -1118,6 +1118,122 @@ object Queries {
         k = 5, threshold = 0.6)
     }),
 
+    // ---- AS-OF (time-travel) reads (r13): every epoch in
+    // [floor, serving] has a complete meta and un-reclaimed data, so
+    // the layout serves any historical epoch in that range exactly —
+    // probes pin the horizon (later appends outside the epoch range,
+    // later tombstones not suppressing, the family meta = the
+    // HISTORICAL row) and an as-of below the floor refuses
+    // (compaction is snapshot expiry). The gates probe ONE mutated
+    // artifact at TWO horizons and the oracle recomputes each
+    // historical corpus declaratively — "re-run yesterday's verdicts
+    // bit-for-bit" is the 100 TB audit/reproducibility story.
+
+    // fp family: the q171 composition WITHOUT compact/vacuum (history
+    // retained), probed as-of epoch 1 (post-append, pre-delete: the
+    // q159 arrival state verbatim) and as-of epoch 2 (post-delete,
+    // pre-re-append: ALL %13==2 owners gone — the horizon where the
+    // tombstone is visible but its re-append is not, which no serving
+    // probe can ever see again).
+    "q178_fp_dedup_asof" -> ((s, dir) => {
+      val (corpus, incoming) = textArrival(s, dir)
+      val idx = "/tmp/graft_fpindex_asof_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"fpindexasof|$dir") {
+        Dedup.writeFingerprintIndex(
+          corpus.filter(col("doc_id") % 11 =!= 5), idx)
+        val slice = corpus.filter(col("doc_id") % 11 === 5)
+        val kept = Dedup.dedupAgainstIndex(idx, slice)
+          .filter(col("kept")).select("doc_id")
+        Dedup.appendFingerprintIndex(idx,
+          slice.join(kept, Seq("doc_id"), "left_semi"))
+        val doomedDir = idx + "_doomed"
+        Dedup.storedOwners(s, idx).filter(col("owner") % 13 === 2)
+          .select(col("owner").as("doc_id"))
+          .write.mode("overwrite").parquet(doomedDir)
+        val doomed = s.read.parquet(doomedDir)
+        Dedup.deleteFromFingerprintIndex(idx, doomed)
+        Dedup.appendFingerprintIndex(idx,
+          corpus.join(doomed.filter(col("doc_id") % 2 === 0),
+            Seq("doc_id"), "left_semi"))
+      }
+      val at1 = Dedup.dedupAgainstIndexAsOf(idx, incoming, asOf = 1)
+        .withColumn("as_of", lit(1L))
+      val at2 = Dedup.dedupAgainstIndexAsOf(idx, incoming, asOf = 2)
+        .withColumn("as_of", lit(2L))
+      at1.unionByName(at2)
+        .select(col("as_of"), col("doc_id"), col("fp"), col("owner"),
+          col("kept").cast("long").as("kept"))
+        .orderBy(col("as_of"), col("doc_id"))
+    }),
+
+    // BM25 family: the additivity story rewound — (N, Σdl) come from
+    // the HISTORICAL meta and df sums only the epochs ≤ the horizon,
+    // so as-of 0 scores the base corpus with the base stats (the
+    // appended docs influence NOTHING, not even avgdl) and as-of 1
+    // scores the full corpus pre-delete. The serving (deleted) state
+    // is q172's gate; here both horizons ride one artifact.
+    "q179_bm25_asof" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val idx = "/tmp/graft_bm25index_asof_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"bm25indexasof|$dir") {
+        Bm25.writeBm25Index(d.filter(col("doc_id") % 11 =!= 5), idx)
+        Bm25.appendBm25Index(idx, d.filter(col("doc_id") % 11 === 5))
+        Bm25.deleteFromBm25Index(idx,
+          d.filter(col("doc_id") % 13 === 2).select("doc_id"))
+      }
+      val terms = Seq("spark", "hash", "window")
+      val at0 = Bm25.topKIndexedAsOf(s, idx, terms, k = 50, asOf = 0)
+        .withColumn("as_of", lit(0L))
+      val at1 = Bm25.topKIndexedAsOf(s, idx, terms, k = 50, asOf = 1)
+        .withColumn("as_of", lit(1L))
+      at0.unionByName(at1)
+        .select(col("as_of"), col("doc_id"), col("score_micro"),
+          col("n_terms"))
+        .orderBy(col("as_of"), col("score_micro").desc, col("doc_id"))
+    }),
+
+    // ---- The stored BENCHMARK-WINDOW suite (r13 — the SIXTH
+    // EpochStore family): q158's benchmark half persisted as a
+    // versioned artifact — the eval suite is frozen-but-versioned
+    // while the corpus arrives forever, so its window set lives on
+    // disk with the full lifecycle: a new benchmark wave APPENDS, a
+    // leaked/retired benchmark DELETES (and stops cutting the instant
+    // its tombstone commits), compact folds, vacuum reclaims. The
+    // gate composes build → append → delete → re-append third →
+    // compact → VACUUM and decontaminates the corpus against the
+    // survivor suite; the oracle is q158's hash-free recompute over
+    // exactly that benchmark set, knowing nothing about epochs.
+    "q180_decontaminate_indexed" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("text",
+          asciiGuardedText("q180")(col("doc_id"), col("text")))
+      val corpus = d.filter(col("doc_id") % 20 =!= 3)
+      val bench = d.filter(col("doc_id") % 20 === 3)
+      val idx = "/tmp/graft_deconindex_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"deconindex|$dir|w60") {
+        TextDedup.writeDeconIndex(
+          bench.filter(col("doc_id") % 3 =!= 1), idx, w = 60)
+        TextDedup.appendDeconIndex(idx,
+          bench.filter(col("doc_id") % 3 === 1))
+        val doomedDir = idx + "_doomed"
+        TextDedup.storedDeconDocIds(s, idx)
+          .filter(col("doc_id") % 13 === 2)
+          .write.mode("overwrite").parquet(doomedDir)
+        val doomed = s.read.parquet(doomedDir)
+        TextDedup.deleteFromDeconIndex(idx, doomed)
+        TextDedup.appendDeconIndex(idx,
+          bench.join(doomed.filter(col("doc_id") % 3 === 0),
+            Seq("doc_id"), "left_semi"))
+        TextDedup.compactDeconIndex(s, idx)
+        TextDedup.vacuumDeconIndex(s, idx)
+      }
+      TextDedup.decontaminateAgainstIndex(corpus, idx)
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-polytope ANN top-k at the gate: EXHAUSTIVE probe (probes =
     // 2·d₂ = 128 — every cell), so the cell partition is provably
     // output-invisible and the result must equal the exact brute-force

@@ -224,9 +224,14 @@ object Bm25 {
       epoch: Int, floor: Int)
 
   private def bm25IndexState(spark: org.apache.spark.sql.SparkSession,
-      dir: String, who: String): Bm25IndexState = {
-    val st = graft.sources.EpochStore.servingState(spark, dir, who,
-      "writeBm25Index")
+      dir: String, who: String, asOf: Option[Int] = None)
+      : Bm25IndexState = {
+    val st = asOf match {
+      case Some(e) => graft.sources.EpochStore.servingStateAt(spark,
+        dir, e, who, "writeBm25Index")
+      case None => graft.sources.EpochStore.servingState(spark, dir,
+        who, "writeBm25Index")
+    }
     val family = st.meta.getAs[String]("family")
     require(family == Bm25IndexFamily,
       s"$who: artifact at $dir was tokenized by family '$family' but " +
@@ -337,9 +342,30 @@ object Bm25 {
     * guarantees — so a grown index scores identically to a rebuild.
     */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, queryTerms: Seq[String], k: Int): DataFrame = {
+      indexDir: String, queryTerms: Seq[String], k: Int): DataFrame =
+    topKIndexedState(spark, indexDir, queryTerms, k,
+      bm25IndexState(spark, indexDir, "topKIndexed"))
+
+  /** [[topKIndexed]] AS OF a historical epoch (r13 — time-travel
+    * retrieval): scores against the corpus statistics as they stood
+    * when epoch `asOf` committed — postings and per-epoch df rows prune
+    * to `[floor_asOf, asOf]`, later tombstones don't suppress, and the
+    * decisive part: (N, Σdl) come from the HISTORICAL meta row, not the
+    * current one, so the additive stats rewind with the corpus and the
+    * scores reproduce a past retrieval bit-for-bit (the q179 gate).
+    * History retention is the floor — an `asOf` below it refuses
+    * (compaction is snapshot expiry). Same plan as the serving probe.
+    */
+  def topKIndexedAsOf(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryTerms: Seq[String], k: Int, asOf: Int)
+      : DataFrame =
+    topKIndexedState(spark, indexDir, queryTerms, k,
+      bm25IndexState(spark, indexDir, "topKIndexedAsOf", Some(asOf)))
+
+  private def topKIndexedState(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryTerms: Seq[String], k: Int,
+      st: Bm25IndexState): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val st = bm25IndexState(spark, indexDir, "topKIndexed")
     val ad = st.sumDl / math.max(st.nDocs, 1L)
     val tf = graft.sources.EpochStore.tableThroughLive(spark, indexDir,
         "postings", "doc_id", st.floor, st.epoch)

@@ -128,9 +128,14 @@ object Dedup {
   private case class FpIndexState(floor: Int, epoch: Int, count: Long)
 
   private def fpIndexState(spark: org.apache.spark.sql.SparkSession,
-      dir: String, who: String): FpIndexState = {
-    val st = graft.sources.EpochStore.servingState(spark,
-      dir, who, "writeFingerprintIndex")
+      dir: String, who: String, asOf: Option[Int] = None)
+      : FpIndexState = {
+    val st = asOf match {
+      case Some(e) => graft.sources.EpochStore.servingStateAt(spark,
+        dir, e, who, "writeFingerprintIndex")
+      case None => graft.sources.EpochStore.servingState(spark,
+        dir, who, "writeFingerprintIndex")
+    }
     val family = st.meta.getAs[String]("family")
     require(family == FpIndexFamily,
       s"$who: artifact at $dir was fingerprinted by family '$family' " +
@@ -161,11 +166,36 @@ object Dedup {
       : DataFrame = {
     val spark = incoming.sparkSession
     val st = fpIndexState(spark, indexDir, "dedupAgainstIndex")
+    probeAgainst(spark, indexDir, st, incoming, "dedupAgainstIndex")
+  }
+
+  /** [[dedupAgainstIndex]] AS OF a historical epoch (r13 — time-travel
+    * probes over the mutating artifact): the shard verdicts against the
+    * owner map exactly as it stood when epoch `asOf` committed — later
+    * appends are invisible and later tombstones don't suppress
+    * ([[graft.sources.EpochStore.servingStateAt]] pins the horizon), so
+    * yesterday's verdicts re-run bit-identically on an artifact that
+    * has since appended, deleted, and re-appended. History retention is
+    * the floor: an `asOf` below it refuses (compaction is snapshot
+    * expiry); same per-shard cost as the serving probe — the plan is
+    * identical, only the epoch range differs.
+    */
+  def dedupAgainstIndexAsOf(indexDir: String, incoming: DataFrame,
+      asOf: Int): DataFrame = {
+    val spark = incoming.sparkSession
+    val st = fpIndexState(spark, indexDir, "dedupAgainstIndexAsOf",
+      Some(asOf))
+    probeAgainst(spark, indexDir, st, incoming, "dedupAgainstIndexAsOf")
+  }
+
+  private def probeAgainst(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, st: FpIndexState, incoming: DataFrame,
+      who: String): DataFrame = {
     val inc = graft.CacheScope.scoped(fps(incoming))
     val counts = inc.agg(count(lit(1)).as("n"),
       count_distinct(col("doc_id")).as("nd")).head()
     require(counts.getLong(0) == counts.getLong(1),
-      "dedupAgainstIndex: doc_id is not one id space — " +
+      s"$who: doc_id is not one id space — " +
         s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s) " +
         "within the incoming shard; re-key upstream.")
     val stored = graft.sources.EpochStore.tableThroughLive(spark,

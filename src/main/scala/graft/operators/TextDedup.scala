@@ -925,28 +925,44 @@ object TextDedup {
   def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
       w: Int): DataFrame = {
     require(w >= 2, "a 1-char window marks shared letters; use w >= 2")
+    // consumed once (decontaminateWithGrams pins its own copy) — no pin
+    val bt = benchmark
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"), col("text").as("t"))
+    val benchGrams = bt
+      .select(posexplode(expr(
+        s"transform(sequence(1, length(t) - ${w - 1}), " +
+          s"i -> substring(t, i, $w))")).as(Seq("_p", "gram")))
+      .select(col("gram")).distinct()
+    decontaminateWithGrams(corpus, benchGrams, w)
+  }
+
+  /** The corpus half of span decontamination, shared by the live path
+    * ([[decontaminateSpans]], which explodes the benchmark per call)
+    * and the stored-index path ([[decontaminateAgainstIndex]], which
+    * reads `grams` from the artifact): mark every corpus window whose
+    * verbatim text is in `benchGrams` (distinct w-char strings), via
+    * the broadcast xxhash candidate stage + true-text confirm, then cut
+    * (see [[decontaminateSpans]]'s scaladoc for the exactness
+    * argument). ONE definition so the two paths cannot drift on what a
+    * marked window is.
+    */
+  private def decontaminateWithGrams(corpus: DataFrame,
+      benchGrams0: DataFrame, w: Int): DataFrame = {
     val t = graft.CacheScope.scoped(corpus
       .filter(length(col("text")) >= w)
       .select(col("doc_id"), col("text").as("t")))
-    def windowFrame(df: DataFrame): DataFrame = df
+    // benchmark-sized, read twice (hash set + text confirm) — pinned
+    val benchGrams = graft.CacheScope.scoped(benchGrams0)
+    val windows = t
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, length(t) - ${w - 1}), " +
           s"i -> xxhash64(substring(t, i, $w)))")).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         col("h"))
-    // consumed once (benchGrams below is the frame read twice) — no pin
-    val bt = benchmark
-      .filter(length(col("text")) >= w)
-      .select(col("doc_id"), col("text").as("t"))
-    // benchmark-sized, read twice (hash set + text confirm) — pinned
-    val benchGrams = graft.CacheScope.scoped(bt
-      .select(posexplode(expr(
-        s"transform(sequence(1, length(t) - ${w - 1}), " +
-          s"i -> substring(t, i, $w))")).as(Seq("_p", "gram")))
-      .select(col("gram")).distinct())
     val benchHashes = benchGrams
       .select(xxhash64(col("gram")).as("h")).distinct()
-    val candidates = windowFrame(t)
+    val candidates = windows
       .join(broadcast(benchHashes), Seq("h"), "left_semi")
     // true-text confirm: candidates only (never corpus-sized)
     val marked = candidates
@@ -956,5 +972,232 @@ object TextDedup {
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .select(col("doc_id"), col("pos"))
     cutMarkedSpans(corpus, marked, w)
+  }
+
+  // --------------------------------------------------------------------
+  // The STORED BENCHMARK-WINDOW index (r13 — the SIXTH EpochStore
+  // family, and the most literal arrival asymmetry in the pipeline:
+  // the eval suite is FROZEN-but-versioned while the corpus arrives
+  // forever, so the benchmark's window set belongs on disk, not in
+  // every job's plan). [[decontaminateSpans]] re-explodes the benchmark
+  // per call; this family persists its per-doc distinct w-char windows
+  // once and every arriving corpus shard decontaminates against the
+  // store. The lifecycle IS the point — an eval suite is not static:
+  // a new benchmark lands (append), a leaked/retired one must stop
+  // gating training data (DELETE — tombstones, takedown semantics),
+  // and the suite compacts/vacuums like every other family. The probe
+  // cost is corpus-dominated either way (eval suites are MBs against
+  // TBs — the q93 stance); what the artifact buys is the versioned
+  // suite itself: one audited place that answers "which benchmark
+  // versions is this corpus clean against", with as-of reads for
+  // "clean against LAST month's suite" (the layout's time-travel).
+
+  /** Artifact layout version — bumped if the window construction
+    * (verbatim-case, fixed-w substring) ever changes; probing across
+    * window conventions silently misses contamination.
+    */
+  private[graft] val DeconIndexFamily = "decon-win-v1"
+
+  private case class DeconIndexState(w: Int, benchCount: Long,
+      epoch: Int, floor: Int)
+
+  private def deconIndexState(spark: org.apache.spark.sql.SparkSession,
+      dir: String, who: String): DeconIndexState = {
+    val st = graft.sources.EpochStore.servingState(spark, dir, who,
+      "writeDeconIndex")
+    val family = st.meta.getAs[String]("family")
+    require(family == DeconIndexFamily,
+      s"$who: artifact at $dir was windowed by family '$family' but " +
+        s"this code probes '$DeconIndexFamily' — rebuild; probing " +
+        "across window conventions silently misses contamination")
+    DeconIndexState(st.meta.getAs[Int]("w"),
+      st.meta.getAs[Long]("bench_count"), st.epoch, st.floor)
+  }
+
+  /** A benchmark shard's two tables: `docs` (doc_id — EVERY doc, even
+    * ones too short to yield a window, so liveness/id-clash checks are
+    * exact) and `grams` (doc_id, gram — the per-doc DISTINCT verbatim
+    * w-char windows).
+    */
+  private def deconTables(benchmark: DataFrame, w: Int)
+      : (DataFrame, DataFrame) = {
+    val docs = benchmark.select(col("doc_id"))
+    val grams = benchmark
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"), col("text").as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(t) - ${w - 1}), " +
+          s"i -> substring(t, i, $w))")).as("gram"))
+      .distinct()
+    (docs, grams)
+  }
+
+  private def writeDeconEpoch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, epoch: Int, docs: DataFrame, grams: DataFrame,
+      w: Int, benchCount: Long, floor: Int = 0): Unit = {
+    import spark.implicits._
+    val meta = Seq((DeconIndexFamily, w, benchCount, epoch))
+      .toDF("family", "w", "bench_count", "epoch")
+    graft.sources.EpochStore.writeEpoch(dir, epoch,
+      Seq("docs" -> docs, "grams" -> grams), meta, floor)
+  }
+
+  /** Persist the benchmark suite's window set as epoch 0: `docs/`
+    * (doc_id), `grams/` (doc_id, distinct verbatim w-char windows), and
+    * a one-row meta carrying the FROZEN window width `w` and the
+    * cumulative benchmark doc count — meta written LAST, torn epochs
+    * invisible, single writer, the [[graft.sources.EpochStore]]
+    * contract. `w` freezes at build time and every probe reads it from
+    * the meta, so probe-vs-artifact width drift is structurally
+    * impossible (there is no width to ask for). Deletes any previous
+    * artifact at `dir` first.
+    */
+  def writeDeconIndex(benchmark: DataFrame, dir: String, w: Int)
+      : Unit = {
+    require(w >= 2, "a 1-char window marks shared letters; use w >= 2")
+    val spark = benchmark.sparkSession
+    val b = graft.CacheScope.scoped(benchmark.select("doc_id", "text"))
+    val c = b.agg(count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("nd")).head()
+    require(c.getLong(0) == c.getLong(1),
+      "writeDeconIndex: doc_id is not one id space — " +
+        s"${c.getLong(0) - c.getLong(1)} duplicate id(s) within the " +
+        "benchmark suite; re-key upstream.")
+    val (docs, grams) = deconTables(b, w)
+    graft.sources.EpochStore.deleteAll(spark, dir)
+    writeDeconEpoch(spark, dir, 0, docs, grams, w, c.getLong(0))
+  }
+
+  /** FOLD a new benchmark wave into the suite as epoch N+1 (a fresh
+    * eval set joins the gating suite). Windows are hashed under the
+    * artifact's FROZEN `w`; no parameter currency exists to check (a
+    * window set has no count-derived parameters). One id space refuses
+    * (shard-internal and shard∩stored — a benchmark stored twice would
+    * just duplicate grams, but the id collision is a caller bug the
+    * delete path would then mis-target). Meta last; torn appends
+    * invisible and retried. Single writer.
+    */
+  def appendDeconIndex(indexDir: String, moreBench: DataFrame): Unit = {
+    val spark = moreBench.sparkSession
+    val st = deconIndexState(spark, indexDir, "appendDeconIndex")
+    val b = graft.CacheScope.scoped(moreBench.select("doc_id", "text"))
+    val c = b.agg(count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("nd")).head()
+    require(c.getLong(0) == c.getLong(1),
+      "appendDeconIndex: doc_id is not one id space — " +
+        s"${c.getLong(0) - c.getLong(1)} duplicate id(s) within the " +
+        "appended benchmark wave; re-key upstream.")
+    val idClash = b.select("doc_id")
+      .join(graft.sources.EpochStore.tableThroughLive(spark, indexDir,
+          "docs", "doc_id", st.floor, st.epoch).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(idClash == 0,
+      s"appendDeconIndex: appended benchmark doc_id(s) already stored " +
+        s"at $indexDir — one id space is the contract (a later delete " +
+        "of that id would mis-target both versions); re-key the wave.")
+    val (docs, grams) = deconTables(b, st.w)
+    writeDeconEpoch(spark, indexDir, st.epoch + 1, docs, grams, st.w,
+      st.benchCount + c.getLong(0), st.floor)
+  }
+
+  /** RETIRE stored benchmarks (r13 — the takedown semantics an eval
+    * suite genuinely needs: a leaked benchmark stops gating training
+    * data the moment it leaks): one DELETE epoch tombstones the given
+    * benchmark doc ids ([[graft.sources.EpochStore.writeDeleteEpoch]] —
+    * meta-last, shrunken bench_count in the same commit), and every
+    * probe immediately stops cutting that benchmark's windows. Loud
+    * premises: one id space; every id a CURRENTLY LIVE stored
+    * benchmark. A retired id may be re-appended afterwards (a
+    * benchmark version restored); physical reclaim is
+    * [[compactDeconIndex]] + [[vacuumDeconIndex]]. Single writer.
+    */
+  def deleteFromDeconIndex(indexDir: String, ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    val st = deconIndexState(spark, indexDir, "deleteFromDeconIndex")
+    val del = graft.CacheScope.scoped(
+      ids.select(col("doc_id").cast("long").as("id")))
+    val counts = del.agg(count(lit(1)).as("n"),
+      count_distinct(col("id")).as("nd")).head()
+    require(counts.getLong(0) == counts.getLong(1),
+      "deleteFromDeconIndex: the delete set is not one id space — " +
+        s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s); " +
+        "de-duplicate it upstream.")
+    val live = graft.sources.EpochStore.tableThroughLive(spark,
+      indexDir, "docs", "doc_id", st.floor, st.epoch)
+    val missing = del.join(live.select(col("doc_id").as("id")),
+      Seq("id"), "left_anti").limit(1).count()
+    require(missing == 0,
+      s"deleteFromDeconIndex: delete id(s) are not live stored " +
+        s"benchmarks at $indexDir — a retirement must name stored " +
+        "docs (already-retired or never-stored ids refuse loudly, " +
+        "they do not no-op).")
+    import spark.implicits._
+    val meta = Seq((DeconIndexFamily, st.w,
+        st.benchCount - counts.getLong(0), st.epoch + 1))
+      .toDF("family", "w", "bench_count", "epoch")
+    graft.sources.EpochStore.writeDeleteEpoch(indexDir, st.epoch + 1,
+      del, Seq.empty, meta, st.floor)
+  }
+
+  /** The live stored benchmark ids — tombstone-aware, the audit read a
+    * retirement pipeline filters its delete set from (snapshot to disk
+    * before mutating — lineage over a mutating artifact re-reads the
+    * mutated state).
+    */
+  def storedDeconDocIds(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val st = deconIndexState(spark, indexDir, "storedDeconDocIds")
+    graft.sources.EpochStore.tableThroughLive(spark, indexDir, "docs",
+      "doc_id", st.floor, st.epoch)
+  }
+
+  /** Span-decontaminate an arriving corpus shard against the STORED
+    * suite: exactly [[decontaminateSpans]]'s contract and output shape
+    * (q150's, md5-gated byte-for-byte) with the benchmark half read
+    * from the artifact — the live benchmark windows come from ONE
+    * columnar scan of `grams` (tombstone-aware, so a retired benchmark
+    * stops cutting the instant its delete epoch commits) under the
+    * stored `w`, and the corpus half ([[decontaminateWithGrams]]) is
+    * shared with the live path so the two cannot drift. Probe cost is
+    * corpus-dominated by design (the benchmark ≪ corpus broadcast
+    * stance) — the artifact's value is the VERSIONED suite, not the
+    * skipped explode.
+    */
+  def decontaminateAgainstIndex(corpus: DataFrame, indexDir: String)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    val st = deconIndexState(spark, indexDir,
+      "decontaminateAgainstIndex")
+    val benchGrams = graft.sources.EpochStore.tableThroughLive(spark,
+        indexDir, "grams", "doc_id", st.floor, st.epoch)
+      .select(col("gram")).distinct()
+    decontaminateWithGrams(corpus, benchGrams, st.w)
+  }
+
+  /** COMPACT the artifact — both tables' live epochs rewritten into ONE
+    * fresh epoch with tombstoned benchmarks dropped PHYSICALLY, meta
+    * carried verbatim; see [[graft.sources.EpochStore.compact]]. Note
+    * compaction is snapshot expiry: as-of reads below the new floor
+    * refuse afterwards — keep history on suites that must answer
+    * "clean against last month's suite".
+    */
+  def compactDeconIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Boolean = {
+    deconIndexState(spark, indexDir, "compactDeconIndex")
+    graft.sources.EpochStore.compact(spark, indexDir,
+      Seq(graft.sources.EpochStore.CompactTable("docs", Some("doc_id")),
+        graft.sources.EpochStore.CompactTable("grams", Some("doc_id"))),
+      "compactDeconIndex", "writeDeconIndex")
+  }
+
+  /** Reclaim epochs a [[compactDeconIndex]] superseded — see
+    * [[graft.sources.EpochStore.vacuum]]. */
+  def vacuumDeconIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, graceMs: Long = 0L): Unit = {
+    deconIndexState(spark, indexDir, "vacuumDeconIndex")
+    graft.sources.EpochStore.vacuum(spark, indexDir,
+      Seq("docs", "grams"), "vacuumDeconIndex", "writeDeconIndex",
+      graceMs)
   }
 }

@@ -152,6 +152,55 @@ object EpochStore {
     Serving(epoch, floor, meta)
   }
 
+  /** The artifact's state AS OF a historical epoch (r13 — time-travel
+    * reads): the returned [[Serving]] pins `asOf` as the read horizon
+    * with the floor THAT epoch's meta recorded, so
+    * [[tableThroughLive]] under it reproduces exactly what a probe at
+    * the time of epoch `asOf`'s commit served — later appends are
+    * outside the epoch range, later tombstones don't suppress
+    * (`deletesThrough` is bounded by the same horizon), and the family
+    * meta (counts, parameters) is the HISTORICAL row, not the current
+    * one. This is what makes "re-run yesterday's verdicts against the
+    * index as it stood yesterday" an exact operation on a since-mutated
+    * artifact.
+    *
+    * History retention IS the floor: every epoch in `[floor, serving]`
+    * has a complete meta (writers are serialized and each epoch commits
+    * meta-last before the next begins) and its data files are never
+    * reclaimed ([[vacuum]] deletes strictly below the floor), so any
+    * `asOf` in that range is always servable. Below the floor the
+    * history was compacted away — the rewrite folded those epochs (and
+    * their tombstones) into one, so the per-epoch states no longer
+    * exist even before a vacuum reclaims the bytes — and the read
+    * REFUSES deterministically rather than serving whichever sub-floor
+    * remnants happen to survive. Keep history by delaying compaction;
+    * compaction is snapshot expiry.
+    */
+  def servingStateAt(spark: SparkSession, dir: String, asOf: Int,
+      who: String, rebuildHint: String): Serving = {
+    val cur = servingState(spark, dir, who, rebuildHint)
+    require(asOf <= cur.epoch,
+      s"$who: as-of epoch $asOf does not exist at $dir — the serving " +
+        s"epoch is ${cur.epoch}")
+    require(asOf >= cur.floor,
+      s"$who: as-of epoch $asOf predates the floor ${cur.floor} at " +
+        s"$dir — a compaction folded that history into one epoch (and " +
+        "vacuum may have reclaimed it), so per-epoch states below the " +
+        "floor no longer exist. History retention is the floor: delay " +
+        "compaction on artifacts that must serve time-travel reads.")
+    if (asOf == cur.epoch) cur
+    else {
+      // every epoch in [floor, serving] committed meta-last under the
+      // single-writer contract, so this read can only fail on a broken
+      // artifact — let that propagate loudly
+      val meta = spark.read.parquet(s"$dir/meta_$asOf").head()
+      val fi = meta.schema.fieldNames.indexOf("floor_epoch")
+      val floor =
+        if (fi >= 0 && !meta.isNullAt(fi)) meta.getInt(fi) else 0
+      Serving(asOf, floor, meta)
+    }
+  }
+
   /** A table's LIVE rows — epochs in `[floor, epoch]`. Partition
     * pruning on the epoch directory column skips torn higher epochs
     * AND compacted-away lower ones without reading a byte of them.

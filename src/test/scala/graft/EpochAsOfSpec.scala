@@ -1,0 +1,173 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Bm25, Dedup}
+
+/** AS-OF (time-travel) reads over the EpochStore layout (r13): every
+  * epoch in [floor, serving] has a complete meta and un-reclaimed data,
+  * so `servingStateAt` pins any historical horizon in that range and a
+  * probe under it reproduces exactly what the artifact served when that
+  * epoch committed — later appends invisible, later tombstones not
+  * suppressing, the family meta the HISTORICAL row. Below the floor the
+  * history was compacted away and the read refuses (compaction is
+  * snapshot expiry). The hash-exact gates are q178 (fp) / q179 (BM25);
+  * this spec pins the mechanics per horizon against fresh engine builds
+  * of each prefix corpus, plus the refusal edges.
+  */
+class EpochAsOfSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fpProbeSet(dir: String,
+      incoming: org.apache.spark.sql.DataFrame, asOf: Option[Int])
+      : Set[(Long, String, Long, Boolean)] = CacheScope.withScope {
+    (asOf match {
+      case Some(e) => Dedup.dedupAgainstIndexAsOf(dir, incoming, e)
+      case None => Dedup.dedupAgainstIndex(dir, incoming)
+    }).as[(Long, String, Long, Boolean)].collect().toSet
+  }
+
+  test("fp as-of: every horizon of a mutated artifact equals a fresh " +
+      "build of that prefix corpus; the serving probe is the final " +
+      "horizon") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val base = corpus.filter(col("doc_id") % 11 =!= 5)
+    val slice = corpus.filter(col("doc_id") % 11 === 5)
+    val dir = "/tmp/graft_test_fpasof"
+    // epoch 0: base; epoch 1: slice survivors; epoch 2: DELETE the
+    // %13==2 owners; epoch 3: re-append their even half
+    val doomedDir = dir + "_doomed"
+    CacheScope.withScope {
+      Dedup.writeFingerprintIndex(base, dir)
+      val kept = Dedup.dedupAgainstIndex(dir, slice)
+        .filter(col("kept")).select("doc_id")
+      Dedup.appendFingerprintIndex(dir,
+        slice.join(kept, Seq("doc_id"), "left_semi"))
+      Dedup.storedOwners(spark, dir).filter(col("owner") % 13 === 2)
+        .select(col("owner").as("doc_id"))
+        .write.mode("overwrite").parquet(doomedDir)
+      val doomed = spark.read.parquet(doomedDir)
+      assert(doomed.limit(1).count() == 1, "test premise: non-empty " +
+        "delete set at this SF")
+      Dedup.deleteFromFingerprintIndex(dir, doomed)
+      Dedup.appendFingerprintIndex(dir,
+        corpus.join(doomed.filter(col("doc_id") % 2 === 0),
+          Seq("doc_id"), "left_semi"))
+    }
+    val doomed = spark.read.parquet(doomedDir)
+    // the probe shard: the %7==3 slice PLUS exact copies of every
+    // DELETED owner under shifted ids — at horizon 1 a copy matches
+    // its stored owner (kept=false), at horizon 2 that owner is
+    // tombstoned so the copy's fp is novel again (kept=true): the
+    // delete is load-bearing between the horizons by construction
+    val incoming = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+      .unionByName(corpus
+        .join(doomed, Seq("doc_id"), "left_semi")
+        .select((col("doc_id") + lit(7000000L)).as("doc_id"),
+          col("text")))
+    // fresh engine builds of each prefix corpus (the yardsticks know
+    // nothing about epochs or tombstones)
+    def rebuilt(c: org.apache.spark.sql.DataFrame, at: String)
+        : Set[(Long, String, Long, Boolean)] = {
+      CacheScope.withScope { Dedup.writeFingerprintIndex(c, at) }
+      fpProbeSet(at, incoming, None)
+    }
+    val slicePart = CacheScope.withScope {
+      // the slice docs that actually landed in epoch 1 (the survivors
+      // of the probe against base)
+      val kept = Dedup.dedupAgainstIndexAsOf(dir, slice, asOf = 0)
+        .filter(col("kept")).select("doc_id")
+      slice.join(kept, Seq("doc_id"), "left_semi")
+    }.cache()
+    val at0 = fpProbeSet(dir, incoming, Some(0))
+    val at1 = fpProbeSet(dir, incoming, Some(1))
+    val at2 = fpProbeSet(dir, incoming, Some(2))
+    val serving = fpProbeSet(dir, incoming, None)
+    assert(at0 == rebuilt(base, "/tmp/graft_test_fpasof_rb0"),
+      "as-of 0 must equal a fresh base-only build")
+    assert(at1 == rebuilt(base.unionByName(slicePart),
+        "/tmp/graft_test_fpasof_rb1"),
+      "as-of 1 must equal a fresh build of base + appended survivors")
+    assert(at2 == rebuilt(base.unionByName(slicePart)
+        .join(doomed, Seq("doc_id"), "left_anti"),
+        "/tmp/graft_test_fpasof_rb2"),
+      "as-of 2 must equal a fresh build without ALL deleted owners")
+    assert(fpProbeSet(dir, incoming, Some(3)) == serving,
+      "as-of the serving epoch must equal the plain serving probe")
+    assert(at1 != at2, "test premise: the delete must change verdicts " +
+      "(otherwise the horizons are indistinguishable)")
+    slicePart.unpersist()
+  }
+
+  test("as-of refusals: above the serving epoch; below the floor after " +
+      "a compaction (snapshot expiry) — and the floor itself still " +
+      "serves") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val incoming = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text").limit(20)
+    val dir = "/tmp/graft_test_fpasof_refuse"
+    CacheScope.withScope {
+      Dedup.writeFingerprintIndex(
+        corpus.filter(col("doc_id") % 11 =!= 5), dir)
+      Dedup.appendFingerprintIndex(dir, corpus
+        .filter(col("doc_id") % 11 === 5)
+        .join(Dedup.dedupAgainstIndex(dir,
+            corpus.filter(col("doc_id") % 11 === 5))
+          .filter(col("kept")).select("doc_id"), Seq("doc_id"),
+          "left_semi"))
+    }
+    val above = intercept[IllegalArgumentException] {
+      fpProbeSet(dir, incoming, Some(7))
+    }
+    assert(above.getMessage.contains("does not exist"))
+    // pre-compaction, epoch 0 serves as-of
+    assert(fpProbeSet(dir, incoming, Some(0)).nonEmpty)
+    CacheScope.withScope {
+      assert(Dedup.compactFingerprintIndex(spark, dir))
+    }
+    // post-compaction (epoch 2, floor 2): history below the floor
+    // refuses — BEFORE any vacuum, because the per-epoch states were
+    // folded away by the rewrite, not just reclaimed
+    val below = intercept[IllegalArgumentException] {
+      fpProbeSet(dir, incoming, Some(1))
+    }
+    assert(below.getMessage.contains("predates the floor"))
+    // the floor itself is a servable horizon (it IS the serving epoch)
+    assert(fpProbeSet(dir, incoming, Some(2)) ==
+      fpProbeSet(dir, incoming, None))
+  }
+
+  test("bm25 as-of: the historical meta rewinds the additive stats — " +
+      "as-of 0 scores bit-identically to a fresh base-only index, " +
+      "as-of serving to the plain probe") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val base = d.filter(col("doc_id") % 11 =!= 5)
+    val dir = "/tmp/graft_test_bm25asof"
+    val baseOnly = "/tmp/graft_test_bm25asof_base"
+    CacheScope.withScope {
+      Bm25.writeBm25Index(base, baseOnly)
+      Bm25.writeBm25Index(base, dir)
+      Bm25.appendBm25Index(dir, d.filter(col("doc_id") % 11 === 5))
+      Bm25.deleteFromBm25Index(dir,
+        d.filter(col("doc_id") % 13 === 2).select("doc_id"))
+    }
+    val terms = Seq("spark", "hash", "window")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      CacheScope.withScope { df.as[(Long, Long, Long)].collect().toSeq }
+    val at0 = rows(Bm25.topKIndexedAsOf(spark, dir, terms, 50, asOf = 0))
+    val fresh = rows(Bm25.topKIndexed(spark, baseOnly, terms, 50))
+    assert(at0 == fresh && at0.nonEmpty,
+      "as-of 0 must score with the base (N, Σdl, df) — identical to a " +
+        "fresh base-only index")
+    val at1 = rows(Bm25.topKIndexedAsOf(spark, dir, terms, 50, asOf = 1))
+    assert(at1 != at0, "test premise: the append must move scores " +
+      "(N/avgdl/df all change)")
+    assert(rows(Bm25.topKIndexedAsOf(spark, dir, terms, 50, asOf = 2)) ==
+      rows(Bm25.topKIndexed(spark, dir, terms, 50)),
+      "as-of the serving epoch must equal the plain serving probe")
+  }
+}
