@@ -303,10 +303,10 @@ object Oracles {
     * Each horizon is the q86 formula over its declarative corpus.
     */
   private val bm25AsOfOracle: String = s"""
-      SELECT 0 AS as_of, v.* FROM (${bm25OracleWith(
+      SELECT CAST(0 AS BIGINT) AS as_of, v.* FROM (${bm25OracleWith(
         " WHERE doc_id % 11 <> 5")}) v
       UNION ALL
-      SELECT 1 AS as_of, v.* FROM ($bm25Oracle) v
+      SELECT CAST(1 AS BIGINT) AS as_of, v.* FROM ($bm25Oracle) v
       ORDER BY as_of, score_micro DESC, doc_id"""
 
   /** q158/q180's span-decontamination recompute, parameterized by the
@@ -443,10 +443,10 @@ object Oracles {
     * these two declarative corpora.
     */
   private val fpAsOfOracle: String = fpArrivalCtes + s"""
-      SELECT 1 AS as_of, v.* FROM (${fpVerdict(
+      SELECT CAST(1 AS BIGINT) AS as_of, v.* FROM (${fpVerdict(
         "SELECT * FROM stored0")}) v
       UNION ALL
-      SELECT 2 AS as_of, v.* FROM (${fpVerdict(
+      SELECT CAST(2 AS BIGINT) AS as_of, v.* FROM (${fpVerdict(
         "SELECT * FROM stored0 WHERE NOT (owner % 13 = 2)")}) v
       ORDER BY as_of, doc_id"""
 

@@ -848,32 +848,20 @@ object Ann {
   def deleteFromCpIndex(indexDir: String, ids: DataFrame): Unit = {
     val spark = ids.sparkSession
     val st = cpIndexState(spark, indexDir, "deleteFromCpIndex")
-    val del = graft.CacheScope.scoped(
-      ids.select(col("vec_id").cast("long").as("id")))
-    val counts = del.agg(count(lit(1)).as("n"),
-      count_distinct(col("id")).as("nd")).head()
-    require(counts.getLong(0) == counts.getLong(1),
-      "deleteFromCpIndex: the delete set is not one id space — " +
-        s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s); " +
-        "de-duplicate it upstream.")
-    val missing = del.join(
-        indexVectors(spark, indexDir, st.floor, st.epoch)
-          .select(col("vec_id").as("id")),
-        Seq("id"), "left_anti")
-      .limit(1).count()
-    require(missing == 0,
-      s"deleteFromCpIndex: delete id(s) are not live in the index at " +
-        s"$indexDir — a retraction must name stored vectors " +
-        "(already-deleted or never-stored ids refuse loudly, they do " +
-        "not no-op).")
     import spark.implicits._
-    val meta = Seq((CpIndexFamily, st.k, st.bands, st.dim,
-        st.targetMiss, st.threshold, st.count - counts.getLong(0),
-        st.epoch + 1, st.paramsDerived))
-      .toDF("family", "k", "bands", "dim", "target_miss", "threshold",
-        "corpus_count", "epoch", "params_derived")
-    graft.sources.EpochStore.writeDeleteEpoch(indexDir, st.epoch + 1,
-      del, Seq.empty, meta, st.floor)
+    graft.sources.EpochStore.deleteEpochChecked(indexDir,
+      "deleteFromCpIndex", ids, "vec_id",
+      indexVectors(spark, indexDir, st.floor, st.epoch)
+        .select(col("vec_id").as("id")),
+      s"delete id(s) are not live in the index at $indexDir — a " +
+        "retraction must name stored vectors (already-deleted or " +
+        "never-stored ids refuse loudly, they do not no-op).",
+      Seq.empty,
+      n => Seq((CpIndexFamily, st.k, st.bands, st.dim, st.targetMiss,
+          st.threshold, st.count - n, st.epoch + 1, st.paramsDerived))
+        .toDF("family", "k", "bands", "dim", "target_miss",
+          "threshold", "corpus_count", "epoch", "params_derived"),
+      st.epoch + 1, st.floor)
   }
 
   /** FOLD a deduped shard INTO the artifact — the missing quarter of

@@ -309,29 +309,18 @@ object Dedup {
       : Unit = {
     val spark = ids.sparkSession
     val st = fpIndexState(spark, indexDir, "deleteFromFingerprintIndex")
-    val del = graft.CacheScope.scoped(
-      ids.select(col("doc_id").cast("long").as("id")))
-    val counts = del.agg(count(lit(1)).as("n"),
-      count_distinct(col("id")).as("nd")).head()
-    require(counts.getLong(0) == counts.getLong(1),
-      "deleteFromFingerprintIndex: the delete set is not one id " +
-        s"space — ${counts.getLong(0) - counts.getLong(1)} duplicate " +
-        "id(s); de-duplicate it upstream.")
-    val live = graft.sources.EpochStore.tableThroughLive(spark,
-      indexDir, "fps", "owner", st.floor, st.epoch)
-    val missing = del.join(live.select(col("owner").as("id")),
-      Seq("id"), "left_anti").limit(1).count()
-    require(missing == 0,
-      s"deleteFromFingerprintIndex: delete id(s) are not live stored " +
-        s"owners at $indexDir — a retraction must name stored docs " +
-        "(already-deleted or never-stored ids refuse loudly, they do " +
-        "not no-op).")
     import spark.implicits._
-    val meta = Seq((FpIndexFamily, st.count - counts.getLong(0),
-        st.epoch + 1))
-      .toDF("family", "corpus_count", "epoch")
-    graft.sources.EpochStore.writeDeleteEpoch(indexDir, st.epoch + 1,
-      del, Seq.empty, meta, st.floor)
+    graft.sources.EpochStore.deleteEpochChecked(indexDir,
+      "deleteFromFingerprintIndex", ids, "doc_id",
+      graft.sources.EpochStore.tableThroughLive(spark, indexDir, "fps",
+        "owner", st.floor, st.epoch).select(col("owner").as("id")),
+      s"delete id(s) are not live stored owners at $indexDir — a " +
+        "retraction must name stored docs (already-deleted or " +
+        "never-stored ids refuse loudly, they do not no-op).",
+      Seq.empty,
+      n => Seq((FpIndexFamily, st.count - n, st.epoch + 1))
+        .toDF("family", "corpus_count", "epoch"),
+      st.epoch + 1, st.floor)
   }
 
   /** COMPACT the artifact — the (fp, owner) map's live epochs rewritten

@@ -859,31 +859,19 @@ object Multimodal {
   def deleteFromDHashIndex(indexDir: String, ids: DataFrame): Unit = {
     val spark = ids.sparkSession
     val st = dHashIndexState(spark, indexDir, "deleteFromDHashIndex")
-    val del = graft.CacheScope.scoped(
-      ids.select(col("media_id").cast("long").as("id")))
-    val counts = del.agg(count(lit(1)).as("n"),
-      count_distinct(col("id")).as("nd")).head()
-    require(counts.getLong(0) == counts.getLong(1),
-      "deleteFromDHashIndex: the delete set is not one id space — " +
-        s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s); " +
-        "de-duplicate it upstream.")
-    val missing = del.join(
-        graft.sources.EpochStore.tableThroughLive(spark, indexDir,
-          "hashes", "media_id", st.floor, st.epoch)
-          .select(col("media_id").as("id")),
-        Seq("id"), "left_anti")
-      .limit(1).count()
-    require(missing == 0,
-      s"deleteFromDHashIndex: delete id(s) are not live in the index " +
-        s"at $indexDir — a retraction must name stored images " +
-        "(already-deleted or never-stored ids refuse loudly, they do " +
-        "not no-op).")
     import spark.implicits._
-    val meta = Seq((DHashIndexFamily, 4,
-        st.count - counts.getLong(0), st.epoch + 1))
-      .toDF("family", "bands", "corpus_count", "epoch")
-    graft.sources.EpochStore.writeDeleteEpoch(indexDir, st.epoch + 1,
-      del, Seq.empty, meta, st.floor)
+    graft.sources.EpochStore.deleteEpochChecked(indexDir,
+      "deleteFromDHashIndex", ids, "media_id",
+      graft.sources.EpochStore.tableThroughLive(spark, indexDir,
+        "hashes", "media_id", st.floor, st.epoch)
+        .select(col("media_id").as("id")),
+      s"delete id(s) are not live in the index at $indexDir — a " +
+        "retraction must name stored images (already-deleted or " +
+        "never-stored ids refuse loudly, they do not no-op).",
+      Seq.empty,
+      n => Seq((DHashIndexFamily, 4, st.count - n, st.epoch + 1))
+        .toDF("family", "bands", "corpus_count", "epoch"),
+      st.epoch + 1, st.floor)
   }
 
   /** COMPACT / reclaim the artifact — see

@@ -1115,29 +1115,20 @@ object TextDedup {
   def deleteFromDeconIndex(indexDir: String, ids: DataFrame): Unit = {
     val spark = ids.sparkSession
     val st = deconIndexState(spark, indexDir, "deleteFromDeconIndex")
-    val del = graft.CacheScope.scoped(
-      ids.select(col("doc_id").cast("long").as("id")))
-    val counts = del.agg(count(lit(1)).as("n"),
-      count_distinct(col("id")).as("nd")).head()
-    require(counts.getLong(0) == counts.getLong(1),
-      "deleteFromDeconIndex: the delete set is not one id space — " +
-        s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s); " +
-        "de-duplicate it upstream.")
-    val live = graft.sources.EpochStore.tableThroughLive(spark,
-      indexDir, "docs", "doc_id", st.floor, st.epoch)
-    val missing = del.join(live.select(col("doc_id").as("id")),
-      Seq("id"), "left_anti").limit(1).count()
-    require(missing == 0,
-      s"deleteFromDeconIndex: delete id(s) are not live stored " +
-        s"benchmarks at $indexDir — a retirement must name stored " +
-        "docs (already-retired or never-stored ids refuse loudly, " +
-        "they do not no-op).")
     import spark.implicits._
-    val meta = Seq((DeconIndexFamily, st.w,
-        st.benchCount - counts.getLong(0), st.epoch + 1))
-      .toDF("family", "w", "bench_count", "epoch")
-    graft.sources.EpochStore.writeDeleteEpoch(indexDir, st.epoch + 1,
-      del, Seq.empty, meta, st.floor)
+    graft.sources.EpochStore.deleteEpochChecked(indexDir,
+      "deleteFromDeconIndex", ids, "doc_id",
+      graft.sources.EpochStore.tableThroughLive(spark, indexDir,
+        "docs", "doc_id", st.floor, st.epoch)
+        .select(col("doc_id").as("id")),
+      s"delete id(s) are not live stored benchmarks at $indexDir — a " +
+        "retirement must name stored docs (already-retired or " +
+        "never-stored ids refuse loudly, they do not no-op).",
+      Seq.empty,
+      n => Seq((DeconIndexFamily, st.w, st.benchCount - n,
+          st.epoch + 1))
+        .toDF("family", "w", "bench_count", "epoch"),
+      st.epoch + 1, st.floor)
   }
 
   /** The live stored benchmark ids — tombstone-aware, the audit read a

@@ -352,30 +352,21 @@ object TextIndex {
   def deleteFromJaccardIndex(indexDir: String, ids: DataFrame): Unit = {
     val spark = ids.sparkSession
     val st = indexState(spark, indexDir, "deleteFromJaccardIndex")
-    val del = graft.CacheScope.scoped(
-      ids.select(col("doc_id").cast("long").as("id")))
-    val counts = del.agg(count(lit(1)).as("n"),
-      count_distinct(col("id")).as("nd")).head()
-    require(counts.getLong(0) == counts.getLong(1),
-      "deleteFromJaccardIndex: the delete set is not one id space — " +
-        s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s); " +
-        "de-duplicate it upstream.")
-    val live = EpochStore.tableThroughLive(spark, indexDir, "docs",
-      "doc_id", st.floor, st.epoch)
-    val missing = del.join(live.select(col("doc_id").as("id")),
-      Seq("id"), "left_anti").limit(1).count()
-    require(missing == 0,
-      s"deleteFromJaccardIndex: delete id(s) are not live in the " +
-        s"index at $indexDir — a retraction must name stored docs " +
-        "(already-deleted, never-stored, or sub-3-word ids refuse " +
-        "loudly, they do not no-op).")
     import spark.implicits._
-    val meta = Seq((JaccardIndexFamily, st.r, st.b, st.threshold,
-        st.targetMiss, 3, st.count - counts.getLong(0), st.epoch + 1))
-      .toDF("family", "rows_per_band", "bands", "threshold",
-        "target_miss", "shingle_k", "corpus_count", "epoch")
-    EpochStore.writeDeleteEpoch(indexDir, st.epoch + 1, del, Seq.empty,
-      meta, st.floor)
+    EpochStore.deleteEpochChecked(indexDir, "deleteFromJaccardIndex",
+      ids, "doc_id",
+      EpochStore.tableThroughLive(spark, indexDir, "docs", "doc_id",
+        st.floor, st.epoch).select(col("doc_id").as("id")),
+      s"delete id(s) are not live in the index at $indexDir — a " +
+        "retraction must name stored docs (already-deleted, " +
+        "never-stored, or sub-3-word ids refuse loudly, they do not " +
+        "no-op).",
+      Seq.empty,
+      n => Seq((JaccardIndexFamily, st.r, st.b, st.threshold,
+          st.targetMiss, 3, st.count - n, st.epoch + 1))
+        .toDF("family", "rows_per_band", "bands", "threshold",
+          "target_miss", "shingle_k", "corpus_count", "epoch"),
+      st.epoch + 1, st.floor)
   }
 
   /** COMPACT the artifact — rewrite the live epochs into ONE fresh
@@ -507,14 +498,17 @@ object TextIndex {
     val hinted =
       if (nInc * st.b <= Ann.MaxBroadcastBandRows) broadcast(incBands)
       else incBands
-    // DIRECTED candidates: query side probes, stored side answers
-    val cand = hinted.as("x")
+    // DIRECTED candidates: query side probes, stored side answers.
+    // Read three times (both verify semi-joins + the final pair join)
+    // — pinned, or each consumer re-runs the banded join over every
+    // stored band row (the CLAUDE.md self-join rule; r13 review)
+    val cand = graft.CacheScope.scoped(hinted.as("x")
       .join(storedBands.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_hash") === col("y.band_hash"))
       .select(col("x.doc_id").as("query_id"),
         col("y.doc_id").as("doc_id"))
-      .distinct()
+      .distinct())
     // exact verify at the floor, then rank within each query
     val ppm = math.round(threshold * 1000000).toLong
     val qGrams = inc

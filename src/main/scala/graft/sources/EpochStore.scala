@@ -83,14 +83,40 @@ object EpochStore {
     * build and for every append to a never-compacted artifact; the
     * serving floor (carried through [[Serving]]) for appends after a
     * compaction; the new epoch's own number for [[compact]] itself.
+    *
+    * Before the meta commit, any SIBLING table directory holding
+    * `epoch=N` data this write does not own is CLEARED (r13 review):
+    * epoch writers of different KINDS write disjoint table sets at the
+    * same number — a torn DELETE leaves `deletes/epoch=N` that a
+    * retried APPEND's meta would otherwise resurrect as live
+    * tombstones (silently vanishing every owner in the failed delete,
+    * with counts that never shrank), and a torn append's family rows
+    * would go live uncounted under a delete's meta. Torn relics are
+    * invisible until a meta names their number, so clearing them here
+    * is always safe; `ownedTables` lets [[compact]] name tables it
+    * already renamed into place (its own writeEpoch call carries no
+    * frames).
     */
   def writeEpoch(dir: String, epoch: Int,
       tables: Seq[(String, DataFrame)], meta: DataFrame,
-      floor: Int = 0): Unit = {
+      floor: Int = 0, ownedTables: Seq[String] = Seq.empty): Unit = {
     require(floor >= 0 && floor <= epoch,
       s"writeEpoch: floor $floor out of range for epoch $epoch")
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/$name/epoch=$epoch")
+    }
+    val owned = (tables.map(_._1) ++ ownedTables).toSet
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(
+      meta.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { s =>
+      val name = s.getPath.getName
+      if (s.isDirectory && !owned(name) && !name.startsWith("meta_") &&
+          !name.startsWith(".")) {
+        val torn = new org.apache.hadoop.fs.Path(
+          s"$dir/$name/epoch=$epoch")
+        if (fs.exists(torn)) { fs.delete(torn, true); () }
+      }
     }
     meta.withColumn("floor_epoch", lit(floor))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta_$epoch")
@@ -262,6 +288,39 @@ object EpochStore {
       floor)
   }
 
+  /** The shared DELETE-epoch scaffold (r13 review — five families
+    * carried byte-similar ~25-line copies of it): validates the
+    * delete set (one id space; every id present in the family's live
+    * frame — a retraction must name stored rows, never no-op) and
+    * commits the tombstone epoch meta-last via [[writeDeleteEpoch]].
+    * The family supplies only what is genuinely family semantics: its
+    * live-id frame (one LONG column named `id`), the refusal's noun
+    * phrasing, any side tables, and the shrunken meta built from the
+    * validated delete count. BM25 stays bespoke by design: its
+    * liveness check is fused with the deleted docs' (count, Σdl)
+    * aggregate and its side table derives from the live postings.
+    */
+  def deleteEpochChecked(dir: String, who: String, ids: DataFrame,
+      idCol: String, liveIds: DataFrame, notLiveMsg: String,
+      extraTables: Seq[(String, DataFrame)],
+      shrunkenMeta: Long => DataFrame, epoch: Int, floor: Int): Unit = {
+    val del = graft.CacheScope.scoped(
+      ids.select(col(idCol).cast("long").as("id")))
+    val counts = del.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n"),
+      org.apache.spark.sql.functions.count_distinct(col("id")).as("nd"))
+      .head()
+    require(counts.getLong(0) == counts.getLong(1),
+      s"$who: the delete set is not one id space — " +
+        s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s); " +
+        "de-duplicate it upstream.")
+    val missing = del.join(liveIds, Seq("id"), "left_anti")
+      .limit(1).count()
+    require(missing == 0, s"$who: $notLiveMsg")
+    writeDeleteEpoch(dir, epoch, del, extraTables,
+      shrunkenMeta(counts.getLong(0)), floor)
+  }
+
   /** The LIVE tombstones in `[floor, epoch]` as (id, del_epoch) — or
     * None when the artifact has no delete epoch in the live range (the
     * common case: one driver-side existence probe, zero plan change).
@@ -378,6 +437,15 @@ object EpochStore {
     require(targetFileBytes > 0, s"$who: target file size must be positive")
     val st = servingState(spark, dir, who, rebuildHint)
     if (st.epoch == st.floor) return false
+    // every family meta carries its serving epoch in an `epoch` column
+    // (all current families do); fail fast on a new family that forgot
+    // — BEFORE the rewrite, not after the renames (r13 review: a
+    // late throw would leave a torn epoch plus a paid-for rewrite of
+    // what the scaladoc describes as a 100 TB artifact on every retry)
+    require(st.meta.schema.fieldNames.contains("epoch"),
+      s"$who: the family meta at $dir has no 'epoch' column — every " +
+        "EpochStore family meta must carry its serving epoch so " +
+        "compact can rewrite it; fix the family's writeEpoch call")
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = st.epoch + 1
@@ -438,19 +506,19 @@ object EpochStore {
       require(fs.rename(stage, dst),
         s"$who: could not rename $stage to $dst")
     }
-    // every family meta carries its serving epoch in an `epoch` column
-    // (all current families do); fail fast on a new family that forgot
-    // rather than silently carrying a stale epoch number in its meta
-    require(st.meta.schema.fieldNames.contains("epoch"),
-      s"$who: the family meta at $dir has no 'epoch' column — every " +
-        "EpochStore family meta must carry its serving epoch so " +
-        "compact can rewrite it; fix the family's writeEpoch call")
     val carried = spark.createDataFrame(
         java.util.Collections.singletonList(st.meta),
         st.meta.schema)
       .withColumn("epoch", lit(target))
       .drop("floor_epoch")
-    writeEpoch(dir, target, Seq.empty, carried, floor = target)
+    // ownedTables: the renamed family tables must survive the torn-
+    // sibling sweep; a torn deletes/epoch=<target> (a died delete at
+    // the same number) is NOT owned and gets swept — otherwise this
+    // meta commit would carry a zombie tombstone table above the
+    // floor forever (r13 review), violating "no deletes table above
+    // the floor" and taxing every future read with its anti-join
+    writeEpoch(dir, target, Seq.empty, carried, floor = target,
+      ownedTables = tables.map(_.name))
     true
   }
 

@@ -420,4 +420,84 @@ class EpochDeleteSpec extends AnyFunSuite {
     }
     assert(ce.getMessage.contains("one id space"))
   }
+
+  test("torn cross-kind epochs never resurrect: a torn DELETE's " +
+      "tombstones do not go live under a later append's meta, a torn " +
+      "APPEND's rows do not go live under a later delete's meta, and " +
+      "compact sweeps a torn deletes table at its target epoch " +
+      "(r13 review)") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val extra = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+    val dir = "/tmp/graft_test_torncross"
+    CacheScope.withScope { Dedup.writeFingerprintIndex(corpus, dir) }
+    val victim = CacheScope.withScope {
+      Dedup.storedOwners(spark, dir).orderBy(col("owner"))
+        .limit(1).select(col("owner")).as[Long].head()
+    }
+    // a TORN delete at epoch 1: the tombstone table landed, the meta
+    // (and the shrunken count it carries) did not — per the contract
+    // it is invisible; the operator cadence then proceeds with a
+    // NORMAL append committing the same epoch number
+    Seq(victim).toDF("id").write.mode("overwrite")
+      .parquet(s"$dir/deletes/epoch=1")
+    CacheScope.withScope {
+      val shard = extra.orderBy(col("doc_id")).limit(50)
+      val kept = Dedup.dedupAgainstIndex(dir, shard)
+        .filter(col("kept")).select("doc_id")
+      Dedup.appendFingerprintIndex(dir,
+        shard.join(kept, Seq("doc_id"), "left_semi"))
+    }
+    assert(CacheScope.withScope {
+      Dedup.storedOwners(spark, dir)
+        .filter(col("owner") === victim).count()
+    } == 1L, "a torn delete's tombstones must NOT go live under a " +
+      "later append's meta — the victim owner must still serve")
+    assert(!new java.io.File(s"$dir/deletes/epoch=1").exists(),
+      "the append's commit must have swept the torn deletes dir")
+    // a TORN append at epoch 2: family rows landed, no meta; a NORMAL
+    // delete then commits epoch 2 — the torn rows must not resurrect
+    // (they were never counted in any meta)
+    Seq(("00000000deadbeef00000000deadbeef", 555000L)).toDF("fp", "owner")
+      .write.mode("overwrite").parquet(s"$dir/fps/epoch=2")
+    val doomedDir = dir + "_doomed"
+    CacheScope.withScope {
+      Dedup.storedOwners(spark, dir).filter(col("owner") === victim)
+        .select(col("owner").as("doc_id"))
+        .write.mode("overwrite").parquet(doomedDir)
+      Dedup.deleteFromFingerprintIndex(dir,
+        spark.read.parquet(doomedDir))
+    }
+    assert(CacheScope.withScope {
+      Dedup.storedOwners(spark, dir)
+        .filter(col("owner") === 555000L).count()
+    } == 0L, "a torn append's rows must NOT go live under a later " +
+      "delete's meta")
+    // a TORN delete at the COMPACTION's target epoch: compact must
+    // sweep it, or its own meta commit would carry a zombie tombstone
+    // table above the floor forever
+    val victim2 = CacheScope.withScope {
+      Dedup.storedOwners(spark, dir).orderBy(col("owner").desc)
+        .limit(1).select(col("owner")).as[Long].head()
+    }
+    val before = CacheScope.withScope {
+      Dedup.storedOwners(spark, dir).as[(String, Long)].collect().toSet
+    }
+    Seq(victim2).toDF("id").write.mode("overwrite")
+      .parquet(s"$dir/deletes/epoch=3")
+    CacheScope.withScope {
+      assert(Dedup.compactFingerprintIndex(spark, dir))
+      Dedup.vacuumFingerprintIndex(spark, dir)
+    }
+    val after = CacheScope.withScope {
+      Dedup.storedOwners(spark, dir).as[(String, Long)].collect().toSet
+    }
+    assert(after == before,
+      "compact must sweep a torn deletes table at its target epoch — " +
+        "the live map must be unchanged by the rewrite")
+    assert(!new java.io.File(s"$dir/deletes").exists() ||
+      new java.io.File(s"$dir/deletes").listFiles().isEmpty,
+      "no tombstone epoch may survive above the floor")
+  }
 }
