@@ -309,20 +309,24 @@ object Oracles {
       SELECT CAST(1 AS BIGINT) AS as_of, v.* FROM ($bm25Oracle) v
       ORDER BY as_of, score_micro DESC, doc_id"""
 
-  /** q158/q180's span-decontamination recompute, parameterized by the
-    * benchmark set's WHERE (q158: the whole eval slice; q180: the
-    * slice minus the still-retired benchmarks) — hash-free, the
-    * q149/q150 discipline: a corpus window is marked iff its verbatim
-    * text appears as a window in the benchmark set; islands, ranges
-    * and the string reconstruction are q150's oracle machinery
-    * verbatim, so a recall loss OR an xxhash collision leak in the
-    * engine would hash-diff at the gate.
+  /** q158/q180/q181's span-decontamination recompute, parameterized by
+    * the benchmark set's WHERE (q158: the whole eval slice; q180: the
+    * slice minus the still-retired benchmarks; q181: per horizon), the
+    * corpus WHERE (q181 cleans a corpus slice), and an optional extra
+    * benchmark branch (q181's planted donor-text benchmark) —
+    * hash-free, the q149/q150 discipline: a corpus window is marked
+    * iff its verbatim text appears as a window in the benchmark set;
+    * islands, ranges and the string reconstruction are q150's oracle
+    * machinery verbatim, so a recall loss OR an xxhash collision leak
+    * in the engine would hash-diff at the gate.
     */
-  private def spanDecontamOracleWith(benchWhere: String): String = s"""
+  private def spanDecontamOracleWith(benchWhere: String,
+      corpusWhere: String = "doc_id % 20 <> 3",
+      benchUnion: String = ""): String = s"""
       WITH c AS (SELECT doc_id, text AS t FROM documents
-                 WHERE doc_id % 20 <> 3 AND length(text) >= 60),
+                 WHERE ($corpusWhere) AND length(text) >= 60),
       b AS (SELECT text AS t FROM documents
-            WHERE ($benchWhere) AND length(text) >= 60),
+            WHERE ($benchWhere) AND length(text) >= 60$benchUnion),
       bw AS (SELECT DISTINCT substr(t, CAST(i AS INT), 60) AS gram
              FROM (SELECT t, unnest(generate_series(1, length(t) - 59))
                      AS i FROM b)),
@@ -370,8 +374,38 @@ object Oracles {
              md5(coalesce(a.cleaned, d.text)) AS clean_md5
       FROM documents d LEFT JOIN asm a USING (doc_id)
                        LEFT JOIN st USING (doc_id)
-      WHERE d.doc_id % 20 <> 3
+      WHERE ${corpusWhere.replace("doc_id", "d.doc_id")}
       ORDER BY d.doc_id"""
+
+  /** q181: two historical horizons of the benchmark suite over one
+    * corpus slice — as-of 1 cleans against the FULL appended suite
+    * including the planted donor-text benchmark (id 899992 ≡ 2 mod 13,
+    * the text of the slice's first ≥120-char doc — so the donor is
+    * guaranteed fully cut at this horizon at every SF), as-of 2
+    * against the suite minus the retired ≡ 2 (mod 13) benchmarks
+    * (the planted one among them — the donor's cuts vanish). "Was this
+    * corpus clean against LAST month's suite" answered exactly; the
+    * engine's epochs and tombstones never appear here.
+    */
+  private val DeconAsOfCorpus = "doc_id % 20 <> 3 AND doc_id % 4 = 1"
+
+  private val deconAsOfPlanted: String = s"""
+            UNION ALL
+            SELECT t FROM (SELECT text AS t FROM documents
+                           WHERE $DeconAsOfCorpus
+                             AND length(text) >= 120
+                           ORDER BY doc_id LIMIT 1)"""
+
+  private val deconAsOfOracle: String = s"""
+      SELECT CAST(1 AS BIGINT) AS as_of, v.* FROM (${
+        spanDecontamOracleWith("doc_id % 20 = 3", DeconAsOfCorpus,
+          deconAsOfPlanted)}) v
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS as_of, v.* FROM (${
+        spanDecontamOracleWith(
+          "doc_id % 20 = 3 AND NOT (doc_id % 13 = 2)",
+          DeconAsOfCorpus)}) v
+      ORDER BY as_of, doc_id"""
 
   /** q159/q163's exact-dedup arrival ground truth: the stored owner
     * map recomputed DECLARATIVELY as two tiers (base min per fp, else
@@ -2440,6 +2474,8 @@ object Oracles {
     "q178_fp_dedup_asof" -> fpAsOfOracle,
 
     "q179_bm25_asof" -> bm25AsOfOracle,
+
+    "q181_decontaminate_asof" -> deconAsOfOracle,
 
     // Multi-probe LSH probing ALL buckets (probeHamming = nPlanes) must
     // equal the exact top-k — the sign-bit buckets route, they never

@@ -1234,6 +1234,54 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // The suite's AS-OF story made a gate (r13): "was this corpus
+    // clean against LAST month's benchmark suite" — a real compliance
+    // question whose answer must use exactly the windows that suite
+    // version held. One mutated artifact (base → append incl. a
+    // PLANTED donor-text benchmark at id 899992 ≡ 2 mod 13 → delete
+    // the ≡ 2 mod 13 benchmarks), cleaned at two horizons: as-of 1
+    // has the planted benchmark live (the donor doc is guaranteed
+    // fully cut at every SF), as-of 2 has it retired (the cuts
+    // vanish) — the horizon delta is load-bearing by construction.
+    // Corpus = the %4==1 slice (the as-of semantics don't need the
+    // full-corpus floor q158/q180 already pay).
+    "q181_decontaminate_asof" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("text",
+          asciiGuardedText("q181")(col("doc_id"), col("text")))
+      val corpus = d.filter(col("doc_id") % 20 =!= 3 &&
+        col("doc_id") % 4 === 1).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") % 20 === 3)
+        .select("doc_id", "text")
+      val planted = corpus.filter(length(col("text")) >= 120)
+        .orderBy(col("doc_id")).limit(1)
+        .select(lit(899992L).as("doc_id"), col("text"))
+      val idx = "/tmp/graft_deconidx_asof_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"deconidxasof|$dir|w60") {
+        TextDedup.writeDeconIndex(
+          bench.filter(col("doc_id") % 3 =!= 1), idx, w = 60)
+        TextDedup.appendDeconIndex(idx,
+          bench.filter(col("doc_id") % 3 === 1).unionByName(planted))
+        val doomedDir = idx + "_doomed"
+        TextDedup.storedDeconDocIds(s, idx)
+          .filter(col("doc_id") % 13 === 2)
+          .write.mode("overwrite").parquet(doomedDir)
+        TextDedup.deleteFromDeconIndex(idx, s.read.parquet(doomedDir))
+      }
+      val at1 = TextDedup
+        .decontaminateAgainstIndex(corpus, idx, asOf = Some(1))
+        .withColumn("as_of", lit(1L))
+      val at2 = TextDedup
+        .decontaminateAgainstIndex(corpus, idx, asOf = Some(2))
+        .withColumn("as_of", lit(2L))
+      at1.unionByName(at2)
+        .select(col("as_of"), col("doc_id"), col("orig_len"),
+          col("clean_len"), col("n_cut"), col("chars_removed"),
+          col("clean_md5"))
+        .orderBy(col("as_of"), col("doc_id"))
+    }),
+
     // Cross-polytope ANN top-k at the gate: EXHAUSTIVE probe (probes =
     // 2·d₂ = 128 — every cell), so the cell partition is provably
     // output-invisible and the result must equal the exact brute-force

@@ -75,7 +75,8 @@ object Stress {
     // run everything — lets a single section re-run without repaying
     // the full ~10-minute sweep
     val known = Set("heavy", "emb", "skew", "link", "emb100", "inc",
-      "inc100", "span", "span100", "txt", "txt100", "cmp", "del")
+      "inc100", "span", "span100", "txt", "txt100", "cmp", "del",
+      "dcn")
     // emb100 (the 220k-vector third decade) is EXCLUDED from the
     // no-args sweep: measured, its 100× pass OOMs the 8 GB local heap
     // when it runs AFTER the full heavy+emb sections' accumulated
@@ -615,6 +616,43 @@ object Stress {
       println(f"STRESS fp_probe_tombstones-live-vs-folded@10x " +
         f"t_live=$tLive%.2fs t_folded=$tFold%.2fs " +
         f"ratio=${tLive / tFold}%.2f")
+    }
+
+    // ---- the stored benchmark-window suite (q180/q181, r13): two
+    // honesty measurements the scaladoc claims rest on — (a) the
+    // stored-suite probe costs the SAME as the live path at equal
+    // inputs (the corpus window explode dominates; the artifact's
+    // value is the VERSIONED suite, not the skipped benchmark
+    // explode), and (b) a fixed corpus cleaned against a 10×-grown
+    // suite grows only by the broadcast gram-set term.
+    if (section("dcn")) {
+      buildDocCorpus(spark, base, txtDoc1, 1)
+      val docDcn10 = "/tmp/graft_stress_doc_dcn10x"
+      buildDocCorpus(spark, base, docDcn10, 10)
+      def slice(src: String, bench: Boolean): DataFrame = {
+        val d = txtDocs(src)
+        if (bench) d.filter(col("doc_id") % 20 === 3)
+        else d.filter(col("doc_id") % 20 =!= 3)
+      }
+      val corpus = slice(txtDoc1, bench = false) // FIXED cleaning work
+      val dcnIdx1 = "/tmp/graft_stress_dcnidx_1x"
+      val dcnIdx10 = "/tmp/graft_stress_dcnidx_10x"
+      Seq((txtDoc1, dcnIdx1), (docDcn10, dcnIdx10)).foreach {
+        case (src, idx) => CacheScope.withScope {
+          operators.TextDedup.writeDeconIndex(slice(src, bench = true),
+            idx, w = 60)
+        }
+      }
+      val tLive = timed(() => operators.TextDedup.decontaminateSpans(
+        corpus, slice(txtDoc1, bench = true), w = 60))
+      val tIdx1 = timed(() =>
+        operators.TextDedup.decontaminateAgainstIndex(corpus, dcnIdx1))
+      println(f"STRESS decon_live-vs-stored-suite@1x t_live=$tLive%.2fs " +
+        f"t_indexed=$tIdx1%.2fs ratio=${tIdx1 / tLive}%.2f")
+      report("q180_decontaminate_indexed fixed-corpus vs suite size",
+        tIdx1, timed(() =>
+          operators.TextDedup.decontaminateAgainstIndex(corpus,
+            dcnIdx10)))
     }
 
     // ---- 100× point for the sub-ρ path (r9): the sign-LSH family's

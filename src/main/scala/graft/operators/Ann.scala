@@ -774,12 +774,17 @@ object Ann {
       floor: Int, paramsDerived: Boolean)
 
   private def cpIndexState(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, who: String): CpIndexState = {
+      indexDir: String, who: String, asOf: Option[Int] = None)
+      : CpIndexState = {
     // completeness = the meta READS (EpochStore's contract, r11
     // review): the highest READABLE meta serves; each lower epoch was
     // admitted by the same rule when it was current
-    val st = graft.sources.EpochStore.servingState(spark,
-      indexDir, who, "writeCpIndex")
+    val st = asOf match {
+      case Some(e) => graft.sources.EpochStore.servingStateAt(spark,
+        indexDir, e, who, "writeCpIndex")
+      case None => graft.sources.EpochStore.servingState(spark,
+        indexDir, who, "writeCpIndex")
+    }
     val meta = st.meta
     val family = meta.getAs[String]("family")
     require(family == CpIndexFamily,
@@ -801,8 +806,9 @@ object Ann {
     */
   private def readCpMeta(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, who: String, threshold: Double, dim: Int,
-      targetMiss: Double): (Int, Int, Int, Int) = {
-    val st = cpIndexState(spark, indexDir, who)
+      targetMiss: Double, asOf: Option[Int] = None)
+      : (Int, Int, Int, Int) = {
+    val st = cpIndexState(spark, indexDir, who, asOf)
     def drift(name: String, stored: Any, asked: Any): Unit =
       require(stored == asked,
         s"$who: $name drift — artifact at $indexDir " +
@@ -1002,12 +1008,17 @@ object Ann {
     * a global sort the downstream plan does not need.
     */
   def cosinePairsCpIndexed(indexDir: String, incoming: DataFrame,
-      threshold: Double, dim: Int = 64, targetMiss: Double = 1e-4)
-      : DataFrame = {
+      threshold: Double, dim: Int = 64, targetMiss: Double = 1e-4,
+      asOf: Option[Int] = None): DataFrame = {
     val spark = incoming.sparkSession
     GraftFunctions.register(spark)
+    // asOf (r13): probe the corpus exactly as epoch `asOf`'s commit
+    // served it — the FROZEN (k, bands) come from the historical meta
+    // (identical at every horizon: append/delete carry them verbatim),
+    // so a historical probe hashes under the same rotations the stored
+    // band rows were built with. Same plan; pure partition pruning.
     val (k, nBands, floor, epoch) = readCpMeta(spark, indexDir,
-      "cosinePairsCpIndexed", threshold, dim, targetMiss)
+      "cosinePairsCpIndexed", threshold, dim, targetMiss, asOf)
 
     val inc = graft.CacheScope.scoped(incoming.select(col("vec_id"),
       VecFns.toDouble(col("embedding")).as("v")))
@@ -1095,12 +1106,12 @@ object Ann {
     * convention.
     */
   def cpTopKIndexed(indexDir: String, queries: DataFrame, k: Int,
-      threshold: Double, dim: Int = 64, targetMiss: Double = 1e-4)
-      : DataFrame = {
+      threshold: Double, dim: Int = 64, targetMiss: Double = 1e-4,
+      asOf: Option[Int] = None): DataFrame = {
     val spark = queries.sparkSession
     GraftFunctions.register(spark)
     val (kHashes, nBands, floor, epoch) = readCpMeta(spark, indexDir,
-      "cpTopKIndexed", threshold, dim, targetMiss)
+      "cpTopKIndexed", threshold, dim, targetMiss, asOf)
     val q = graft.CacheScope.scoped(queries.select(col("vec_id"),
       VecFns.toDouble(col("embedding")).as("qv")))
     val nQ = requireDistinctIds(q, "cpTopKIndexed(queries)",

@@ -719,9 +719,14 @@ object Multimodal {
   private case class DHashIndexState(count: Long, epoch: Int, floor: Int)
 
   private def dHashIndexState(spark: org.apache.spark.sql.SparkSession,
-      dir: String, who: String): DHashIndexState = {
-    val st = graft.sources.EpochStore.servingState(spark, dir, who,
-      "writeDHashIndex")
+      dir: String, who: String, asOf: Option[Int] = None)
+      : DHashIndexState = {
+    val st = asOf match {
+      case Some(e) => graft.sources.EpochStore.servingStateAt(spark,
+        dir, e, who, "writeDHashIndex")
+      case None => graft.sources.EpochStore.servingState(spark, dir,
+        who, "writeDHashIndex")
+    }
     val family = st.meta.getAs[String]("family")
     require(family == DHashIndexFamily,
       s"$who: artifact at $dir was hashed by family '$family' but " +
@@ -796,13 +801,17 @@ object Multimodal {
     * deterministic gating — throughput consumers should drop it.
     */
   def imageDHashNearIndexed(indexDir: String, incoming: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, asOf: Option[Int] = None): DataFrame = {
     val spark = incoming.sparkSession
     require(maxHamming >= 0 && maxHamming < 4,
       s"imageDHashNearIndexed: maxHamming = $maxHamming breaks the " +
         "pigeonhole premise — 4 stored bands of 16 bits catch " +
         "Hamming <= 3")
-    val st = dHashIndexState(spark, indexDir, "imageDHashNearIndexed")
+    // asOf (r13): verdict against the corpus exactly as that epoch's
+    // commit served it — the banding is parameter-free, so every
+    // horizon is probe-valid; same plan, pure partition pruning
+    val st = dHashIndexState(spark, indexDir, "imageDHashNearIndexed",
+      asOf)
     val inc = graft.CacheScope.scoped(dHashes(incoming).toDF())
     val nInc = requireOneMediaIdSpace(inc, "imageDHashNearIndexed",
       "within the incoming shard")

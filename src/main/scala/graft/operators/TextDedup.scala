@@ -1002,9 +1002,14 @@ object TextDedup {
       epoch: Int, floor: Int)
 
   private def deconIndexState(spark: org.apache.spark.sql.SparkSession,
-      dir: String, who: String): DeconIndexState = {
-    val st = graft.sources.EpochStore.servingState(spark, dir, who,
-      "writeDeconIndex")
+      dir: String, who: String, asOf: Option[Int] = None)
+      : DeconIndexState = {
+    val st = asOf match {
+      case Some(e) => graft.sources.EpochStore.servingStateAt(spark,
+        dir, e, who, "writeDeconIndex")
+      case None => graft.sources.EpochStore.servingState(spark, dir,
+        who, "writeDeconIndex")
+    }
     val family = st.meta.getAs[String]("family")
     require(family == DeconIndexFamily,
       s"$who: artifact at $dir was windowed by family '$family' but " +
@@ -1155,11 +1160,16 @@ object TextDedup {
     * stance) — the artifact's value is the VERSIONED suite, not the
     * skipped explode.
     */
-  def decontaminateAgainstIndex(corpus: DataFrame, indexDir: String)
-      : DataFrame = {
+  def decontaminateAgainstIndex(corpus: DataFrame, indexDir: String,
+      asOf: Option[Int] = None): DataFrame = {
     val spark = corpus.sparkSession
+    // asOf (r13): clean against the suite AS OF a historical epoch —
+    // "was this corpus clean against LAST month's benchmark set" is a
+    // real compliance question, and the answer must use exactly the
+    // windows that suite version held (later-added benchmarks must not
+    // cut, later-retired ones must). Same plan; pure partition pruning.
     val st = deconIndexState(spark, indexDir,
-      "decontaminateAgainstIndex")
+      "decontaminateAgainstIndex", asOf)
     val benchGrams = graft.sources.EpochStore.tableThroughLive(spark,
         indexDir, "grams", "doc_id", st.floor, st.epoch)
       .select(col("gram")).distinct()

@@ -252,9 +252,14 @@ object TextIndex {
       floor: Int)
 
   private def indexState(spark: org.apache.spark.sql.SparkSession,
-      dir: String, who: String): JaccardIndexState = {
-    val st = EpochStore.servingState(spark, dir, who,
-      "writeJaccardIndex")
+      dir: String, who: String, asOf: Option[Int] = None)
+      : JaccardIndexState = {
+    val st = asOf match {
+      case Some(e) => EpochStore.servingStateAt(spark, dir, e, who,
+        "writeJaccardIndex")
+      case None => EpochStore.servingState(spark, dir, who,
+        "writeJaccardIndex")
+    }
     val meta = st.meta
     val family = meta.getAs[String]("family")
     require(family == JaccardIndexFamily,
@@ -274,9 +279,9 @@ object TextIndex {
     * artifact's would demand more bands than were stored.
     */
   private def readMeta(spark: org.apache.spark.sql.SparkSession,
-      dir: String, who: String, threshold: Double, targetMiss: Double)
-      : JaccardIndexState = {
-    val st = indexState(spark, dir, who)
+      dir: String, who: String, threshold: Double, targetMiss: Double,
+      asOf: Option[Int] = None): JaccardIndexState = {
+    val st = indexState(spark, dir, who, asOf)
     def drift(name: String, stored: Any, asked: Any): Unit =
       require(stored == asked,
         s"$who: $name drift — artifact at $dir stores $name = $stored " +
@@ -406,12 +411,21 @@ object TextIndex {
     * artifact's meta (zero derivation); drift and hash-family skew
     * refuse loudly; id disjointness is CHECKED against the stored doc
     * ids (a one-column pruned scan).
+    *
+    * `asOf` (r13): probe the artifact AS OF a historical epoch — the
+    * corpus is exactly what that epoch's commit served (later appends
+    * invisible, later tombstones not suppressing;
+    * [[graft.sources.EpochStore.servingStateAt]] pins the horizon and
+    * refuses below the floor). Banding is count-independent, so the
+    * stored parameters are valid at every horizon. Same plan — as-of
+    * is pure partition pruning.
     */
   def jaccardPairsIndexed(indexDir: String, incoming: DataFrame,
-      threshold: Double, targetMiss: Double = 1e-4): DataFrame = {
+      threshold: Double, targetMiss: Double = 1e-4,
+      asOf: Option[Int] = None): DataFrame = {
     val spark = incoming.sparkSession
     val st = readMeta(spark, indexDir, "jaccardPairsIndexed",
-      threshold, targetMiss)
+      threshold, targetMiss, asOf)
     val inc = graft.CacheScope.scoped(shingled(incoming))
     val agg = inc.agg(count(lit(1)).as("n"),
       count_distinct(col("doc_id")).as("nd")).head()
@@ -469,11 +483,12 @@ object TextIndex {
     * stored bands answer), unlike [[jaccardPairsIndexed]]'s union.
     */
   def jaccardTopKIndexed(indexDir: String, queries: DataFrame, k: Int,
-      threshold: Double, targetMiss: Double = 1e-4): DataFrame = {
+      threshold: Double, targetMiss: Double = 1e-4,
+      asOf: Option[Int] = None): DataFrame = {
     require(k > 0, s"jaccardTopKIndexed: k must be positive, got $k")
     val spark = queries.sparkSession
     val st = readMeta(spark, indexDir, "jaccardTopKIndexed",
-      threshold, targetMiss)
+      threshold, targetMiss, asOf)
     val inc = graft.CacheScope.scoped(shingled(queries))
     val agg = inc.agg(count(lit(1)).as("n"),
       count_distinct(col("doc_id")).as("nd")).head()

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Bm25, Dedup}
+import graft.operators.{Ann, Bm25, Dedup, Multimodal, TextIndex}
 
 /** AS-OF (time-travel) reads over the EpochStore layout (r13): every
   * epoch in [floor, serving] has a complete meta and un-reclaimed data,
@@ -169,5 +169,106 @@ class EpochAsOfSpec extends AnyFunSuite {
     assert(rows(Bm25.topKIndexedAsOf(spark, dir, terms, 50, asOf = 2)) ==
       rows(Bm25.topKIndexed(spark, dir, terms, 50)),
       "as-of the serving epoch must equal the plain serving probe")
+  }
+
+  test("text / cp / dhash as-of: probing an appended artifact as-of " +
+      "epoch 0 equals a fresh base-only build; as-of the serving " +
+      "epoch equals the plain probe") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    // TEXT (MinHash pairs)
+    locally {
+      val corpus = d.filter(col("doc_id") % 7 =!= 3)
+        .select("doc_id", "text")
+      val incoming = d.filter(col("doc_id") % 7 === 3)
+        .select("doc_id", "text")
+        .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+            col("text")))
+      val base = corpus.filter(col("doc_id") % 11 =!= 5)
+      val dir = "/tmp/graft_test_txtasof"
+      val baseOnly = "/tmp/graft_test_txtasof_base"
+      CacheScope.withScope {
+        TextIndex.writeJaccardIndex(base, dir, threshold = 0.6)
+        TextIndex.appendJaccardIndex(dir,
+          corpus.filter(col("doc_id") % 11 === 5))
+        TextIndex.writeJaccardIndex(base, baseOnly, threshold = 0.6)
+      }
+      def pairs(at: String, asOf: Option[Int]) = CacheScope.withScope {
+        TextIndex.jaccardPairsIndexed(at, incoming, threshold = 0.6,
+            asOf = asOf)
+          .select("doc_a", "doc_b")
+          .as[(Long, Long)].collect().toSet
+      }
+      val at0 = pairs(dir, Some(0))
+      assert(at0 == pairs(baseOnly, None) && at0.nonEmpty,
+        "text as-of 0 must equal a fresh base-only build")
+      assert(pairs(dir, Some(1)) == pairs(dir, None),
+        "text as-of serving must equal the plain probe")
+      assert(pairs(dir, None) != at0, "test premise: the append must " +
+        "change the pair set")
+    }
+    // CP (embedding pairs) — parameters PINNED explicitly so the
+    // base-only rebuild hashes identically (derived params would size
+    // from each build's own count)
+    locally {
+      val e = Tables.embeddings(spark, TestSpark.sf)
+      val corpus = e.filter(col("vec_id") % 7 =!= 3)
+        .select("vec_id", "embedding")
+      val incoming = e.filter(col("vec_id") % 7 === 3)
+        .select("vec_id", "embedding")
+        .unionByName(corpus.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + lit(5000000L)).as("vec_id"),
+            col("embedding")))
+      val base = corpus.filter(col("vec_id") % 11 =!= 5)
+      val dir = "/tmp/graft_test_cpasof"
+      val baseOnly = "/tmp/graft_test_cpasof_base"
+      CacheScope.withScope {
+        val k = graft.plans.CrossPolytope.chooseHashesPerBand(
+          corpus.count(), 0.4, 64, 1e-4)
+        val b = graft.plans.CrossPolytope.bandsFor(0.4, k, 64, 1e-4)
+        Ann.writeCpIndex(base, dir, threshold = 0.4,
+          hashesPerBand = k, bands = b)
+        Ann.appendCpIndex(dir,
+          corpus.filter(col("vec_id") % 11 === 5))
+        Ann.writeCpIndex(base, baseOnly, threshold = 0.4,
+          hashesPerBand = k, bands = b)
+      }
+      def pairs(at: String, asOf: Option[Int]) = CacheScope.withScope {
+        Ann.cosinePairsCpIndexed(at, incoming, threshold = 0.4,
+            asOf = asOf)
+          .as[(Long, Long)].collect().toSet
+      }
+      val at0 = pairs(dir, Some(0))
+      assert(at0 == pairs(baseOnly, None) && at0.nonEmpty,
+        "cp as-of 0 must equal a fresh base-only build")
+      assert(pairs(dir, Some(1)) == pairs(dir, None),
+        "cp as-of serving must equal the plain probe")
+    }
+    // DHASH (image near-dup verdicts)
+    locally {
+      val corpus = d.filter(col("doc_id") % 7 =!= 3)
+      val incoming = d.filter(col("doc_id") % 7 === 3)
+      val base = corpus.filter(col("doc_id") % 11 =!= 5)
+      val dir = "/tmp/graft_test_dhasof"
+      val baseOnly = "/tmp/graft_test_dhasof_base"
+      CacheScope.withScope {
+        Multimodal.writeDHashIndex(base, dir)
+        Multimodal.appendDHashIndex(dir,
+          corpus.filter(col("doc_id") % 11 === 5 &&
+            col("doc_id") % 3 === 0))
+        Multimodal.writeDHashIndex(base, baseOnly)
+      }
+      def verdicts(at: String, asOf: Option[Int]) =
+        CacheScope.withScope {
+          Multimodal.imageDHashNearIndexed(at, incoming, asOf = asOf)
+            .select("media_a", "media_b")
+            .as[(Long, Long)].collect().toSet
+        }
+      val at0 = verdicts(dir, Some(0))
+      assert(at0 == verdicts(baseOnly, None) && at0.nonEmpty,
+        "dhash as-of 0 must equal a fresh base-only build")
+      assert(verdicts(dir, Some(1)) == verdicts(dir, None),
+        "dhash as-of serving must equal the plain probe")
+    }
   }
 }
