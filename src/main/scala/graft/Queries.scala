@@ -1157,9 +1157,9 @@ object Queries {
           corpus.join(doomed.filter(col("doc_id") % 2 === 0),
             Seq("doc_id"), "left_semi"))
       }
-      val at1 = Dedup.dedupAgainstIndexAsOf(idx, incoming, asOf = 1)
+      val at1 = Dedup.dedupAgainstIndex(idx, incoming, asOf = Some(1))
         .withColumn("as_of", lit(1L))
-      val at2 = Dedup.dedupAgainstIndexAsOf(idx, incoming, asOf = 2)
+      val at2 = Dedup.dedupAgainstIndex(idx, incoming, asOf = Some(2))
         .withColumn("as_of", lit(2L))
       at1.unionByName(at2)
         .select(col("as_of"), col("doc_id"), col("fp"), col("owner"),
@@ -1184,9 +1184,9 @@ object Queries {
           d.filter(col("doc_id") % 13 === 2).select("doc_id"))
       }
       val terms = Seq("spark", "hash", "window")
-      val at0 = Bm25.topKIndexedAsOf(s, idx, terms, k = 50, asOf = 0)
+      val at0 = Bm25.topKIndexed(s, idx, terms, k = 50, asOf = Some(0))
         .withColumn("as_of", lit(0L))
-      val at1 = Bm25.topKIndexedAsOf(s, idx, terms, k = 50, asOf = 1)
+      val at1 = Bm25.topKIndexed(s, idx, terms, k = 50, asOf = Some(1))
         .withColumn("as_of", lit(1L))
       at0.unionByName(at1)
         .select(col("as_of"), col("doc_id"), col("score_micro"),

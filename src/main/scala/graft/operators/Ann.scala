@@ -779,12 +779,8 @@ object Ann {
     // completeness = the meta READS (EpochStore's contract, r11
     // review): the highest READABLE meta serves; each lower epoch was
     // admitted by the same rule when it was current
-    val st = asOf match {
-      case Some(e) => graft.sources.EpochStore.servingStateAt(spark,
-        indexDir, e, who, "writeCpIndex")
-      case None => graft.sources.EpochStore.servingState(spark,
-        indexDir, who, "writeCpIndex")
-    }
+    val st = graft.sources.EpochStore.servingStateMaybeAt(spark,
+      indexDir, asOf, who, "writeCpIndex")
     val meta = st.meta
     val family = meta.getAs[String]("family")
     require(family == CpIndexFamily,

@@ -226,12 +226,8 @@ object Bm25 {
   private def bm25IndexState(spark: org.apache.spark.sql.SparkSession,
       dir: String, who: String, asOf: Option[Int] = None)
       : Bm25IndexState = {
-    val st = asOf match {
-      case Some(e) => graft.sources.EpochStore.servingStateAt(spark,
-        dir, e, who, "writeBm25Index")
-      case None => graft.sources.EpochStore.servingState(spark, dir,
-        who, "writeBm25Index")
-    }
+    val st = graft.sources.EpochStore.servingStateMaybeAt(spark, dir,
+      asOf, who, "writeBm25Index")
     val family = st.meta.getAs[String]("family")
     require(family == Bm25IndexFamily,
       s"$who: artifact at $dir was tokenized by family '$family' but " +
@@ -341,26 +337,21 @@ object Bm25 {
     * additive over the disjoint doc sets the append premise
     * guarantees — so a grown index scores identically to a rebuild.
     */
-  def topKIndexed(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, queryTerms: Seq[String], k: Int): DataFrame =
-    topKIndexedState(spark, indexDir, queryTerms, k,
-      bm25IndexState(spark, indexDir, "topKIndexed"))
-
-  /** [[topKIndexed]] AS OF a historical epoch (r13 — time-travel
-    * retrieval): scores against the corpus statistics as they stood
-    * when epoch `asOf` committed — postings and per-epoch df rows prune
-    * to `[floor_asOf, asOf]`, later tombstones don't suppress, and the
-    * decisive part: (N, Σdl) come from the HISTORICAL meta row, not the
-    * current one, so the additive stats rewind with the corpus and the
-    * scores reproduce a past retrieval bit-for-bit (the q179 gate).
-    * History retention is the floor — an `asOf` below it refuses
-    * (compaction is snapshot expiry). Same plan as the serving probe.
+  /** `asOf` (r13 — time-travel retrieval, the convention shared by
+    * every family probe): scores against the corpus statistics as they
+    * stood when epoch `asOf` committed — postings and per-epoch df
+    * rows prune to that horizon, later tombstones don't suppress, and
+    * the decisive part: (N, Σdl) come from the HISTORICAL meta row,
+    * not the current one, so the additive stats rewind with the corpus
+    * and the scores reproduce a past retrieval bit-for-bit (the q179
+    * gate). History retention is the floor — an `asOf` below it
+    * refuses (compaction is snapshot expiry). Same plan.
     */
-  def topKIndexedAsOf(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, queryTerms: Seq[String], k: Int, asOf: Int)
-      : DataFrame =
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryTerms: Seq[String], k: Int,
+      asOf: Option[Int] = None): DataFrame =
     topKIndexedState(spark, indexDir, queryTerms, k,
-      bm25IndexState(spark, indexDir, "topKIndexedAsOf", Some(asOf)))
+      bm25IndexState(spark, indexDir, "topKIndexed", asOf))
 
   private def topKIndexedState(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queryTerms: Seq[String], k: Int,

@@ -130,12 +130,8 @@ object Dedup {
   private def fpIndexState(spark: org.apache.spark.sql.SparkSession,
       dir: String, who: String, asOf: Option[Int] = None)
       : FpIndexState = {
-    val st = asOf match {
-      case Some(e) => graft.sources.EpochStore.servingStateAt(spark,
-        dir, e, who, "writeFingerprintIndex")
-      case None => graft.sources.EpochStore.servingState(spark,
-        dir, who, "writeFingerprintIndex")
-    }
+    val st = graft.sources.EpochStore.servingStateMaybeAt(spark, dir,
+      asOf, who, "writeFingerprintIndex")
     val family = st.meta.getAs[String]("family")
     require(family == FpIndexFamily,
       s"$who: artifact at $dir was fingerprinted by family '$family' " +
@@ -162,30 +158,20 @@ object Dedup {
     * deterministic gating — a throughput consumer should drop it; at
     * 100 TB it is a global sort downstream plans do not need.
     */
-  def dedupAgainstIndex(indexDir: String, incoming: DataFrame)
-      : DataFrame = {
+  def dedupAgainstIndex(indexDir: String, incoming: DataFrame,
+      asOf: Option[Int] = None): DataFrame = {
     val spark = incoming.sparkSession
-    val st = fpIndexState(spark, indexDir, "dedupAgainstIndex")
+    // asOf (r13 — time-travel probes over the mutating artifact, the
+    // convention shared by every family probe): the shard verdicts
+    // against the owner map exactly as it stood when epoch `asOf`
+    // committed — later appends invisible, later tombstones not
+    // suppressing (EpochStore.servingStateAt pins the horizon) — so
+    // yesterday's verdicts re-run bit-identically on an artifact that
+    // has since appended, deleted, and re-appended. History retention
+    // is the floor (compaction is snapshot expiry); same plan, pure
+    // partition pruning.
+    val st = fpIndexState(spark, indexDir, "dedupAgainstIndex", asOf)
     probeAgainst(spark, indexDir, st, incoming, "dedupAgainstIndex")
-  }
-
-  /** [[dedupAgainstIndex]] AS OF a historical epoch (r13 — time-travel
-    * probes over the mutating artifact): the shard verdicts against the
-    * owner map exactly as it stood when epoch `asOf` committed — later
-    * appends are invisible and later tombstones don't suppress
-    * ([[graft.sources.EpochStore.servingStateAt]] pins the horizon), so
-    * yesterday's verdicts re-run bit-identically on an artifact that
-    * has since appended, deleted, and re-appended. History retention is
-    * the floor: an `asOf` below it refuses (compaction is snapshot
-    * expiry); same per-shard cost as the serving probe — the plan is
-    * identical, only the epoch range differs.
-    */
-  def dedupAgainstIndexAsOf(indexDir: String, incoming: DataFrame,
-      asOf: Int): DataFrame = {
-    val spark = incoming.sparkSession
-    val st = fpIndexState(spark, indexDir, "dedupAgainstIndexAsOf",
-      Some(asOf))
-    probeAgainst(spark, indexDir, st, incoming, "dedupAgainstIndexAsOf")
   }
 
   private def probeAgainst(spark: org.apache.spark.sql.SparkSession,

@@ -721,12 +721,8 @@ object Multimodal {
   private def dHashIndexState(spark: org.apache.spark.sql.SparkSession,
       dir: String, who: String, asOf: Option[Int] = None)
       : DHashIndexState = {
-    val st = asOf match {
-      case Some(e) => graft.sources.EpochStore.servingStateAt(spark,
-        dir, e, who, "writeDHashIndex")
-      case None => graft.sources.EpochStore.servingState(spark, dir,
-        who, "writeDHashIndex")
-    }
+    val st = graft.sources.EpochStore.servingStateMaybeAt(spark, dir,
+      asOf, who, "writeDHashIndex")
     val family = st.meta.getAs[String]("family")
     require(family == DHashIndexFamily,
       s"$who: artifact at $dir was hashed by family '$family' but " +

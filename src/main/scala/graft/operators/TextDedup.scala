@@ -1004,12 +1004,8 @@ object TextDedup {
   private def deconIndexState(spark: org.apache.spark.sql.SparkSession,
       dir: String, who: String, asOf: Option[Int] = None)
       : DeconIndexState = {
-    val st = asOf match {
-      case Some(e) => graft.sources.EpochStore.servingStateAt(spark,
-        dir, e, who, "writeDeconIndex")
-      case None => graft.sources.EpochStore.servingState(spark, dir,
-        who, "writeDeconIndex")
-    }
+    val st = graft.sources.EpochStore.servingStateMaybeAt(spark, dir,
+      asOf, who, "writeDeconIndex")
     val family = st.meta.getAs[String]("family")
     require(family == DeconIndexFamily,
       s"$who: artifact at $dir was windowed by family '$family' but " +

@@ -254,12 +254,8 @@ object TextIndex {
   private def indexState(spark: org.apache.spark.sql.SparkSession,
       dir: String, who: String, asOf: Option[Int] = None)
       : JaccardIndexState = {
-    val st = asOf match {
-      case Some(e) => EpochStore.servingStateAt(spark, dir, e, who,
-        "writeJaccardIndex")
-      case None => EpochStore.servingState(spark, dir, who,
-        "writeJaccardIndex")
-    }
+    val st = EpochStore.servingStateMaybeAt(spark, dir, asOf, who,
+      "writeJaccardIndex")
     val meta = st.meta
     val family = meta.getAs[String]("family")
     require(family == JaccardIndexFamily,

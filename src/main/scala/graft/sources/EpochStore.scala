@@ -38,6 +38,13 @@ import org.apache.spark.sql.functions.{col, lit}
   * `floor_epoch` column appended at write time) — appends after a
   * compaction carry it forward, so compact/append interleave freely.
   *
+  * AS-OF (r13 — the layout's remaining read dimension): every epoch in
+  * `[floor, serving]` has a complete meta and un-reclaimed data by the
+  * invariants above, so [[servingStateAt]] serves any of them as an
+  * exact historical read horizon; below the floor the compaction
+  * folded the per-epoch states away and the read refuses — compaction
+  * is snapshot expiry, history retention = delayed compaction.
+  *
   * SINGLE WRITER, like any parquet layout without a table format: two
   * concurrent appends both target epoch N+1 and the loser's data is
   * silently clobbered or interleaved — serialize appends externally.
@@ -226,6 +233,17 @@ object EpochStore {
       Serving(asOf, floor, meta)
     }
   }
+
+  /** The one as-of dispatch every family state reader rides (r13
+    * second review — six families carried the identical match block):
+    * None = the serving state, Some(e) = the historical horizon.
+    */
+  def servingStateMaybeAt(spark: SparkSession, dir: String,
+      asOf: Option[Int], who: String, rebuildHint: String): Serving =
+    asOf match {
+      case Some(e) => servingStateAt(spark, dir, e, who, rebuildHint)
+      case None => servingState(spark, dir, who, rebuildHint)
+    }
 
   /** A table's LIVE rows — epochs in `[floor, epoch]`. Partition
     * pruning on the epoch directory column skips torn higher epochs

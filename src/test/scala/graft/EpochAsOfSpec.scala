@@ -23,7 +23,7 @@ class EpochAsOfSpec extends AnyFunSuite {
       incoming: org.apache.spark.sql.DataFrame, asOf: Option[Int])
       : Set[(Long, String, Long, Boolean)] = CacheScope.withScope {
     (asOf match {
-      case Some(e) => Dedup.dedupAgainstIndexAsOf(dir, incoming, e)
+      case Some(e) => Dedup.dedupAgainstIndex(dir, incoming, Some(e))
       case None => Dedup.dedupAgainstIndex(dir, incoming)
     }).as[(Long, String, Long, Boolean)].collect().toSet
   }
@@ -78,7 +78,7 @@ class EpochAsOfSpec extends AnyFunSuite {
     val slicePart = CacheScope.withScope {
       // the slice docs that actually landed in epoch 1 (the survivors
       // of the probe against base)
-      val kept = Dedup.dedupAgainstIndexAsOf(dir, slice, asOf = 0)
+      val kept = Dedup.dedupAgainstIndex(dir, slice, asOf = Some(0))
         .filter(col("kept")).select("doc_id")
       slice.join(kept, Seq("doc_id"), "left_semi")
     }.cache()
@@ -158,15 +158,15 @@ class EpochAsOfSpec extends AnyFunSuite {
     val terms = Seq("spark", "hash", "window")
     def rows(df: org.apache.spark.sql.DataFrame) =
       CacheScope.withScope { df.as[(Long, Long, Long)].collect().toSeq }
-    val at0 = rows(Bm25.topKIndexedAsOf(spark, dir, terms, 50, asOf = 0))
+    val at0 = rows(Bm25.topKIndexed(spark, dir, terms, 50, asOf = Some(0)))
     val fresh = rows(Bm25.topKIndexed(spark, baseOnly, terms, 50))
     assert(at0 == fresh && at0.nonEmpty,
       "as-of 0 must score with the base (N, Σdl, df) — identical to a " +
         "fresh base-only index")
-    val at1 = rows(Bm25.topKIndexedAsOf(spark, dir, terms, 50, asOf = 1))
+    val at1 = rows(Bm25.topKIndexed(spark, dir, terms, 50, asOf = Some(1)))
     assert(at1 != at0, "test premise: the append must move scores " +
       "(N/avgdl/df all change)")
-    assert(rows(Bm25.topKIndexedAsOf(spark, dir, terms, 50, asOf = 2)) ==
+    assert(rows(Bm25.topKIndexed(spark, dir, terms, 50, asOf = Some(2))) ==
       rows(Bm25.topKIndexed(spark, dir, terms, 50)),
       "as-of the serving epoch must equal the plain serving probe")
   }
@@ -243,19 +243,34 @@ class EpochAsOfSpec extends AnyFunSuite {
         "cp as-of 0 must equal a fresh base-only build")
       assert(pairs(dir, Some(1)) == pairs(dir, None),
         "cp as-of serving must equal the plain probe")
+      // guaranteed by construction: the incoming copies of corpus
+      // %10==0 include vectors whose originals sit in the APPENDED
+      // %11==5 slice (ids ≡ 60 mod 110) — their cosine-1 pairs exist
+      // only at the serving horizon (r13 second review: without this
+      // premise the as-of-0 gate could pass vacuously)
+      assert(pairs(dir, None) != at0, "test premise: the append must " +
+        "change the pair set")
     }
-    // DHASH (image near-dup verdicts)
+    // DHASH (image near-dup verdicts) — incoming carries PLANTED
+    // exact-raster copies of the APPENDED wave (id shift ≡ 0 mod 768:
+    // ≡ 0 mod 3 keeps a copy an image, ≡ 0 mod 256 makes the raster an
+    // EXACT duplicate — the CLAUDE.md gotcha used deliberately, the
+    // q175 construction), so Hamming-0 hits exist ONLY at the serving
+    // horizon and the as-of-0 gate cannot pass vacuously (r13 second
+    // review)
     locally {
       val corpus = d.filter(col("doc_id") % 7 =!= 3)
+      val wave = corpus.filter(col("doc_id") % 11 === 5 &&
+        col("doc_id") % 3 === 0)
       val incoming = d.filter(col("doc_id") % 7 === 3)
+        .unionByName(wave
+          .withColumn("doc_id", col("doc_id") + lit(768000000L)))
       val base = corpus.filter(col("doc_id") % 11 =!= 5)
       val dir = "/tmp/graft_test_dhasof"
       val baseOnly = "/tmp/graft_test_dhasof_base"
       CacheScope.withScope {
         Multimodal.writeDHashIndex(base, dir)
-        Multimodal.appendDHashIndex(dir,
-          corpus.filter(col("doc_id") % 11 === 5 &&
-            col("doc_id") % 3 === 0))
+        Multimodal.appendDHashIndex(dir, wave)
         Multimodal.writeDHashIndex(base, baseOnly)
       }
       def verdicts(at: String, asOf: Option[Int]) =
@@ -267,8 +282,11 @@ class EpochAsOfSpec extends AnyFunSuite {
       val at0 = verdicts(dir, Some(0))
       assert(at0 == verdicts(baseOnly, None) && at0.nonEmpty,
         "dhash as-of 0 must equal a fresh base-only build")
-      assert(verdicts(dir, Some(1)) == verdicts(dir, None),
+      val serving = verdicts(dir, None)
+      assert(verdicts(dir, Some(1)) == serving,
         "dhash as-of serving must equal the plain probe")
+      assert(serving != at0, "test premise: the appended wave's " +
+        "planted Hamming-0 copies must surface only at serving")
     }
   }
 }
