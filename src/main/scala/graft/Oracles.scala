@@ -171,6 +171,23 @@ object Oracles {
   private val cpDeletedOracle: String = incrementalDedupOracleWith(
     " AND NOT (vec_id % 13 = 2 AND vec_id % 2 = 1)")
 
+  /** q183: the cp arrival ground truth at two historical horizons of
+    * one mutated artifact — as-of 1 is the full post-append corpus,
+    * as-of 2 the corpus minus ALL ≡ 2 (mod 13) vectors (post-delete,
+    * before any re-append — a state no serving probe can see again).
+    * The copies of deleted originals lose their cosine-1 pairs at
+    * horizon 2 (3/3/12 such copies at the three SFs), so the horizon
+    * delta is load-bearing everywhere. Epochs and tombstones never
+    * appear here.
+    */
+  private val cpAsOfOracle: String = s"""
+      SELECT CAST(1 AS BIGINT) AS as_of, v.* FROM (${
+        incrementalDedupOracleWith("")}) v
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS as_of, v.* FROM (${
+        incrementalDedupOracleWith(" AND NOT (vec_id % 13 = 2)")}) v
+      ORDER BY as_of, vec_a, vec_b"""
+
   /** q156's ground truth — [[incrementalDedupOracle]] extended with the
     * third arrival wave (double-scaled copies of the %7==3 slice's
     * %9==4 rows at +9e6): the streaming probe→append loop's per-batch
@@ -226,11 +243,20 @@ object Oracles {
         SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
         FROM tok WHERE len(ws) >= 3),
-      corpus AS (SELECT doc_id, s FROM sh
-                 WHERE doc_id % 7 <> 3$corpusAnd),
+      corpus0 AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 3),
+      corpus AS (SELECT doc_id, s FROM corpus0
+                 WHERE TRUE$corpusAnd),
       inc AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 = 3
               UNION ALL
-              SELECT doc_id + 5000000, s FROM corpus
+              -- copies derive from the UNFILTERED corpus: the engine's
+              -- probe shard is FIXED across horizons/deletions, so a
+              -- copy of a since-deleted doc still probes (and can pair
+              -- with a surviving near-dup of its original — measured
+              -- present at sf0.1, r13). For q153/q167/q173 this is
+              -- provably identical to the old filtered form: %10==0
+              -- copies are all EVEN ids and q173's still-deleted set
+              -- is odd-only.
+              SELECT doc_id + 5000000, s FROM corpus0
               WHERE doc_id % 10 = 0),
       alld AS (SELECT doc_id, s, FALSE AS is_inc FROM corpus
                UNION ALL SELECT doc_id, s, TRUE AS is_inc FROM inc),
@@ -257,6 +283,24 @@ object Oracles {
   private val textDeletedOracle: String =
     textIncrementalOracleWith(
       " AND NOT (doc_id % 13 = 2 AND doc_id % 2 = 1)")
+
+  /** q182: the q153 ground truth at two historical horizons — as-of 1
+    * the full post-append corpus, as-of 2 minus ALL ≡ 2 (mod 13)
+    * stored docs (post-delete, pre-any-re-append). The J=1 copies of
+    * deleted originals (ids ≡ 210/340/470 mod 1300 exist at every SF)
+    * lose their pairs at horizon 2 — load-bearing everywhere. Note the
+    * oracle's inc copies derive from the FILTERED corpus CTE, exactly
+    * the q173 convention: a deleted original's copy pairs only with
+    * its original in this corpus (the committed q173 precedent), so
+    * dropping both sides matches the engine's fixed-shard probe.
+    */
+  private val textAsOfOracle: String = s"""
+      SELECT CAST(1 AS BIGINT) AS as_of, v.* FROM (${
+        textIncrementalOracleWith("")}) v
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS as_of, v.* FROM (${
+        textIncrementalOracleWith(" AND NOT (doc_id % 13 = 2)")}) v
+      ORDER BY as_of, doc_a, doc_b"""
 
   /** BM25 in the same exact integer formula as the engine (see
     * Bm25.scaladoc): rational idf (2N−2df+1)/(2df+1), k1=6/5, b=3/4
@@ -667,6 +711,39 @@ object Oracles {
 
   private val dhashCte: String = dhashCteOver(
     "SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0")
+
+  /** q184: the q141/q177 Hamming-pair contract at two historical
+    * horizons of one mutated artifact — the incoming (%7==3) side is
+    * FIXED; only the stored side varies (as-of 1 = the full
+    * post-append corpus, as-of 2 = minus ALL ≡ 2 (mod 13) stored
+    * images — post-delete, pre-any-re-append). Epochs and tombstones
+    * never appear here.
+    */
+  private val dhashAsOfOracle: String = s"""
+      WITH $dhashCte,
+      a1 AS (SELECT media_id, dhash_hi, dhash_lo,
+                    media_id % 7 = 3 AS is_inc FROM h),
+      a2 AS (SELECT media_id, dhash_hi, dhash_lo,
+                    media_id % 7 = 3 AS is_inc FROM h
+             WHERE media_id % 7 = 3 OR NOT (media_id % 13 = 2)),
+      p1 AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+                    CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+                         bit_count(xor(a.dhash_lo, b.dhash_lo))
+                      AS BIGINT) AS hamming
+             FROM a1 a JOIN a1 b
+               ON a.media_id < b.media_id AND (a.is_inc OR b.is_inc)),
+      p2 AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+                    CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+                         bit_count(xor(a.dhash_lo, b.dhash_lo))
+                      AS BIGINT) AS hamming
+             FROM a2 a JOIN a2 b
+               ON a.media_id < b.media_id AND (a.is_inc OR b.is_inc))
+      SELECT CAST(1 AS BIGINT) AS as_of, media_a, media_b, hamming
+      FROM p1 WHERE hamming <= 3
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS as_of, media_a, media_b, hamming
+      FROM p2 WHERE hamming <= 3
+      ORDER BY as_of, media_a, media_b"""
 
   /** Exact cosine-pairs contract shared by q28 (blocked-exact path) and
     * q52 (LSH-banded path): every (a<b) pair with cosine >= 0.4. The
@@ -2476,6 +2553,12 @@ object Oracles {
     "q179_bm25_asof" -> bm25AsOfOracle,
 
     "q181_decontaminate_asof" -> deconAsOfOracle,
+
+    "q182_text_dedup_asof" -> textAsOfOracle,
+
+    "q183_cp_dedup_asof" -> cpAsOfOracle,
+
+    "q184_dhash_asof" -> dhashAsOfOracle,
 
     // Multi-probe LSH probing ALL buckets (probeHamming = nPlanes) must
     // equal the exact top-k — the sign-bit buckets route, they never

@@ -1282,6 +1282,109 @@ object Queries {
         .orderBy(col("as_of"), col("doc_id"))
     }),
 
+    // AS-OF gated on the remaining three families (r13 — after these,
+    // every one of the SIX index families has an oracle-gated
+    // time-travel probe): one mutated artifact each (base %11!=5 →
+    // append %11==5 → delete %13==2, NO re-append — horizon 2 is the
+    // post-delete state no serving probe can see again), a FIXED
+    // incoming shard probed at horizons 1 and 2, and the oracle
+    // recomputes each horizon's declarative corpus. The horizon delta
+    // is organic and present at every SF for text/cp (the J=1 /
+    // cosine≈1 copies of deleted %10==0 originals lose their pairs).
+    "q182_text_dedup_asof" -> ((s, dir) => {
+      val (corpus, incoming) = textArrival(s, dir)
+      val idx = "/tmp/graft_txtindex_asof_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"txtindexasof|$dir|t0.6") {
+        TextIndex.writeJaccardIndex(
+          corpus.filter(col("doc_id") % 11 =!= 5), idx, threshold = 0.6)
+        TextIndex.appendJaccardIndex(idx,
+          corpus.filter(col("doc_id") % 11 === 5))
+        val doomedDir = idx + "_doomed"
+        TextIndex.storedDocIds(s, idx).filter(col("doc_id") % 13 === 2)
+          .write.mode("overwrite").parquet(doomedDir)
+        TextIndex.deleteFromJaccardIndex(idx, s.read.parquet(doomedDir))
+      }
+      val at1 = TextIndex.jaccardPairsIndexed(idx, incoming,
+          threshold = 0.6, asOf = Some(1))
+        .withColumn("as_of", lit(1L))
+      val at2 = TextIndex.jaccardPairsIndexed(idx, incoming,
+          threshold = 0.6, asOf = Some(2))
+        .withColumn("as_of", lit(2L))
+      at1.unionByName(at2)
+        .select(col("as_of"), col("doc_a"), col("doc_b"),
+          col("jaccard"))
+        .orderBy(col("as_of"), col("doc_a"), col("doc_b"))
+    }),
+
+    // cp: parameters pinned explicitly from the full corpus count (the
+    // q176 convention — neither the append nor the shrink can trip a
+    // currency step), so the FROZEN (k, bands) are identical at every
+    // horizon and a historical probe hashes under the stored rotations.
+    "q183_cp_dedup_asof" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") % 7 =!= 3)
+        .select("vec_id", "embedding")
+      val incoming = e.filter(col("vec_id") % 7 === 3)
+        .select("vec_id", "embedding")
+        .unionByName(corpus.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + lit(5000000L)).as("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              x => x * lit(1.001d)).as("embedding")))
+      val idx = "/tmp/graft_cpindex_asof_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"cpindexasof|$dir|t0.4") {
+        val k = graft.plans.CrossPolytope.chooseHashesPerBand(
+          corpus.count(), 0.4, 64, 1e-4)
+        val b = graft.plans.CrossPolytope.bandsFor(0.4, k, 64, 1e-4)
+        Ann.writeCpIndex(corpus.filter(col("vec_id") % 11 =!= 5), idx,
+          threshold = 0.4, hashesPerBand = k, bands = b)
+        Ann.appendCpIndex(idx, corpus.filter(col("vec_id") % 11 === 5))
+        Ann.deleteFromCpIndex(idx,
+          corpus.filter(col("vec_id") % 13 === 2).select("vec_id"))
+      }
+      val at1 = Ann.cosinePairsCpIndexed(idx, incoming,
+          threshold = 0.4, asOf = Some(1))
+        .withColumn("as_of", lit(1L))
+      val at2 = Ann.cosinePairsCpIndexed(idx, incoming,
+          threshold = 0.4, asOf = Some(2))
+        .withColumn("as_of", lit(2L))
+      at1.unionByName(at2)
+        .select(col("as_of"), col("vec_a"), col("vec_b"))
+        .orderBy(col("as_of"), col("vec_a"), col("vec_b"))
+    }),
+
+    // dhash: the image horizon — the stored corpus decodes once EVER,
+    // and every horizon of it is servable without a single re-decode
+    // (the strongest as-of asymmetry of the six).
+    "q184_dhash_asof" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.filter(col("doc_id") % 7 =!= 3)
+      val incoming = d.filter(col("doc_id") % 7 === 3)
+      val idx = "/tmp/graft_dhashidx_asof_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      SharedStage.buildOnce(idx, s"dhashidxasof|$dir") {
+        Multimodal.writeDHashIndex(
+          corpus.filter(col("doc_id") % 11 =!= 5), idx)
+        Multimodal.appendDHashIndex(idx,
+          corpus.filter(col("doc_id") % 11 === 5))
+        Multimodal.deleteFromDHashIndex(idx,
+          corpus.filter(col("doc_id") % 13 === 2 &&
+              col("doc_id") % 3 === 0)
+            .select(col("doc_id").as("media_id")))
+      }
+      val at1 = Multimodal.imageDHashNearIndexed(idx, incoming,
+          asOf = Some(1))
+        .withColumn("as_of", lit(1L))
+      val at2 = Multimodal.imageDHashNearIndexed(idx, incoming,
+          asOf = Some(2))
+        .withColumn("as_of", lit(2L))
+      at1.unionByName(at2)
+        .select(col("as_of"), col("media_a"), col("media_b"),
+          col("hamming"))
+        .orderBy(col("as_of"), col("media_a"), col("media_b"))
+    }),
+
     // Cross-polytope ANN top-k at the gate: EXHAUSTIVE probe (probes =
     // 2·d₂ = 128 — every cell), so the cell partition is provably
     // output-invisible and the result must equal the exact brute-force
