@@ -289,10 +289,12 @@ object Oracles {
     * stored docs (post-delete, pre-any-re-append). The J=1 copies of
     * deleted originals (ids ≡ 210/340/470 mod 1300 exist at every SF)
     * lose their pairs at horizon 2 — load-bearing everywhere. Note the
-    * oracle's inc copies derive from the FILTERED corpus CTE, exactly
-    * the q173 convention: a deleted original's copy pairs only with
-    * its original in this corpus (the committed q173 precedent), so
-    * dropping both sides matches the engine's fixed-shard probe.
+    * oracle's inc copies derive from the UNFILTERED corpus0 CTE (see
+    * the in-SQL comment in [[textIncrementalOracleWith]]): the
+    * engine's probe shard is FIXED across horizons, so a copy of a
+    * since-deleted doc still probes and can pair with a surviving
+    * near-dup of its original (measured present at sf0.1, r13) — a
+    * filtered-copies form would silently drop those pairs.
     */
   private val textAsOfOracle: String = s"""
       SELECT CAST(1 AS BIGINT) AS as_of, v.* FROM (${

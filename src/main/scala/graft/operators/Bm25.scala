@@ -336,8 +336,8 @@ object Bm25 {
     * join in the plan at all). df per term SUMS across epochs —
     * additive over the disjoint doc sets the append premise
     * guarantees — so a grown index scores identically to a rebuild.
-    */
-  /** `asOf` (r13 — time-travel retrieval, the convention shared by
+    *
+    * `asOf` (r13 — time-travel retrieval, the convention shared by
     * every family probe): scores against the corpus statistics as they
     * stood when epoch `asOf` committed — postings and per-epoch df
     * rows prune to that horizon, later tombstones don't suppress, and

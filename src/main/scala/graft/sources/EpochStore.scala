@@ -103,6 +103,14 @@ object EpochStore {
     * is always safe; `ownedTables` lets [[compact]] name tables it
     * already renamed into place (its own writeEpoch call carries no
     * frames).
+    *
+    * PREMISE the sweep depends on (r13 ADVICE): each epoch number is
+    * committed by exactly ONE writeEpoch call carrying the family's
+    * full table set for that epoch (alongside the single-writer
+    * contract). A family that split one epoch across two writeEpoch
+    * calls would have the first call's tables silently deleted by the
+    * second call's sweep — never do that; stage all of an epoch's
+    * frames and commit them in one call.
     */
   def writeEpoch(dir: String, epoch: Int,
       tables: Seq[(String, DataFrame)], meta: DataFrame,
