@@ -530,6 +530,58 @@ object Oracles {
         "SELECT * FROM stored0 WHERE NOT (owner % 13 = 2)")}) v
       ORDER BY as_of, doc_id"""
 
+  /** q185: q178's horizons PLUS the serving state (as_of 4, its epoch
+    * number), probed on an artifact that was compactBelow(1)'d and
+    * VACUUMED — the engine can only have served the checkpoint, and
+    * the oracle still knows nothing but the declarative per-horizon
+    * corpora: horizon 1 the full post-append map, horizon 2 minus all
+    * ≡ 2 (mod 13) owners, serving minus only their odd half (the even
+    * half re-appended).
+    */
+  private val fpCbAsOfOracle: String = fpArrivalCtes + s"""
+      SELECT CAST(1 AS BIGINT) AS as_of, v.* FROM (${fpVerdict(
+        "SELECT * FROM stored0")}) v
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS as_of, v.* FROM (${fpVerdict(
+        "SELECT * FROM stored0 WHERE NOT (owner % 13 = 2)")}) v
+      UNION ALL
+      SELECT CAST(4 AS BIGINT) AS as_of, v.* FROM (${fpVerdict(
+        "SELECT * FROM stored0 WHERE NOT (owner % 13 = 2 AND " +
+          "owner % 2 = 1)")}) v
+      ORDER BY as_of, doc_id"""
+
+  /** q186: the differential read recomputed declaratively — over the
+    * q185 window (1, 3], ADDED is the re-appended even ≡ 2 (mod 13)
+    * owners' map entries (their fp → owner rows restored verbatim:
+    * same ids, same fingerprints) and REMOVED is every ≡ 2 (mod 13)
+    * owner live at horizon 1; the even ones appear in BOTH (replace
+    * semantics). Epochs, tombstones, and the checkpoint never appear.
+    */
+  private val fpChangesOracle: String = fpArrivalCtes + """
+      SELECT 'added' AS change, owner, fp FROM stored0
+      WHERE owner % 13 = 2 AND owner % 2 = 0
+      UNION ALL
+      SELECT 'removed' AS change, owner, CAST(NULL AS VARCHAR) AS fp
+      FROM stored0 WHERE owner % 13 = 2
+      ORDER BY change, owner"""
+
+  /** q187: the text-family differential over q182's artifact, window
+    * (0, 2] — ADDED is the appended %11==5 stored (≥3-word) docs that
+    * survived the delete, REMOVED is the base docs it retracted; the
+    * appended-and-deleted docs appear in neither (a consumer at
+    * horizon 0 never saw them).
+    */
+  private val textChangesOracle: String = """
+      WITH stored AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 7 <> 3 AND len(string_split(text, ' ')) >= 3)
+      SELECT 'added' AS change, doc_id FROM stored
+      WHERE doc_id % 11 = 5 AND NOT doc_id % 13 = 2
+      UNION ALL
+      SELECT 'removed' AS change, doc_id FROM stored
+      WHERE doc_id % 11 <> 5 AND doc_id % 13 = 2
+      ORDER BY change, doc_id"""
+
   /** q143's BPE merge learning unrolled to exactly the operator's k
     * rounds: per round, pairs are counted positionally over the current
     * tokenization (overlaps included, weighted by word frequency), the
@@ -2561,6 +2613,9 @@ object Oracles {
     "q183_cp_dedup_asof" -> cpAsOfOracle,
 
     "q184_dhash_asof" -> dhashAsOfOracle,
+    "q185_fp_compact_below" -> fpCbAsOfOracle,
+    "q186_fp_changes_between" -> fpChangesOracle,
+    "q187_text_changes_between" -> textChangesOracle,
 
     // Multi-probe LSH probing ALL buckets (probeHamming = nPlanes) must
     // equal the exact top-k — the sign-bit buckets route, they never

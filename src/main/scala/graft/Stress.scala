@@ -76,7 +76,7 @@ object Stress {
     // the full ~10-minute sweep
     val known = Set("heavy", "emb", "skew", "link", "emb100", "inc",
       "inc100", "span", "span100", "txt", "txt100", "cmp", "del",
-      "dcn")
+      "dcn", "asof")
     // emb100 (the 220k-vector third decade) is EXCLUDED from the
     // no-args sweep: measured, its 100× pass OOMs the 8 GB local heap
     // when it runs AFTER the full heavy+emb sections' accumulated
@@ -616,6 +616,60 @@ object Stress {
       println(f"STRESS fp_probe_tombstones-live-vs-folded@10x " +
         f"t_live=$tLive%.2fs t_folded=$tFold%.2fs " +
         f"ratio=${tLive / tFold}%.2f")
+    }
+
+    // ---- AS-OF at DEPTH (r14, r13 VERDICT #6): the gates probe
+    // horizon ≤ 2; this section builds a ~100-epoch fp artifact (the
+    // real micro-batch cadence) and prices (a) the as-of claim — a
+    // historical probe costs no MORE than the serving probe (the meta
+    // walk is one read at any depth; an early horizon scans FEWER
+    // epoch dirs) — and (b) what compactBelow buys: after folding the
+    // sprawl below epoch 95, the serving probe pays a checkpoint +
+    // 5 deltas instead of 100 small epochs while horizons ≥ 95 keep
+    // serving.
+    if (section("asof")) {
+      buildDocCorpus(spark, base, txtDoc1, 1)
+      val docs = txtDocs(txtDoc1)
+      val idx = "/tmp/graft_stress_fpasof_100ep"
+      val keptDir = idx + "_kept"
+      CacheScope.withScope {
+        operators.Dedup.writeFingerprintIndex(
+          docs.filter(col("doc_id") % 11 =!= 5), idx)
+        // survivors computed ONCE (distinct fps by the verdict
+        // contract), then folded in as 99 disjoint micro-waves — the
+        // q164 cadence without per-wave probes
+        operators.Dedup.dedupAgainstIndex(idx,
+            docs.filter(col("doc_id") % 11 === 5))
+          .filter(col("kept")).select("doc_id")
+          .write.mode("overwrite").parquet(keptDir)
+      }
+      val survivors = docs.join(spark.read.parquet(keptDir),
+        Seq("doc_id"), "left_semi")
+      val tBuild0 = System.nanoTime()
+      for (k <- 0 until 99) CacheScope.withScope {
+        operators.Dedup.appendFingerprintIndex(idx,
+          survivors.filter(pmod(col("doc_id"), lit(99)) === lit(k)))
+      }
+      println(f"STRESS fp_asof_build 99-micro-appends " +
+        f"t=${(System.nanoTime() - tBuild0) / 1e9}%.1fs")
+      def probeAt(asOf: Option[Int]): Double = timed(() =>
+        operators.Dedup.dedupAgainstIndex(idx, txtShard(), asOf))
+      val tEarly = probeAt(Some(5))
+      val tMid = probeAt(Some(50))
+      val tServ = probeAt(None)
+      println(f"STRESS fp_asof_depth@100ep t_asof5=$tEarly%.2fs " +
+        f"t_asof50=$tMid%.2fs t_serving=$tServ%.2fs " +
+        f"depth_ratio=${tServ / tEarly}%.2f")
+      CacheScope.withScope {
+        operators.Dedup.compactFingerprintIndex(spark, idx,
+          below = Some(95))
+        operators.Dedup.vacuumFingerprintIndex(spark, idx)
+      }
+      val tServC = probeAt(None)
+      val tRetained = probeAt(Some(97))
+      println(f"STRESS fp_asof_compactBelow@95 t_serving=$tServC%.2fs " +
+        f"t_asof97=$tRetained%.2fs " +
+        f"sprawl_tax_folded=${tServ / tServC}%.2f")
     }
 
     // ---- the stored benchmark-window suite (q180/q181, r13): two

@@ -957,12 +957,12 @@ object Ann {
     * is already a single live epoch. Single writer, like append.
     */
   def compactCpIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Boolean = {
+      indexDir: String, below: Option[Int] = None): Boolean = {
     cpIndexState(spark, indexDir, "compactCpIndex") // family refusal
-    graft.sources.EpochStore.compact(spark, indexDir,
+    graft.sources.EpochStore.compactMaybeBelow(spark, indexDir,
       Seq(graft.sources.EpochStore.CompactTable("vectors", Some("vec_id")),
         graft.sources.EpochStore.CompactTable("bands", Some("vec_id"))),
-      "compactCpIndex", "writeCpIndex")
+      below, "compactCpIndex", "writeCpIndex")
   }
 
   /** Reclaim epochs a [[compactCpIndex]] superseded — see

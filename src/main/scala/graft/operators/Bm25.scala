@@ -425,9 +425,9 @@ object Bm25 {
     * bytes, never scores. See [[graft.sources.EpochStore.compact]].
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Boolean = {
+      indexDir: String, below: Option[Int] = None): Boolean = {
     bm25IndexState(spark, indexDir, "compactBm25Index")
-    graft.sources.EpochStore.compact(spark, indexDir,
+    graft.sources.EpochStore.compactMaybeBelow(spark, indexDir,
       Seq(graft.sources.EpochStore.CompactTable("postings",
           Some("doc_id")),
         graft.sources.EpochStore.CompactTable("docs", Some("doc_id")),
@@ -439,7 +439,7 @@ object Bm25 {
         graft.sources.EpochStore.CompactTable("dfs", None,
           d => d.groupBy(col("term")).agg(sum(col("df")).as("df"))
             .filter(col("df") =!= 0))),
-      "compactBm25Index", "writeBm25Index")
+      below, "compactBm25Index", "writeBm25Index")
   }
 
   /** Reclaim epochs a [[compactBm25Index]] superseded — see

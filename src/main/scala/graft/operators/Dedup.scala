@@ -277,6 +277,37 @@ object Dedup {
       "owner", st.floor, st.epoch)
   }
 
+  /** DIFFERENTIAL read (r14 — r13 VERDICT #2): what changed in the
+    * stored owner map between two retained horizons, so an incremental
+    * downstream consumer re-verdicts only the DELTA instead of
+    * re-reading the artifact (CDC out of a stored index). One row per
+    * change: `('added', owner, fp)` for map entries committed in
+    * `(fromEpoch, toEpoch]` and still live at `toEpoch`;
+    * `('removed', owner, NULL)` for owners tombstoned in that window
+    * that were live at `fromEpoch`. An owner retracted and re-appended
+    * inside the window appears in BOTH (apply removes, then adds —
+    * honest replace semantics). Both horizons must be retained
+    * (floor ≤ from ≤ to ≤ serving); below the floor refuses, exactly
+    * like as-of — see [[graft.sources.EpochStore.addedBetween]]. Cost
+    * is proportional to the delta plus one id-projected live scan at
+    * `fromEpoch`, never a re-fingerprint. The q186 gate recomputes
+    * both sides declaratively.
+    */
+  def fingerprintIndexChanges(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, fromEpoch: Int, toEpoch: Int): DataFrame = {
+    fpIndexState(spark, indexDir, "fingerprintIndexChanges")
+    val added = graft.sources.EpochStore.addedBetween(spark, indexDir,
+        "fps", "owner", fromEpoch, toEpoch, "fingerprintIndexChanges",
+        "writeFingerprintIndex")
+      .select(lit("added").as("change"), col("owner"), col("fp"))
+    val removed = graft.sources.EpochStore.removedBetween(spark,
+        indexDir, "fps", "owner", fromEpoch, toEpoch,
+        "fingerprintIndexChanges", "writeFingerprintIndex")
+      .select(lit("removed").as("change"), col("owner"),
+        lit(null).cast("string").as("fp"))
+    added.unionByName(removed)
+  }
+
   /** RETRACT stored documents (r13 — takedown / dedup retraction /
     * corrupted-shard replacement): one DELETE epoch tombstones the
     * given owner ids ([[graft.sources.EpochStore.writeDeleteEpoch]] —
@@ -318,13 +349,18 @@ object Dedup {
     * compaction moves bytes, never rows (q163 gate). Returns false
     * when already a single live epoch. Single writer; reclaim
     * superseded epochs via [[vacuumFingerprintIndex]].
+    *
+    * `below` (r14): Some(h) compacts PARTIALLY — history up to epoch
+    * h folds into a checkpoint while every as-of horizon in
+    * [h, serving] keeps serving bit-for-bit (the q185 gate); see
+    * [[graft.sources.EpochStore.compactBelow]].
     */
   def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Boolean = {
+      indexDir: String, below: Option[Int] = None): Boolean = {
     fpIndexState(spark, indexDir, "compactFingerprintIndex")
-    graft.sources.EpochStore.compact(spark, indexDir,
+    graft.sources.EpochStore.compactMaybeBelow(spark, indexDir,
       Seq(graft.sources.EpochStore.CompactTable("fps", Some("owner"))),
-      "compactFingerprintIndex", "writeFingerprintIndex")
+      below, "compactFingerprintIndex", "writeFingerprintIndex")
   }
 
   /** Reclaim epochs a [[compactFingerprintIndex]] superseded — see

@@ -884,13 +884,13 @@ object Multimodal {
     * carries verbatim (compaction moves bytes, never rows).
     */
   def compactDHashIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Boolean = {
+      indexDir: String, below: Option[Int] = None): Boolean = {
     dHashIndexState(spark, indexDir, "compactDHashIndex")
-    graft.sources.EpochStore.compact(spark, indexDir,
+    graft.sources.EpochStore.compactMaybeBelow(spark, indexDir,
       Seq(graft.sources.EpochStore.CompactTable("hashes",
           Some("media_id")),
         graft.sources.EpochStore.CompactTable("bands", Some("media_id"))),
-      "compactDHashIndex", "writeDHashIndex")
+      below, "compactDHashIndex", "writeDHashIndex")
   }
 
   def vacuumDHashIndex(spark: org.apache.spark.sql.SparkSession,

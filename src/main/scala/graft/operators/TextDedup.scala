@@ -1180,12 +1180,12 @@ object TextDedup {
     * "clean against last month's suite".
     */
   def compactDeconIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Boolean = {
+      indexDir: String, below: Option[Int] = None): Boolean = {
     deconIndexState(spark, indexDir, "compactDeconIndex")
-    graft.sources.EpochStore.compact(spark, indexDir,
+    graft.sources.EpochStore.compactMaybeBelow(spark, indexDir,
       Seq(graft.sources.EpochStore.CompactTable("docs", Some("doc_id")),
         graft.sources.EpochStore.CompactTable("grams", Some("doc_id"))),
-      "compactDeconIndex", "writeDeconIndex")
+      below, "compactDeconIndex", "writeDeconIndex")
   }
 
   /** Reclaim epochs a [[compactDeconIndex]] superseded — see

@@ -337,6 +337,31 @@ object TextIndex {
       st.floor, st.epoch).select("doc_id")
   }
 
+  /** DIFFERENTIAL read (r14 — r13 VERDICT #2): which stored docs
+    * changed between two retained horizons — `('added', doc_id)` for
+    * docs committed in `(fromEpoch, toEpoch]` and still live at
+    * `toEpoch`, `('removed', doc_id)` for docs tombstoned in that
+    * window that were live at `fromEpoch`. The incremental-downstream
+    * story: a consumer that verdicted against horizon `from`
+    * re-verdicts only this delta (CDC out of the stored index) instead
+    * of re-probing the corpus. Both horizons must be retained
+    * (floor ≤ from ≤ to ≤ serving; below the floor refuses like
+    * as-of); cost is the delta epochs plus one id-projected live scan
+    * at `from` — the shingle payloads never read. Gated as q187
+    * against a declarative recompute.
+    */
+  def docChanges(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, fromEpoch: Int, toEpoch: Int): DataFrame = {
+    indexState(spark, indexDir, "docChanges")
+    val added = EpochStore.addedBetween(spark, indexDir, "docs",
+        "doc_id", fromEpoch, toEpoch, "docChanges", "writeJaccardIndex")
+      .select(lit("added").as("change"), col("doc_id"))
+    val removed = EpochStore.removedBetween(spark, indexDir, "docs",
+        "doc_id", fromEpoch, toEpoch, "docChanges", "writeJaccardIndex")
+      .select(lit("removed").as("change"), col("doc_id"))
+    added.unionByName(removed)
+  }
+
   /** RETRACT stored documents (r13 — takedown / retraction): one
     * DELETE epoch tombstones the given doc ids across BOTH tables
     * (docs + bands suppress on the same id at probe time), with the
@@ -381,12 +406,12 @@ object TextIndex {
     * writer; superseded epochs reclaim via [[vacuumJaccardIndex]].
     */
   def compactJaccardIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Boolean = {
+      indexDir: String, below: Option[Int] = None): Boolean = {
     indexState(spark, indexDir, "compactJaccardIndex") // family refusal
-    EpochStore.compact(spark, indexDir,
+    EpochStore.compactMaybeBelow(spark, indexDir,
       Seq(EpochStore.CompactTable("docs", Some("doc_id")),
         EpochStore.CompactTable("bands", Some("doc_id"))),
-      "compactJaccardIndex", "writeJaccardIndex")
+      below, "compactJaccardIndex", "writeJaccardIndex")
   }
 
   /** Reclaim epochs a [[compactJaccardIndex]] superseded — see

@@ -45,9 +45,23 @@ import org.apache.spark.sql.functions.{col, lit}
   * folded the per-epoch states away and the read refuses — compaction
   * is snapshot expiry, history retention = delayed compaction.
   *
+  * PARTIAL COMPACTION (r14 — bounded history retention): [[compact]]
+  * makes housekeeping and history mutually exclusive (its floor is
+  * its own fresh epoch, so EVERY horizon expires). [[compactBelow]]
+  * folds only the history up to a chosen horizon into a per-table
+  * CHECKPOINT directory (`<table>/checkpoint=C`, served as effective
+  * epoch C), so an artifact can reclaim a year of micro-batch sprawl
+  * while last week's as-of horizons keep serving bit-for-bit. A
+  * checkpoint is live iff the serving floor names it; [[vacuum]]
+  * reclaims the folded epoch dirs and superseded checkpoints.
+  *
   * SINGLE WRITER, like any parquet layout without a table format: two
   * concurrent appends both target epoch N+1 and the loser's data is
   * silently clobbered or interleaved — serialize appends externally.
+  * Since r14 the contract is FENCED, not just prose: every mutation
+  * holds the `_writer_lock` lease (see the writer-fencing section),
+  * so a second writer refuses loudly at acquisition and a
+  * lease-breaking writer is detected before any meta commit.
   * Concurrent READERS are always safe against writes, appends, and
   * compactions: they serve the highest complete meta, an in-flight
   * epoch has none, and compaction only ADDS an epoch (the superseded
@@ -83,6 +97,101 @@ object EpochStore {
       .delete(p, true)
   }
 
+  // --------------------------------------------------------------------
+  // WRITER FENCING (r14 — r13 VERDICT #3): the single-writer contract
+  // was pure prose; the rename→meta window of a compaction was
+  // documented as undetectable. A LEASE FILE (`_writer_lock` at the
+  // artifact root, created with overwrite=false so creation fails if
+  // one exists) turns the contract into detection at near-zero cost:
+  // every mutation acquires it first (a second writer refuses loudly
+  // instead of interleaving), re-verifies its own token right before
+  // the meta commit (a writer that force-broke a lease and took over
+  // is detected BEFORE the commit can clobber its rows — the fencing
+  // check), and releases it after. This is still detection, not a
+  // lock service: filesystem create-exclusive is best-effort on
+  // object stores, and a CRASHED writer leaves its lease behind —
+  // breaking a dead writer's lease is an operator decision (delete
+  // the file; the refusal message says so), because auto-expiry would
+  // need a clock contract the layout does not have. Readers never
+  // touch the lease.
+
+  private val LeaseFile = "_writer_lock"
+
+  private def leasePath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/$LeaseFile")
+
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Acquire the artifact's writer lease or refuse loudly naming the
+    * holder. The token identifies this acquisition (who + uuid +
+    * wall time, the latter purely for the human reading a refusal).
+    */
+  private[graft] def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, who: String): String = {
+    val p = leasePath(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val token = s"$who|${java.util.UUID.randomUUID()}|" +
+      s"${System.currentTimeMillis()}"
+    try {
+      val out = fs.create(p, false)
+      try out.write(token.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      token
+    } catch {
+      case _: java.io.IOException if fs.exists(p) =>
+        val holder = try readLease(fs, p) catch { case _: Exception =>
+          "<unreadable>" }
+        throw new IllegalArgumentException(
+          s"$who: another writer holds the lease at $dir " +
+            s"(held by '$holder') — writers must serialize (the " +
+            "single-writer contract). If that writer crashed (a dead " +
+            "writer leaves its lease behind), delete " +
+            s"$dir/$LeaseFile and retry; never delete a live " +
+            "writer's lease.")
+    }
+  }
+
+  /** The fencing check: the lease must still hold OUR token. A
+    * mismatch means a second writer force-broke the lease and took
+    * over — committing now would corrupt its writes, so refuse; the
+    * in-flight data stays invisible (no meta names it).
+    */
+  private def verifyLease(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, who: String, token: String): Unit = {
+    val p = leasePath(dir)
+    val current = if (!fs.exists(p)) "<gone>"
+      else try readLease(fs, p) catch { case _: Exception =>
+        "<unreadable>" }
+    require(current == token,
+      s"$who: the writer lease at $dir changed hands mid-write " +
+        s"(now '$current') — a second writer broke the lease and " +
+        "took over, so this write is FENCED OFF before its meta " +
+        "commit could clobber the other writer's rows. Nothing of " +
+        "it is visible (no meta names it); serialize writers and " +
+        "retry.")
+  }
+
+  /** Release our lease — only if it still holds our token (never
+    * delete a lease a force-breaking writer replaced).
+    */
+  private def releaseLease(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, token: String): Unit = {
+    val p = leasePath(dir)
+    if (fs.exists(p) &&
+        (try readLease(fs, p) == token catch { case _: Exception =>
+          false })) {
+      fs.delete(p, false); ()
+    }
+  }
+
   /** Write one epoch: every named table lands at `dir/<name>/epoch=N`,
     * then the ONE-row `meta` frame lands at `dir/meta_N` — strictly
     * last, so the epoch only becomes visible complete. `floor` is the
@@ -111,30 +220,87 @@ object EpochStore {
     * calls would have the first call's tables silently deleted by the
     * second call's sweep — never do that; stage all of an epoch's
     * frames and commit them in one call.
+    *
+    * The write holds the artifact's writer LEASE (r14, the fencing
+    * section above): acquired at entry unless the caller passed its
+    * own token via `lease` (compact/compactBelow hold it across their
+    * whole rewrite), re-verified strictly before the meta commit, and
+    * released on every exit path — only a JVM crash leaks it, and the
+    * next writer's refusal says how to break a dead writer's lease.
     */
   def writeEpoch(dir: String, epoch: Int,
       tables: Seq[(String, DataFrame)], meta: DataFrame,
-      floor: Int = 0, ownedTables: Seq[String] = Seq.empty): Unit = {
+      floor: Int = 0, ownedTables: Seq[String] = Seq.empty,
+      lease: Option[String] = None): Unit = {
     require(floor >= 0 && floor <= epoch,
       s"writeEpoch: floor $floor out of range for epoch $epoch")
-    tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/$name/epoch=$epoch")
-    }
-    val owned = (tables.map(_._1) ++ ownedTables).toSet
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(
       meta.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) fs.listStatus(root).foreach { s =>
-      val name = s.getPath.getName
-      if (s.isDirectory && !owned(name) && !name.startsWith("meta_") &&
-          !name.startsWith(".")) {
-        val torn = new org.apache.hadoop.fs.Path(
-          s"$dir/$name/epoch=$epoch")
-        if (fs.exists(torn)) { fs.delete(torn, true); () }
+    // SCHEMA PREMISE (r14 — r13 VERDICT #4): every epoch of a table
+    // must carry the table's stored schema. Parquet mixed reads do not
+    // fail on drift — a renamed column reads as NULLs, a retyped one
+    // breaks only at probe time — so an append with a drifted frame
+    // would corrupt silently at write time and loudly much later.
+    // Refuse HERE instead (one driver-side footer read per table,
+    // before any bytes land): same column names, same types, same
+    // order. Schema evolution = rebuild the artifact. Nullability is
+    // deliberately ignored (parquet read-back is all-nullable while
+    // in-flight frames often are not).
+    tables.foreach { case (name, df) =>
+      val src = checkpointDir(fs, dir, name, floor).orElse(
+        epochDirNums(fs, dir, name, floor, epoch - 1).lastOption
+          .map(n => s"$dir/$name/epoch=$n"))
+      src.foreach { d =>
+        val stored = meta.sparkSession.read.parquet(d).schema
+        // nested nullability normalizes away too: an in-flight
+        // array<string> often carries containsNull=false where the
+        // parquet read-back says true — not drift
+        import org.apache.spark.sql.types._
+        def norm(dt: DataType): DataType = dt match {
+          case ArrayType(e, _) => ArrayType(norm(e), true)
+          case MapType(k, v, _) => MapType(norm(k), norm(v), true)
+          case StructType(fs) => StructType(fs.map(f =>
+            f.copy(dataType = norm(f.dataType), nullable = true)))
+          case other => other
+        }
+        def shape(s: StructType) =
+          s.fields.toSeq.map(f => (f.name, norm(f.dataType)))
+        require(shape(stored) == shape(df.schema),
+          s"writeEpoch: schema drift on table '$name' at $dir — " +
+            s"stored ${stored.simpleString} vs incoming " +
+            s"${df.schema.simpleString}. Every epoch of a table must " +
+            "carry the stored schema (a drifted epoch would produce " +
+            "a silently broken mixed read at probe time, not an " +
+            "error here); evolve schemas by REBUILDING the artifact, " +
+            "never by appending.")
       }
     }
-    meta.withColumn("floor_epoch", lit(floor))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta_$epoch")
+    // writer fencing (r14): acquire the lease unless the caller
+    // (compact/compactBelow) already holds it and passed its token
+    val held = lease.getOrElse(acquireLease(fs, dir, "writeEpoch"))
+    try {
+      tables.foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$dir/$name/epoch=$epoch")
+      }
+      val owned = (tables.map(_._1) ++ ownedTables).toSet
+      if (fs.exists(root)) fs.listStatus(root).foreach { s =>
+        val name = s.getPath.getName
+        if (s.isDirectory && !owned(name) && !name.startsWith("meta_") &&
+            !name.startsWith(".")) {
+          val torn = new org.apache.hadoop.fs.Path(
+            s"$dir/$name/epoch=$epoch")
+          if (fs.exists(torn)) { fs.delete(torn, true); () }
+        }
+      }
+      // the fencing check, strictly before the commit that would make
+      // this epoch visible
+      verifyLease(fs, dir, "writeEpoch", held)
+      meta.withColumn("floor_epoch", lit(floor))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta_$epoch")
+    } finally {
+      if (lease.isEmpty) releaseLease(fs, dir, held)
+    }
   }
 
   /** The two torn-meta shapes an uncommitted `meta_N` can read as —
@@ -238,7 +404,15 @@ object EpochStore {
       val fi = meta.schema.fieldNames.indexOf("floor_epoch")
       val floor =
         if (fi >= 0 && !meta.isNullAt(fi)) meta.getInt(fi) else 0
-      Serving(asOf, floor, meta)
+      // The CURRENT floor wins over the historical one (r14): after a
+      // [[compactBelow]], the epochs below the serving floor C were
+      // folded into `checkpoint=C` and their directories are vacuum
+      // bait, so a historical read must start at C (where the
+      // checkpoint serves the folded prefix exactly) — the stale
+      // floor recorded in meta_asOf would double-read pre-vacuum and
+      // lose rows post-vacuum. cur.floor ≤ asOf always holds here
+      // (the refusal above), so the clamp never moves the horizon.
+      Serving(asOf, math.max(floor, cur.floor), meta)
     }
   }
 
@@ -253,18 +427,97 @@ object EpochStore {
       case None => servingState(spark, dir, who, rebuildHint)
     }
 
-  /** A table's LIVE rows — epochs in `[floor, epoch]`. Partition
-    * pruning on the epoch directory column skips torn higher epochs
-    * AND compacted-away lower ones without reading a byte of them.
-    * Callers project their own columns (the epoch column is dropped
-    * here). NOT tombstone-aware — families with a delete entry point
-    * read through [[tableThroughLive]] instead.
+  /** The checkpoint directory prefix inside each table root (r14 —
+    * PARTIAL compaction, r13 VERDICT #1): `<table>/checkpoint=C/`
+    * holds the table's as-of-C live row set materialized by
+    * [[compactBelow]]. A checkpoint is LIVE iff the serving floor
+    * equals its number (floors are monotone and only [[compactBelow]]
+    * sets floor = C after rewriting `checkpoint=C`, so existence at
+    * the floor is a sound liveness test); any other `checkpoint=K` is
+    * a superseded or torn relic no reader touches ([[vacuum]] sweeps
+    * them). Checkpoint rows carry EFFECTIVE epoch C in every read, so
+    * retained tombstones (del_epoch > C) keep suppressing them exactly
+    * as they suppressed the original sub-C rows.
+    */
+  private val CheckpointPrefix = "checkpoint="
+
+  /** The table's live checkpoint directory — present iff the floor is
+    * checkpoint-based (see [[CheckpointPrefix]]).
+    */
+  private def checkpointDir(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, name: String, floor: Int): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$dir/$name/$CheckpointPrefix$floor")
+    if (fs.exists(p)) Some(s"$dir/$name/$CheckpointPrefix$floor")
+    else None
+  }
+
+  /** Committed `epoch=N` directory numbers of a table with N in
+    * `[lo, hi]`, ascending. Only `epoch=` names match — hidden staging
+    * and checkpoint directories are never listed, so this read can
+    * never race a rewrite's stage.
+    */
+  private def epochDirNums(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, name: String, lo: Int, hi: Int): Seq[Int] = {
+    val rx = "epoch=(\\d+)".r
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(_.getPath.getName match {
+        case rx(n) if n.toInt >= lo && n.toInt <= hi => Some(n.toInt)
+        case _ => None
+      })
+      .sorted
+  }
+
+  /** A table's live rows in `[floor, epoch]` WITH their effective
+    * `epoch` column — the ONE checkpoint-aware read every consumer
+    * rides. With a checkpoint-based floor the scan is the checkpoint
+    * (rows at effective epoch = floor) unioned with the delta epochs
+    * in `(floor, epoch]`; otherwise it is the epoch directories in
+    * `[floor, epoch]` — both as EXPLICIT directory reads (a root read
+    * would trip partition discovery on the checkpoint sibling and
+    * could race a rewrite's visible relics). Directory selection
+    * prunes at the driver, so neither shape reads a byte outside the
+    * range.
+    */
+  private def rowsWithEpoch(spark: SparkSession, dir: String,
+      name: String, floor: Int, epoch: Int): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cp = checkpointDir(fs, dir, name, floor)
+    val lo = if (cp.isDefined) floor + 1 else floor
+    val dirs = epochDirNums(fs, dir, name, lo, epoch)
+      .map(n => s"$dir/$name/epoch=$n")
+    val delta =
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("basePath", s"$dir/$name")
+        .parquet(dirs: _*))
+    val base = cp.map(c =>
+      spark.read.parquet(c).withColumn("epoch", lit(floor)))
+    (base, delta) match {
+      case (Some(b), Some(d)) => b.unionByName(d)
+      case (Some(b), None) => b
+      case (None, Some(d)) => d
+      case (None, None) => throw new IllegalArgumentException(
+        s"EpochStore: table '$name' has no data in epochs " +
+          s"[$floor, $epoch] at $dir — the artifact is torn, foreign, " +
+          "or was vacuumed outside the layout's rules")
+    }
+  }
+
+  /** A table's LIVE rows — epochs in `[floor, epoch]` (checkpoint-
+    * aware, see [[rowsWithEpoch]]: a checkpoint-based floor serves the
+    * folded base plus the retained deltas). Directory selection skips
+    * torn higher epochs AND compacted-away lower ones without reading
+    * a byte of them. Callers project their own columns (the epoch
+    * column is dropped here). NOT tombstone-aware — families with a
+    * delete entry point read through [[tableThroughLive]] instead.
     */
   def tableThrough(spark: SparkSession, dir: String, name: String,
       floor: Int, epoch: Int): DataFrame =
-    spark.read.parquet(s"$dir/$name")
-      .filter(col("epoch") >= floor && col("epoch") <= epoch)
-      .drop("epoch")
+    rowsWithEpoch(spark, dir, name, floor, epoch).drop("epoch")
 
   // --------------------------------------------------------------------
   // TOMBSTONES (r13 — the DELETE quarter of the lifecycle, r12 VERDICT
@@ -377,8 +630,7 @@ object EpochStore {
     */
   def tableThroughLive(spark: SparkSession, dir: String, name: String,
       idCol: String, floor: Int, epoch: Int): DataFrame = {
-    val rows = spark.read.parquet(s"$dir/$name")
-      .filter(col("epoch") >= floor && col("epoch") <= epoch)
+    val rows = rowsWithEpoch(spark, dir, name, floor, epoch)
     val live = deletesThrough(spark, dir, floor, epoch) match {
       case None => rows
       case Some(dels) =>
@@ -392,19 +644,101 @@ object EpochStore {
     * driver-side listing only, sizes the compaction's output file
     * count the same way [[Compaction.compactParquet]] does.
     */
-  private def liveBytes(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, name: String, st: Serving): Long = {
-    val rx = "epoch=(\\d+)".r
-    val root = new org.apache.hadoop.fs.Path(s"$dir/$name")
-    if (!fs.exists(root)) 0L
-    else fs.listStatus(root).iterator
-      .filter(s => s.isDirectory && (s.getPath.getName match {
-        case rx(n) => n.toInt >= st.floor && n.toInt <= st.epoch
-        case _ => false
-      }))
-      .flatMap(d => fs.listStatus(d.getPath).iterator)
+  // --------------------------------------------------------------------
+  // DIFFERENTIAL reads (r14 — r13 VERDICT #2): the layout serves any
+  // retained horizon; changesBetween answers "what changed between
+  // horizon i and j" so an incremental downstream consumer re-verdicts
+  // only the delta instead of re-reading a 100 TB artifact — CDC out
+  // of a stored index, layout-owned because the answer is pure epoch
+  // arithmetic: ADDED = rows committed in (i, j] still live at j;
+  // REMOVED = ids tombstoned in (i, j] that were live at i. An id
+  // deleted and re-appended inside the window appears in BOTH (the
+  // consumer applies removes then adds — honest replace semantics);
+  // one appended and deleted inside the window appears in NEITHER.
+  // Both ends must be retained horizons (floor ≤ i ≤ j ≤ serving) —
+  // below the floor the per-epoch states were folded away and the
+  // read refuses exactly like as-of.
+
+  private def changeBounds(spark: SparkSession, dir: String, from: Int,
+      to: Int, who: String, rebuildHint: String): Serving = {
+    val st = servingState(spark, dir, who, rebuildHint)
+    require(from <= to,
+      s"$who: change range [$from, $to] is inverted")
+    require(to <= st.epoch,
+      s"$who: change range end $to does not exist at $dir — the " +
+        s"serving epoch is ${st.epoch}")
+    require(from >= st.floor,
+      s"$who: change range start $from predates the floor ${st.floor} " +
+        s"at $dir — a compaction folded that history away, so the " +
+        "delta from it no longer exists. History retention is the " +
+        "floor: delay compaction (or compactBelow a later horizon) on " +
+        "artifacts that must serve differential reads.")
+    st
+  }
+
+  /** Rows ADDED to a table between horizons `from` (exclusive) and
+    * `to` (inclusive): committed in epochs `(from, to]` and not
+    * tombstoned by `to`. The scan prunes to the delta epochs at the
+    * driver (the checkpoint — effective epoch = floor ≤ from — never
+    * reads a row), so the cost is proportional to the DELTA, not the
+    * artifact.
+    */
+  def addedBetween(spark: SparkSession, dir: String, name: String,
+      idCol: String, from: Int, to: Int, who: String,
+      rebuildHint: String): DataFrame = {
+    val st = changeBounds(spark, dir, from, to, who, rebuildHint)
+    val rows = rowsWithEpoch(spark, dir, name, st.floor, to)
+      .filter(col("epoch") > from)
+    val live = deletesThrough(spark, dir, from + 1, to) match {
+      case None => rows
+      case Some(dels) =>
+        rows.join(dels, rows(idCol) === dels("id") &&
+          rows("epoch") < dels("del_epoch"), "left_anti")
+    }
+    live.drop("epoch")
+  }
+
+  /** Ids REMOVED from a table between horizons `from` (exclusive) and
+    * `to` (inclusive): tombstoned in epochs `(from, to]` AND live at
+    * horizon `from` (a delete of something added inside the window is
+    * not a removal the consumer ever saw). One column named `idCol`
+    * (LONG). The tombstone side is tiny by construction; the live-at-
+    * `from` side is an id-projected (column-pruned) scan consumed by
+    * a semi join.
+    */
+  def removedBetween(spark: SparkSession, dir: String, name: String,
+      idCol: String, from: Int, to: Int, who: String,
+      rebuildHint: String): DataFrame = {
+    val st = changeBounds(spark, dir, from, to, who, rebuildHint)
+    deletesThrough(spark, dir, from + 1, to) match {
+      case None =>
+        spark.range(0).select(col("id").cast("long").as(idCol))
+      case Some(dels) =>
+        val liveAtFrom = tableThroughLive(spark, dir, name, idCol,
+          st.floor, from)
+        dels.select(col("id")).distinct()
+          .join(liveAtFrom.select(col(idCol).as("id")), Seq("id"),
+            "left_semi")
+          .select(col("id").as(idCol))
+    }
+  }
+
+  private def dataFileBytes(fs: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(d)) 0L
+    else fs.listStatus(d).iterator
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
       .map(_.getLen).sum
+
+  private def liveBytes(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, name: String, floor: Int, epoch: Int): Long = {
+    val cp = checkpointDir(fs, dir, name, floor)
+    val cpBytes = cp.map(c =>
+      dataFileBytes(fs, new org.apache.hadoop.fs.Path(c))).getOrElse(0L)
+    val lo = if (cp.isDefined) floor + 1 else floor
+    cpBytes + epochDirNums(fs, dir, name, lo, epoch)
+      .map(n => dataFileBytes(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/$name/epoch=$n"))).sum
   }
 
   /** One table in a [[compact]] rewrite: `idCol` names the column the
@@ -474,6 +808,12 @@ object EpochStore {
         "compact can rewrite it; fix the family's writeEpoch call")
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the lease spans the WHOLE rewrite (r14): a concurrent append now
+    // refuses at its own writeEpoch instead of racing the rename→meta
+    // window, and a force-broken lease is detected by the fencing
+    // check before the meta commit
+    val token = acquireLease(fs, dir, who)
+    try {
     val target = st.epoch + 1
     // the live tombstones, computed once for every table's rewrite; a
     // delete always writes a NEW epoch above its floor, so live
@@ -481,20 +821,16 @@ object EpochStore {
     // never hide them
     val dels = deletesThrough(spark, dir, st.floor, st.epoch)
     tables.foreach { t =>
-      val bytes = liveBytes(fs, dir, t.name, st)
+      val bytes = liveBytes(fs, dir, t.name, st.floor, st.epoch)
       val parts = Compaction.partsFor(bytes, targetFileBytes,
         s"$who ('${t.name}')")
-      // read the live epoch dirs EXPLICITLY (not the table root with a
-      // pruning filter): the staging dir is a sibling of them, and a
-      // root listing must never race the output — a retried torn
+      // the shared checkpoint-aware EXPLICIT-directory read (never the
+      // table root): the staging dir is a sibling of the epoch dirs,
+      // and a root listing must never race the output — a retried torn
       // compaction would otherwise re-list its own half-written stage.
-      // basePath keeps the epoch partition column for the
-      // epoch-qualified tombstone anti-join.
-      val liveDirs = (st.floor to st.epoch)
-        .map(n => s"$dir/${t.name}/epoch=$n")
-        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-      val raw = spark.read.option("basePath", s"$dir/${t.name}")
-        .parquet(liveDirs: _*)
+      // The epoch column rides along for the epoch-qualified tombstone
+      // anti-join (checkpoint rows at the effective floor epoch).
+      val raw = rowsWithEpoch(spark, dir, t.name, st.floor, st.epoch)
       val alive = (dels, t.idCol) match {
         case (Some(dd), Some(ic)) =>
           raw.join(dd, raw(ic) === dd("id") &&
@@ -544,9 +880,140 @@ object EpochStore {
     // floor forever (r13 review), violating "no deletes table above
     // the floor" and taxing every future read with its anti-join
     writeEpoch(dir, target, Seq.empty, carried, floor = target,
-      ownedTables = tables.map(_.name))
+      ownedTables = tables.map(_.name), lease = Some(token))
     true
+    } finally { releaseLease(fs, dir, token) }
   }
+
+  /** PARTIAL compaction (r14, r13 VERDICT #1 — bounded history
+    * retention): fold the artifact's history UP TO `horizon` into one
+    * materialized CHECKPOINT while every epoch above it — and every
+    * as-of horizon in `[horizon, serving]` — stays exactly servable.
+    * [[compact]] collapses ALL history (floor = its own epoch), which
+    * makes housekeeping and audit reads mutually exclusive: at the
+    * epoch-per-micro-batch cadence (q164/q175) an owner must choose
+    * between reclaiming a year of sprawl and keeping last week's
+    * horizons. compactBelow is the production middle: reclaim the
+    * sprawl below the retention point, keep the recent history.
+    *
+    * Mechanism: each table's as-of-`horizon` live row set (epochs
+    * `[floor, horizon]`, tombstones ≤ horizon applied — exactly what
+    * [[tableThroughLive]] serves at that horizon) is rewritten into
+    * `<table>/checkpoint=<horizon>/` (staged hidden, renamed only
+    * after the serve-skew re-check), then ONE meta commit publishes
+    * epoch `serving + 1` with `floor_epoch = horizon`. Readers under
+    * the new floor serve the checkpoint as effective epoch `horizon`
+    * plus the retained deltas ([[rowsWithEpoch]]): the serving row
+    * set is unchanged, every as-of in `[horizon, serving]` reproduces
+    * its pre-compaction read bit-for-bit (retained tombstones still
+    * suppress checkpoint rows — effective epoch `horizon` < their
+    * del_epoch, exactly as the folded originals were), and as-of
+    * below `horizon` refuses (that history is folded — snapshot
+    * expiry, now BOUNDED instead of total). Historical metas in
+    * `[horizon, serving]` stay untouched and keep serving their
+    * horizons' family rows. A crash anywhere before the meta commit
+    * leaves only hidden staging or unreferenced checkpoint dirs —
+    * invisible either way (checkpoints are live only when the floor
+    * names them), retried by re-running. The superseded epoch dirs
+    * (≤ horizon) and any prior checkpoint become [[vacuum]] bait.
+    *
+    * Returns false (writes nothing) when `horizon` IS the floor —
+    * the artifact is already based there. Refuses a horizon above the
+    * serving epoch or below the floor (that history is already gone).
+    * Single-writer, like every mutation; the serve-skew re-check is
+    * the same best-effort detection [[compact]] documents.
+    */
+  def compactBelow(spark: SparkSession, dir: String,
+      tables: Seq[CompactTable], horizon: Int, who: String,
+      rebuildHint: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
+    require(targetFileBytes > 0, s"$who: target file size must be positive")
+    val st = servingState(spark, dir, who, rebuildHint)
+    require(horizon <= st.epoch,
+      s"$who: retention horizon $horizon does not exist at $dir — " +
+        s"the serving epoch is ${st.epoch}")
+    require(horizon >= st.floor,
+      s"$who: retention horizon $horizon predates the floor " +
+        s"${st.floor} at $dir — that history was already folded away " +
+        "by an earlier compaction.")
+    if (horizon == st.floor) return false
+    require(st.meta.schema.fieldNames.contains("epoch"),
+      s"$who: the family meta at $dir has no 'epoch' column — every " +
+        "EpochStore family meta must carry its serving epoch so " +
+        "compaction can rewrite it; fix the family's writeEpoch call")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = acquireLease(fs, dir, who)
+    try {
+    val target = st.epoch + 1
+    // tombstones ≤ horizon fold into the checkpoint; later ones stay
+    // live and keep suppressing it (effective epoch = horizon)
+    val dels = deletesThrough(spark, dir, st.floor, horizon)
+    tables.foreach { t =>
+      val bytes = liveBytes(fs, dir, t.name, st.floor, horizon)
+      val parts = Compaction.partsFor(bytes, targetFileBytes,
+        s"$who ('${t.name}')")
+      val raw = rowsWithEpoch(spark, dir, t.name, st.floor, horizon)
+      val alive = (dels, t.idCol) match {
+        case (Some(dd), Some(ic)) =>
+          raw.join(dd, raw(ic) === dd("id") &&
+            raw("epoch") < dd("del_epoch"), "left_anti")
+        case _ => raw
+      }
+      t.rewrite(alive.drop("epoch"))
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$dir/${t.name}/$StagingDir")
+    }
+    beforeCompactCommit()
+    val now = servingState(spark, dir, who, rebuildHint)
+    require(now.epoch == st.epoch,
+      s"$who: the artifact at $dir advanced during compaction " +
+        s"(epoch ${st.epoch} → ${now.epoch}) — a concurrent append " +
+        "violated the single-writer contract, and committing the " +
+        "compacted meta would silently drop its rows. The rewrite " +
+        "was left in hidden staging (readers serve the appended " +
+        "state untouched); serialize writers and retry.")
+    tables.foreach { t =>
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$dir/${t.name}/$StagingDir")
+      val dst = new org.apache.hadoop.fs.Path(
+        s"$dir/${t.name}/$CheckpointPrefix$horizon")
+      // any data already at checkpoint=<horizon> is a torn prior
+      // compactBelow at the same horizon (a live checkpoint at it
+      // would mean floor == horizon, refused above) — retry overwrites
+      if (fs.exists(dst)) fs.delete(dst, true)
+      require(fs.rename(stage, dst),
+        s"$who: could not rename $stage to $dst")
+    }
+    val carried = spark.createDataFrame(
+        java.util.Collections.singletonList(st.meta),
+        st.meta.schema)
+      .withColumn("epoch", lit(target))
+      .drop("floor_epoch")
+    // ownedTables EMPTY: unlike [[compact]], nothing of this commit
+    // lives in the epoch=<target> namespace (the fold went to the
+    // checkpoint dirs), so any epoch=<target> relic in ANY table is a
+    // torn prior write and must be swept before the meta names it
+    writeEpoch(dir, target, Seq.empty, carried, floor = horizon,
+      lease = Some(token))
+    true
+    } finally { releaseLease(fs, dir, token) }
+  }
+
+  /** The one compact dispatch every family entry point rides:
+    * None = full compaction ([[compact]] — floor becomes the fresh
+    * epoch, all history expires), Some(h) = partial
+    * ([[compactBelow]] — history below h folds into a checkpoint,
+    * horizons in [h, serving] stay servable).
+    */
+  def compactMaybeBelow(spark: SparkSession, dir: String,
+      tables: Seq[CompactTable], below: Option[Int], who: String,
+      rebuildHint: String): Boolean =
+    below match {
+      case Some(h) => compactBelow(spark, dir, tables, h, who,
+        rebuildHint)
+      case None => compact(spark, dir, tables, who, rebuildHint)
+    }
 
   /** The hidden rewrite-staging dir inside each table root — dot-
     * prefixed, so Spark's file listing never reads it as data.
@@ -559,13 +1026,17 @@ object EpochStore {
     */
   private[graft] var beforeCompactCommit: () => Unit = () => ()
 
-  /** Reclaim the sprawl a [[compact]] superseded: delete every
-    * table's `epoch=N` directories AND every `meta_N` with
-    * N < the serving floor, plus any leaked rewrite staging (a
-    * refused or crashed compaction leaves `.compact_staging` behind;
-    * it is invisible to readers, so deleting it is always safe —
-    * r12 ADVICE). Epoch reclaim is a no-op on a never-compacted
-    * artifact (floor 0).
+  /** Reclaim the sprawl a [[compact]] or [[compactBelow]] superseded:
+    * delete every table's `epoch=N` directories AND every `meta_N`
+    * with N < the serving floor (for a checkpoint-based floor the
+    * `epoch=floor` delta directories sweep too — the checkpoint holds
+    * the folded state — while `meta_floor` stays as the as-of-floor
+    * horizon's family row), any checkpoint not named by the floor
+    * (superseded retention points and torn compactBelow relics), plus
+    * any leaked rewrite staging (a refused or crashed compaction
+    * leaves `.compact_staging` behind; it is invisible to readers, so
+    * deleting it is always safe — r12 ADVICE). Epoch reclaim is a
+    * no-op on a never-compacted artifact (floor 0).
     *
     * `graceMs` (r12 VERDICT #2 — the reader-safety window): sub-floor
     * epochs became superseded the instant the floor's meta committed;
@@ -585,30 +1056,73 @@ object EpochStore {
     val st = servingState(spark, dir, who, rebuildHint)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // vacuum is a mutation too (r14): it holds the lease so it can
+    // never race a compaction's staging or a writer's in-flight epoch
+    val token = acquireLease(fs, dir, who)
+    try {
     tables.foreach { name =>
       val stage = new org.apache.hadoop.fs.Path(s"$dir/$name/$StagingDir")
       if (fs.exists(stage)) { fs.delete(stage, true); () }
     }
-    if (st.floor == 0) return
+    val cpRx = (java.util.regex.Pattern.quote(CheckpointPrefix) +
+      "(\\d+)").r
+    // a checkpoint not named by the serving floor is superseded (an
+    // older retention point) or torn-never-live (a crashed
+    // compactBelow before its meta) — either way vacuum bait. At
+    // floor 0 NO checkpoint can be live (compactBelow always raises
+    // the floor), so relics there reclaim ungated like staging.
+    def sweepStaleCheckpoints(): Unit =
+      tables.foreach { name =>
+        val root = new org.apache.hadoop.fs.Path(s"$dir/$name")
+        if (fs.exists(root)) fs.listStatus(root).foreach { s =>
+          s.getPath.getName match {
+            case cpRx(k) if k.toInt != st.floor =>
+              fs.delete(s.getPath, true); ()
+            case _ => ()
+          }
+        }
+      }
+    if (st.floor == 0) { sweepStaleCheckpoints(); return }
+    // is the floor checkpoint-based (a compactBelow fold) or
+    // epoch-based (a full compact whose epoch=floor IS the base)?
+    val cpBased = tables.exists(name =>
+      checkpointDir(fs, dir, name, st.floor).isDefined)
     if (graceMs > 0) {
-      val floorMeta = new org.apache.hadoop.fs.Path(s"$dir/meta_${st.floor}")
-      val supersededAt = fs.getFileStatus(floorMeta).getModificationTime
+      // supersession moment: for an epoch-based floor, the floor
+      // meta's commit (the compaction that superseded everything
+      // below it); for a checkpoint-based floor that meta is ancient
+      // history — approximate with the SERVING meta's commit, which
+      // is ≥ the compactBelow's and therefore conservative (active
+      // appends defer reclaim, never hasten it)
+      val marker = new org.apache.hadoop.fs.Path(
+        if (cpBased) s"$dir/meta_${st.epoch}" else s"$dir/meta_${st.floor}")
+      val supersededAt = fs.getFileStatus(marker).getModificationTime
       if (System.currentTimeMillis() - supersededAt < graceMs) return
     }
     val epochRx = "epoch=(\\d+)".r
     // the layout-owned deletes table sweeps with the family tables —
-    // compact folds tombstones away above the floor, so sub-floor
-    // delete epochs are as superseded as the data they retracted
+    // compaction folds tombstones away below (and, for a checkpoint-
+    // based floor, AT) the floor, so those delete epochs are as
+    // superseded as the data they retracted. With a checkpoint-based
+    // floor the epoch=floor directories themselves are stale deltas
+    // (the checkpoint holds the folded as-of-floor state) and sweep
+    // too; with an epoch-based floor epoch=floor IS the base and
+    // stays.
     (tables :+ DeletesTable).distinct.foreach { name =>
       val root = new org.apache.hadoop.fs.Path(s"$dir/$name")
       if (fs.exists(root)) fs.listStatus(root).foreach { s =>
         s.getPath.getName match {
-          case epochRx(n) if n.toInt < st.floor =>
+          case epochRx(n) if n.toInt < st.floor ||
+              (n.toInt == st.floor && cpBased) =>
             fs.delete(s.getPath, true); ()
           case _ => ()
         }
       }
     }
+    sweepStaleCheckpoints()
+    // meta_floor stays in BOTH shapes: it is the as-of-floor horizon's
+    // historical family row (checkpoint-based) or the serving chain's
+    // base meta (epoch-based)
     val metaRx = "meta_(\\d+)".r
     fs.listStatus(p).foreach { s =>
       s.getPath.getName match {
@@ -617,5 +1131,8 @@ object EpochStore {
         case _ => ()
       }
     }
+    // the early returns above (floor 0, inside the grace window) still
+    // release: Scala runs the finally on a non-local return
+    } finally { releaseLease(fs, dir, token) }
   }
 }

@@ -141,6 +141,148 @@ class EpochAsOfSpec extends AnyFunSuite {
       fpProbeSet(dir, incoming, None))
   }
 
+  test("fp compactBelow: every retained horizon serves bit-identically " +
+      "across partial compaction + vacuum; folded horizons refuse; " +
+      "further compactions compose") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val base = corpus.filter(col("doc_id") % 11 =!= 5)
+    val slice = corpus.filter(col("doc_id") % 11 === 5)
+    val dir = "/tmp/graft_test_fpcb"
+    val doomedDir = dir + "_doomed"
+    // the q178/q185 composition: base, append survivors, DELETE the
+    // %13==2 owners, re-append their even half (epochs 0..3)
+    CacheScope.withScope {
+      Dedup.writeFingerprintIndex(base, dir)
+      val kept = Dedup.dedupAgainstIndex(dir, slice)
+        .filter(col("kept")).select("doc_id")
+      Dedup.appendFingerprintIndex(dir,
+        slice.join(kept, Seq("doc_id"), "left_semi"))
+      Dedup.storedOwners(spark, dir).filter(col("owner") % 13 === 2)
+        .select(col("owner").as("doc_id"))
+        .write.mode("overwrite").parquet(doomedDir)
+      val doomed = spark.read.parquet(doomedDir)
+      Dedup.deleteFromFingerprintIndex(dir, doomed)
+      Dedup.appendFingerprintIndex(dir,
+        corpus.join(doomed.filter(col("doc_id") % 2 === 0),
+          Seq("doc_id"), "left_semi"))
+    }
+    // copies of the deleted owners under shifted ids make the delete
+    // visible between horizons 1 and 2 (the first test's construction)
+    val incoming = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+      .unionByName(corpus
+        .join(spark.read.parquet(doomedDir), Seq("doc_id"), "left_semi")
+        .select((col("doc_id") + lit(7000000L)).as("doc_id"),
+          col("text")))
+    val pre1 = fpProbeSet(dir, incoming, Some(1))
+    val pre2 = fpProbeSet(dir, incoming, Some(2))
+    val pre3 = fpProbeSet(dir, incoming, Some(3))
+    val preServing = fpProbeSet(dir, incoming, None)
+    assert(pre1 != pre2, "test premise: the delete must move verdicts")
+    // PARTIAL compaction at horizon 1: epochs 0-1 fold into a
+    // checkpoint, horizons 1/2/3 stay servable, serving unchanged
+    assert(CacheScope.withScope {
+      Dedup.compactFingerprintIndex(spark, dir, below = Some(1)) })
+    assert(fpProbeSet(dir, incoming, None) == preServing,
+      "compactBelow must not change the serving row set")
+    assert(fpProbeSet(dir, incoming, Some(1)) == pre1,
+      "the folded horizon itself (the checkpoint) must serve exactly")
+    assert(fpProbeSet(dir, incoming, Some(2)) == pre2 &&
+      fpProbeSet(dir, incoming, Some(3)) == pre3,
+      "retained horizons must serve bit-identically after compactBelow")
+    val refused = intercept[IllegalArgumentException] {
+      fpProbeSet(dir, incoming, Some(0))
+    }
+    assert(refused.getMessage.contains("predates the floor"),
+      "a horizon below the retention point must refuse")
+    // vacuum reclaims the folded epochs: probes can then only have
+    // served the CHECKPOINT (the q163 argument at partial granularity)
+    Dedup.vacuumFingerprintIndex(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(p))
+    assert(exists(s"$dir/fps/checkpoint=1"),
+      "the live checkpoint must survive vacuum")
+    assert(!exists(s"$dir/fps/epoch=0") && !exists(s"$dir/fps/epoch=1"),
+      "vacuum must reclaim the folded epoch dirs (incl. the stale " +
+        "epoch=floor delta)")
+    assert(!exists(s"$dir/meta_0") && exists(s"$dir/meta_1"),
+      "meta_floor stays (the as-of-floor family row); below it goes")
+    assert(exists(s"$dir/deletes/epoch=2"),
+      "retained tombstones (above the floor) must survive vacuum — " +
+        "they still suppress the checkpoint's rows at later horizons")
+    assert(fpProbeSet(dir, incoming, Some(1)) == pre1 &&
+      fpProbeSet(dir, incoming, Some(2)) == pre2 &&
+      fpProbeSet(dir, incoming, None) == preServing,
+      "post-vacuum reads can only have served the checkpoint — and " +
+        "they still match")
+    // idempotence edges
+    assert(!CacheScope.withScope {
+      Dedup.compactFingerprintIndex(spark, dir, below = Some(1)) },
+      "compactBelow at the floor is a no-op (already based there)")
+    assert(intercept[IllegalArgumentException] {
+      Dedup.compactFingerprintIndex(spark, dir, below = Some(0))
+    }.getMessage.contains("predates the floor"))
+    // a SECOND compactBelow advances the retention point (checkpoint
+    // supersedes checkpoint); then a FULL compact expires everything
+    assert(CacheScope.withScope {
+      Dedup.compactFingerprintIndex(spark, dir, below = Some(3)) })
+    assert(fpProbeSet(dir, incoming, Some(3)) == pre3 &&
+      fpProbeSet(dir, incoming, None) == preServing,
+      "the advanced retention point keeps horizon 3 + serving exact")
+    assert(intercept[IllegalArgumentException] {
+      fpProbeSet(dir, incoming, Some(2))
+    }.getMessage.contains("predates the floor"))
+    Dedup.vacuumFingerprintIndex(spark, dir)
+    assert(!exists(s"$dir/fps/checkpoint=1") &&
+      exists(s"$dir/fps/checkpoint=3"),
+      "a superseded checkpoint is vacuum bait; the live one stays")
+    assert(CacheScope.withScope {
+      Dedup.compactFingerprintIndex(spark, dir) },
+      "a full compact composes after partial ones")
+    Dedup.vacuumFingerprintIndex(spark, dir)
+    assert(!exists(s"$dir/fps/checkpoint=3"),
+      "after a full compact every checkpoint is stale and reclaims")
+    assert(fpProbeSet(dir, incoming, None) == preServing,
+      "the fully compacted artifact still serves the same row set")
+  }
+
+  test("bm25 compactBelow: the additive dfs fold keeps every retained " +
+      "horizon's scores bit-identical (historical meta + checkpointed " +
+      "postings)") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val base = d.filter(col("doc_id") % 11 =!= 5)
+    val dir = "/tmp/graft_test_bm25cb"
+    CacheScope.withScope {
+      Bm25.writeBm25Index(base, dir)
+      Bm25.appendBm25Index(dir, d.filter(col("doc_id") % 11 === 5))
+      Bm25.deleteFromBm25Index(dir,
+        d.filter(col("doc_id") % 13 === 2).select("doc_id"))
+    }
+    val terms = Seq("spark", "hash", "window")
+    def rows(asOf: Option[Int]) = CacheScope.withScope {
+      Bm25.topKIndexed(spark, dir, terms, 50, asOf = asOf)
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    val pre1 = rows(Some(1))
+    val pre2 = rows(Some(2))
+    val preServing = rows(None)
+    assert(CacheScope.withScope {
+      Bm25.compactBm25Index(spark, dir, below = Some(1)) })
+    Bm25.vacuumBm25Index(spark, dir)
+    assert(rows(Some(1)) == pre1,
+      "bm25 as-of the checkpoint horizon must score bit-identically " +
+        "(df re-summed in the fold, N/Σdl from meta_1)")
+    assert(rows(Some(2)) == pre2 && rows(None) == preServing,
+      "bm25 retained horizons + serving must score bit-identically " +
+        "(the delete epoch's negative df rows stay as deltas above " +
+        "the checkpoint)")
+    assert(intercept[IllegalArgumentException] { rows(Some(0)) }
+      .getMessage.contains("predates the floor"))
+  }
+
   test("bm25 as-of: the historical meta rewinds the additive stats — " +
       "as-of 0 scores bit-identically to a fresh base-only index, " +
       "as-of serving to the plain probe") {

@@ -127,9 +127,16 @@ class EpochCompactionSpec extends AnyFunSuite {
       Dedup.appendFingerprintIndex(dir, g1.join(kept1, Seq("doc_id"),
         "left_semi"))
     }
-    // simulate the race the single-writer contract forbids: a real
-    // append lands after compact's rewrite but before its meta commit
+    // simulate the race the single-writer contract forbids: a writer
+    // that FORCE-BREAKS the compaction's lease (r14 — with fencing, a
+    // well-behaved concurrent append refuses at acquisition; only a
+    // lease-breaker can still land mid-compaction) and appends after
+    // compact's rewrite but before its meta commit
     graft.sources.EpochStore.beforeCompactCommit = () => {
+      val lockFs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      lockFs.delete(new org.apache.hadoop.fs.Path(s"$dir/_writer_lock"),
+        false)
       CacheScope.withScope {
         val kept2 = Dedup.dedupAgainstIndex(dir, g2)
           .filter(col("kept")).select("doc_id")
@@ -163,6 +170,180 @@ class EpochCompactionSpec extends AnyFunSuite {
     }
     assert(afterRetry == afterSkew && afterSkew.nonEmpty,
       "the retried compaction must serve the post-append state unchanged")
+  }
+
+  test("mid-compactBelow serve skew refuses; a torn prior checkpoint " +
+      "at the same horizon is overwritten by the retry") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val base = corpus.filter(col("doc_id") % 5 =!= 2)
+    val g1 = corpus.filter(col("doc_id") % 5 === 2 &&
+      col("doc_id") % 3 =!= 1)
+    val g2 = corpus.filter(col("doc_id") % 5 === 2 &&
+      col("doc_id") % 3 === 1)
+    val dir = "/tmp/graft_test_fpcbskew"
+    CacheScope.withScope {
+      Dedup.writeFingerprintIndex(base, dir)
+      val kept1 = Dedup.dedupAgainstIndex(dir, g1)
+        .filter(col("kept")).select("doc_id")
+      Dedup.appendFingerprintIndex(dir, g1.join(kept1, Seq("doc_id"),
+        "left_semi"))
+    }
+    // a TORN prior compactBelow at the same horizon: garbage at
+    // checkpoint=1 that no reader serves (the floor does not name it)
+    // and that the eventual successful run must overwrite
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    spark.range(3).select(org.apache.spark.sql.functions.lit("garbage")
+        .as("junk"))
+      .write.mode("overwrite").parquet(s"$dir/fps/checkpoint=1")
+    val incoming = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+    def probe() = CacheScope.withScope {
+      Dedup.dedupAgainstIndex(dir, incoming)
+        .as[(Long, String, Long, Boolean)].collect().toSet
+    }
+    val preTorn = probe()
+    assert(preTorn.nonEmpty,
+      "a torn (unreferenced) checkpoint must be invisible to probes")
+    // the race the single-writer contract forbids, at the partial
+    // path — the violator must force-break the lease first (r14)
+    graft.sources.EpochStore.beforeCompactCommit = () => {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_writer_lock"),
+        false)
+      CacheScope.withScope {
+        val kept2 = Dedup.dedupAgainstIndex(dir, g2)
+          .filter(col("kept")).select("doc_id")
+        Dedup.appendFingerprintIndex(dir, g2.join(kept2, Seq("doc_id"),
+          "left_semi"))
+      }
+    }
+    try {
+      val se = intercept[IllegalArgumentException] {
+        CacheScope.withScope {
+          Dedup.compactFingerprintIndex(spark, dir, below = Some(1)) }
+      }
+      assert(se.getMessage.contains("advanced during compaction"))
+    } finally {
+      graft.sources.EpochStore.beforeCompactCommit = () => ()
+    }
+    val afterSkew = probe()
+    // the retried partial compaction (writers serialized again)
+    // overwrites the torn checkpoint and serves identically
+    assert(CacheScope.withScope {
+      Dedup.compactFingerprintIndex(spark, dir, below = Some(1)) })
+    assert(probe() == afterSkew && afterSkew.nonEmpty,
+      "the retried compactBelow must serve the post-append state " +
+        "unchanged through the rewritten checkpoint")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/fps/checkpoint=1")),
+      "the retry must have installed the real checkpoint at horizon 1")
+    // and the garbage schema is gone: as-of the checkpoint horizon
+    // reads the folded (fp, owner) rows, not the junk column
+    val at1 = CacheScope.withScope {
+      Dedup.dedupAgainstIndex(dir, incoming, asOf = Some(1))
+        .as[(Long, String, Long, Boolean)].collect().toSet
+    }
+    assert(at1.nonEmpty)
+  }
+
+  test("writer fencing: a well-behaved second writer refuses at lease " +
+      "acquisition while a compaction is in flight — and the " +
+      "compaction completes untouched") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val base = corpus.filter(col("doc_id") % 5 =!= 2)
+    val g1 = corpus.filter(col("doc_id") % 5 === 2)
+    val dir = "/tmp/graft_test_fplease"
+    CacheScope.withScope {
+      Dedup.writeFingerprintIndex(base, dir)
+      val kept1 = Dedup.dedupAgainstIndex(dir, g1)
+        .filter(col("kept")).select("doc_id")
+      Dedup.appendFingerprintIndex(dir, g1.join(kept1, Seq("doc_id"),
+        "left_semi"))
+    }
+    // the second writer plays by the rules: it tries to acquire and
+    // must refuse LOUDLY instead of interleaving with the rewrite
+    var refusal: String = ""
+    graft.sources.EpochStore.beforeCompactCommit = () => {
+      refusal = intercept[IllegalArgumentException] {
+        CacheScope.withScope {
+          Dedup.appendFingerprintIndex(dir,
+            corpus.filter(col("doc_id") % 7 === 10) // empty is fine
+              .select("doc_id", "text"))
+        }
+      }.getMessage
+    }
+    try {
+      assert(CacheScope.withScope {
+        Dedup.compactFingerprintIndex(spark, dir) },
+        "the fenced compaction must complete — the intruder refused")
+    } finally {
+      graft.sources.EpochStore.beforeCompactCommit = () => ()
+    }
+    assert(refusal.contains("another writer holds the lease"),
+      s"the second writer must refuse at acquisition, got: $refusal")
+    // the lease is released after the compaction: a next writer runs
+    CacheScope.withScope {
+      Dedup.deleteFromFingerprintIndex(dir,
+        Dedup.storedOwners(spark, dir).orderBy(col("owner")).limit(1)
+          .select(col("owner").as("doc_id")))
+    }
+  }
+
+  test("writer fencing: a force-broken lease is detected BEFORE the " +
+      "meta commit (the rename→meta window) — the compaction is " +
+      "fenced off, the old state serves, the retry succeeds") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val base = corpus.filter(col("doc_id") % 5 =!= 2)
+    val g1 = corpus.filter(col("doc_id") % 5 === 2)
+    val dir = "/tmp/graft_test_fpfence"
+    CacheScope.withScope {
+      Dedup.writeFingerprintIndex(base, dir)
+      val kept1 = Dedup.dedupAgainstIndex(dir, g1)
+        .filter(col("kept")).select("doc_id")
+      Dedup.appendFingerprintIndex(dir, g1.join(kept1, Seq("doc_id"),
+        "left_semi"))
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/_writer_lock")
+    val incoming = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+    def probe() = CacheScope.withScope {
+      Dedup.dedupAgainstIndex(dir, incoming)
+        .as[(Long, String, Long, Boolean)].collect().toSet
+    }
+    val before = probe()
+    // a second writer breaks the lease and installs its own token but
+    // commits nothing — the serve-skew re-check cannot see it; only
+    // the fencing check can
+    graft.sources.EpochStore.beforeCompactCommit = () => {
+      fs.delete(lock, false)
+      val out = fs.create(lock, false)
+      out.write("intruder|fake-token|0".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+    try {
+      val fenced = intercept[IllegalArgumentException] {
+        CacheScope.withScope { Dedup.compactFingerprintIndex(spark, dir) }
+      }
+      assert(fenced.getMessage.contains("changed hands"),
+        s"expected the fencing refusal, got: ${fenced.getMessage}")
+    } finally {
+      graft.sources.EpochStore.beforeCompactCommit = () => ()
+    }
+    assert(probe() == before,
+      "nothing of the fenced-off compaction may be visible")
+    // the operator clears the dead intruder's lease; the retry serves
+    // identically
+    fs.delete(lock, false)
+    assert(CacheScope.withScope {
+      Dedup.compactFingerprintIndex(spark, dir) })
+    assert(probe() == before,
+      "the retried compaction serves the same verdict map")
   }
 
   test("text compaction: append → compact serves identically; appends " +

@@ -500,4 +500,88 @@ class EpochDeleteSpec extends AnyFunSuite {
       new java.io.File(s"$dir/deletes").listFiles().isEmpty,
       "no tombstone epoch may survive above the floor")
   }
+
+  test("differential reads: added/removed match the declarative delta " +
+      "per window (replace semantics; added-and-deleted inside the " +
+      "window in neither); empty window; bounds + floor refusals") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+    val base = corpus.filter(col("doc_id") % 11 =!= 5)
+    val slice = corpus.filter(col("doc_id") % 11 === 5)
+    val dir = "/tmp/graft_test_fpdiff"
+    val doomedDir = dir + "_doomed"
+    // epochs: 0 base, 1 append survivors, 2 DELETE %13==2 owners,
+    // 3 re-append their even half
+    CacheScope.withScope {
+      Dedup.writeFingerprintIndex(base, dir)
+      val kept = Dedup.dedupAgainstIndex(dir, slice)
+        .filter(col("kept")).select("doc_id")
+      Dedup.appendFingerprintIndex(dir,
+        slice.join(kept, Seq("doc_id"), "left_semi"))
+      Dedup.storedOwners(spark, dir).filter(col("owner") % 13 === 2)
+        .select(col("owner").as("doc_id"))
+        .write.mode("overwrite").parquet(doomedDir)
+      Dedup.deleteFromFingerprintIndex(dir,
+        spark.read.parquet(doomedDir))
+      Dedup.appendFingerprintIndex(dir,
+        corpus.join(spark.read.parquet(doomedDir)
+            .filter(col("doc_id") % 2 === 0),
+          Seq("doc_id"), "left_semi"))
+    }
+    val doomed = spark.read.parquet(doomedDir)
+      .as[Long].collect().toSet
+    val baseOwners = CacheScope.withScope {
+      spark.read.parquet(s"$dir/fps/epoch=0")
+        .select("owner").as[Long].collect().toSet
+    }
+    def changes(from: Int, to: Int): Seq[(String, Long, Option[String])] =
+      CacheScope.withScope {
+        Dedup.fingerprintIndexChanges(spark, dir, from, to)
+          .as[(String, Long, Option[String])].collect().toSeq
+      }
+    // window (1, 3]: removed = ALL doomed owners (live at 1); added =
+    // their re-appended even half, fps restored verbatim — the evens
+    // appear in BOTH (replace semantics)
+    val w13 = changes(1, 3)
+    assert(w13.filter(_._1 == "removed").map(_._2).toSet == doomed,
+      "removed over (1,3] must be every owner live at 1 and tombstoned")
+    assert(w13.filter(_._1 == "added").map(_._2).toSet ==
+      doomed.filter(_ % 2 == 0),
+      "added over (1,3] must be exactly the re-appended even half")
+    assert(w13.filter(_._1 == "added").forall(_._3.nonEmpty) &&
+      w13.filter(_._1 == "removed").forall(_._3.isEmpty),
+      "added rows carry the stored fp; removed rows carry none")
+    // window (0, 2]: the appended-then-deleted owners (slice ∩ doomed)
+    // appear in NEITHER list — the consumer at horizon 0 never saw
+    // them; removed is only the BASE owners the delete retracted
+    val w02 = changes(0, 2)
+    assert(w02.filter(_._1 == "removed").map(_._2).toSet ==
+      (doomed intersect baseOwners),
+      "removed over (0,2] must be the doomed owners live at 0 only")
+    val epoch1Owners = CacheScope.withScope {
+      spark.read.parquet(s"$dir/fps/epoch=1")
+        .select("owner").as[Long].collect().toSet
+    }
+    assert(w02.filter(_._1 == "added").map(_._2).toSet ==
+      epoch1Owners.filterNot(doomed.contains),
+      "added over (0,2] must be the appended survivors minus the " +
+        "in-window deletions")
+    // empty window: from == to
+    assert(changes(3, 3).isEmpty,
+      "an empty window must diff to nothing")
+    // refusals
+    assert(intercept[IllegalArgumentException] { changes(2, 1) }
+      .getMessage.contains("inverted"))
+    assert(intercept[IllegalArgumentException] { changes(1, 9) }
+      .getMessage.contains("does not exist"))
+    CacheScope.withScope {
+      assert(Dedup.compactFingerprintIndex(spark, dir, below = Some(2)))
+    }
+    assert(intercept[IllegalArgumentException] { changes(1, 3) }
+      .getMessage.contains("predates the floor"),
+      "a window starting below the retention point must refuse")
+    assert(changes(2, 3).filter(_._1 == "added").map(_._2).toSet ==
+      doomed.filter(_ % 2 == 0),
+      "a retained window keeps diffing across the checkpoint")
+  }
 }
