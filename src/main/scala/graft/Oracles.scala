@@ -565,6 +565,58 @@ object Oracles {
       FROM stored0 WHERE owner % 13 = 2
       ORDER BY change, owner"""
 
+  /** q188: the retained-ingest loop's two probe horizons recomputed as
+    * declarative TIER-COALESCES (the q164 argument with four genuinely
+    * novel tiers): the stored owner for a fingerprint is the min id of
+    * the EARLIEST tier containing it — base corpus (%7≠3), then waves
+    * A (%3=0), B (%3=1), C (%3=2) of the %7=3 arrival in mtime order —
+    * because each wave's survivors fold in before the next probes.
+    * Horizon 3 is the post-B map (tiers ≤ B), horizon 5 the serving
+    * one; the probe shard is wave-C's texts under +7e6 ids, so the
+    * horizon delta is every novel C text (owner flips from the
+    * shard's own min to the stored C original) — load-bearing at
+    * every SF by construction. Epochs, checkpoints, batches, and the
+    * in-loop partial compaction never appear here — which is the
+    * gate's whole claim. Wave B's +9e6 copies never enter the tiers:
+    * they are exact copies of wave-A texts, so they can never be
+    * survivors (the engine's fold drops them; the CASE below labels
+    * only original-table docs).
+    */
+  private val fpRetainedOracle: String = {
+    def horizon(asOf: Int, tierCap: String): String = s"""
+      SELECT CAST($asOf AS BIGINT) AS as_of, i.doc_id, i.fp,
+             CASE WHEN i.fp IS NULL THEN i.doc_id
+                  ELSE coalesce(s.owner, im.mi) END AS owner,
+             CAST(i.doc_id = CASE WHEN i.fp IS NULL THEN i.doc_id
+                  ELSE coalesce(s.owner, im.mi) END AS BIGINT) AS kept
+      FROM inc i
+      LEFT JOIN (SELECT fp, doc_id AS owner FROM (
+                   SELECT fp, doc_id, row_number() OVER
+                     (PARTITION BY fp ORDER BY tier, doc_id) AS rn
+                   FROM lab $tierCap) WHERE rn = 1) s ON i.fp = s.fp
+      LEFT JOIN im ON i.fp = im.fp"""
+    s"""
+      WITH f AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        FROM documents),
+      lab AS (SELECT doc_id, fp,
+                CASE WHEN doc_id % 7 <> 3 THEN 0
+                     WHEN doc_id % 3 = 0 THEN 1
+                     WHEN doc_id % 3 = 1 THEN 2
+                     ELSE 3 END AS tier
+              FROM f WHERE fp IS NOT NULL),
+      inc AS (SELECT doc_id + 7000000 AS doc_id, fp FROM f
+              WHERE doc_id % 7 = 3 AND doc_id % 3 = 2),
+      im AS (SELECT fp, min(doc_id) AS mi FROM inc
+             WHERE fp IS NOT NULL GROUP BY fp)
+      ${horizon(3, "WHERE tier <= 2")}
+      UNION ALL
+      ${horizon(5, "")}
+      ORDER BY as_of, doc_id"""
+  }
+
   /** q187: the text-family differential over q182's artifact, window
     * (0, 2] — ADDED is the appended %11==5 stored (≥3-word) docs that
     * survived the delete, REMOVED is the base docs it retracted; the
@@ -2616,6 +2668,12 @@ object Oracles {
     "q185_fp_compact_below" -> fpCbAsOfOracle,
     "q186_fp_changes_between" -> fpChangesOracle,
     "q187_text_changes_between" -> textChangesOracle,
+    "q188_streaming_fp_retained" -> fpRetainedOracle,
+    // q189's patched verdicts must equal the full serving probe —
+    // which is exactly q171's declarative recompute (the delete set's
+    // odd half still retracted); the engine side never reads the
+    // artifact past horizon 1 plus the differential
+    "q189_fp_incremental_reverdict" -> fpDeletedOracle,
 
     // Multi-probe LSH probing ALL buckets (probeHamming = nPlanes) must
     // equal the exact top-k — the sign-bit buckets route, they never

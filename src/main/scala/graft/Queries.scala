@@ -1494,6 +1494,41 @@ object Queries {
         .orderBy(col("change"), col("doc_id"))
     }),
 
+    // ---- BOUNDED retention IN the streaming loop (r14 — what
+    // compactBelow exists for at the production cadence): the q164
+    // loop housekeeps with FULL compaction, so every as-of horizon
+    // expires each micro-batch; this loop folds with
+    // compactBelow(serving − 1) + vacuum instead — the artifact never
+    // sprawls past checkpoint + one delta, yet the last pre-fold
+    // horizon stays auditable. After the drain, a FIXED novel shard
+    // probes at the RETAINED horizon (the post-B state, served from
+    // the mid-drain checkpoint — the sub-floor epochs are loudly
+    // verified gone) and at serving; the oracle recomputes both as
+    // declarative tier-coalesces. Housekeeping and audit reads
+    // compose inside one streaming loop.
+    "q188_streaming_fp_retained" -> ((s, dir) =>
+      graft.streaming.IndexIngest.fpIngestRetainedOnce(
+        s, dir, "q188_streaming_fp_retained")),
+
+    // ---- The CDC consumer made literal (r14): a consumer holding
+    // yesterday's verdicts (the q185 artifact at horizon 1) patches
+    // them to today's state using ONLY fingerprintIndexChanges(1, 4)
+    // — zero artifact reads beyond the delta, cost ∝ shard + delta.
+    // The output must equal the full serving probe bit-for-bit, and
+    // the oracle is q171's declarative serving recompute — the gate's
+    // claim is that delta-patching IS re-verdicting.
+    "q189_fp_incremental_reverdict" -> ((s, dir) => {
+      val (_, incoming) = textArrival(s, dir)
+      val idx = fpCbIndexDir(s, dir)
+      val prior = Dedup.dedupAgainstIndex(idx, incoming, asOf = Some(1))
+      val changes = Dedup.fingerprintIndexChanges(s, idx,
+        fromEpoch = 1, toEpoch = 4)
+      Dedup.patchVerdicts(prior, changes)
+        .select(col("doc_id"), col("fp"), col("owner"),
+          col("kept").cast("long").as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-polytope ANN top-k at the gate: EXHAUSTIVE probe (probes =
     // 2·d₂ = 128 — every cell), so the cell partition is provably
     // output-invisible and the result must equal the exact brute-force

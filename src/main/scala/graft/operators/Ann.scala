@@ -847,6 +847,26 @@ object Ann {
     * afterwards; physical reclaim = [[compactCpIndex]] +
     * [[vacuumCpIndex]]. Single writer.
     */
+  /** DIFFERENTIAL read (r14 — the fp/text convention on the cp
+    * family): which stored vectors changed between two retained
+    * horizons — `('added', vec_id)` committed in `(from, to]` and
+    * live at `to`, `('removed', vec_id)` tombstoned in the window and
+    * live at `from` — so a downstream consumer re-verdicts only the
+    * delta. Bounds/floor refusals as in
+    * [[graft.sources.EpochStore.addedBetween]]; payloads never read.
+    */
+  def vecChanges(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, fromEpoch: Int, toEpoch: Int): DataFrame = {
+    cpIndexState(spark, indexDir, "vecChanges")
+    graft.sources.EpochStore.addedBetween(spark, indexDir, "vectors",
+        "vec_id", fromEpoch, toEpoch, "vecChanges", "writeCpIndex")
+      .select(lit("added").as("change"), col("vec_id"))
+      .unionByName(graft.sources.EpochStore.removedBetween(spark,
+          indexDir, "vectors", "vec_id", fromEpoch, toEpoch,
+          "vecChanges", "writeCpIndex")
+        .select(lit("removed").as("change"), col("vec_id")))
+  }
+
   def deleteFromCpIndex(indexDir: String, ids: DataFrame): Unit = {
     val spark = ids.sparkSession
     val st = cpIndexState(spark, indexDir, "deleteFromCpIndex")

@@ -289,6 +289,24 @@ object Bm25 {
     * reclaim = [[compactBm25Index]] (which re-sums df so the negatives
     * cancel) + [[vacuumBm25Index]]. Single writer.
     */
+  /** DIFFERENTIAL read (r14 — the fp/text convention on the retrieval
+    * family): which stored DOCS changed between two retained horizons
+    * as `('added'|'removed', doc_id)` — the doc grain is the
+    * consumer-meaningful one (postings rows are an implementation
+    * detail; a re-scoring consumer re-fetches exactly these docs).
+    */
+  def docChanges(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, fromEpoch: Int, toEpoch: Int): DataFrame = {
+    bm25IndexState(spark, indexDir, "docChanges")
+    graft.sources.EpochStore.addedBetween(spark, indexDir, "docs",
+        "doc_id", fromEpoch, toEpoch, "docChanges", "writeBm25Index")
+      .select(lit("added").as("change"), col("doc_id"))
+      .unionByName(graft.sources.EpochStore.removedBetween(spark,
+          indexDir, "docs", "doc_id", fromEpoch, toEpoch, "docChanges",
+          "writeBm25Index")
+        .select(lit("removed").as("change"), col("doc_id")))
+  }
+
   def deleteFromBm25Index(indexDir: String, ids: DataFrame): Unit = {
     val spark = ids.sparkSession
     val st = bm25IndexState(spark, indexDir, "deleteFromBm25Index")

@@ -308,6 +308,54 @@ object Dedup {
     added.unionByName(removed)
   }
 
+  /** The CDC CONSUMER made literal (r14 — what [[fingerprintIndexChanges]]
+    * exists FOR): patch a shard's horizon-i verdicts to the horizon-j
+    * state using ONLY the differential — zero artifact reads, cost
+    * ∝ |shard| + |delta|. `prior` is [[dedupAgainstIndex]]'s output at
+    * horizon i (doc_id, fp, owner, kept) for a shard of FRESH ids
+    * (none stored — true of every arrival shard; a stored-owner
+    * verdict is then distinguishable from an incoming-min one by
+    * whether the owner is a shard id); `changes` is
+    * [[fingerprintIndexChanges]] over (i, j]. The patched stored map
+    * is prior's stored owners minus the removed ones plus the added
+    * entries, and each verdict re-derives by the probe's own formula
+    * (stored owner, else the shard's min id per fp, NULL fp → self).
+    * The q189 gate pins patched ≡ the full horizon-j probe against the
+    * declarative oracle — re-verdict ONLY the delta, bit-for-bit.
+    */
+  def patchVerdicts(prior: DataFrame, changes: DataFrame): DataFrame = {
+    val p = graft.CacheScope.scoped(prior)
+    // prior verdicts whose owner is NOT a shard id carry the
+    // horizon-i STORED owner for their fp (fresh-id premise)
+    val storedPrior = p.filter(col("fp").isNotNull)
+      .join(p.select(col("doc_id").as("owner")), Seq("owner"),
+        "left_anti")
+      .select(col("fp"), col("owner")).distinct()
+    val added = changes.filter(col("change") === "added")
+      .select(col("fp"), col("owner"))
+    val removedIds = changes.filter(col("change") === "removed")
+      .select(col("owner"))
+    // surviving prior entries: drop fps whose owner was removed; an
+    // fp both removed and re-added rides the added branch (replace
+    // semantics — added wins by construction, not by precedence)
+    val removedFps = storedPrior
+      .join(removedIds, Seq("owner"), "left_semi")
+      .select("fp")
+    val patchedStored = added
+      .unionByName(storedPrior.join(removedFps, Seq("fp"), "left_anti")
+        .join(added.select("fp"), Seq("fp"), "left_anti"))
+      .select(col("fp"), col("owner").as("_stored_owner"))
+    val incMin = Window.partitionBy(col("fp"))
+    p.drop("owner", "kept")
+      .join(patchedStored, Seq("fp"), "left")
+      .withColumn("_inc_min", min(col("doc_id")).over(incMin))
+      .withColumn("owner", when(col("fp").isNull, col("doc_id"))
+        .otherwise(coalesce(col("_stored_owner"), col("_inc_min"))))
+      .withColumn("kept", col("doc_id") === col("owner"))
+      .select(col("doc_id"), col("fp"), col("owner"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** RETRACT stored documents (r13 — takedown / dedup retraction /
     * corrupted-shard replacement): one DELETE epoch tombstones the
     * given owner ids ([[graft.sources.EpochStore.writeDeleteEpoch]] —

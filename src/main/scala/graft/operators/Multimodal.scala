@@ -861,6 +861,26 @@ object Multimodal {
     * retracted images' hashes are bytes on no disk, the
     * right-to-be-forgotten end state. Single writer.
     */
+  /** DIFFERENTIAL read (r14 — the fp/text convention on the image
+    * family): which stored media changed between two retained
+    * horizons, as `('added'|'removed', media_id)` — the delta a
+    * takedown-audit consumer re-checks WITHOUT a single re-decode
+    * (hashes and raster bytes never read; the strongest differential
+    * asymmetry of the six families).
+    */
+  def mediaChanges(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, fromEpoch: Int, toEpoch: Int): DataFrame = {
+    dHashIndexState(spark, indexDir, "mediaChanges")
+    graft.sources.EpochStore.addedBetween(spark, indexDir, "hashes",
+        "media_id", fromEpoch, toEpoch, "mediaChanges",
+        "writeDHashIndex")
+      .select(lit("added").as("change"), col("media_id"))
+      .unionByName(graft.sources.EpochStore.removedBetween(spark,
+          indexDir, "hashes", "media_id", fromEpoch, toEpoch,
+          "mediaChanges", "writeDHashIndex")
+        .select(lit("removed").as("change"), col("media_id")))
+  }
+
   def deleteFromDHashIndex(indexDir: String, ids: DataFrame): Unit = {
     val spark = ids.sparkSession
     val st = dHashIndexState(spark, indexDir, "deleteFromDHashIndex")

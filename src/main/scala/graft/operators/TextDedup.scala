@@ -1144,6 +1144,25 @@ object TextDedup {
       "doc_id", st.floor, st.epoch)
   }
 
+  /** DIFFERENTIAL read (r14 — the fp/text convention on the eval-suite
+    * family): which BENCHMARKS entered/left the suite between two
+    * versions, as `('added'|'removed', doc_id)` — the compliance
+    * question between two suite audits ("what changed since the last
+    * review") answered from the delta epochs alone.
+    */
+  def benchmarkChanges(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, fromEpoch: Int, toEpoch: Int): DataFrame = {
+    deconIndexState(spark, indexDir, "benchmarkChanges")
+    graft.sources.EpochStore.addedBetween(spark, indexDir, "docs",
+        "doc_id", fromEpoch, toEpoch, "benchmarkChanges",
+        "writeDeconIndex")
+      .select(lit("added").as("change"), col("doc_id"))
+      .unionByName(graft.sources.EpochStore.removedBetween(spark,
+          indexDir, "docs", "doc_id", fromEpoch, toEpoch,
+          "benchmarkChanges", "writeDeconIndex")
+        .select(lit("removed").as("change"), col("doc_id")))
+  }
+
   /** Span-decontaminate an arriving corpus shard against the STORED
     * suite: exactly [[decontaminateSpans]]'s contract and output shape
     * (q150's, md5-gated byte-for-byte) with the benchmark half read

@@ -296,6 +296,118 @@ object IndexIngest {
       .orderBy(col("doc_id"))
   }
 
+  /** The q164 cadence with BOUNDED HISTORY RETENTION (q188, r14 —
+    * compactBelow in the loop): every micro-batch folds its survivors
+    * in and then runs PARTIAL compaction at the pre-fold horizon —
+    * `compactBelow(serving − 1)` — plus vacuum, so the artifact never
+    * carries more than the checkpoint + the latest fold as epochs
+    * while the LAST pre-fold horizon stays servable. This is the
+    * production answer to "housekeep every batch AND keep yesterday's
+    * horizon auditable" that full compaction (q164's loop) cannot
+    * give: there, every as-of horizon expires each batch.
+    *
+    * Waves are id-slices of the `% 7 == 3` arrival (each genuinely
+    * novel, unlike q164's copy-waves — the horizon delta must be
+    * load-bearing): A = `% 3 == 0`, B = `% 3 == 1` ∪ exact copies of
+    * A's `% 9 == 0` slice (+9e6 — the cross-batch ownership premise:
+    * owned by their wave-A originals only if A's fold SURVIVED batch
+    * A's compactBelow), C = `% 3 == 2`. After the drain the gate
+    * probes a FIXED novel shard (wave-C texts under +7e6 ids) at the
+    * RETAINED horizon (the post-B state — served from the checkpoint
+    * the last compactBelow wrote) and at serving; the oracle
+    * recomputes both as declarative tier-coalesces, knowing nothing
+    * about epochs, checkpoints, or batches. Loud premises: the final
+    * floor/serving are exactly the retention policy's (3, 5), the
+    * sub-floor epochs are PHYSICALLY gone (the probes can only have
+    * served the checkpoint), and the cross-batch ownership above.
+    */
+  def fpIngestRetainedOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val srcDir = s"/tmp/graft_stream_src_$queryName"
+    val idxDir = s"/tmp/graft_stream_idx_$queryName"
+    val outDir = s"/tmp/graft_stream_verdicts_$queryName"
+    val ss = EventStreams.streamingSession(spark)
+
+    val d = graft.Tables.documents(ss, sfDir)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3)
+      .select("doc_id", "text")
+    val arriving = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text")
+    val waveA = arriving.filter(col("doc_id") % 3 === 0)
+    val waveB = arriving.filter(col("doc_id") % 3 === 1)
+      .unionByName(waveA.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + lit(9000000L)).as("doc_id"),
+          col("text")))
+    val waveC = arriving.filter(col("doc_id") % 3 === 2)
+
+    stageWaves(sfDir, srcDir, queryName, Seq(waveA, waveB, waveC))
+
+    EventStreams.deleteStagingForTest(java.nio.file.Paths.get(outDir))
+    graft.CacheScope.withScope {
+      graft.operators.Dedup.writeFingerprintIndex(corpus, idxDir)
+    }
+
+    drainBatches(ss, srcDir, docSchema, (batch, id) => {
+      val bs = batch.sparkSession
+      val verdict = graft.CacheScope.scoped(
+        graft.operators.Dedup.dedupAgainstIndex(idxDir, batch))
+      verdict.withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(outDir)
+      val kept = verdict.filter(col("kept")).select("doc_id")
+      graft.operators.Dedup.appendFingerprintIndex(idxDir,
+        batch.join(kept, Seq("doc_id"), "left_semi"))
+      // the retention policy: fold everything below the pre-fold
+      // horizon into the checkpoint, keep that horizon servable
+      val st = graft.sources.EpochStore.servingState(bs, idxDir,
+        queryName, "writeFingerprintIndex")
+      graft.operators.Dedup.compactFingerprintIndex(bs, idxDir,
+        below = Some(st.epoch - 1))
+      graft.operators.Dedup.vacuumFingerprintIndex(bs, idxDir)
+    })
+
+    // cross-batch ownership: a wave-B copy owned by its wave-A
+    // original proves batch A's fold survived batch A's compactBelow
+    val verdicts = graft.CacheScope.scoped(spark.read.parquet(outDir))
+    require(verdicts.filter(col("doc_id") >= 9000000L && !col("kept") &&
+        col("owner") < 9000000L && col("owner") % 7 === 3).limit(1)
+        .count() == 1L,
+      s"$queryName premise violated: no wave-B copy is owned by its " +
+        "wave-A original — the fold did not survive the in-loop " +
+        "partial compaction")
+    requireExactlyOnce(verdicts, Seq("doc_id"), queryName, "doc verdict")
+    // the retention policy's exact end state: base 0, A-fold 1,
+    // cb(0) no-op, B-fold 2, cb(1)→epoch 3 floor 1, C-fold 4,
+    // cb(3)→epoch 5 floor 3 — deterministic because one wave = one
+    // batch (maxFilesPerTrigger = 1 over three stamped files)
+    val st = graft.sources.EpochStore.servingState(spark, idxDir,
+      queryName, "writeFingerprintIndex")
+    require(st.epoch == 5 && st.floor == 3,
+      s"$queryName premise violated: expected (serving, floor) = " +
+        s"(5, 3) from the per-batch retention policy, got " +
+        s"(${st.epoch}, ${st.floor})")
+    val fs = new org.apache.hadoop.fs.Path(idxDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$idxDir/fps/epoch=0")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"$idxDir/fps/checkpoint=3")),
+      s"$queryName premise violated: the folded epochs must be " +
+        "physically reclaimed and the retention checkpoint present — " +
+        "otherwise the probes below prove nothing about the fold")
+    val incoming = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 3 && col("doc_id") % 3 === 2)
+      .select((col("doc_id") + lit(7000000L)).as("doc_id"), col("text"))
+    val at3 = graft.operators.Dedup.dedupAgainstIndex(idxDir, incoming,
+        asOf = Some(3))
+      .withColumn("as_of", lit(3L))
+    val at5 = graft.operators.Dedup.dedupAgainstIndex(idxDir, incoming)
+      .withColumn("as_of", lit(5L))
+    at3.unionByName(at5)
+      .select(col("as_of"), col("doc_id"), col("fp"), col("owner"),
+        col("kept").cast("long").as("kept"))
+      .orderBy(col("as_of"), col("doc_id"))
+  }
+
   /** The SAME production cadence at the NEAR-dup TEXT granularity
     * (q167): arriving document shards probe the stored MinHash index
     * for their Jaccard pairs ([[graft.operators.TextIndex

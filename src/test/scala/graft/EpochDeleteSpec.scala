@@ -566,6 +566,25 @@ class EpochDeleteSpec extends AnyFunSuite {
       epoch1Owners.filterNot(doomed.contains),
       "added over (0,2] must be the appended survivors minus the " +
         "in-window deletions")
+    // the CDC consumer: horizon-1 verdicts patched with the (1, 3]
+    // differential must equal the full serving probe — zero artifact
+    // reads beyond the delta (incl. NULL-fp docs and inc-min fps)
+    locally {
+      val shard = d.filter(col("doc_id") % 7 === 3)
+        .select("doc_id", "text")
+      val patched = CacheScope.withScope {
+        Dedup.patchVerdicts(
+            Dedup.dedupAgainstIndex(dir, shard, asOf = Some(1)),
+            Dedup.fingerprintIndexChanges(spark, dir, 1, 3))
+          .as[(Long, Option[String], Long, Boolean)].collect().toSet
+      }
+      val direct = CacheScope.withScope {
+        Dedup.dedupAgainstIndex(dir, shard)
+          .as[(Long, Option[String], Long, Boolean)].collect().toSet
+      }
+      assert(patched == direct && patched.nonEmpty,
+        "delta-patching must reproduce the full re-verdict bit-for-bit")
+    }
     // empty window: from == to
     assert(changes(3, 3).isEmpty,
       "an empty window must diff to nothing")
@@ -583,5 +602,105 @@ class EpochDeleteSpec extends AnyFunSuite {
     assert(changes(2, 3).filter(_._1 == "added").map(_._2).toSet ==
       doomed.filter(_ % 2 == 0),
       "a retained window keeps diffing across the checkpoint")
+  }
+
+  test("differential wrappers on cp / bm25 / dhash / decon: " +
+      "added/removed over the append+delete window match the " +
+      "declarative delta") {
+    def sets(df: org.apache.spark.sql.DataFrame): (Set[Long], Set[Long]) = {
+      val rows = CacheScope.withScope {
+        df.as[(String, Long)].collect().toSeq }
+      (rows.filter(_._1 == "added").map(_._2).toSet,
+        rows.filter(_._1 == "removed").map(_._2).toSet)
+    }
+    def ids(df: org.apache.spark.sql.DataFrame, c: String): Set[Long] =
+      CacheScope.withScope {
+        df.select(col(c)).as[Long].collect().toSet }
+    // CP: base %2==0, append %2==1, delete %5==0 of both
+    locally {
+      val e = Tables.embeddings(spark, TestSpark.sf)
+        .filter(col("vec_id") < 400).select("vec_id", "embedding")
+      val base = e.filter(col("vec_id") % 2 === 0)
+      val slice = e.filter(col("vec_id") % 2 === 1)
+      val dir = "/tmp/graft_test_diff_cp"
+      CacheScope.withScope {
+        // parameters pinned from the FINAL count so the append cannot
+        // straddle a k-derivation step (the q183 convention)
+        val k = graft.plans.CrossPolytope.chooseHashesPerBand(
+          e.count(), 0.4, 64, 1e-4)
+        val b = graft.plans.CrossPolytope.bandsFor(0.4, k, 64, 1e-4)
+        operators.Ann.writeCpIndex(base, dir, threshold = 0.4,
+          hashesPerBand = k, bands = b)
+        operators.Ann.appendCpIndex(dir, slice)
+        operators.Ann.deleteFromCpIndex(dir,
+          e.filter(col("vec_id") % 5 === 0).select("vec_id"))
+      }
+      val (a, r) = sets(operators.Ann.vecChanges(spark, dir, 0, 2))
+      assert(a == ids(slice.filter(col("vec_id") % 5 =!= 0), "vec_id") &&
+        r == ids(base.filter(col("vec_id") % 5 === 0), "vec_id") &&
+        a.nonEmpty && r.nonEmpty,
+        "cp differential must match the declarative delta")
+    }
+    // BM25: the doc grain
+    locally {
+      val d = Tables.documents(spark, TestSpark.sf)
+        .filter(col("doc_id") < 400).select("doc_id", "text")
+      val base = d.filter(col("doc_id") % 2 === 0)
+      val slice = d.filter(col("doc_id") % 2 === 1)
+      val dir = "/tmp/graft_test_diff_bm25"
+      CacheScope.withScope {
+        operators.Bm25.writeBm25Index(base, dir)
+        operators.Bm25.appendBm25Index(dir, slice)
+        operators.Bm25.deleteFromBm25Index(dir,
+          d.filter(col("doc_id") % 5 === 0).select("doc_id"))
+      }
+      val (a, r) = sets(operators.Bm25.docChanges(spark, dir, 0, 2))
+      assert(a == ids(slice.filter(col("doc_id") % 5 =!= 0), "doc_id") &&
+        r == ids(base.filter(col("doc_id") % 5 === 0), "doc_id") &&
+        a.nonEmpty && r.nonEmpty,
+        "bm25 differential must match the declarative delta")
+    }
+    // DHASH: media grain, %3==0 docs are decodable images
+    locally {
+      val d = Tables.documents(spark, TestSpark.sf)
+        .filter(col("doc_id") < 900 && col("doc_id") % 3 === 0)
+      val base = d.filter(col("doc_id") % 2 === 0)
+      val slice = d.filter(col("doc_id") % 2 === 1)
+      val dir = "/tmp/graft_test_diff_dh"
+      CacheScope.withScope {
+        operators.Multimodal.writeDHashIndex(base, dir)
+        operators.Multimodal.appendDHashIndex(dir, slice)
+        operators.Multimodal.deleteFromDHashIndex(dir,
+          d.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id").as("media_id")))
+      }
+      val (a, r) = sets(
+        operators.Multimodal.mediaChanges(spark, dir, 0, 2))
+      assert(a == ids(slice.filter(col("doc_id") % 5 =!= 0), "doc_id") &&
+        r == ids(base.filter(col("doc_id") % 5 === 0), "doc_id") &&
+        a.nonEmpty && r.nonEmpty,
+        "dhash differential must match the declarative delta")
+    }
+    // DECON: which benchmarks entered/left the suite
+    locally {
+      val d = Tables.documents(spark, TestSpark.sf)
+        .filter(col("doc_id") < 400 && length(col("text")) >= 60)
+        .select("doc_id", "text")
+      val base = d.filter(col("doc_id") % 2 === 0)
+      val slice = d.filter(col("doc_id") % 2 === 1)
+      val dir = "/tmp/graft_test_diff_dc"
+      CacheScope.withScope {
+        operators.TextDedup.writeDeconIndex(base, dir, w = 60)
+        operators.TextDedup.appendDeconIndex(dir, slice)
+        operators.TextDedup.deleteFromDeconIndex(dir,
+          d.filter(col("doc_id") % 5 === 0).select("doc_id"))
+      }
+      val (a, r) = sets(
+        operators.TextDedup.benchmarkChanges(spark, dir, 0, 2))
+      assert(a == ids(slice.filter(col("doc_id") % 5 =!= 0), "doc_id") &&
+        r == ids(base.filter(col("doc_id") % 5 === 0), "doc_id") &&
+        a.nonEmpty && r.nonEmpty,
+        "decon differential must match the declarative delta")
+    }
   }
 }

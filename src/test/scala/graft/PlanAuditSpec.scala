@@ -119,7 +119,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q125_streaming_full_outer_join", "q132_streaming_update_rollup",
       "q156_streaming_index_ingest", "q164_streaming_fp_ingest",
       "q167_streaming_text_ingest", "q170_streaming_bm25_maintain",
-      "q175_streaming_dhash_ingest")
+      "q175_streaming_dhash_ingest", "q188_streaming_fp_retained")
 
   test("no unsanctioned nested-loop or cartesian join in any batch plan") {
     val offenders = Queries.all.toSeq.sortBy(_._1)
