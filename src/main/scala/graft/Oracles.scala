@@ -2669,6 +2669,24 @@ object Oracles {
     "q186_fp_changes_between" -> fpChangesOracle,
     "q187_text_changes_between" -> textChangesOracle,
     "q188_streaming_fp_retained" -> fpRetainedOracle,
+    // q190: the q185 artifact's history is DETERMINISTIC by
+    // construction (base 0, append 1, delete 2, re-append 3,
+    // compactBelow(1) commit 4, vacuum reclaims meta_0) — the oracle
+    // is that end state as a constant table: epochs 1-4 survive,
+    // floors as each meta recorded them, kinds from the layout
+    // (checkpoint-backed floor / tombstone / data / retention commit)
+    "q190_epoch_history" -> """
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'checkpoint',
+         CAST(1 AS BIGINT)),
+        (CAST(2 AS BIGINT), CAST(0 AS BIGINT), 'delete',
+         CAST(1 AS BIGINT)),
+        (CAST(3 AS BIGINT), CAST(0 AS BIGINT), 'data',
+         CAST(1 AS BIGINT)),
+        (CAST(4 AS BIGINT), CAST(1 AS BIGINT), 'retention',
+         CAST(1 AS BIGINT)))
+        AS t(epoch, floor_at_commit, kind, live)
+      ORDER BY epoch""",
     // q189's patched verdicts must equal the full serving probe —
     // which is exactly q171's declarative recompute (the delete set's
     // odd half still retracted); the engine side never reads the

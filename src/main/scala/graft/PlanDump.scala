@@ -37,7 +37,9 @@ object PlanDump {
     "q166_bm25_index_appended", "q168_bm25_batched_indexed",
     "q169_image_neardup_indexed", "q171_fp_dedup_deleted",
     "q172_bm25_deleted", "q174_text_jaccard_topk",
-    "q179_bm25_asof", "q180_decontaminate_indexed")
+    "q179_bm25_asof", "q180_decontaminate_indexed",
+    "q185_fp_compact_below", "q186_fp_changes_between",
+    "q189_fp_incremental_reverdict")
 
   /** Prose that must survive regeneration (r11: the q52 STATUS note was
     * hand-edited into the generated file once — a regen would have
@@ -45,6 +47,34 @@ object PlanDump {
     * plan block.
     */
   val notes: Map[String, String] = Map(
+    "q185_fp_compact_below" ->
+      """Three horizons of a PARTIALLY compacted (and vacuumed)
+        |artifact: every probe's stored-side scan is the checkpoint-
+        |aware read — a two-branch union of the `checkpoint=1` parquet
+        |scan (effective epoch 1 as a literal) and the retained delta
+        |epochs, each branch with its own pushed filters. The as-of-1
+        |probe reads the checkpoint branch ALONE (the delta side prunes
+        |to zero dirs at the driver) and carries NO tombstone anti-join
+        |(no delete epoch ≤ 1 exists); the as-of-2 and serving probes
+        |union both branches and suppress checkpoint rows through the
+        |epoch-qualified anti-join by their EFFECTIVE epoch
+        |(1 < del_epoch 2) — equi on the id, hash/merge, never a
+        |nested loop.""".stripMargin,
+    "q186_fp_changes_between" ->
+      """The differential's two sides: ADDED is a delta-epoch-only scan
+        |(driver-pruned to (1, 3] — the checkpoint branch never appears)
+        |anti-joined against the in-window tombstones; REMOVED is the
+        |tiny tombstone id set semi-joined against ONE id-projected
+        |(column-pruned: owner only, fp never read) live scan at
+        |horizon 1, which IS the checkpoint scan. Cost ∝ delta + one
+        |projected scan, independent of total history depth.""".stripMargin,
+    "q189_fp_incremental_reverdict" ->
+      """The CDC consumer's plan: NO artifact scan beyond the horizon-1
+        |probe and the differential — the patch itself is two
+        |anti/semi joins over the consumer's own verdicts plus one
+        |window min for the shard's inc-min tier. The gated claim is
+        |that this plan's output equals the full serving probe
+        |bit-for-bit (the oracle is the serving recompute).""".stripMargin,
     "q172_bm25_deleted" ->
       """The probe plan here should read IDENTICALLY shaped to q165's —
         |that is the point. The delete epoch's negative df rows are served

@@ -198,6 +198,30 @@ object Queries {
     idx
   }
 
+  /** The mutated-but-uncompacted text artifact shared by q182 (as-of
+    * at two horizons) and q187 (differential over the append+delete
+    * window): base %11!=5 → append %11==5 → DELETE the ≡ 2 (mod 13)
+    * stored docs, history retained (epochs 0..2). One build, one
+    * SharedStage key — two inline copies of it could silently drift
+    * while the key still matched (r14 second review).
+    */
+  private def txtAsOfIndexDir(s: SparkSession, dir: String): String = {
+    val (corpus, _) = textArrival(s, dir)
+    val idx = "/tmp/graft_txtindex_asof_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    SharedStage.buildOnce(idx, s"txtindexasof|$dir|t0.6") {
+      TextIndex.writeJaccardIndex(
+        corpus.filter(col("doc_id") % 11 =!= 5), idx, threshold = 0.6)
+      TextIndex.appendJaccardIndex(idx,
+        corpus.filter(col("doc_id") % 11 === 5))
+      val doomedDir = idx + "_doomed"
+      TextIndex.storedDocIds(s, idx).filter(col("doc_id") % 13 === 2)
+        .write.mode("overwrite").parquet(doomedDir)
+      TextIndex.deleteFromJaccardIndex(idx, s.read.parquet(doomedDir))
+    }
+    idx
+  }
+
   private def bm25IndexDir(s: SparkSession, dir: String): String = {
     val idx = "/tmp/graft_bm25index_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -1330,19 +1354,8 @@ object Queries {
     // is organic and present at every SF for text/cp (the J=1 /
     // cosine≈1 copies of deleted %10==0 originals lose their pairs).
     "q182_text_dedup_asof" -> ((s, dir) => {
-      val (corpus, incoming) = textArrival(s, dir)
-      val idx = "/tmp/graft_txtindex_asof_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      SharedStage.buildOnce(idx, s"txtindexasof|$dir|t0.6") {
-        TextIndex.writeJaccardIndex(
-          corpus.filter(col("doc_id") % 11 =!= 5), idx, threshold = 0.6)
-        TextIndex.appendJaccardIndex(idx,
-          corpus.filter(col("doc_id") % 11 === 5))
-        val doomedDir = idx + "_doomed"
-        TextIndex.storedDocIds(s, idx).filter(col("doc_id") % 13 === 2)
-          .write.mode("overwrite").parquet(doomedDir)
-        TextIndex.deleteFromJaccardIndex(idx, s.read.parquet(doomedDir))
-      }
+      val (_, incoming) = textArrival(s, dir)
+      val idx = txtAsOfIndexDir(s, dir)
       val at1 = TextIndex.jaccardPairsIndexed(idx, incoming,
           threshold = 0.6, asOf = Some(1))
         .withColumn("as_of", lit(1L))
@@ -1477,19 +1490,7 @@ object Queries {
     // payloads are never read — the diff costs the delta epochs plus
     // one id-projected scan at horizon 0.
     "q187_text_changes_between" -> ((s, dir) => {
-      val (corpus, _) = textArrival(s, dir)
-      val idx = "/tmp/graft_txtindex_asof_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      SharedStage.buildOnce(idx, s"txtindexasof|$dir|t0.6") {
-        TextIndex.writeJaccardIndex(
-          corpus.filter(col("doc_id") % 11 =!= 5), idx, threshold = 0.6)
-        TextIndex.appendJaccardIndex(idx,
-          corpus.filter(col("doc_id") % 11 === 5))
-        val doomedDir = idx + "_doomed"
-        TextIndex.storedDocIds(s, idx).filter(col("doc_id") % 13 === 2)
-          .write.mode("overwrite").parquet(doomedDir)
-        TextIndex.deleteFromJaccardIndex(idx, s.read.parquet(doomedDir))
-      }
+      val idx = txtAsOfIndexDir(s, dir)
       TextIndex.docChanges(s, idx, fromEpoch = 0, toEpoch = 2)
         .orderBy(col("change"), col("doc_id"))
     }),
@@ -1527,6 +1528,26 @@ object Queries {
         .select(col("doc_id"), col("fp"), col("owner"),
           col("kept").cast("long").as("kept"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- DESCRIBE HISTORY (r14): the layout's mutation log from its
+    // surviving metas — every lakehouse format's introspection
+    // table-stake, driver-side only (one-row meta files; no data
+    // read). Probed on the q185 artifact AFTER its compactBelow +
+    // vacuum, so the gate pins what the layout actually retains: the
+    // checkpoint-backed floor epoch, the tombstone epoch, the
+    // re-append, and the retention commit — with the floors each meta
+    // recorded at ITS commit time. The oracle is the composition's
+    // deterministic end state as a constant table: a structural gate
+    // (the q07 precedent), not a recompute.
+    "q190_epoch_history" -> ((s, dir) => {
+      val idx = fpCbIndexDir(s, dir)
+      graft.sources.EpochStore.describeHistory(s, idx, Seq("fps"),
+          "q190_epoch_history", "writeFingerprintIndex")
+        .select(col("epoch").cast("long").as("epoch"),
+          col("floor_at_commit").cast("long").as("floor_at_commit"),
+          col("kind"), col("live").cast("long").as("live"))
+        .orderBy(col("epoch"))
     }),
 
     // Cross-polytope ANN top-k at the gate: EXHAUSTIVE probe (probes =

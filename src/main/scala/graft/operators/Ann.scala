@@ -858,13 +858,9 @@ object Ann {
   def vecChanges(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, fromEpoch: Int, toEpoch: Int): DataFrame = {
     cpIndexState(spark, indexDir, "vecChanges")
-    graft.sources.EpochStore.addedBetween(spark, indexDir, "vectors",
-        "vec_id", fromEpoch, toEpoch, "vecChanges", "writeCpIndex")
-      .select(lit("added").as("change"), col("vec_id"))
-      .unionByName(graft.sources.EpochStore.removedBetween(spark,
-          indexDir, "vectors", "vec_id", fromEpoch, toEpoch,
-          "vecChanges", "writeCpIndex")
-        .select(lit("removed").as("change"), col("vec_id")))
+    graft.sources.EpochStore.idChangesBetween(spark, indexDir,
+      "vectors", "vec_id", fromEpoch, toEpoch, "vecChanges",
+      "writeCpIndex")
   }
 
   def deleteFromCpIndex(indexDir: String, ids: DataFrame): Unit = {

@@ -298,13 +298,8 @@ object Bm25 {
   def docChanges(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, fromEpoch: Int, toEpoch: Int): DataFrame = {
     bm25IndexState(spark, indexDir, "docChanges")
-    graft.sources.EpochStore.addedBetween(spark, indexDir, "docs",
-        "doc_id", fromEpoch, toEpoch, "docChanges", "writeBm25Index")
-      .select(lit("added").as("change"), col("doc_id"))
-      .unionByName(graft.sources.EpochStore.removedBetween(spark,
-          indexDir, "docs", "doc_id", fromEpoch, toEpoch, "docChanges",
-          "writeBm25Index")
-        .select(lit("removed").as("change"), col("doc_id")))
+    graft.sources.EpochStore.idChangesBetween(spark, indexDir, "docs",
+      "doc_id", fromEpoch, toEpoch, "docChanges", "writeBm25Index")
   }
 
   def deleteFromBm25Index(indexDir: String, ids: DataFrame): Unit = {

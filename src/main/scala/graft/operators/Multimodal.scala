@@ -871,14 +871,9 @@ object Multimodal {
   def mediaChanges(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, fromEpoch: Int, toEpoch: Int): DataFrame = {
     dHashIndexState(spark, indexDir, "mediaChanges")
-    graft.sources.EpochStore.addedBetween(spark, indexDir, "hashes",
-        "media_id", fromEpoch, toEpoch, "mediaChanges",
-        "writeDHashIndex")
-      .select(lit("added").as("change"), col("media_id"))
-      .unionByName(graft.sources.EpochStore.removedBetween(spark,
-          indexDir, "hashes", "media_id", fromEpoch, toEpoch,
-          "mediaChanges", "writeDHashIndex")
-        .select(lit("removed").as("change"), col("media_id")))
+    graft.sources.EpochStore.idChangesBetween(spark, indexDir,
+      "hashes", "media_id", fromEpoch, toEpoch, "mediaChanges",
+      "writeDHashIndex")
   }
 
   def deleteFromDHashIndex(indexDir: String, ids: DataFrame): Unit = {

@@ -1153,14 +1153,9 @@ object TextDedup {
   def benchmarkChanges(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, fromEpoch: Int, toEpoch: Int): DataFrame = {
     deconIndexState(spark, indexDir, "benchmarkChanges")
-    graft.sources.EpochStore.addedBetween(spark, indexDir, "docs",
-        "doc_id", fromEpoch, toEpoch, "benchmarkChanges",
-        "writeDeconIndex")
-      .select(lit("added").as("change"), col("doc_id"))
-      .unionByName(graft.sources.EpochStore.removedBetween(spark,
-          indexDir, "docs", "doc_id", fromEpoch, toEpoch,
-          "benchmarkChanges", "writeDeconIndex")
-        .select(lit("removed").as("change"), col("doc_id")))
+    graft.sources.EpochStore.idChangesBetween(spark, indexDir, "docs",
+      "doc_id", fromEpoch, toEpoch, "benchmarkChanges",
+      "writeDeconIndex")
   }
 
   /** Span-decontaminate an arriving corpus shard against the STORED

@@ -353,13 +353,8 @@ object TextIndex {
   def docChanges(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, fromEpoch: Int, toEpoch: Int): DataFrame = {
     indexState(spark, indexDir, "docChanges")
-    val added = EpochStore.addedBetween(spark, indexDir, "docs",
-        "doc_id", fromEpoch, toEpoch, "docChanges", "writeJaccardIndex")
-      .select(lit("added").as("change"), col("doc_id"))
-    val removed = EpochStore.removedBetween(spark, indexDir, "docs",
-        "doc_id", fromEpoch, toEpoch, "docChanges", "writeJaccardIndex")
-      .select(lit("removed").as("change"), col("doc_id"))
-    added.unionByName(removed)
+    EpochStore.idChangesBetween(spark, indexDir, "docs", "doc_id",
+      fromEpoch, toEpoch, "docChanges", "writeJaccardIndex")
   }
 
   /** RETRACT stored documents (r13 — takedown / retraction): one

@@ -723,6 +723,86 @@ object EpochStore {
     }
   }
 
+  /** The artifact's MUTATION HISTORY from its surviving metas (r14 —
+    * the DESCRIBE-HISTORY introspection every lakehouse table format
+    * ships): one row per readable `meta_N`, driver-side only (metas
+    * are one-row files; no table data is read). Columns:
+    *   - `epoch`, `floor_at_commit` (the floor that epoch's meta
+    *     recorded — the artifact's retention point as of that commit),
+    *   - `kind`: 'checkpoint' (the serving floor's epoch when a
+    *     [[compactBelow]] fold backs it), 'delete' (a tombstone
+    *     epoch), 'data' (base / append / full-compact fold — they all
+    *     commit data tables), 'retention' (a [[compactBelow]] commit:
+    *     no tables of its own, it published a new floor),
+    *   - `live`: whether the epoch is in the serving read range.
+    * Sub-floor metas survive only until [[vacuum]]; they report with
+    * live = false. `tables` names the family's data tables (the
+    * [[vacuum]] convention) for kind detection.
+    */
+  def describeHistory(spark: SparkSession, dir: String,
+      tables: Seq[String], who: String, rebuildHint: String)
+      : DataFrame = {
+    val st = servingState(spark, dir, who, rebuildHint)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rx = "meta_(\\d+)".r
+    val epochs = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case rx(n) => n.toInt }.sorted
+    val rows = epochs.flatMap { n =>
+      val meta =
+        try Some(spark.read.parquet(s"$dir/meta_$n").head())
+        catch {
+          case ae: org.apache.spark.sql.AnalysisException
+              if TornMetaConditions.contains(ae.getCondition) => None
+          case _: java.util.NoSuchElementException => None
+        }
+      meta.map { m =>
+        val fi = m.schema.fieldNames.indexOf("floor_epoch")
+        val fl = if (fi >= 0 && !m.isNullAt(fi)) m.getInt(fi) else 0
+        val kind =
+          if (n == st.floor &&
+              tables.exists(t => checkpointDir(fs, dir, t, n).isDefined))
+            "checkpoint"
+          else if (fs.exists(new org.apache.hadoop.fs.Path(
+              s"$dir/$DeletesTable/epoch=$n"))) "delete"
+          else if (tables.exists(t => fs.exists(
+              new org.apache.hadoop.fs.Path(s"$dir/$t/epoch=$n"))))
+            "data"
+          else "retention"
+        org.apache.spark.sql.Row(n, fl, kind,
+          n >= st.floor && n <= st.epoch)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("epoch",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("floor_at_commit",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("live",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
+  /** The `(change, <idCol>)` differential shape five of the six family
+    * wrappers share (r14 second review — the servingStateMaybeAt /
+    * compactMaybeBelow dedup precedent): 'added' ids from
+    * [[addedBetween]] (payload columns dropped) unioned with 'removed'
+    * ids from [[removedBetween]]. Only the fp family stays bespoke
+    * (its added rows carry the fingerprint).
+    */
+  def idChangesBetween(spark: SparkSession, dir: String, name: String,
+      idCol: String, from: Int, to: Int, who: String,
+      rebuildHint: String): DataFrame =
+    addedBetween(spark, dir, name, idCol, from, to, who, rebuildHint)
+      .select(lit("added").as("change"), col(idCol))
+      .unionByName(
+        removedBetween(spark, dir, name, idCol, from, to, who,
+          rebuildHint)
+        .select(lit("removed").as("change"), col(idCol)))
+
   private def dataFileBytes(fs: org.apache.hadoop.fs.FileSystem,
       d: org.apache.hadoop.fs.Path): Long =
     if (!fs.exists(d)) 0L
@@ -1053,13 +1133,18 @@ object EpochStore {
   def vacuum(spark: SparkSession, dir: String, tables: Seq[String],
       who: String, rebuildHint: String, graceMs: Long = 0L): Unit = {
     require(graceMs >= 0, s"$who: graceMs must be >= 0, got $graceMs")
-    val st = servingState(spark, dir, who, rebuildHint)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // vacuum is a mutation too (r14): it holds the lease so it can
-    // never race a compaction's staging or a writer's in-flight epoch
+    // never race a compaction's staging or a writer's in-flight epoch.
+    // The serving state is read UNDER the lease (r14 second review):
+    // a snapshot taken before acquisition could carry a floor a
+    // concurrent compactBelow has since advanced, and the stale-floor
+    // checkpoint sweep below would then delete the LIVE checkpoint —
+    // the one stale-state sweep that destroys data silently.
     val token = acquireLease(fs, dir, who)
     try {
+    val st = servingState(spark, dir, who, rebuildHint)
     tables.foreach { name =>
       val stage = new org.apache.hadoop.fs.Path(s"$dir/$name/$StagingDir")
       if (fs.exists(stage)) { fs.delete(stage, true); () }
