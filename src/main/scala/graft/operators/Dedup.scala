@@ -325,15 +325,19 @@ object Dedup {
     */
   def patchVerdicts(prior: DataFrame, changes: DataFrame): DataFrame = {
     val p = graft.CacheScope.scoped(prior)
+    // the differential feeds THREE consumers below (added twice,
+    // removed once) — pin it or the delta scans it exists to minimize
+    // re-execute per consumer (r14 second review)
+    val ch = graft.CacheScope.scoped(changes)
     // prior verdicts whose owner is NOT a shard id carry the
     // horizon-i STORED owner for their fp (fresh-id premise)
     val storedPrior = p.filter(col("fp").isNotNull)
       .join(p.select(col("doc_id").as("owner")), Seq("owner"),
         "left_anti")
       .select(col("fp"), col("owner")).distinct()
-    val added = changes.filter(col("change") === "added")
+    val added = ch.filter(col("change") === "added")
       .select(col("fp"), col("owner"))
-    val removedIds = changes.filter(col("change") === "removed")
+    val removedIds = ch.filter(col("change") === "removed")
       .select(col("owner"))
     // surviving prior entries: drop fps whose owner was removed; an
     // fp both removed and re-added rides the added branch (replace

@@ -316,6 +316,30 @@ object EpochStore {
   private val TornMetaConditions: Set[String] =
     Set("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")
 
+  /** Read `meta_N` if it is COMMITTED — None on the two torn shapes
+    * and the zero-row commit (see [[TornMetaConditions]]); every other
+    * failure PROPAGATES (the r11 narrowing). The one torn-meta read
+    * [[servingState]] and [[describeHistory]] share — a future
+    * narrowing must not diverge between them.
+    */
+  private def readMetaRow(spark: SparkSession, dir: String, n: Int)
+      : Option[Row] =
+    try Some(spark.read.parquet(s"$dir/meta_$n").head())
+    catch {
+      case ae: org.apache.spark.sql.AnalysisException
+          if TornMetaConditions.contains(ae.getCondition) => None
+      case _: java.util.NoSuchElementException => None
+    }
+
+  /** The floor a meta row recorded — pre-floor metas (and foreign
+    * writers) may lack the column; missing or NULL means "never
+    * compacted" = 0.
+    */
+  private def metaFloor(m: Row): Int = {
+    val fi = m.schema.fieldNames.indexOf("floor_epoch")
+    if (fi >= 0 && !m.isNullAt(fi)) m.getInt(fi) else 0
+  }
+
   /** The artifact's serving state — see [[Serving]]. Refuses, by
     * `who`'s name, an artifact with no complete epoch (torn base
     * build, missing directory, or a foreign layout); `rebuildHint`
@@ -339,24 +363,14 @@ object EpochStore {
     // no error, which is worse than failing the probe (r11 review +
     // r11 ADVICE narrowing).
     val serving = epochs.sorted(Ordering[Int].reverse).view
-      .flatMap { n =>
-        try Some((n, spark.read.parquet(s"$dir/meta_$n").head()))
-        catch {
-          case ae: org.apache.spark.sql.AnalysisException
-              if TornMetaConditions.contains(ae.getCondition) => None
-          case _: java.util.NoSuchElementException => None
-        }
-      }.headOption
+      .flatMap(n => readMetaRow(spark, dir, n).map(m => (n, m)))
+      .headOption
     require(serving.nonEmpty,
       s"$who: no complete epoch at $dir (no readable meta_N) — " +
         "the artifact is torn, missing, or a foreign layout; " +
         s"(re)build it with $rebuildHint")
     val (epoch, meta) = serving.get
-    // pre-floor metas (and foreign writers) may lack the column; a
-    // missing or NULL floor means "never compacted" = 0
-    val fi = meta.schema.fieldNames.indexOf("floor_epoch")
-    val floor = if (fi >= 0 && !meta.isNullAt(fi)) meta.getInt(fi) else 0
-    Serving(epoch, floor, meta)
+    Serving(epoch, metaFloor(meta), meta)
   }
 
   /** The artifact's state AS OF a historical epoch (r13 — time-travel
@@ -399,11 +413,10 @@ object EpochStore {
     else {
       // every epoch in [floor, serving] committed meta-last under the
       // single-writer contract, so this read can only fail on a broken
-      // artifact — let that propagate loudly
+      // artifact — let that propagate loudly (deliberately NOT the
+      // torn-skipping readMetaRow)
       val meta = spark.read.parquet(s"$dir/meta_$asOf").head()
-      val fi = meta.schema.fieldNames.indexOf("floor_epoch")
-      val floor =
-        if (fi >= 0 && !meta.isNullAt(fi)) meta.getInt(fi) else 0
+      val floor = metaFloor(meta)
       // The CURRENT floor wins over the historical one (r14): after a
       // [[compactBelow]], the epochs below the serving floor C were
       // folded into `checkpoint=C` and their directories are vacuum
@@ -732,8 +745,15 @@ object EpochStore {
     *   - `kind`: 'checkpoint' (the serving floor's epoch when a
     *     [[compactBelow]] fold backs it), 'delete' (a tombstone
     *     epoch), 'data' (base / append / full-compact fold — they all
-    *     commit data tables), 'retention' (a [[compactBelow]] commit:
-    *     no tables of its own, it published a new floor),
+    *     commit data tables), 'retention' (a LIVE epoch with no
+    *     tables of its own: a [[compactBelow]] commit that published
+    *     a new floor), or 'superseded' (a SUB-FLOOR epoch whose
+    *     directories are gone — its original kind is unknowable from
+    *     the metas alone once housekeeping reclaimed the dirs, and
+    *     claiming 'retention' there would mislabel a vacuumed data or
+    *     delete epoch; kinds are inferred from surviving directory
+    *     shapes, so a sub-floor epoch's kind can degrade to this as
+    *     compactions and vacuums run),
     *   - `live`: whether the epoch is in the serving read range.
     * Sub-floor metas survive only until [[vacuum]]; they report with
     * live = false. `tables` names the family's data tables (the
@@ -749,16 +769,8 @@ object EpochStore {
     val epochs = fs.listStatus(p).toSeq.map(_.getPath.getName)
       .collect { case rx(n) => n.toInt }.sorted
     val rows = epochs.flatMap { n =>
-      val meta =
-        try Some(spark.read.parquet(s"$dir/meta_$n").head())
-        catch {
-          case ae: org.apache.spark.sql.AnalysisException
-              if TornMetaConditions.contains(ae.getCondition) => None
-          case _: java.util.NoSuchElementException => None
-        }
-      meta.map { m =>
-        val fi = m.schema.fieldNames.indexOf("floor_epoch")
-        val fl = if (fi >= 0 && !m.isNullAt(fi)) m.getInt(fi) else 0
+      readMetaRow(spark, dir, n).map { m =>
+        val live = n >= st.floor && n <= st.epoch
         val kind =
           if (n == st.floor &&
               tables.exists(t => checkpointDir(fs, dir, t, n).isDefined))
@@ -768,9 +780,12 @@ object EpochStore {
           else if (tables.exists(t => fs.exists(
               new org.apache.hadoop.fs.Path(s"$dir/$t/epoch=$n"))))
             "data"
-          else "retention"
-        org.apache.spark.sql.Row(n, fl, kind,
-          n >= st.floor && n <= st.epoch)
+          // a live epoch with no dirs committed none (a compactBelow
+          // retention commit); a SUB-FLOOR one may simply have been
+          // reclaimed — its kind is unknowable, say so
+          else if (live) "retention"
+          else "superseded"
+        org.apache.spark.sql.Row(n, metaFloor(m), kind, live)
       }
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -784,6 +799,24 @@ object EpochStore {
         org.apache.spark.sql.types.BooleanType, nullable = false)))
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
+  /** Layout-owned existence probes for callers (gates, premises) that
+    * must assert physical layout facts without re-deriving the naming
+    * convention by string concatenation (r14 second review — a layout
+    * rename would silently make such premises vacuous).
+    */
+  private[graft] def checkpointDirExists(spark: SparkSession,
+      dir: String, name: String, k: Int): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    checkpointDir(fs, dir, name, k).isDefined
+  }
+
+  private[graft] def epochDirExists(spark: SparkSession, dir: String,
+      name: String, n: Int): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name/epoch=$n")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** The `(change, <idCol>)` differential shape five of the six family

@@ -235,8 +235,27 @@ object IndexIngest {
     * replay refuses on the id clash; a doc verdicting twice refuses on
     * the exactly-once invariant below.
     */
-  def fpIngestOnce(spark: SparkSession, sfDir: String,
-      queryName: String): DataFrame = {
+  /** The fp-family drain loop [[fpIngestOnce]] and
+    * [[fpIngestRetainedOnce]] share (r14 second review — the two
+    * differed only in wave recipe and housekeeping policy, and a
+    * duplicated loop body is exactly how the verdict-first /
+    * one-materialization rule would drift): stage `mkWaves(corpus,
+    * arriving)`, rebuild the artifact + verdict sink (they MUTATE
+    * during the drain — the q116/q156 precedent), drain one file per
+    * micro-batch with verdict FIRST (pinned: ONE materialization
+    * serves both the sink report and the survivor selection —
+    * re-reading the cumulative sink per batch would pay O(batches²)
+    * listing over a long cadence; r12 ADVICE), fold the batch's kept
+    * docs, run `housekeep` before the next batch fires, and return
+    * (idxDir, the scoped drained verdicts) with exactly-once already
+    * required. Cross-batch ownership premises and output shapes stay
+    * with each operator.
+    */
+  private def fpDrain(spark: SparkSession, sfDir: String,
+      queryName: String,
+      mkWaves: (DataFrame, DataFrame) => Seq[DataFrame],
+      housekeep: (SparkSession, String) => Unit)
+      : (String, DataFrame) = {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val idxDir = s"/tmp/graft_stream_idx_$queryName"
     val outDir = s"/tmp/graft_stream_verdicts_$queryName"
@@ -245,17 +264,10 @@ object IndexIngest {
     val d = graft.Tables.documents(ss, sfDir)
     val corpus = d.filter(col("doc_id") % 7 =!= 3)
       .select("doc_id", "text")
-    val waveA = d.filter(col("doc_id") % 7 === 3)
+    val arriving = d.filter(col("doc_id") % 7 === 3)
       .select("doc_id", "text")
-    val waveB = corpus.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
-    val waveC = waveA.filter(col("doc_id") % 9 === 4)
-      .select((col("doc_id") + lit(9000000L)).as("doc_id"), col("text"))
+    stageWaves(sfDir, srcDir, queryName, mkWaves(corpus, arriving))
 
-    stageWaves(sfDir, srcDir, queryName, Seq(waveA, waveB, waveC))
-
-    // the artifact and verdict sink MUTATE during the drain — rebuilt
-    // every run, never staged-reused (the q116/q156 precedent)
     EventStreams.deleteStagingForTest(java.nio.file.Paths.get(outDir))
     graft.CacheScope.withScope {
       graft.operators.Dedup.writeFingerprintIndex(corpus, idxDir)
@@ -263,11 +275,6 @@ object IndexIngest {
 
     drainBatches(ss, srcDir, docSchema, (batch, id) => {
       val bs = batch.sparkSession
-      // verdict FIRST (pinned: ONE materialization serves both the
-      // sink report and the survivor selection — re-reading the
-      // cumulative sink per batch would pay O(batches²) listing over
-      // a long cadence; r12 ADVICE), report — then fold the batch's
-      // kept docs, compact, and reclaim before the next batch fires
       val verdict = graft.CacheScope.scoped(
         graft.operators.Dedup.dedupAgainstIndex(idxDir, batch))
       verdict.withColumn("batch_id", lit(id))
@@ -275,11 +282,30 @@ object IndexIngest {
       val kept = verdict.filter(col("kept")).select("doc_id")
       graft.operators.Dedup.appendFingerprintIndex(idxDir,
         batch.join(kept, Seq("doc_id"), "left_semi"))
-      graft.operators.Dedup.compactFingerprintIndex(bs, idxDir)
-      graft.operators.Dedup.vacuumFingerprintIndex(bs, idxDir)
+      housekeep(bs, idxDir)
     })
 
     val verdicts = graft.CacheScope.scoped(spark.read.parquet(outDir))
+    requireExactlyOnce(verdicts, Seq("doc_id"), queryName, "doc verdict")
+    (idxDir, verdicts)
+  }
+
+  def fpIngestOnce(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val (_, verdicts) = fpDrain(spark, sfDir, queryName,
+      mkWaves = (corpus, arriving) => Seq(
+        arriving,
+        corpus.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+            col("text")),
+        arriving.filter(col("doc_id") % 9 === 4)
+          .select((col("doc_id") + lit(9000000L)).as("doc_id"),
+            col("text"))),
+      housekeep = (bs, idx) => {
+        graft.operators.Dedup.compactFingerprintIndex(bs, idx)
+        graft.operators.Dedup.vacuumFingerprintIndex(bs, idx)
+        ()
+      })
     // LOUD premise: wave-C copies of wave-A docs must be owned by their
     // wave-A originals across the batch boundary — provable only if
     // wave A's survivors were FOLDED IN (and survived the compaction +
@@ -290,7 +316,6 @@ object IndexIngest {
       s"$queryName premise violated: no wave-C doc is owned by its " +
         "wave-A original — the per-batch survivor fold (or the " +
         "compacted artifact) is not feeding later probes")
-    requireExactlyOnce(verdicts, Seq("doc_id"), queryName, "doc verdict")
     verdicts.select(col("doc_id"), col("fp"), col("owner"),
         col("kept").cast("long").as("kept"))
       .orderBy(col("doc_id"))
@@ -323,58 +348,35 @@ object IndexIngest {
     */
   def fpIngestRetainedOnce(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
-    val srcDir = s"/tmp/graft_stream_src_$queryName"
-    val idxDir = s"/tmp/graft_stream_idx_$queryName"
-    val outDir = s"/tmp/graft_stream_verdicts_$queryName"
-    val ss = EventStreams.streamingSession(spark)
-
-    val d = graft.Tables.documents(ss, sfDir)
-    val corpus = d.filter(col("doc_id") % 7 =!= 3)
-      .select("doc_id", "text")
-    val arriving = d.filter(col("doc_id") % 7 === 3)
-      .select("doc_id", "text")
-    val waveA = arriving.filter(col("doc_id") % 3 === 0)
-    val waveB = arriving.filter(col("doc_id") % 3 === 1)
-      .unionByName(waveA.filter(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + lit(9000000L)).as("doc_id"),
-          col("text")))
-    val waveC = arriving.filter(col("doc_id") % 3 === 2)
-
-    stageWaves(sfDir, srcDir, queryName, Seq(waveA, waveB, waveC))
-
-    EventStreams.deleteStagingForTest(java.nio.file.Paths.get(outDir))
-    graft.CacheScope.withScope {
-      graft.operators.Dedup.writeFingerprintIndex(corpus, idxDir)
-    }
-
-    drainBatches(ss, srcDir, docSchema, (batch, id) => {
-      val bs = batch.sparkSession
-      val verdict = graft.CacheScope.scoped(
-        graft.operators.Dedup.dedupAgainstIndex(idxDir, batch))
-      verdict.withColumn("batch_id", lit(id))
-        .write.mode("append").parquet(outDir)
-      val kept = verdict.filter(col("kept")).select("doc_id")
-      graft.operators.Dedup.appendFingerprintIndex(idxDir,
-        batch.join(kept, Seq("doc_id"), "left_semi"))
-      // the retention policy: fold everything below the pre-fold
-      // horizon into the checkpoint, keep that horizon servable
-      val st = graft.sources.EpochStore.servingState(bs, idxDir,
-        queryName, "writeFingerprintIndex")
-      graft.operators.Dedup.compactFingerprintIndex(bs, idxDir,
-        below = Some(st.epoch - 1))
-      graft.operators.Dedup.vacuumFingerprintIndex(bs, idxDir)
-    })
+    val (idxDir, verdicts) = fpDrain(spark, sfDir, queryName,
+      mkWaves = (_, arriving) => {
+        val waveA = arriving.filter(col("doc_id") % 3 === 0)
+        Seq(
+          waveA,
+          arriving.filter(col("doc_id") % 3 === 1)
+            .unionByName(waveA.filter(col("doc_id") % 9 === 0)
+              .select((col("doc_id") + lit(9000000L)).as("doc_id"),
+                col("text"))),
+          arriving.filter(col("doc_id") % 3 === 2))
+      },
+      housekeep = (bs, idx) => {
+        // the retention policy: fold everything below the pre-fold
+        // horizon into the checkpoint, keep that horizon servable
+        val st = graft.sources.EpochStore.servingState(bs, idx,
+          queryName, "writeFingerprintIndex")
+        graft.operators.Dedup.compactFingerprintIndex(bs, idx,
+          below = Some(st.epoch - 1))
+        graft.operators.Dedup.vacuumFingerprintIndex(bs, idx)
+      })
 
     // cross-batch ownership: a wave-B copy owned by its wave-A
     // original proves batch A's fold survived batch A's compactBelow
-    val verdicts = graft.CacheScope.scoped(spark.read.parquet(outDir))
     require(verdicts.filter(col("doc_id") >= 9000000L && !col("kept") &&
         col("owner") < 9000000L && col("owner") % 7 === 3).limit(1)
         .count() == 1L,
       s"$queryName premise violated: no wave-B copy is owned by its " +
         "wave-A original — the fold did not survive the in-loop " +
         "partial compaction")
-    requireExactlyOnce(verdicts, Seq("doc_id"), queryName, "doc verdict")
     // the retention policy's exact end state: base 0, A-fold 1,
     // cb(0) no-op, B-fold 2, cb(1)→epoch 3 floor 1, C-fold 4,
     // cb(3)→epoch 5 floor 3 — deterministic because one wave = one
@@ -385,12 +387,12 @@ object IndexIngest {
       s"$queryName premise violated: expected (serving, floor) = " +
         s"(5, 3) from the per-batch retention policy, got " +
         s"(${st.epoch}, ${st.floor})")
-    val fs = new org.apache.hadoop.fs.Path(idxDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(
-        s"$idxDir/fps/epoch=0")) &&
-      fs.exists(new org.apache.hadoop.fs.Path(
-        s"$idxDir/fps/checkpoint=3")),
+    // through the layout's own existence probes, never by rebuilding
+    // its path convention by hand (r14 second review)
+    require(!graft.sources.EpochStore.epochDirExists(spark, idxDir,
+        "fps", 0) &&
+      graft.sources.EpochStore.checkpointDirExists(spark, idxDir,
+        "fps", 3),
       s"$queryName premise violated: the folded epochs must be " +
         "physically reclaimed and the retention checkpoint present — " +
         "otherwise the probes below prove nothing about the fold")
