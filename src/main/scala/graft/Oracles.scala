@@ -617,6 +617,41 @@ object Oracles {
       ORDER BY as_of, doc_id"""
   }
 
+  /** q191: the additively-evolved owner map recomputed declaratively
+    * with the same NULL backfill the mixed read produces — base-epoch
+    * entries (the %11!=5 map) carry a NULL src_tag, the appended
+    * survivors (slice fps not already owned by base) carry 'wave-b'.
+    * Epochs, schemas, and the additive premise never appear here: the
+    * gate's claim is that a column added mid-life reads back exactly
+    * as if the map had always carried it, NULL before the evolution.
+    */
+  private val fpEvoOracle: String = fpArrivalCtes + """
+      SELECT fp, bo AS owner, CAST(NULL AS VARCHAR) AS src_tag
+      FROM base
+      UNION ALL
+      SELECT s.fp, s.so AS owner, 'wave-b' AS src_tag
+      FROM slice s LEFT JOIN base b ON s.fp = b.fp
+      WHERE b.fp IS NULL
+      ORDER BY owner"""
+
+  /** q192: the q185 per-horizon recompute keyed by TIMESTAMP — the
+    * engine resolves 2500/3500/9999 through the injected monotone
+    * commit clock (1000/2000/3000/4000/5000) to epochs 1/2/4; the
+    * oracle knows only the three declarative corpora, labeled by the
+    * asking timestamp.
+    */
+  private val fpTsAsOfOracle: String = fpArrivalCtes + s"""
+      SELECT CAST(2500 AS BIGINT) AS as_of_ts, v.* FROM (${fpVerdict(
+        "SELECT * FROM stored0")}) v
+      UNION ALL
+      SELECT CAST(3500 AS BIGINT) AS as_of_ts, v.* FROM (${fpVerdict(
+        "SELECT * FROM stored0 WHERE NOT (owner % 13 = 2)")}) v
+      UNION ALL
+      SELECT CAST(9999 AS BIGINT) AS as_of_ts, v.* FROM (${fpVerdict(
+        "SELECT * FROM stored0 WHERE NOT (owner % 13 = 2 AND " +
+          "owner % 2 = 1)")}) v
+      ORDER BY as_of_ts, doc_id"""
+
   /** q187: the text-family differential over q182's artifact, window
     * (0, 2] — ADDED is the appended %11==5 stored (≥3-word) docs that
     * survived the delete, REMOVED is the base docs it retracted; the
@@ -2692,6 +2727,33 @@ object Oracles {
     // odd half still retracted); the engine side never reads the
     // artifact past horizon 1 plus the differential
     "q189_fp_incremental_reverdict" -> fpDeletedOracle,
+
+    "q191_fp_schema_evolution" -> fpEvoOracle,
+
+    "q192_fp_dedup_asof_time" -> fpTsAsOfOracle,
+
+    // q193: the timestamped artifact's history is deterministic by
+    // construction (the q190 composition with an injected clock) —
+    // kinds PERSIST at commit time since r15 and the commit_ts column
+    // carries the clock the timestamp as-of resolves against
+    "q193_epoch_history_ts" -> """
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'checkpoint',
+         CAST(1 AS BIGINT), CAST(2000 AS BIGINT)),
+        (CAST(2 AS BIGINT), CAST(0 AS BIGINT), 'delete',
+         CAST(1 AS BIGINT), CAST(3000 AS BIGINT)),
+        (CAST(3 AS BIGINT), CAST(0 AS BIGINT), 'data',
+         CAST(1 AS BIGINT), CAST(4000 AS BIGINT)),
+        (CAST(4 AS BIGINT), CAST(1 AS BIGINT), 'retention',
+         CAST(1 AS BIGINT), CAST(5000 AS BIGINT)))
+        AS t(epoch, floor_at_commit, kind, live, commit_ts)
+      ORDER BY epoch""",
+
+    // q194's patched near-dup verdicts must equal the full serving
+    // probe — exactly q182's horizon-2 declarative recompute; the
+    // engine side reads only horizon 0 plus the window's delta docs
+    "q194_text_incremental_reverdict" ->
+      textIncrementalOracleWith(" AND NOT (doc_id % 13 = 2)"),
 
     // Multi-probe LSH probing ALL buckets (probeHamming = nPlanes) must
     // equal the exact top-k — the sign-bit buckets route, they never

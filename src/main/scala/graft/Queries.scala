@@ -198,6 +198,70 @@ object Queries {
     idx
   }
 
+  /** The TIMESTAMPED twin of [[fpCbIndexDir]] (r15 — r14 VERDICT #3),
+    * shared by q192 (timestamp-resolved as-of probes) and q193
+    * (DESCRIBE HISTORY with commit_ts + persisted kinds): the exact
+    * q185 composition with a caller-supplied monotone clock injected
+    * at every mutation (base 1000, append 2000, delete 3000, re-append
+    * 4000, compactBelow(1) 5000 — the P9 per-job-constant precedent,
+    * so the gates stay deterministic), then vacuum. End state: serving
+    * epoch 4, floor 1 (checkpoint-backed), metas 1..4 stamped.
+    */
+  private def fpTsIndexDir(s: SparkSession, dir: String): String = {
+    val (corpus, _) = textArrival(s, dir)
+    val idx = "/tmp/graft_fpindex_ts_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    SharedStage.buildOnce(idx, s"fpindexts|$dir") {
+      Dedup.writeFingerprintIndex(
+        corpus.filter(col("doc_id") % 11 =!= 5), idx,
+        commitTs = Some(1000L))
+      val slice = corpus.filter(col("doc_id") % 11 === 5)
+      val kept = Dedup.dedupAgainstIndex(idx, slice)
+        .filter(col("kept")).select("doc_id")
+      Dedup.appendFingerprintIndex(idx,
+        slice.join(kept, Seq("doc_id"), "left_semi"),
+        commitTs = Some(2000L))
+      val doomedDir = idx + "_doomed"
+      Dedup.storedOwners(s, idx).filter(col("owner") % 13 === 2)
+        .select(col("owner").as("doc_id"))
+        .write.mode("overwrite").parquet(doomedDir)
+      val doomed = s.read.parquet(doomedDir)
+      Dedup.deleteFromFingerprintIndex(idx, doomed,
+        commitTs = Some(3000L))
+      Dedup.appendFingerprintIndex(idx,
+        corpus.join(doomed.filter(col("doc_id") % 2 === 0),
+          Seq("doc_id"), "left_semi"),
+        commitTs = Some(4000L))
+      Dedup.compactFingerprintIndex(s, idx, below = Some(1),
+        commitTs = Some(5000L))
+      Dedup.vacuumFingerprintIndex(s, idx)
+    }
+    idx
+  }
+
+  /** The ADDITIVELY-EVOLVED fp artifact (r15 — r14 VERDICT #2, q191):
+    * base %11!=5 (the two-column (fp, owner) map), then the %11==5
+    * survivors appended WITH a new `src_tag` provenance column — the
+    * column a production pipeline starts recording mid-life. The base
+    * epoch's rows NULL-backfill at read time; no rebuild ever runs.
+    */
+  private def fpEvoIndexDir(s: SparkSession, dir: String): String = {
+    val (corpus, _) = textArrival(s, dir)
+    val idx = "/tmp/graft_fpindex_evo_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    SharedStage.buildOnce(idx, s"fpindexevo|$dir") {
+      Dedup.writeFingerprintIndex(
+        corpus.filter(col("doc_id") % 11 =!= 5), idx)
+      val slice = corpus.filter(col("doc_id") % 11 === 5)
+      val kept = Dedup.dedupAgainstIndex(idx, slice)
+        .filter(col("kept")).select("doc_id")
+      Dedup.appendFingerprintIndex(idx,
+        slice.join(kept, Seq("doc_id"), "left_semi"),
+        evolve = Seq("src_tag" -> lit("wave-b")))
+    }
+    idx
+  }
+
   /** The mutated-but-uncompacted text artifact shared by q182 (as-of
     * at two horizons) and q187 (differential over the append+delete
     * window): base %11!=5 → append %11==5 → DELETE the ≡ 2 (mod 13)
@@ -1548,6 +1612,92 @@ object Queries {
           col("floor_at_commit").cast("long").as("floor_at_commit"),
           col("kind"), col("live").cast("long").as("live"))
         .orderBy(col("epoch"))
+    }),
+
+    // ---- ADDITIVE schema evolution (r15, r14 VERDICT #2 — the first
+    // production wall after retention: rebuild-to-add-a-column at
+    // 100 TB): the %11==5 survivors fold in WITH a new src_tag
+    // provenance column (the one evolution parquet mixed reads handle
+    // soundly — the stored prefix unchanged, the new column appended),
+    // and the gate reads the live owner map ACROSS the schema boundary
+    // in one scan: base-epoch rows NULL-backfill, evolved-epoch rows
+    // carry the tag. The oracle recomputes the map declaratively with
+    // the same NULL backfill, knowing nothing about epochs or schemas.
+    // Renames/retypes/reorders still refuse (EpochSchemaSpec); the
+    // additive accept + refusal edges are spec-pinned on all six
+    // families.
+    "q191_fp_schema_evolution" -> ((s, dir) => {
+      val idx = fpEvoIndexDir(s, dir)
+      Dedup.storedOwners(s, idx)
+        .select(col("fp"), col("owner"), col("src_tag"))
+        .orderBy(col("owner"))
+    }),
+
+    // ---- TIMESTAMP-based as-of (r15, r14 VERDICT #3 — the Delta
+    // `TIMESTAMP AS OF` table-stake): the q185 composition with a
+    // caller-supplied monotone clock at every mutation, probed at
+    // three TIMESTAMPS instead of epoch numbers — 2500 resolves
+    // between the append (2000) and the delete (3000), 3500 lands on
+    // the post-delete state, 9999 on serving. The loud premise pins
+    // the resolution itself (epochs 1 / 2 / 4); the oracle is the
+    // q185 per-horizon recompute keyed by timestamp. Pre-floor and
+    // unstamped-history refusals are spec-pinned (EpochAsOfSpec).
+    "q192_fp_dedup_asof_time" -> ((s, dir) => {
+      val (_, incoming) = textArrival(s, dir)
+      val idx = fpTsIndexDir(s, dir)
+      val resolved = Seq(2500L, 3500L, 9999L)
+        .map(ts => ts -> Dedup.fingerprintEpochAtTime(s, idx, ts))
+      require(resolved == Seq(2500L -> 1, 3500L -> 2, 9999L -> 4),
+        "q192 premise violated: the injected commit timestamps must " +
+          s"resolve to epochs 1/2/4, got $resolved — the artifact's " +
+          "clock or composition drifted")
+      resolved.map { case (ts, e) =>
+        Dedup.dedupAgainstIndex(idx, incoming, asOf = Some(e))
+          .withColumn("as_of_ts", lit(ts))
+      }.reduce(_ unionByName _)
+        .select(col("as_of_ts"), col("doc_id"), col("fp"), col("owner"),
+          col("kept").cast("long").as("kept"))
+        .orderBy(col("as_of_ts"), col("doc_id"))
+    }),
+
+    // ---- DESCRIBE HISTORY with commit timestamps + PERSISTED kinds
+    // (r15): on the timestamped artifact, history reports each
+    // surviving epoch's floor-at-commit, its kind (persisted at commit
+    // time since r15 — a vacuumed epoch keeps its true kind instead of
+    // degrading to 'superseded'; the checkpoint label stays a
+    // current-state precedence), liveness, and the commit_ts column
+    // servingStateAtTime resolves against. Constant-table structural
+    // oracle (the q07/q190 precedent).
+    "q193_epoch_history_ts" -> ((s, dir) => {
+      val idx = fpTsIndexDir(s, dir)
+      graft.sources.EpochStore.describeHistory(s, idx, Seq("fps"),
+          "q193_epoch_history_ts", "writeFingerprintIndex")
+        .select(col("epoch").cast("long").as("epoch"),
+          col("floor_at_commit").cast("long").as("floor_at_commit"),
+          col("kind"), col("live").cast("long").as("live"),
+          col("commit_ts"))
+        .orderBy(col("epoch"))
+    }),
+
+    // ---- The TEXT family's CDC consumer (r15, r14 VERDICT #4 —
+    // closing the loop docChanges opened): yesterday's near-dup
+    // verdicts (the q182 artifact at horizon 0) patch to the serving
+    // state by dropping pairs whose stored side was removed and
+    // re-probing the shard against ONLY the delta docs' stored bands
+    // and shingles (delta-pruned scans — the corpus-sized prefix never
+    // reads a row; cost ∝ shard + delta, never shard × corpus). The
+    // output must equal the full serving probe bit-for-bit, and the
+    // oracle is q182's horizon-2 declarative recompute — delta-
+    // patching IS re-verdicting, at the near-dup granularity.
+    "q194_text_incremental_reverdict" -> ((s, dir) => {
+      val (_, incoming) = textArrival(s, dir)
+      val idx = txtAsOfIndexDir(s, dir)
+      val prior = TextIndex.jaccardPairsIndexed(idx, incoming,
+        threshold = 0.6, asOf = Some(0))
+      TextIndex.patchJaccardVerdicts(idx, prior, incoming,
+          fromEpoch = 0, toEpoch = 2, threshold = 0.6)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Cross-polytope ANN top-k at the gate: EXHAUSTIVE probe (probes =

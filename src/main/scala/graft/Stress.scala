@@ -76,7 +76,7 @@ object Stress {
     // the full ~10-minute sweep
     val known = Set("heavy", "emb", "skew", "link", "emb100", "inc",
       "inc100", "span", "span100", "txt", "txt100", "cmp", "del",
-      "dcn", "asof")
+      "dcn", "asof", "pol")
     // emb100 (the 220k-vector third decade) is EXCLUDED from the
     // no-args sweep: measured, its 100× pass OOMs the 8 GB local heap
     // when it runs AFTER the full heavy+emb sections' accumulated
@@ -547,6 +547,60 @@ object Stress {
         operators.Multimodal.imageDHashNearIndexed(idx, imgShard())
       report("q169_image_neardup_indexed fixed-shard (stored dhash)",
         timed(dhProbe(dh1)), timed(dhProbe(dh10)))
+    }
+
+    // ---- RETENTION POLICY pricing (r15 — the r14-VERDICT #5 Stress
+    // criterion): the SAME 12-shard text-family drain (the q167
+    // cadence — the TWO-table docs+bands artifact whose every-batch
+    // compaction is exactly where that gate's cost lives),
+    // housekeeping driven by the actual RetentionPolicy type at
+    // every-1 (today's gate cadence) vs every-4. Each compaction
+    // rewrites the artifact's LIVE bytes, so the every-1 drain pays
+    // ~N rewrites of growing size where every-4 pays N/4 — the write
+    // half of the trade. The end probes price the read half: every-4
+    // finishes with up to everyBatches−1 epochs of sprawl between
+    // fires (the `cmp` row's small-file + meta-walk tax), so deferring
+    // housekeeping is cheaper to write and (slightly) dearer to read —
+    // the trade the policy type exists to name.
+    if (section("pol")) {
+      buildDocCorpus(spark, base, txtDoc1, 1)
+      val nShards = 12
+      def drain(policy: graft.sources.RetentionPolicy, idx: String)
+          : Double = {
+        val docs = txtDocs(txtDoc1)
+        val t0 = System.nanoTime()
+        CacheScope.withScope {
+          operators.TextIndex.writeJaccardIndex(
+            docs.filter(col("doc_id") % nShards === 0), idx,
+            threshold = 0.6)
+        }
+        (1 until nShards).foreach { k =>
+          CacheScope.withScope {
+            operators.TextIndex.appendJaccardIndex(idx,
+              docs.filter(col("doc_id") % nShards === k))
+            policy.housekeep(spark, idx, k - 1L, "stress_pol",
+              "writeJaccardIndex")(
+              below => operators.TextIndex.compactJaccardIndex(spark,
+                idx, below),
+              () => operators.TextIndex.vacuumJaccardIndex(spark, idx))
+          }
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val polIdx1 = "/tmp/graft_stress_polidx_every1"
+      val polIdx4 = "/tmp/graft_stress_polidx_every4"
+      val tE1 = drain(graft.sources.RetentionPolicy(), polIdx1)
+      val tE4 = drain(graft.sources.RetentionPolicy(everyBatches = 4),
+        polIdx4)
+      def polProbe(idx: String): () => DataFrame = () =>
+        operators.TextIndex.jaccardPairsIndexed(idx, txtShard(),
+          threshold = 0.6)
+      val pE1 = timed(polProbe(polIdx1))
+      val pE4 = timed(polProbe(polIdx4))
+      println(f"STRESS txt_ingest_policy_every1-vs-every4 " +
+        f"t_drain_e1=$tE1%.1fs t_drain_e4=$tE4%.1fs " +
+        f"drain_ratio=${tE1 / tE4}%.2f " +
+        f"t_probe_e1=$pE1%.2fs t_probe_e4=$pE4%.2fs")
     }
 
     // ---- DELETE / TOMBSTONES (r13): two prices. (1) The delete

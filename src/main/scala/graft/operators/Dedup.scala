@@ -87,7 +87,8 @@ object Dedup {
     * (single writer; a rebuild reading this artifact's own files must
     * build to a fresh directory).
     */
-  def writeFingerprintIndex(corpus: DataFrame, dir: String): Unit = {
+  def writeFingerprintIndex(corpus: DataFrame, dir: String,
+      commitTs: Option[Long] = None): Unit = {
     val spark = corpus.sparkSession
     val f = graft.CacheScope.scoped(fps(corpus))
     val counts = f.agg(count(lit(1)).as("n"),
@@ -99,17 +100,21 @@ object Dedup {
     val owners = f.filter(col("fp").isNotNull)
       .groupBy(col("fp")).agg(min(col("doc_id")).as("owner"))
     graft.sources.EpochStore.deleteAll(spark, dir)
-    writeFpEpoch(spark, dir, 0, owners, counts.getLong(0))
+    writeFpEpoch(spark, dir, 0, owners, counts.getLong(0),
+      commitTs = commitTs)
   }
 
   private def writeFpEpoch(spark: org.apache.spark.sql.SparkSession,
       dir: String, epoch: Int, owners: DataFrame,
-      totalCount: Long, floor: Int = 0): Unit = {
+      totalCount: Long, floor: Int = 0,
+      allowAdditive: Boolean = false,
+      commitTs: Option[Long] = None): Unit = {
     import spark.implicits._
     val meta = Seq((FpIndexFamily, totalCount, epoch))
       .toDF("family", "corpus_count", "epoch")
     graft.sources.EpochStore.writeEpoch(dir, epoch,
-      Seq("fps" -> owners), meta, floor)
+      Seq("fps" -> owners), meta, floor,
+      allowAdditive = allowAdditive, commitTs = commitTs)
   }
 
   /** Broadcast cap for the shard side of [[dedupAgainstIndex]]'s probe
@@ -231,9 +236,25 @@ object Dedup {
     * shard). Shard-internal duplicate fps collapse to their min-id
     * owner (they are one identity arriving together). No parameter
     * currency exists to check: a fingerprint map has no parameters.
+    *
+    * `evolve` (r15 — ADDITIVE schema evolution, r14 VERDICT #2): new
+    * columns appended to this epoch's (fp, owner) rows — e.g. a
+    * provenance tag or per-owner quality score a production pipeline
+    * starts recording mid-life. Earlier epochs NULL-backfill at read
+    * time (the one evolution parquet mixed reads handle soundly), so
+    * a 100 TB artifact gains the column without a rebuild; the
+    * widened schema then IS the stored schema — later appends carry
+    * it (backfill `lit(null)`) or widen further. Names must be new
+    * (replacing `fp`/`owner` is drift, not evolution) and expressions
+    * are evaluated against the aggregated owner map (`fp`, `owner`
+    * columns in scope). The q191 gate pins the cross-boundary read.
+    *
+    * `commitTs` (r15): caller-supplied commit timestamp for
+    * timestamp-based as-of — see [[graft.sources.EpochStore.writeEpoch]].
     */
-  def appendFingerprintIndex(indexDir: String, survivors: DataFrame)
-      : Unit = {
+  def appendFingerprintIndex(indexDir: String, survivors: DataFrame,
+      evolve: Seq[(String, Column)] = Seq.empty,
+      commitTs: Option[Long] = None): Unit = {
     val spark = survivors.sparkSession
     val st = fpIndexState(spark, indexDir, "appendFingerprintIndex")
     val f = graft.CacheScope.scoped(fps(survivors))
@@ -260,8 +281,17 @@ object Dedup {
       s"appendFingerprintIndex: appended fingerprint(s) already exist " +
         s"at $indexDir — two owners for one identity. Append the " +
         "survivors dedupAgainstIndex marked kept, not the raw shard.")
-    writeFpEpoch(spark, indexDir, st.epoch + 1, owners,
-      st.count + counts.getLong(0), st.floor)
+    evolve.foreach { case (n, _) =>
+      require(!owners.columns.contains(n),
+        s"appendFingerprintIndex: evolve column '$n' already exists " +
+          "in the owner map — replacing a stored column is drift, " +
+          "not evolution; pick a new name or rebuild.")
+    }
+    val widened = evolve.foldLeft(owners) { case (df, (n, c)) =>
+      df.withColumn(n, c) }
+    writeFpEpoch(spark, indexDir, st.epoch + 1, widened,
+      st.count + counts.getLong(0), st.floor,
+      allowAdditive = evolve.nonEmpty, commitTs = commitTs)
   }
 
   /** The live (fp, owner) map the artifact currently serves —
@@ -360,6 +390,24 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Resolve a caller-clock TIMESTAMP to this artifact's retained read
+    * horizon (r15 — timestamp-based as-of, r14 VERDICT #3): the epoch
+    * a `dedupAgainstIndex(..., asOf = Some(_))` probe pins for "the
+    * index as it stood at `ts`" — the Delta `TIMESTAMP AS OF`
+    * composition on the fp family, resolved from the commit_ts values
+    * the mutations recorded (the caller supplies the clock, so gates
+    * stay deterministic — the P9 precedent). Refusals: an unstamped
+    * or partially-stamped history, a backwards clock, and a ts before
+    * the earliest retained horizon — see
+    * [[graft.sources.EpochStore.servingStateAtTime]].
+    */
+  def fingerprintEpochAtTime(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ts: Long): Int = {
+    fpIndexState(spark, indexDir, "fingerprintEpochAtTime")
+    graft.sources.EpochStore.servingStateAtTime(spark, indexDir, ts,
+      "fingerprintEpochAtTime", "writeFingerprintIndex").epoch
+  }
+
   /** RETRACT stored documents (r13 — takedown / dedup retraction /
     * corrupted-shard replacement): one DELETE epoch tombstones the
     * given owner ids ([[graft.sources.EpochStore.writeDeleteEpoch]] —
@@ -374,8 +422,8 @@ object Dedup {
     * [[compactFingerprintIndex]] + [[vacuumFingerprintIndex]], which
     * fold the tombstones away. Single writer, like every mutation.
     */
-  def deleteFromFingerprintIndex(indexDir: String, ids: DataFrame)
-      : Unit = {
+  def deleteFromFingerprintIndex(indexDir: String, ids: DataFrame,
+      commitTs: Option[Long] = None): Unit = {
     val spark = ids.sparkSession
     val st = fpIndexState(spark, indexDir, "deleteFromFingerprintIndex")
     import spark.implicits._
@@ -389,7 +437,7 @@ object Dedup {
       Seq.empty,
       n => Seq((FpIndexFamily, st.count - n, st.epoch + 1))
         .toDF("family", "corpus_count", "epoch"),
-      st.epoch + 1, st.floor)
+      st.epoch + 1, st.floor, commitTs)
   }
 
   /** COMPACT the artifact — the (fp, owner) map's live epochs rewritten
@@ -408,11 +456,13 @@ object Dedup {
     * [[graft.sources.EpochStore.compactBelow]].
     */
   def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, below: Option[Int] = None): Boolean = {
+      indexDir: String, below: Option[Int] = None,
+      commitTs: Option[Long] = None): Boolean = {
     fpIndexState(spark, indexDir, "compactFingerprintIndex")
     graft.sources.EpochStore.compactMaybeBelow(spark, indexDir,
       Seq(graft.sources.EpochStore.CompactTable("fps", Some("owner"))),
-      below, "compactFingerprintIndex", "writeFingerprintIndex")
+      below, "compactFingerprintIndex", "writeFingerprintIndex",
+      commitTs)
   }
 
   /** Reclaim epochs a [[compactFingerprintIndex]] superseded — see

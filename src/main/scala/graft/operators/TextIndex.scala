@@ -357,6 +357,103 @@ object TextIndex {
       fromEpoch, toEpoch, "docChanges", "writeJaccardIndex")
   }
 
+  /** The text family's CDC CONSUMER (r15 — r14 VERDICT #4, what
+    * [[docChanges]] exists FOR): patch a shard's horizon-`fromEpoch`
+    * near-dup verdicts ([[jaccardPairsIndexed]] output — `prior`) to
+    * the horizon-`toEpoch` state WITHOUT re-probing the corpus.
+    * Unlike the fp family's `Dedup.patchVerdicts`, the id delta alone
+    * cannot re-verdict near-dups — a fresh pair needs the added docs'
+    * SHINGLES — so the honest contract is:
+    *   - DROP prior pairs whose stored side was removed in
+    *     `(fromEpoch, toEpoch]` (shard ids are fresh by the probe's
+    *     own premise, so any removed id in a pair IS the stored side);
+    *   - RE-PROBE the shard against ONLY the delta docs: band rows and
+    *     shingle sets of docs committed in the window and live at
+    *     `toEpoch` are read from the artifact DELTA-PRUNED
+    *     ([[graft.sources.EpochStore.addedBetween]] — the checkpoint
+    *     and pre-window epochs never read a row, and the delta side is
+    *     never re-shingled), the shard's bands broadcast under the
+    *     usual gate, and candidates verify exactly on true shingle
+    *     sets. Shard×shard pairs are untouched (both sides fresh).
+    * Cost ∝ shard + delta (+ the one id-projected live scan
+    * removedBetween documents), never shard × corpus. A doc removed
+    * and re-appended inside the window drops from prior and re-finds
+    * through the delta probe with its horizon-`toEpoch` text — honest
+    * replace semantics, and the union stays duplicate-free (a prior
+    * pair's stored side was live at `fromEpoch`; a delta pair's stored
+    * side was not, or was removed first).
+    *
+    * Loud premises: banding drift (the stored (threshold, targetMiss)
+    * front door), one id space within the shard, and NO shard id
+    * added to the store inside the window — the full horizon-`toEpoch`
+    * probe would refuse that id clash, and the patch must refuse
+    * identically rather than silently self-pair. `prior` must be the
+    * horizon-`fromEpoch` probe output for THIS shard (doc_a, doc_b,
+    * jaccard) — unverifiable here, the caller's contract. Gated
+    * (q194) as patched ≡ the full horizon-`toEpoch` probe on q182's
+    * artifact, bit-for-bit.
+    */
+  def patchJaccardVerdicts(indexDir: String, prior: DataFrame,
+      incoming: DataFrame, fromEpoch: Int, toEpoch: Int,
+      threshold: Double, targetMiss: Double = 1e-4): DataFrame = {
+    val spark = incoming.sparkSession
+    val st = readMeta(spark, indexDir, "patchJaccardVerdicts",
+      threshold, targetMiss)
+    require(fromEpoch <= toEpoch && toEpoch <= st.epoch,
+      s"patchJaccardVerdicts: window ($fromEpoch, $toEpoch] is not a " +
+        s"retained range at $indexDir (serving epoch ${st.epoch})")
+    val inc = graft.CacheScope.scoped(shingled(incoming))
+    val agg = inc.agg(count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("nd")).head()
+    require(agg.getLong(0) == agg.getLong(1),
+      "patchJaccardVerdicts: doc_id is not one id space — " +
+        s"${agg.getLong(0) - agg.getLong(1)} duplicate id(s) within " +
+        s"the shard. $PairDupConsequence")
+    val nInc = agg.getLong(0)
+    // the delta docs WITH their stored shingles — pruned to the window
+    // epochs at the driver; the corpus-sized prefix never reads a row
+    val addedDocs = graft.CacheScope.scoped(
+      EpochStore.addedBetween(spark, indexDir, "docs", "doc_id",
+        fromEpoch, toEpoch, "patchJaccardVerdicts", "writeJaccardIndex"))
+    val clash = inc.select("doc_id")
+      .join(addedDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(clash == 0,
+      "patchJaccardVerdicts: shard doc_id(s) were appended to the " +
+        s"index at $indexDir inside the window — the full probe at " +
+        s"horizon $toEpoch would refuse this id clash, and the patch " +
+        "refuses identically (a shared id silently drops its real " +
+        "pair); re-key the shard.")
+    val addedBands = EpochStore.addedBetween(spark, indexDir, "bands",
+      "doc_id", fromEpoch, toEpoch, "patchJaccardVerdicts",
+      "writeJaccardIndex")
+    val incBands = bandRows(inc, st.r, st.b)
+    val hinted =
+      if (nInc * st.b <= Ann.MaxBroadcastBandRows) broadcast(incBands)
+      else incBands
+    // DIRECTED: shard bands probe, delta bands answer — the sides are
+    // disjoint (the clash premise), so no self-pair filter is needed
+    val cand = hinted.as("x")
+      .join(addedBands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    val fresh = verifyExact(cand, addedDocs.unionByName(inc), threshold)
+    val removed = EpochStore.removedBetween(spark, indexDir, "docs",
+      "doc_id", fromEpoch, toEpoch, "patchJaccardVerdicts",
+      "writeJaccardIndex")
+    val survived = prior
+      .join(removed.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+        "left_anti")
+      .join(removed.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+        "left_anti")
+    survived.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .unionByName(fresh)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** RETRACT stored documents (r13 — takedown / retraction): one
     * DELETE epoch tombstones the given doc ids across BOTH tables
     * (docs + bands suppress on the same id at probe time), with the

@@ -95,6 +95,71 @@ object EpochStore {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(p, true)
+    dropShapesUnder(dir)
+  }
+
+  // --------------------------------------------------------------------
+  // STORED-SCHEMA SHAPE CACHE (r15 — the q167 fix, r14 VERDICT #1): the
+  // r14 schema premise paid one driver-side parquet footer read PER
+  // TABLE PER APPEND (spark.read.parquet(dir).schema), which BASELINE
+  // note 14 priced at gate scale and the streaming ingestion loops pay
+  // at DRAIN cadence — q167 appends a two-table artifact three times a
+  // drain, and the measured cost was the round's one real regression.
+  // The layout makes the read memoizable: a committed epoch or live
+  // checkpoint directory is WRITE-ONCE (a torn epoch is overwritten
+  // only by a retry of the same write, and the premise never consults
+  // dirs above the serving epoch), so a path's normalized shape can be
+  // cached for the JVM's life and, crucially, POPULATED AT WRITE TIME —
+  // a drain loop's next append then compares against the shape its own
+  // previous mutation recorded, paying zero footer reads. Invalidation
+  // is exact: [[deleteAll]] clears the artifact's prefix (a rebuild to
+  // the same dir may change schemas) and the compact/compactBelow
+  // renames re-put the rewrite's shape at its destination.
+
+  private val schemaShapes =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[(String, org.apache.spark.sql.types.DataType)]]()
+
+  /** Nullability normalizes away at every nesting level: an in-flight
+    * frame is often non-nullable (and its array<string> often carries
+    * containsNull=false) where the parquet read-back says nullable —
+    * that is round-tripping, not drift.
+    */
+  private def normType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(e, _) => ArrayType(normType(e), true)
+      case MapType(k, v, _) => MapType(normType(k), normType(v), true)
+      case StructType(fs) => StructType(fs.map(f =>
+        f.copy(dataType = normType(f.dataType), nullable = true)))
+      case other => other
+    }
+  }
+
+  /** A schema's comparable shape: (name, normalized type), in order. */
+  private def shapeOf(s: org.apache.spark.sql.types.StructType)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    s.fields.toSeq.map(f => (f.name, normType(f.dataType)))
+
+  /** The shape stored at a data directory — cached per path for the
+    * JVM's life (sound because committed dirs are write-once; see the
+    * cache section comment). The first consult of a dir not written by
+    * this JVM pays the one footer read.
+    */
+  private def storedShapeAt(spark: SparkSession, path: String)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    schemaShapes.computeIfAbsent(path,
+      _ => shapeOf(spark.read.parquet(path).schema))
+
+  private def recordShape(path: String,
+      s: org.apache.spark.sql.types.StructType): Unit = {
+    schemaShapes.put(path, shapeOf(s)); ()
+  }
+
+  private def dropShapesUnder(dir: String): Unit = {
+    val prefix = s"$dir/"
+    schemaShapes.keySet.removeIf(_.startsWith(prefix)); ()
   }
 
   // --------------------------------------------------------------------
@@ -131,6 +196,15 @@ object EpochStore {
   /** Acquire the artifact's writer lease or refuse loudly naming the
     * holder. The token identifies this acquisition (who + uuid +
     * wall time, the latter purely for the human reading a refusal).
+    *
+    * Failure taxonomy (r14 ADVICE): only the CREATE failing (the file
+    * already exists) is "another writer holds the lease" — matched on
+    * FileAlreadyExistsException plus the local-fs shape that surfaces
+    * as a generic IOException with the file present. A failure WRITING
+    * our own token after a successful create is a torn acquisition,
+    * not a holder: the half-written lease is best-effort deleted (it
+    * is ours — leaving it would block every future writer on an
+    * ownerless file) and the original error propagates.
     */
   private[graft] def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, who: String): String = {
@@ -139,23 +213,33 @@ object EpochStore {
     if (!fs.exists(root)) fs.mkdirs(root)
     val token = s"$who|${java.util.UUID.randomUUID()}|" +
       s"${System.currentTimeMillis()}"
+    def refuseHeld(): Nothing = {
+      val holder = try readLease(fs, p) catch { case _: Exception =>
+        "<unreadable>" }
+      throw new IllegalArgumentException(
+        s"$who: another writer holds the lease at $dir " +
+          s"(held by '$holder') — writers must serialize (the " +
+          "single-writer contract). If that writer crashed (a dead " +
+          "writer leaves its lease behind), delete " +
+          s"$dir/$LeaseFile and retry; never delete a live " +
+          "writer's lease.")
+    }
+    val out =
+      try fs.create(p, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          refuseHeld()
+        case _: java.io.IOException if fs.exists(p) => refuseHeld()
+      }
     try {
-      val out = fs.create(p, false)
       try out.write(token.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       token
     } catch {
-      case _: java.io.IOException if fs.exists(p) =>
-        val holder = try readLease(fs, p) catch { case _: Exception =>
-          "<unreadable>" }
-        throw new IllegalArgumentException(
-          s"$who: another writer holds the lease at $dir " +
-            s"(held by '$holder') — writers must serialize (the " +
-            "single-writer contract). If that writer crashed (a dead " +
-            "writer leaves its lease behind), delete " +
-            s"$dir/$LeaseFile and retry; never delete a live " +
-            "writer's lease.")
+      case e: Throwable =>
+        try { fs.delete(p, false); () } catch { case _: Exception => () }
+        throw e
     }
   }
 
@@ -227,61 +311,109 @@ object EpochStore {
     * whole rewrite), re-verified strictly before the meta commit, and
     * released on every exit path — only a JVM crash leaks it, and the
     * next writer's refusal says how to break a dead writer's lease.
+    * Both premises below run UNDER the lease (r14 ADVICE): the target
+    * re-check is only meaningful once acquisition has serialized us
+    * behind the writer that might have landed the epoch, and the
+    * schema footer read must not race a compaction deleting the dir
+    * it reads.
+    *
+    * ADDITIVE SCHEMA EVOLUTION (r15 — r14 VERDICT #2): with
+    * `allowAdditive`, an epoch may WIDEN a table's schema — the stored
+    * columns must be an unchanged PREFIX (same names, same types, same
+    * order) and new columns append after them. This is the one
+    * evolution parquet mixed reads handle soundly: a column absent in
+    * earlier epochs reads as NULL there ([[rowsWithEpoch]] unions
+    * shape-groups by name with NULL backfill), so a 100 TB artifact
+    * gains a column without a rebuild. Renames, retypes, reorders, and
+    * DROPS still refuse in both modes — those corrupt silently at
+    * probe time. After a widening epoch commits, the widened schema IS
+    * the stored schema: later appends must carry it (backfill
+    * `lit(null)` in the writer) or widen further.
+    *
+    * `commitTs` (r15 — r14 VERDICT #3): a CALLER-SUPPLIED commit
+    * timestamp (epoch millis) recorded in the meta as the layout-owned
+    * `commit_ts` column — caller-supplied keeps gates deterministic
+    * (the P9 per-job-constant precedent); None records NULL, which
+    * [[servingStateAtTime]] refuses to resolve across. The commit KIND
+    * persists alongside it (`commit_kind`: delete/data/retention,
+    * derived from the table set) so [[describeHistory]] reports a
+    * vacuumed epoch's true kind instead of degrading to 'superseded'.
     */
   def writeEpoch(dir: String, epoch: Int,
       tables: Seq[(String, DataFrame)], meta: DataFrame,
       floor: Int = 0, ownedTables: Seq[String] = Seq.empty,
-      lease: Option[String] = None): Unit = {
+      lease: Option[String] = None, allowAdditive: Boolean = false,
+      commitTs: Option[Long] = None): Unit = {
     require(floor >= 0 && floor <= epoch,
       s"writeEpoch: floor $floor out of range for epoch $epoch")
+    val spark = meta.sparkSession
     val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(
-      meta.sparkSession.sparkContext.hadoopConfiguration)
-    // SCHEMA PREMISE (r14 — r13 VERDICT #4): every epoch of a table
-    // must carry the table's stored schema. Parquet mixed reads do not
-    // fail on drift — a renamed column reads as NULLs, a retyped one
-    // breaks only at probe time — so an append with a drifted frame
-    // would corrupt silently at write time and loudly much later.
-    // Refuse HERE instead (one driver-side footer read per table,
-    // before any bytes land): same column names, same types, same
-    // order. Schema evolution = rebuild the artifact. Nullability is
-    // deliberately ignored (parquet read-back is all-nullable while
-    // in-flight frames often are not).
-    tables.foreach { case (name, df) =>
-      val src = checkpointDir(fs, dir, name, floor).orElse(
-        epochDirNums(fs, dir, name, floor, epoch - 1).lastOption
-          .map(n => s"$dir/$name/epoch=$n"))
-      src.foreach { d =>
-        val stored = meta.sparkSession.read.parquet(d).schema
-        // nested nullability normalizes away too: an in-flight
-        // array<string> often carries containsNull=false where the
-        // parquet read-back says true — not drift
-        import org.apache.spark.sql.types._
-        def norm(dt: DataType): DataType = dt match {
-          case ArrayType(e, _) => ArrayType(norm(e), true)
-          case MapType(k, v, _) => MapType(norm(k), norm(v), true)
-          case StructType(fs) => StructType(fs.map(f =>
-            f.copy(dataType = norm(f.dataType), nullable = true)))
-          case other => other
-        }
-        def shape(s: StructType) =
-          s.fields.toSeq.map(f => (f.name, norm(f.dataType)))
-        require(shape(stored) == shape(df.schema),
-          s"writeEpoch: schema drift on table '$name' at $dir — " +
-            s"stored ${stored.simpleString} vs incoming " +
-            s"${df.schema.simpleString}. Every epoch of a table must " +
-            "carry the stored schema (a drifted epoch would produce " +
-            "a silently broken mixed read at probe time, not an " +
-            "error here); evolve schemas by REBUILDING the artifact, " +
-            "never by appending.")
-      }
-    }
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // writer fencing (r14): acquire the lease unless the caller
     // (compact/compactBelow) already holds it and passed its token
     val held = lease.getOrElse(acquireLease(fs, dir, "writeEpoch"))
     try {
+      // TARGET RE-CHECK (r15 — r14 ADVICE #1): the lease detects only
+      // temporally-OVERLAPPING writers. Two appends that both read the
+      // serving state before either acquired will serialize here yet
+      // both target epoch N+1 — without this check the second would
+      // silently overwrite the first's committed epoch (mode is
+      // overwrite by the torn-retry contract). A COMMITTED meta at the
+      // target therefore refuses; a torn one (readMetaRow = None) is
+      // exactly the retry case and proceeds. The fs.exists guard keeps
+      // the common case (no meta dir at all) one cheap driver fs-op
+      // instead of a failing Spark read.
+      require(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$dir/meta_$epoch")) ||
+          readMetaRow(spark, dir, epoch).isEmpty,
+        s"writeEpoch: epoch $epoch is already committed at $dir — " +
+          "another writer landed it after this write's serving-state " +
+          "read (writers serialized on the lease but targeted the " +
+          "same epoch). Re-read the serving state and retry against " +
+          "the advanced artifact.")
+      // SCHEMA PREMISE (r14 — r13 VERDICT #4): every epoch of a table
+      // must carry the table's stored schema. Parquet mixed reads do
+      // not fail on drift — a renamed column reads as NULLs, a retyped
+      // one breaks only at probe time — so an append with a drifted
+      // frame would corrupt silently at write time and loudly much
+      // later. Refuse HERE instead, before any bytes land: same column
+      // names, same types, same order; nullability normalized away.
+      // Schema evolution = rebuild the artifact. The stored shape is
+      // served by the write-once cache ([[storedShapeAt]] — populated
+      // at write time, so a drain-cadence loop pays zero footer reads;
+      // the r14 per-append read was the q167 regression).
+      tables.foreach { case (name, df) =>
+        val src = epochDirNums(fs, dir, name, floor, epoch - 1)
+          .lastOption.map(n => s"$dir/$name/epoch=$n")
+          .orElse(checkpointDir(fs, dir, name, floor))
+        src.foreach { d =>
+          val stored = storedShapeAt(spark, d)
+          val incoming = shapeOf(df.schema)
+          val ok =
+            if (allowAdditive) incoming.take(stored.size) == stored
+            else incoming == stored
+          require(ok,
+            s"writeEpoch: schema drift on table '$name' at $dir — " +
+              s"stored ${stored.map { case (n, t) => s"$n:${t.simpleString}" }
+                .mkString("(", ", ", ")")} vs incoming " +
+              s"${df.schema.simpleString}. Every epoch of a table must " +
+              "carry the stored schema (a drifted epoch would produce " +
+              "a silently broken mixed read at probe time, not an " +
+              "error here)" +
+              (if (allowAdditive)
+                ", and even an ADDITIVE epoch must keep the stored " +
+                  "columns as an unchanged prefix — renames, retypes, " +
+                  "reorders, and drops always refuse; rebuild for those."
+              else
+                "; widen schemas through the family's additive-" +
+                  "evolution path (allowAdditive — new columns NULL-" +
+                  "backfill in earlier epochs) or rebuild the " +
+                  "artifact; never append a drifted frame."))
+        }
+      }
       tables.foreach { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$dir/$name/epoch=$epoch")
+        recordShape(s"$dir/$name/epoch=$epoch", df.schema)
       }
       val owned = (tables.map(_._1) ++ ownedTables).toSet
       if (fs.exists(root)) fs.listStatus(root).foreach { s =>
@@ -296,7 +428,20 @@ object EpochStore {
       // the fencing check, strictly before the commit that would make
       // this epoch visible
       verifyLease(fs, dir, "writeEpoch", held)
+      // the commit's KIND, derivable here and nowhere later: which
+      // table set this epoch committed (deletes ⇒ 'delete'; any data
+      // tables, renamed-into-place ones included ⇒ 'data'; none ⇒ a
+      // compactBelow retention commit). Persisted so history survives
+      // the directory shapes it would otherwise be inferred from.
+      val kind =
+        if (tables.exists(_._1 == DeletesTable) ||
+            ownedTables.contains(DeletesTable)) "delete"
+        else if (tables.nonEmpty || ownedTables.nonEmpty) "data"
+        else "retention"
       meta.withColumn("floor_epoch", lit(floor))
+        .withColumn("commit_ts",
+          commitTs.map(lit(_)).getOrElse(lit(null)).cast("long"))
+        .withColumn("commit_kind", lit(kind))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta_$epoch")
     } finally {
       if (lease.isEmpty) releaseLease(fs, dir, held)
@@ -440,6 +585,68 @@ object EpochStore {
       case None => servingState(spark, dir, who, rebuildHint)
     }
 
+  /** The layout-owned `commit_ts` a meta row recorded — None when the
+    * commit predates r15 or its writer passed no timestamp.
+    */
+  private def metaCommitTs(m: Row): Option[Long] = {
+    val i = m.schema.fieldNames.indexOf("commit_ts")
+    if (i >= 0 && !m.isNullAt(i)) Some(m.getLong(i)) else None
+  }
+
+  /** TIMESTAMP-based as-of (r15 — r14 VERDICT #3, the Delta
+    * `TIMESTAMP AS OF` table-stake): resolve `ts` (epoch millis, the
+    * same caller-supplied clock the mutations recorded via
+    * writeEpoch's `commitTs`) to the NEWEST retained horizon whose
+    * commit_ts ≤ ts, and serve it exactly like [[servingStateAt]] —
+    * "the index as it stood yesterday 14:00" instead of "as of epoch
+    * 7". Three loud refusals keep it deterministic:
+    *   - any meta in `[floor, serving]` without a commit_ts refuses —
+    *     a history only partially stamped cannot be time-resolved
+    *     (stamp every mutation, or ask by epoch);
+    *   - non-monotone timestamps refuse naming the offending epochs —
+    *     the caller supplies the clock, and resolution on a clock
+    *     that runs backwards would silently serve the wrong horizon;
+    *   - a ts before the floor horizon's commit refuses exactly like
+    *     epoch as-of below the floor (that history was folded away —
+    *     or never existed).
+    * Cost: one driver-side meta read per retained horizon — bounded
+    * by the retention policy, no table data read.
+    */
+  def servingStateAtTime(spark: SparkSession, dir: String, ts: Long,
+      who: String, rebuildHint: String): Serving = {
+    val st = servingState(spark, dir, who, rebuildHint)
+    val stamped = (st.floor to st.epoch).map { n =>
+      val m = if (n == st.epoch) st.meta
+        else spark.read.parquet(s"$dir/meta_$n").head()
+      (n, metaCommitTs(m))
+    }
+    val missing = stamped.collect { case (n, None) => n }
+    require(missing.isEmpty,
+      s"$who: epoch(s) ${missing.mkString(", ")} at $dir carry no " +
+        "commit_ts — this artifact's retained history is not (fully) " +
+        "timestamped, so a timestamp cannot resolve to a horizon " +
+        "deterministically. Stamp every mutation (the commitTs " +
+        "parameter) or ask by epoch (as-of).")
+    val ordered = stamped.map { case (n, v) => (n, v.get) }
+    val backwards = ordered.sliding(2).collectFirst {
+      case Seq((a, ta), (b, tb)) if tb < ta => (a, ta, b, tb) }
+    require(backwards.isEmpty, {
+      val (a, ta, b, tb) = backwards.get
+      s"$who: commit timestamps at $dir run backwards (epoch $a at " +
+        s"$ta, then epoch $b at $tb) — the caller-supplied clock must " +
+        "be monotone for a timestamp to name one horizon; fix the " +
+        "writer's clock or ask by epoch."
+    })
+    require(ts >= ordered.head._2,
+      s"$who: timestamp $ts predates the earliest retained horizon at " +
+        s"$dir (epoch ${ordered.head._1}, commit_ts " +
+        s"${ordered.head._2}) — like epoch as-of below the floor, " +
+        "that history was folded away by a compaction or never " +
+        "existed. History retention is the floor.")
+    servingStateAt(spark, dir, ordered.takeWhile(_._2 <= ts).last._1,
+      who, rebuildHint)
+  }
+
   /** The checkpoint directory prefix inside each table root (r14 —
     * PARTIAL compaction, r13 VERDICT #1): `<table>/checkpoint=C/`
     * holds the table's as-of-C live row set materialized by
@@ -503,14 +710,40 @@ object EpochStore {
     val lo = if (cp.isDefined) floor + 1 else floor
     val dirs = epochDirNums(fs, dir, name, lo, epoch)
       .map(n => s"$dir/$name/epoch=$n")
+    // ADDITIVE schema evolution (r15) makes epoch shapes differ:
+    // group CONSECUTIVE same-shape dirs (ascending epoch — shapes only
+    // ever widen, so runs are maximal) and union the runs by name with
+    // NULL backfill, oldest first, which reproduces the widened column
+    // order (the additive premise pins the stored prefix). The per-dir
+    // shape consult rides the write-once cache, so the homogeneous
+    // fast path — every artifact that never evolved — stays today's
+    // single multi-dir scan with zero extra footer reads in-JVM.
     val delta =
       if (dirs.isEmpty) None
-      else Some(spark.read.option("basePath", s"$dir/$name")
-        .parquet(dirs: _*))
+      else {
+        val runs = dirs.foldLeft(
+            List.empty[(Seq[(String, org.apache.spark.sql.types.DataType)],
+              List[String])]) { (acc, d) =>
+          val s = storedShapeAt(spark, d)
+          acc match {
+            case (hs, hd) :: tail if hs == s => (hs, d :: hd) :: tail
+            case _ => (s, List(d)) :: acc
+          }
+        }.reverse.map { case (_, ds) => ds.reverse }
+        Some(runs
+          .map(ds => spark.read.option("basePath", s"$dir/$name")
+            .parquet(ds: _*))
+          .reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
+      }
     val base = cp.map(c =>
       spark.read.parquet(c).withColumn("epoch", lit(floor)))
     (base, delta) match {
-      case (Some(b), Some(d)) => b.unionByName(d)
+      // allowMissingColumns: after an evolution the checkpoint (the
+      // folded OLD shape) is narrower than the deltas until the next
+      // compaction folds the widened rows in — identical plan to the
+      // plain union when the shapes already match
+      case (Some(b), Some(d)) =>
+        b.unionByName(d, allowMissingColumns = true)
       case (Some(b), None) => b
       case (None, Some(d)) => d
       case (None, None) => throw new IllegalArgumentException(
@@ -570,14 +803,14 @@ object EpochStore {
     */
   def writeDeleteEpoch(dir: String, epoch: Int, ids: DataFrame,
       extraTables: Seq[(String, DataFrame)], meta: DataFrame,
-      floor: Int): Unit = {
+      floor: Int, commitTs: Option[Long] = None): Unit = {
     require(ids.schema.length == 1 && ids.schema.head.name == "id" &&
         ids.schema.head.dataType ==
           org.apache.spark.sql.types.LongType,
       "writeDeleteEpoch: ids must be exactly one LONG column named " +
         s"'id', got ${ids.schema.simpleString}")
     writeEpoch(dir, epoch, (DeletesTable -> ids) +: extraTables, meta,
-      floor)
+      floor, commitTs = commitTs)
   }
 
   /** The shared DELETE-epoch scaffold (r13 review — five families
@@ -595,7 +828,8 @@ object EpochStore {
   def deleteEpochChecked(dir: String, who: String, ids: DataFrame,
       idCol: String, liveIds: DataFrame, notLiveMsg: String,
       extraTables: Seq[(String, DataFrame)],
-      shrunkenMeta: Long => DataFrame, epoch: Int, floor: Int): Unit = {
+      shrunkenMeta: Long => DataFrame, epoch: Int, floor: Int,
+      commitTs: Option[Long] = None): Unit = {
     val del = graft.CacheScope.scoped(
       ids.select(col(idCol).cast("long").as("id")))
     val counts = del.agg(
@@ -610,7 +844,7 @@ object EpochStore {
       .limit(1).count()
     require(missing == 0, s"$who: $notLiveMsg")
     writeDeleteEpoch(dir, epoch, del, extraTables,
-      shrunkenMeta(counts.getLong(0)), floor)
+      shrunkenMeta(counts.getLong(0)), floor, commitTs)
   }
 
   /** The LIVE tombstones in `[floor, epoch]` as (id, del_epoch) — or
@@ -743,21 +977,24 @@ object EpochStore {
     *   - `epoch`, `floor_at_commit` (the floor that epoch's meta
     *     recorded — the artifact's retention point as of that commit),
     *   - `kind`: 'checkpoint' (the serving floor's epoch when a
-    *     [[compactBelow]] fold backs it), 'delete' (a tombstone
-    *     epoch), 'data' (base / append / full-compact fold — they all
-    *     commit data tables), 'retention' (a LIVE epoch with no
-    *     tables of its own: a [[compactBelow]] commit that published
-    *     a new floor), or 'superseded' (a SUB-FLOOR epoch whose
-    *     directories are gone — its original kind is unknowable from
-    *     the metas alone once housekeeping reclaimed the dirs, and
-    *     claiming 'retention' there would mislabel a vacuumed data or
-    *     delete epoch; kinds are inferred from surviving directory
-    *     shapes, so a sub-floor epoch's kind can degrade to this as
-    *     compactions and vacuums run),
-    *   - `live`: whether the epoch is in the serving read range.
+    *     [[compactBelow]] fold backs it — a CURRENT-state label, so it
+    *     takes precedence), else the PERSISTED `commit_kind` the epoch
+    *     recorded at commit time (r15 — 'delete' / 'data' /
+    *     'retention'; a vacuumed epoch keeps reporting its true kind).
+    *     Pre-r15 metas carry no commit_kind and fall back to the r14
+    *     inference from surviving directory shapes: 'delete' (a
+    *     tombstone table at the epoch), 'data' (any family table),
+    *     'retention' (live, no tables — a compactBelow commit), or
+    *     'superseded' (a SUB-FLOOR epoch whose directories are gone —
+    *     only reachable without a persisted kind, where the original
+    *     is genuinely unknowable),
+    *   - `live`: whether the epoch is in the serving read range,
+    *   - `commit_ts`: the caller-supplied commit timestamp (r15 —
+    *     NULL when the writer passed none), the column
+    *     [[servingStateAtTime]] resolves against.
     * Sub-floor metas survive only until [[vacuum]]; they report with
     * live = false. `tables` names the family's data tables (the
-    * [[vacuum]] convention) for kind detection.
+    * [[vacuum]] convention) for the fallback kind detection.
     */
   def describeHistory(spark: SparkSession, dir: String,
       tables: Seq[String], who: String, rebuildHint: String)
@@ -771,21 +1008,29 @@ object EpochStore {
     val rows = epochs.flatMap { n =>
       readMetaRow(spark, dir, n).map { m =>
         val live = n >= st.floor && n <= st.epoch
+        val persisted = {
+          val i = m.schema.fieldNames.indexOf("commit_kind")
+          if (i >= 0 && !m.isNullAt(i)) Some(m.getString(i)) else None
+        }
         val kind =
           if (n == st.floor &&
               tables.exists(t => checkpointDir(fs, dir, t, n).isDefined))
             "checkpoint"
-          else if (fs.exists(new org.apache.hadoop.fs.Path(
-              s"$dir/$DeletesTable/epoch=$n"))) "delete"
-          else if (tables.exists(t => fs.exists(
-              new org.apache.hadoop.fs.Path(s"$dir/$t/epoch=$n"))))
-            "data"
-          // a live epoch with no dirs committed none (a compactBelow
-          // retention commit); a SUB-FLOOR one may simply have been
-          // reclaimed — its kind is unknowable, say so
-          else if (live) "retention"
-          else "superseded"
-        org.apache.spark.sql.Row(n, metaFloor(m), kind, live)
+          else persisted.getOrElse {
+            if (fs.exists(new org.apache.hadoop.fs.Path(
+                s"$dir/$DeletesTable/epoch=$n"))) "delete"
+            else if (tables.exists(t => fs.exists(
+                new org.apache.hadoop.fs.Path(s"$dir/$t/epoch=$n"))))
+              "data"
+            // a live epoch with no dirs committed none (a compactBelow
+            // retention commit); a SUB-FLOOR one may simply have been
+            // reclaimed — without a persisted kind it is unknowable,
+            // say so
+            else if (live) "retention"
+            else "superseded"
+          }
+        org.apache.spark.sql.Row(n, metaFloor(m), kind, live,
+          metaCommitTs(m).map(java.lang.Long.valueOf).orNull)
       }
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -796,7 +1041,9 @@ object EpochStore {
       org.apache.spark.sql.types.StructField("kind",
         org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField("live",
-        org.apache.spark.sql.types.BooleanType, nullable = false)))
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("commit_ts",
+        org.apache.spark.sql.types.LongType, nullable = true)))
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
@@ -906,7 +1153,8 @@ object EpochStore {
     */
   def compact(spark: SparkSession, dir: String,
       tables: Seq[CompactTable], who: String, rebuildHint: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      commitTs: Option[Long] = None): Boolean = {
     require(targetFileBytes > 0, s"$who: target file size must be positive")
     val st = servingState(spark, dir, who, rebuildHint)
     if (st.epoch == st.floor) return false
@@ -933,7 +1181,7 @@ object EpochStore {
     // tombstones imply epoch > floor and the early return above can
     // never hide them
     val dels = deletesThrough(spark, dir, st.floor, st.epoch)
-    tables.foreach { t =>
+    val stagedShapes = tables.map { t =>
       val bytes = liveBytes(fs, dir, t.name, st.floor, st.epoch)
       val parts = Compaction.partsFor(bytes, targetFileBytes,
         s"$who ('${t.name}')")
@@ -950,10 +1198,12 @@ object EpochStore {
             raw("epoch") < dd("del_epoch"), "left_anti")
         case _ => raw
       }
-      t.rewrite(alive.drop("epoch"))
+      val rewritten = t.rewrite(alive.drop("epoch"))
+      rewritten
         .repartition(parts)
         .write.mode("overwrite").parquet(s"$dir/${t.name}/$StagingDir")
-    }
+      t.name -> rewritten.schema
+    }.toMap
     beforeCompactCommit()
     val now = servingState(spark, dir, who, rebuildHint)
     require(now.epoch == st.epoch,
@@ -980,6 +1230,7 @@ object EpochStore {
       if (fs.exists(dst)) fs.delete(dst, true)
       require(fs.rename(stage, dst),
         s"$who: could not rename $stage to $dst")
+      recordShape(s"$dir/${t.name}/epoch=$target", stagedShapes(t.name))
     }
     val carried = spark.createDataFrame(
         java.util.Collections.singletonList(st.meta),
@@ -993,7 +1244,8 @@ object EpochStore {
     // floor forever (r13 review), violating "no deletes table above
     // the floor" and taxing every future read with its anti-join
     writeEpoch(dir, target, Seq.empty, carried, floor = target,
-      ownedTables = tables.map(_.name), lease = Some(token))
+      ownedTables = tables.map(_.name), lease = Some(token),
+      commitTs = commitTs)
     true
     } finally { releaseLease(fs, dir, token) }
   }
@@ -1039,7 +1291,8 @@ object EpochStore {
   def compactBelow(spark: SparkSession, dir: String,
       tables: Seq[CompactTable], horizon: Int, who: String,
       rebuildHint: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      commitTs: Option[Long] = None): Boolean = {
     require(targetFileBytes > 0, s"$who: target file size must be positive")
     val st = servingState(spark, dir, who, rebuildHint)
     require(horizon <= st.epoch,
@@ -1062,7 +1315,7 @@ object EpochStore {
     // tombstones ≤ horizon fold into the checkpoint; later ones stay
     // live and keep suppressing it (effective epoch = horizon)
     val dels = deletesThrough(spark, dir, st.floor, horizon)
-    tables.foreach { t =>
+    val stagedShapes = tables.map { t =>
       val bytes = liveBytes(fs, dir, t.name, st.floor, horizon)
       val parts = Compaction.partsFor(bytes, targetFileBytes,
         s"$who ('${t.name}')")
@@ -1073,10 +1326,12 @@ object EpochStore {
             raw("epoch") < dd("del_epoch"), "left_anti")
         case _ => raw
       }
-      t.rewrite(alive.drop("epoch"))
+      val rewritten = t.rewrite(alive.drop("epoch"))
+      rewritten
         .repartition(parts)
         .write.mode("overwrite").parquet(s"$dir/${t.name}/$StagingDir")
-    }
+      t.name -> rewritten.schema
+    }.toMap
     beforeCompactCommit()
     val now = servingState(spark, dir, who, rebuildHint)
     require(now.epoch == st.epoch,
@@ -1097,6 +1352,8 @@ object EpochStore {
       if (fs.exists(dst)) fs.delete(dst, true)
       require(fs.rename(stage, dst),
         s"$who: could not rename $stage to $dst")
+      recordShape(s"$dir/${t.name}/$CheckpointPrefix$horizon",
+        stagedShapes(t.name))
     }
     val carried = spark.createDataFrame(
         java.util.Collections.singletonList(st.meta),
@@ -1108,7 +1365,7 @@ object EpochStore {
     // checkpoint dirs), so any epoch=<target> relic in ANY table is a
     // torn prior write and must be swept before the meta names it
     writeEpoch(dir, target, Seq.empty, carried, floor = horizon,
-      lease = Some(token))
+      lease = Some(token), commitTs = commitTs)
     true
     } finally { releaseLease(fs, dir, token) }
   }
@@ -1121,11 +1378,12 @@ object EpochStore {
     */
   def compactMaybeBelow(spark: SparkSession, dir: String,
       tables: Seq[CompactTable], below: Option[Int], who: String,
-      rebuildHint: String): Boolean =
+      rebuildHint: String, commitTs: Option[Long] = None): Boolean =
     below match {
       case Some(h) => compactBelow(spark, dir, tables, h, who,
-        rebuildHint)
-      case None => compact(spark, dir, tables, who, rebuildHint)
+        rebuildHint, commitTs = commitTs)
+      case None => compact(spark, dir, tables, who, rebuildHint,
+        commitTs = commitTs)
     }
 
   /** The hidden rewrite-staging dir inside each table root — dot-

@@ -246,15 +246,16 @@ object IndexIngest {
     * serves both the sink report and the survivor selection —
     * re-reading the cumulative sink per batch would pay O(batches²)
     * listing over a long cadence; r12 ADVICE), fold the batch's kept
-    * docs, run `housekeep` before the next batch fires, and return
-    * (idxDir, the scoped drained verdicts) with exactly-once already
-    * required. Cross-batch ownership premises and output shapes stay
-    * with each operator.
+    * docs, run the [[graft.sources.RetentionPolicy]] before the next
+    * batch fires (r15 — r14 VERDICT #5: the policy was five
+    * hand-rolled lambdas), and return (idxDir, the scoped drained
+    * verdicts) with exactly-once already required. Cross-batch
+    * ownership premises and output shapes stay with each operator.
     */
   private def fpDrain(spark: SparkSession, sfDir: String,
       queryName: String,
       mkWaves: (DataFrame, DataFrame) => Seq[DataFrame],
-      housekeep: (SparkSession, String) => Unit)
+      policy: graft.sources.RetentionPolicy)
       : (String, DataFrame) = {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val idxDir = s"/tmp/graft_stream_idx_$queryName"
@@ -282,7 +283,11 @@ object IndexIngest {
       val kept = verdict.filter(col("kept")).select("doc_id")
       graft.operators.Dedup.appendFingerprintIndex(idxDir,
         batch.join(kept, Seq("doc_id"), "left_semi"))
-      housekeep(bs, idxDir)
+      policy.housekeep(bs, idxDir, id, queryName,
+        "writeFingerprintIndex")(
+        below => graft.operators.Dedup.compactFingerprintIndex(bs,
+          idxDir, below),
+        () => graft.operators.Dedup.vacuumFingerprintIndex(bs, idxDir))
     })
 
     val verdicts = graft.CacheScope.scoped(spark.read.parquet(outDir))
@@ -301,11 +306,8 @@ object IndexIngest {
         arriving.filter(col("doc_id") % 9 === 4)
           .select((col("doc_id") + lit(9000000L)).as("doc_id"),
             col("text"))),
-      housekeep = (bs, idx) => {
-        graft.operators.Dedup.compactFingerprintIndex(bs, idx)
-        graft.operators.Dedup.vacuumFingerprintIndex(bs, idx)
-        ()
-      })
+      // full compaction every batch — the pre-policy hardcoded cadence
+      policy = graft.sources.RetentionPolicy())
     // LOUD premise: wave-C copies of wave-A docs must be owned by their
     // wave-A originals across the batch boundary — provable only if
     // wave A's survivors were FOLDED IN (and survived the compaction +
@@ -359,15 +361,9 @@ object IndexIngest {
                 col("text"))),
           arriving.filter(col("doc_id") % 3 === 2))
       },
-      housekeep = (bs, idx) => {
-        // the retention policy: fold everything below the pre-fold
-        // horizon into the checkpoint, keep that horizon servable
-        val st = graft.sources.EpochStore.servingState(bs, idx,
-          queryName, "writeFingerprintIndex")
-        graft.operators.Dedup.compactFingerprintIndex(bs, idx,
-          below = Some(st.epoch - 1))
-        graft.operators.Dedup.vacuumFingerprintIndex(bs, idx)
-      })
+      // retain ONE horizon: fold everything below the pre-fold horizon
+      // into the checkpoint, keep that horizon servable mid-stream
+      policy = graft.sources.RetentionPolicy(retainHorizons = Some(1)))
 
     // cross-batch ownership: a wave-B copy owned by its wave-A
     // original proves batch A's fold survived batch A's compactBelow
@@ -434,7 +430,9 @@ object IndexIngest {
     * survived the compaction; the loud premise below).
     */
   def textIngestOnce(spark: SparkSession, sfDir: String,
-      queryName: String): DataFrame = {
+      queryName: String,
+      policy: graft.sources.RetentionPolicy =
+        graft.sources.RetentionPolicy()): DataFrame = {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val idxDir = s"/tmp/graft_stream_idx_$queryName"
     val outDir = s"/tmp/graft_stream_pairs_$queryName"
@@ -466,8 +464,10 @@ object IndexIngest {
         .withColumn("batch_id", lit(id))
         .write.mode("append").parquet(outDir)
       graft.operators.TextIndex.appendJaccardIndex(idxDir, batch)
-      graft.operators.TextIndex.compactJaccardIndex(bs, idxDir)
-      graft.operators.TextIndex.vacuumJaccardIndex(bs, idxDir)
+      policy.housekeep(bs, idxDir, id, queryName, "writeJaccardIndex")(
+        below => graft.operators.TextIndex.compactJaccardIndex(bs,
+          idxDir, below),
+        () => graft.operators.TextIndex.vacuumJaccardIndex(bs, idxDir))
     })
 
     val pairs = graft.CacheScope.scoped(spark.read.parquet(outDir))
@@ -518,7 +518,9 @@ object IndexIngest {
     * images across the three SFs with % 9 == 6).
     */
   def dHashIngestOnce(spark: SparkSession, sfDir: String,
-      queryName: String): DataFrame = {
+      queryName: String,
+      policy: graft.sources.RetentionPolicy =
+        graft.sources.RetentionPolicy()): DataFrame = {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val idxDir = s"/tmp/graft_stream_idx_$queryName"
     val outDir = s"/tmp/graft_stream_pairs_$queryName"
@@ -549,8 +551,10 @@ object IndexIngest {
         .withColumn("batch_id", lit(id))
         .write.mode("append").parquet(outDir)
       graft.operators.Multimodal.appendDHashIndex(idxDir, batch)
-      graft.operators.Multimodal.compactDHashIndex(bs, idxDir)
-      graft.operators.Multimodal.vacuumDHashIndex(bs, idxDir)
+      policy.housekeep(bs, idxDir, id, queryName, "writeDHashIndex")(
+        below => graft.operators.Multimodal.compactDHashIndex(bs,
+          idxDir, below),
+        () => graft.operators.Multimodal.vacuumDHashIndex(bs, idxDir))
     })
 
     val pairs = graft.CacheScope.scoped(spark.read.parquet(outDir))
@@ -591,7 +595,9 @@ object IndexIngest {
     * split by `doc_id % 3` = 0/1/2.
     */
   def bm25IngestOnce(spark: SparkSession, sfDir: String,
-      queryName: String): DataFrame = {
+      queryName: String,
+      policy: graft.sources.RetentionPolicy =
+        graft.sources.RetentionPolicy()): DataFrame = {
     val srcDir = s"/tmp/graft_stream_src_$queryName"
     val idxDir = s"/tmp/graft_stream_idx_$queryName"
     val ss = EventStreams.streamingSession(spark)
@@ -613,8 +619,10 @@ object IndexIngest {
     drainBatches(ss, srcDir, docSchema, (batch, id) => {
       val bs = batch.sparkSession
       graft.operators.Bm25.appendBm25Index(idxDir, batch)
-      graft.operators.Bm25.compactBm25Index(bs, idxDir)
-      graft.operators.Bm25.vacuumBm25Index(bs, idxDir)
+      policy.housekeep(bs, idxDir, id, queryName, "writeBm25Index")(
+        below => graft.operators.Bm25.compactBm25Index(bs, idxDir,
+          below),
+        () => graft.operators.Bm25.vacuumBm25Index(bs, idxDir))
     })
 
     graft.operators.Bm25.topKIndexed(spark, idxDir,

@@ -431,4 +431,71 @@ class EpochAsOfSpec extends AnyFunSuite {
         "planted Hamming-0 copies must surface only at serving")
     }
   }
+
+  test("timestamp as-of (r15): a monotone caller clock resolves to " +
+      "the newest horizon at or before the asked instant; unstamped, " +
+      "backwards, and pre-floor clocks refuse by name") {
+    import graft.sources.EpochStore
+    val d = Tables.documents(spark, TestSpark.sf)
+    val corpus = d.filter(col("doc_id") % 7 =!= 3)
+      .select("doc_id", "text").limit(200)
+    val a = corpus.filter(col("doc_id") % 3 === 0)
+    val b = corpus.filter(col("doc_id") % 3 === 1)
+    val c = corpus.filter(col("doc_id") % 3 === 2)
+    val dir = "/tmp/graft_test_fpasofts"
+    def fold(at: String, wave: org.apache.spark.sql.DataFrame,
+        ts: Option[Long]): Unit = {
+      val kept = Dedup.dedupAgainstIndex(at, wave)
+        .filter(col("kept")).select("doc_id")
+      Dedup.appendFingerprintIndex(at,
+        wave.join(kept, Seq("doc_id"), "left_semi"), commitTs = ts)
+    }
+    CacheScope.withScope {
+      Dedup.writeFingerprintIndex(a, dir, commitTs = Some(1000L))
+      fold(dir, b, Some(2000L))
+      fold(dir, c, Some(3000L))
+    }
+    def at(ts: Long): Int = Dedup.fingerprintEpochAtTime(spark, dir, ts)
+    // exact-commit instants resolve to their own epoch; between
+    // commits, to the newest at-or-before; past the end, to serving
+    assert(at(1000L) == 0 && at(1500L) == 0 && at(2000L) == 1 &&
+      at(2500L) == 1 && at(3000L) == 2 && at(99999L) == 2)
+    // and the resolved horizon probes exactly like its epoch as-of
+    val shard = d.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text").limit(50)
+    assert(fpProbeSet(dir, shard, Some(at(2500L))) ==
+      fpProbeSet(dir, shard, Some(1)))
+    // before the first retained commit: the pre-floor refusal shape
+    val early = intercept[IllegalArgumentException] { at(999L) }
+    assert(early.getMessage.contains("predates the earliest retained"))
+    // after a full compact (ts 4000), horizons below the fold are gone
+    // and asking inside the folded history refuses the same way
+    CacheScope.withScope {
+      Dedup.compactFingerprintIndex(spark, dir,
+        commitTs = Some(4000L))
+    }
+    assert(at(4000L) == 3 && at(99999L) == 3)
+    val folded = intercept[IllegalArgumentException] { at(2500L) }
+    assert(folded.getMessage.contains("predates the earliest retained"))
+    // an UNSTAMPED mutation poisons time-resolution loudly (ask by
+    // epoch instead) — and names the offending epoch
+    val d2 = "/tmp/graft_test_fpasofts_uns"
+    CacheScope.withScope {
+      Dedup.writeFingerprintIndex(a, d2, commitTs = Some(1000L))
+      fold(d2, b, None)
+    }
+    val uns = intercept[IllegalArgumentException] {
+      Dedup.fingerprintEpochAtTime(spark, d2, 5000L) }
+    assert(uns.getMessage.contains("no commit_ts") &&
+      uns.getMessage.contains("1"))
+    // a BACKWARDS clock refuses naming both epochs
+    val d3 = "/tmp/graft_test_fpasofts_bwd"
+    CacheScope.withScope {
+      Dedup.writeFingerprintIndex(a, d3, commitTs = Some(2000L))
+      fold(d3, b, Some(1000L))
+    }
+    val bwd = intercept[IllegalArgumentException] {
+      Dedup.fingerprintEpochAtTime(spark, d3, 5000L) }
+    assert(bwd.getMessage.contains("run backwards"))
+  }
 }

@@ -514,6 +514,36 @@ class EpochCompactionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no 'epoch' column"))
   }
 
+  test("a COMMITTED meta at the target epoch refuses a late writer — " +
+      "the non-overlapping double-append race (r15, r14 ADVICE #1): " +
+      "two appends that both read the serving state before either " +
+      "acquired the lease serialize on it but target the same epoch; " +
+      "the second must refuse, never silently overwrite the first") {
+    val dir = "/tmp/graft_test_targetrecheck"
+    graft.sources.EpochStore.deleteAll(spark, dir)
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val meta = Seq(("fake-family-v0", 2L, 0)).toDF("family", "n", "epoch")
+    graft.sources.EpochStore.writeEpoch(dir, 0, Seq("t" -> rows), meta)
+    // writer A lands epoch 1 (it computed target = serving + 1 = 1)
+    graft.sources.EpochStore.writeEpoch(dir, 1,
+      Seq("t" -> rows.withColumn("id", col("id") + 10L)),
+      meta.withColumn("epoch", lit(1)))
+    // writer B computed the SAME target from the stale serving state;
+    // the lease is free (A released), so only the re-check stands
+    // between B and silently clobbering A's committed epoch
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.EpochStore.writeEpoch(dir, 1,
+        Seq("t" -> rows.withColumn("id", col("id") + 20L)),
+        meta.withColumn("epoch", lit(1)))
+    }
+    assert(e.getMessage.contains("already committed"))
+    // A's rows serve untouched
+    val ids = graft.sources.EpochStore.tableThrough(spark, dir, "t",
+        0, 1).select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 11L, 12L),
+      "the refused late write must leave the committed epoch intact")
+  }
+
   test("bm25 stored index: indexed scoring equals the live operator; " +
       "append + compact is exact by additivity; refusals are loud") {
     val d = Tables.documents(spark, TestSpark.sf)

@@ -15,9 +15,23 @@ import graft.sources.EpochStore
   * untouched; the check is order-sensitive and nullability-blind by
   * design (parquet read-back is all-nullable while in-flight frames
   * often are not — see the writeEpoch scaladoc).
+  *
+  * ADDITIVE evolution (r15 — r14 VERDICT #2): the same tests then pin
+  * the one evolution the layout accepts — a WIDENING epoch under
+  * `allowAdditive` (stored columns an unchanged prefix, new columns
+  * appended): it refuses WITHOUT the flag, lands WITH it, the mixed
+  * read NULL-backfills the old epochs in one scan, and prefix
+  * violations (rename/reorder under the flag) still refuse. The
+  * hash-exact gate is q191 (fp family end-to-end).
   */
 class EpochSchemaSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
+
+  private def carryMeta(st: EpochStore.Serving)
+      : org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(
+        java.util.Collections.singletonList(st.meta), st.meta.schema)
+      .drop("floor_epoch")
 
   /** Attempt three drifted appends of `table` and require the loud
     * refusal each time, then prove the artifact did not move.
@@ -25,9 +39,7 @@ class EpochSchemaSpec extends AnyFunSuite {
   private def assertDriftRefused(dir: String, table: String): Unit = {
     val st = EpochStore.servingState(spark, dir, "EpochSchemaSpec",
       "rebuild")
-    val meta = spark.createDataFrame(
-        java.util.Collections.singletonList(st.meta), st.meta.schema)
-      .drop("floor_epoch")
+    val meta = carryMeta(st)
     val good = EpochStore.tableThrough(spark, dir, table, st.floor,
       st.epoch).limit(1)
     def refuse(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
@@ -57,12 +69,74 @@ class EpochSchemaSpec extends AnyFunSuite {
       "a refused drifted append must leave the artifact untouched")
   }
 
+  /** Pin the additive path on the family artifact: a widening epoch
+    * refuses without `allowAdditive`, lands with it, the mixed read
+    * NULL-backfills the pre-evolution rows in one scan, and prefix
+    * violations refuse even under the flag. Mutates the artifact —
+    * run after [[assertDriftRefused]].
+    */
+  private def assertAdditive(dir: String, table: String): Unit =
+    CacheScope.withScope {
+      val st = EpochStore.servingState(spark, dir, "EpochSchemaSpec",
+        "rebuild")
+      val meta = carryMeta(st)
+      val live = EpochStore.tableThrough(spark, dir, table, st.floor,
+        st.epoch)
+      val n = live.count()
+      assert(n > 0, "test premise: a non-empty stored table")
+      val widened = live.withColumn("evo_tag", lit("r15"))
+      // refuses without the flag (covered above as "an extra column",
+      // re-pinned here against the exact widened frame)
+      intercept[IllegalArgumentException] {
+        EpochStore.writeEpoch(dir, st.epoch + 1, Seq(table -> widened),
+          meta, st.floor)
+      }
+      // prefix violations refuse EVEN under the flag
+      val cols = live.columns
+      if (cols.length >= 2) {
+        val reordered = live.select((cols.reverse.map(col) :+
+          lit("x").as("evo_tag")): _*)
+        val e = intercept[IllegalArgumentException] {
+          EpochStore.writeEpoch(dir, st.epoch + 1,
+            Seq(table -> reordered), meta, st.floor,
+            allowAdditive = true)
+        }
+        assert(e.getMessage.contains("schema drift"),
+          "a reorder under allowAdditive must refuse as drift")
+      }
+      // the widening epoch lands with the flag...
+      EpochStore.writeEpoch(dir, st.epoch + 1, Seq(table -> widened),
+        meta, st.floor, allowAdditive = true)
+      val after = EpochStore.servingState(spark, dir, "EpochSchemaSpec",
+        "rebuild")
+      assert(after.epoch == st.epoch + 1,
+        "the additive epoch must commit")
+      // ...and the mixed read serves old + new epochs in one frame,
+      // NULL-backfilling the pre-evolution rows
+      val mixed = EpochStore.tableThrough(spark, dir, table,
+        after.floor, after.epoch)
+      assert(mixed.columns.last == "evo_tag",
+        "the widened column must append after the stored prefix")
+      val counts = mixed.agg(count(lit(1)).as("all"),
+        count(col("evo_tag")).as("tagged")).head()
+      assert(counts.getLong(0) == 2 * n && counts.getLong(1) == n,
+        s"NULL backfill: expected ${2 * n} rows with $n tagged, got " +
+          s"(${counts.getLong(0)}, ${counts.getLong(1)})")
+      // the widened schema IS the stored schema now: a narrow append
+      // refuses until the writer carries (or re-widens) the column
+      intercept[IllegalArgumentException] {
+        EpochStore.writeEpoch(dir, after.epoch + 1,
+          Seq(table -> live.limit(1)), meta, after.floor)
+      }
+    }
+
   test("fp: a drifted fps epoch refuses loudly before any bytes land") {
     val d = Tables.documents(spark, TestSpark.sf)
       .select("doc_id", "text").limit(60)
     val dir = "/tmp/graft_test_schema_fp"
     CacheScope.withScope { Dedup.writeFingerprintIndex(d, dir) }
     assertDriftRefused(dir, "fps")
+    assertAdditive(dir, "fps")
   }
 
   test("text: a drifted docs epoch refuses loudly") {
@@ -72,6 +146,7 @@ class EpochSchemaSpec extends AnyFunSuite {
     CacheScope.withScope {
       TextIndex.writeJaccardIndex(d, dir, threshold = 0.6) }
     assertDriftRefused(dir, "docs")
+    assertAdditive(dir, "docs")
   }
 
   test("bm25: a drifted postings epoch refuses loudly") {
@@ -80,6 +155,7 @@ class EpochSchemaSpec extends AnyFunSuite {
     val dir = "/tmp/graft_test_schema_bm25"
     CacheScope.withScope { Bm25.writeBm25Index(d, dir) }
     assertDriftRefused(dir, "postings")
+    assertAdditive(dir, "postings")
   }
 
   test("cp: a drifted vectors epoch refuses loudly") {
@@ -89,6 +165,7 @@ class EpochSchemaSpec extends AnyFunSuite {
     CacheScope.withScope {
       Ann.writeCpIndex(e, dir, threshold = 0.4) }
     assertDriftRefused(dir, "vectors")
+    assertAdditive(dir, "vectors")
   }
 
   test("dhash: a drifted hashes epoch refuses loudly") {
@@ -97,6 +174,7 @@ class EpochSchemaSpec extends AnyFunSuite {
     val dir = "/tmp/graft_test_schema_dh"
     CacheScope.withScope { Multimodal.writeDHashIndex(d, dir) }
     assertDriftRefused(dir, "hashes")
+    assertAdditive(dir, "hashes")
   }
 
   test("decon: a drifted grams epoch refuses loudly") {
@@ -106,5 +184,6 @@ class EpochSchemaSpec extends AnyFunSuite {
     val dir = "/tmp/graft_test_schema_dc"
     CacheScope.withScope { TextDedup.writeDeconIndex(d, dir, w = 60) }
     assertDriftRefused(dir, "grams")
+    assertAdditive(dir, "grams")
   }
 }

@@ -201,4 +201,53 @@ class TextIndexSpec extends AnyFunSuite {
     }
     assert(got == base)
   }
+
+  test("patchJaccardVerdicts (r15): horizon-0 verdicts patched through " +
+      "the window equal the full serving probe; a shard id appended " +
+      "inside the window refuses like the full probe would") {
+    val dir = "/tmp/graft_test_txtpatch"
+    val corpus = docs
+    val baseDocs = corpus.filter(col("doc_id") % 11 =!= 5)
+    val wave = corpus.filter(col("doc_id") % 11 === 5)
+    // epochs: 0 = base, 1 = appended wave, 2 = DELETE the stored
+    // %13==2 docs (the q182 composition, engine-vs-engine here)
+    val doomedDir = dir + "_doomed"
+    CacheScope.withScope {
+      TextIndex.writeJaccardIndex(baseDocs, dir, threshold = 0.6)
+      TextIndex.appendJaccardIndex(dir, wave)
+      TextIndex.storedDocIds(spark, dir)
+        .filter(col("doc_id") % 13 === 2)
+        .write.mode("overwrite").parquet(doomedDir)
+      TextIndex.deleteFromJaccardIndex(dir, spark.read.parquet(doomedDir))
+    }
+    // the shard: exact copies of the %9==1 slice — J=1 pairs with
+    // appended originals exist only at serving (the window's adds are
+    // load-bearing) and J=1 pairs with deleted originals exist only
+    // at horizon 0 (the window's removes are load-bearing)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      CacheScope.withScope {
+        df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet }
+    val prior = CacheScope.withScope {
+      TextIndex.jaccardPairsIndexed(dir, shard, 0.6, asOf = Some(0)) }
+    val priorSet = pairSet(prior)
+    val patched = pairSet(TextIndex.patchJaccardVerdicts(dir,
+      TextIndex.jaccardPairsIndexed(dir, shard, 0.6, asOf = Some(0)),
+      shard, fromEpoch = 0, toEpoch = 2, threshold = 0.6))
+    val full = pairSet(TextIndex.jaccardPairsIndexed(dir, shard, 0.6))
+    assert(patched == full && full.nonEmpty,
+      "patched verdicts must equal the full serving probe")
+    assert(patched != priorSet,
+      "test premise: the window must be load-bearing (adds or removes " +
+        "change the shard's pairs) — otherwise this test is vacuous")
+    // the clash refusal: a shard holding an id the window APPENDED
+    val clashShard = wave.limit(5)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.patchJaccardVerdicts(dir,
+        prior.limit(0), clashShard, fromEpoch = 0, toEpoch = 2,
+        threshold = 0.6).count()
+    }
+    assert(e.getMessage.contains("appended to the index") ||
+      e.getMessage.contains("id clash"),
+      s"expected the window id-clash refusal, got: ${e.getMessage}")
+  }
 }
