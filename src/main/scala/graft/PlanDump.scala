@@ -39,7 +39,8 @@ object PlanDump {
     "q172_bm25_deleted", "q174_text_jaccard_topk",
     "q179_bm25_asof", "q180_decontaminate_indexed",
     "q185_fp_compact_below", "q186_fp_changes_between",
-    "q189_fp_incremental_reverdict")
+    "q189_fp_incremental_reverdict", "q191_fp_schema_evolution",
+    "q194_text_incremental_reverdict")
 
   /** Prose that must survive regeneration (r11: the q52 STATUS note was
     * hand-edited into the generated file once — a regen would have
@@ -75,6 +76,26 @@ object PlanDump {
         |window min for the shard's inc-min tier. The gated claim is
         |that this plan's output equals the full serving probe
         |bit-for-bit (the oracle is the serving recompute).""".stripMargin,
+    "q191_fp_schema_evolution" ->
+      """The cross-schema-boundary read: the artifact's two epochs carry
+        |different shapes (the base (fp, owner) map and the widened
+        |(fp, owner, src_tag) append), so `rowsWithEpoch` scans each
+        |maximal same-shape run of epoch dirs separately and unions the
+        |runs BY NAME with NULL backfill — the base epoch's rows read
+        |src_tag as NULL, no rebuild ever ran. A never-evolved artifact
+        |(every other gate) keeps the homogeneous fast path: one
+        |multi-dir parquet scan, zero extra footer reads (the shape
+        |consults ride the write-once cache).""".stripMargin,
+    "q194_text_incremental_reverdict" ->
+      """The text CDC consumer's plan — the q189 claim at the near-dup
+        |granularity, where the id delta alone cannot re-verdict: the
+        |shard's band rows broadcast onto a scan of ONLY the window's
+        |delta epoch dirs (driver-pruned — the pre-window corpus epoch
+        |never reads a row), exact verify runs on delta+shard shingle
+        |sets only, and the prior verdicts patch through two hash
+        |anti-joins on the removed ids. Cost ∝ shard + delta bands,
+        |never shard × corpus; the gate pins this plan's output equal
+        |to the full horizon-2 probe bit-for-bit.""".stripMargin,
     "q172_bm25_deleted" ->
       """The probe plan here should read IDENTICALLY shaped to q165's —
         |that is the point. The delete epoch's negative df rows are served
@@ -227,8 +248,15 @@ object PlanDump {
     sb.append("shuffle inventory — scans show PushedFilters/ReadSchema pruning,\n")
     sb.append("joins show broadcast vs shuffle strategy.\n")
     representative.foreach { name =>
-      val plan = Queries.all(name)(spark, dir)
-        .queryExecution.explainString(FormattedMode)
+      // withScope per query — the CacheScope harness contract (r15:
+      // scope-less loops leave every query's operator caches
+      // REGISTERED for the JVM's life, and queries sharing a rebuilt
+      // /tmp artifact then poison later plans with dead file listings;
+      // the RegistrySpec flake's mechanism, same fix)
+      val plan = CacheScope.withScope {
+        Queries.all(name)(spark, dir)
+          .queryExecution.explainString(FormattedMode)
+      }
       val note = notes.get(name).map(_ + "\n\n").getOrElse("")
       sb.append(s"\n## $name\n\n$note```\n$plan```\n")
     }

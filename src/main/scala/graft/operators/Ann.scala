@@ -725,7 +725,7 @@ object Ann {
     */
   def writeCpIndex(corpus: DataFrame, dir: String, threshold: Double,
       hashesPerBand: Int = 0, bands: Int = 0, dim: Int = 64,
-      targetMiss: Double = 1e-4): Unit = {
+      targetMiss: Double = 1e-4, commitTs: Option[Long] = None): Unit = {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
     val v = graft.CacheScope.scoped(corpus.select(col("vec_id"),
@@ -739,7 +739,8 @@ object Ann {
         targetMiss)
     graft.sources.EpochStore.deleteAll(spark, dir)
     writeEpoch(spark, dir, 0, v, k, nBands, dim, targetMiss, threshold,
-      n, paramsDerived = hashesPerBand <= 0 && bands <= 0)
+      n, paramsDerived = hashesPerBand <= 0 && bands <= 0,
+      commitTs = commitTs)
   }
 
   /** One epoch's three writes, meta LAST (shared by base build and
@@ -750,7 +751,8 @@ object Ann {
   private def writeEpoch(spark: org.apache.spark.sql.SparkSession,
       dir: String, epoch: Int, v: DataFrame, k: Int, nBands: Int,
       dim: Int, targetMiss: Double, threshold: Double,
-      totalCount: Long, paramsDerived: Boolean, floor: Int = 0): Unit = {
+      totalCount: Long, paramsDerived: Boolean, floor: Int = 0,
+      commitTs: Option[Long] = None): Unit = {
     import spark.implicits._
     val bandRows = v.select(col("vec_id"),
       posexplode(expr(s"graft_cplsh(v, $k, $nBands, $dim)"))
@@ -760,7 +762,8 @@ object Ann {
       .toDF("family", "k", "bands", "dim", "target_miss", "threshold",
         "corpus_count", "epoch", "params_derived")
     graft.sources.EpochStore.writeEpoch(dir, epoch,
-      Seq("vectors" -> v, "bands" -> bandRows), meta, floor)
+      Seq("vectors" -> v, "bands" -> bandRows), meta, floor,
+      commitTs = commitTs)
   }
 
   /** The artifact's serving state: (k, bands, threshold, targetMiss,
@@ -863,7 +866,8 @@ object Ann {
       "writeCpIndex")
   }
 
-  def deleteFromCpIndex(indexDir: String, ids: DataFrame): Unit = {
+  def deleteFromCpIndex(indexDir: String, ids: DataFrame,
+      commitTs: Option[Long] = None): Unit = {
     val spark = ids.sparkSession
     val st = cpIndexState(spark, indexDir, "deleteFromCpIndex")
     import spark.implicits._
@@ -879,7 +883,7 @@ object Ann {
           st.threshold, st.count - n, st.epoch + 1, st.paramsDerived))
         .toDF("family", "k", "bands", "dim", "target_miss",
           "threshold", "corpus_count", "epoch", "params_derived"),
-      st.epoch + 1, st.floor)
+      st.epoch + 1, st.floor, commitTs)
   }
 
   /** FOLD a deduped shard INTO the artifact — the missing quarter of
@@ -915,7 +919,8 @@ object Ann {
     * serve the highest complete meta, and an in-flight epoch has
     * none.
     */
-  def appendCpIndex(indexDir: String, more: DataFrame): Unit = {
+  def appendCpIndex(indexDir: String, more: DataFrame,
+      commitTs: Option[Long] = None): Unit = {
     val spark = more.sparkSession
     GraftFunctions.register(spark)
     val st = cpIndexState(spark, indexDir, "appendCpIndex")
@@ -954,7 +959,8 @@ object Ann {
         "twice silently drops its future probe pairs); re-key or dedup " +
         "the shard first.")
     writeEpoch(spark, indexDir, st.epoch + 1, v, st.k, st.bands, st.dim,
-      st.targetMiss, st.threshold, total, st.paramsDerived, st.floor)
+      st.targetMiss, st.threshold, total, st.paramsDerived, st.floor,
+      commitTs = commitTs)
   }
 
   /** COMPACT the artifact — the fourth quarter of the lifecycle
@@ -973,12 +979,25 @@ object Ann {
     * is already a single live epoch. Single writer, like append.
     */
   def compactCpIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, below: Option[Int] = None): Boolean = {
+      indexDir: String, below: Option[Int] = None,
+      commitTs: Option[Long] = None): Boolean = {
     cpIndexState(spark, indexDir, "compactCpIndex") // family refusal
     graft.sources.EpochStore.compactMaybeBelow(spark, indexDir,
       Seq(graft.sources.EpochStore.CompactTable("vectors", Some("vec_id")),
         graft.sources.EpochStore.CompactTable("bands", Some("vec_id"))),
-      below, "compactCpIndex", "writeCpIndex")
+      below, "compactCpIndex", "writeCpIndex", commitTs)
+  }
+
+  /** Resolve a caller-clock TIMESTAMP to this artifact's retained read
+    * horizon (r15 — the `Dedup.fingerprintEpochAtTime` convention on
+    * the cp family). Refusals: see
+    * [[graft.sources.EpochStore.servingStateAtTime]].
+    */
+  def cpEpochAtTime(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ts: Long): Int = {
+    cpIndexState(spark, indexDir, "cpEpochAtTime")
+    graft.sources.EpochStore.servingStateAtTime(spark, indexDir, ts,
+      "cpEpochAtTime", "writeCpIndex").epoch
   }
 
   /** Reclaim epochs a [[compactCpIndex]] superseded — see

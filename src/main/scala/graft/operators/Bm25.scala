@@ -183,7 +183,8 @@ object Bm25 {
 
   private def writeBm25Epoch(spark: org.apache.spark.sql.SparkSession,
       dir: String, epoch: Int, postings: DataFrame, lengths: DataFrame,
-      nDocs: Long, sumDl: Long, floor: Int = 0): Unit = {
+      nDocs: Long, sumDl: Long, floor: Int = 0,
+      commitTs: Option[Long] = None): Unit = {
     import spark.implicits._
     val dfs = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
@@ -191,7 +192,7 @@ object Bm25 {
       .toDF("family", "n_docs", "sum_dl", "epoch")
     graft.sources.EpochStore.writeEpoch(dir, epoch,
       Seq("postings" -> postings, "docs" -> lengths, "dfs" -> dfs),
-      meta, floor)
+      meta, floor, commitTs = commitTs)
   }
 
   /** Persist the corpus half as epoch 0 of an [[graft.sources
@@ -202,7 +203,8 @@ object Bm25 {
     * Deletes any previous artifact at `dir` first (a rebuild whose
     * input reads this artifact's own files must build elsewhere).
     */
-  def writeBm25Index(docs: DataFrame, dir: String): Unit = {
+  def writeBm25Index(docs: DataFrame, dir: String,
+      commitTs: Option[Long] = None): Unit = {
     val spark = docs.sparkSession
     val d = graft.CacheScope.scoped(docs.select("doc_id", "text"))
     val c = d.agg(count(lit(1)).as("n"),
@@ -217,7 +219,7 @@ object Bm25 {
     val (postings, lengths) = tokenized(d)
     graft.sources.EpochStore.deleteAll(spark, dir)
     writeBm25Epoch(spark, dir, 0, postings, lengths, c.getLong(0),
-      c.getLong(2))
+      c.getLong(2), commitTs = commitTs)
   }
 
   private case class Bm25IndexState(nDocs: Long, sumDl: Long,
@@ -246,7 +248,8 @@ object Bm25 {
     * double-counts df and N). Meta last; torn appends invisible and
     * retried. Single writer.
     */
-  def appendBm25Index(indexDir: String, moreDocs: DataFrame): Unit = {
+  def appendBm25Index(indexDir: String, moreDocs: DataFrame,
+      commitTs: Option[Long] = None): Unit = {
     val spark = moreDocs.sparkSession
     val st = bm25IndexState(spark, indexDir, "appendBm25Index")
     val d = graft.CacheScope.scoped(moreDocs.select("doc_id", "text"))
@@ -270,7 +273,8 @@ object Bm25 {
         "first.")
     val (postings, lengths) = tokenized(d)
     writeBm25Epoch(spark, indexDir, st.epoch + 1, postings, lengths,
-      st.nDocs + c.getLong(0), st.sumDl + c.getLong(2), st.floor)
+      st.nDocs + c.getLong(0), st.sumDl + c.getLong(2), st.floor,
+      commitTs = commitTs)
   }
 
   /** RETRACT stored documents (r13 — the deletion side of the
@@ -302,7 +306,8 @@ object Bm25 {
       "doc_id", fromEpoch, toEpoch, "docChanges", "writeBm25Index")
   }
 
-  def deleteFromBm25Index(indexDir: String, ids: DataFrame): Unit = {
+  def deleteFromBm25Index(indexDir: String, ids: DataFrame,
+      commitTs: Option[Long] = None): Unit = {
     val spark = ids.sparkSession
     val st = bm25IndexState(spark, indexDir, "deleteFromBm25Index")
     val del = graft.CacheScope.scoped(
@@ -337,7 +342,7 @@ object Bm25 {
         st.sumDl - hit.getLong(1), st.epoch + 1))
       .toDF("family", "n_docs", "sum_dl", "epoch")
     graft.sources.EpochStore.writeDeleteEpoch(indexDir, st.epoch + 1,
-      del, Seq("dfs" -> negDfs), meta, st.floor)
+      del, Seq("dfs" -> negDfs), meta, st.floor, commitTs)
   }
 
   /** Score a bag-of-words query against the STORED index — [[topK]]'s
@@ -438,7 +443,8 @@ object Bm25 {
     * bytes, never scores. See [[graft.sources.EpochStore.compact]].
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, below: Option[Int] = None): Boolean = {
+      indexDir: String, below: Option[Int] = None,
+      commitTs: Option[Long] = None): Boolean = {
     bm25IndexState(spark, indexDir, "compactBm25Index")
     graft.sources.EpochStore.compactMaybeBelow(spark, indexDir,
       Seq(graft.sources.EpochStore.CompactTable("postings",
@@ -452,7 +458,19 @@ object Bm25 {
         graft.sources.EpochStore.CompactTable("dfs", None,
           d => d.groupBy(col("term")).agg(sum(col("df")).as("df"))
             .filter(col("df") =!= 0))),
-      below, "compactBm25Index", "writeBm25Index")
+      below, "compactBm25Index", "writeBm25Index", commitTs)
+  }
+
+  /** Resolve a caller-clock TIMESTAMP to this artifact's retained read
+    * horizon (r15 — the `Dedup.fingerprintEpochAtTime` convention on
+    * the BM25 family). Refusals: see
+    * [[graft.sources.EpochStore.servingStateAtTime]].
+    */
+  def bm25EpochAtTime(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ts: Long): Int = {
+    bm25IndexState(spark, indexDir, "bm25EpochAtTime")
+    graft.sources.EpochStore.servingStateAtTime(spark, indexDir, ts,
+      "bm25EpochAtTime", "writeBm25Index").epoch
   }
 
   /** Reclaim epochs a [[compactBm25Index]] superseded — see

@@ -244,7 +244,9 @@ object Dedup {
     * time (the one evolution parquet mixed reads handle soundly), so
     * a 100 TB artifact gains the column without a rebuild; the
     * widened schema then IS the stored schema — later appends carry
-    * it (backfill `lit(null)`) or widen further. Names must be new
+    * it (backfill `lit(null).cast(<stored type>)` — a bare
+    * `lit(null)` is NullType and refuses as drift) or widen
+    * further. Names must be new
     * (replacing `fp`/`owner` is drift, not evolution) and expressions
     * are evaluated against the aggregated owner map (`fp`, `owner`
     * columns in scope). The q191 gate pins the cross-boundary read.

@@ -707,13 +707,14 @@ object Multimodal {
 
   private def writeDHashEpoch(spark: org.apache.spark.sql.SparkSession,
       dir: String, epoch: Int, hashes: DataFrame, totalCount: Long,
-      floor: Int = 0): Unit = {
+      floor: Int = 0, commitTs: Option[Long] = None): Unit = {
     import spark.implicits._
     val meta = Seq((DHashIndexFamily, 4, totalCount, epoch))
       .toDF("family", "bands", "corpus_count", "epoch")
     graft.sources.EpochStore.writeEpoch(dir, epoch,
       Seq("hashes" -> hashes.select("media_id", "dhash_hi", "dhash_lo"),
-        "bands" -> dHashBandRows(hashes)), meta, floor)
+        "bands" -> dHashBandRows(hashes)), meta, floor,
+      commitTs = commitTs)
   }
 
   private case class DHashIndexState(count: Long, epoch: Int, floor: Int)
@@ -745,13 +746,14 @@ object Multimodal {
     * survivors, the same documented stance as the text family's
     * hot-bucket note.
     */
-  def writeDHashIndex(docs: DataFrame, dir: String): Unit = {
+  def writeDHashIndex(docs: DataFrame, dir: String,
+      commitTs: Option[Long] = None): Unit = {
     val spark = docs.sparkSession
     val h = graft.CacheScope.scoped(dHashes(docs).toDF())
     val n = requireOneMediaIdSpace(h, "writeDHashIndex",
       "within the corpus")
     graft.sources.EpochStore.deleteAll(spark, dir)
-    writeDHashEpoch(spark, dir, 0, h, n)
+    writeDHashEpoch(spark, dir, 0, h, n, commitTs = commitTs)
   }
 
   /** FOLD an arriving shard's survivors into the artifact as epoch
@@ -763,7 +765,8 @@ object Multimodal {
     * CALLER's survivor policy, decided from the probe's pairs. Single
     * writer; meta last; torn appends invisible and retried.
     */
-  def appendDHashIndex(indexDir: String, more: DataFrame): Unit = {
+  def appendDHashIndex(indexDir: String, more: DataFrame,
+      commitTs: Option[Long] = None): Unit = {
     val spark = more.sparkSession
     val st = dHashIndexState(spark, indexDir, "appendDHashIndex")
     val h = graft.CacheScope.scoped(dHashes(more).toDF())
@@ -780,7 +783,7 @@ object Multimodal {
         "silently drops its future probe pairs); re-key or dedup the " +
         "shard first.")
     writeDHashEpoch(spark, indexDir, st.epoch + 1, h, st.count + n,
-      st.floor)
+      st.floor, commitTs = commitTs)
   }
 
   /** Probe the stored artifact with an arriving shard: every pair at
@@ -876,7 +879,8 @@ object Multimodal {
       "writeDHashIndex")
   }
 
-  def deleteFromDHashIndex(indexDir: String, ids: DataFrame): Unit = {
+  def deleteFromDHashIndex(indexDir: String, ids: DataFrame,
+      commitTs: Option[Long] = None): Unit = {
     val spark = ids.sparkSession
     val st = dHashIndexState(spark, indexDir, "deleteFromDHashIndex")
     import spark.implicits._
@@ -891,7 +895,7 @@ object Multimodal {
       Seq.empty,
       n => Seq((DHashIndexFamily, 4, st.count - n, st.epoch + 1))
         .toDF("family", "bands", "corpus_count", "epoch"),
-      st.epoch + 1, st.floor)
+      st.epoch + 1, st.floor, commitTs)
   }
 
   /** COMPACT / reclaim the artifact — see
@@ -899,13 +903,26 @@ object Multimodal {
     * carries verbatim (compaction moves bytes, never rows).
     */
   def compactDHashIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, below: Option[Int] = None): Boolean = {
+      indexDir: String, below: Option[Int] = None,
+      commitTs: Option[Long] = None): Boolean = {
     dHashIndexState(spark, indexDir, "compactDHashIndex")
     graft.sources.EpochStore.compactMaybeBelow(spark, indexDir,
       Seq(graft.sources.EpochStore.CompactTable("hashes",
           Some("media_id")),
         graft.sources.EpochStore.CompactTable("bands", Some("media_id"))),
-      below, "compactDHashIndex", "writeDHashIndex")
+      below, "compactDHashIndex", "writeDHashIndex", commitTs)
+  }
+
+  /** Resolve a caller-clock TIMESTAMP to this artifact's retained read
+    * horizon (r15 — the `Dedup.fingerprintEpochAtTime` convention on
+    * the dHash family). Refusals: see
+    * [[graft.sources.EpochStore.servingStateAtTime]].
+    */
+  def dHashEpochAtTime(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ts: Long): Int = {
+    dHashIndexState(spark, indexDir, "dHashEpochAtTime")
+    graft.sources.EpochStore.servingStateAtTime(spark, indexDir, ts,
+      "dHashEpochAtTime", "writeDHashIndex").epoch
   }
 
   def vacuumDHashIndex(spark: org.apache.spark.sql.SparkSession,

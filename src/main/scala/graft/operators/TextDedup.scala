@@ -1035,12 +1035,14 @@ object TextDedup {
 
   private def writeDeconEpoch(spark: org.apache.spark.sql.SparkSession,
       dir: String, epoch: Int, docs: DataFrame, grams: DataFrame,
-      w: Int, benchCount: Long, floor: Int = 0): Unit = {
+      w: Int, benchCount: Long, floor: Int = 0,
+      commitTs: Option[Long] = None): Unit = {
     import spark.implicits._
     val meta = Seq((DeconIndexFamily, w, benchCount, epoch))
       .toDF("family", "w", "bench_count", "epoch")
     graft.sources.EpochStore.writeEpoch(dir, epoch,
-      Seq("docs" -> docs, "grams" -> grams), meta, floor)
+      Seq("docs" -> docs, "grams" -> grams), meta, floor,
+      commitTs = commitTs)
   }
 
   /** Persist the benchmark suite's window set as epoch 0: `docs/`
@@ -1053,8 +1055,8 @@ object TextDedup {
     * impossible (there is no width to ask for). Deletes any previous
     * artifact at `dir` first.
     */
-  def writeDeconIndex(benchmark: DataFrame, dir: String, w: Int)
-      : Unit = {
+  def writeDeconIndex(benchmark: DataFrame, dir: String, w: Int,
+      commitTs: Option[Long] = None): Unit = {
     require(w >= 2, "a 1-char window marks shared letters; use w >= 2")
     val spark = benchmark.sparkSession
     val b = graft.CacheScope.scoped(benchmark.select("doc_id", "text"))
@@ -1066,7 +1068,8 @@ object TextDedup {
         "benchmark suite; re-key upstream.")
     val (docs, grams) = deconTables(b, w)
     graft.sources.EpochStore.deleteAll(spark, dir)
-    writeDeconEpoch(spark, dir, 0, docs, grams, w, c.getLong(0))
+    writeDeconEpoch(spark, dir, 0, docs, grams, w, c.getLong(0),
+      commitTs = commitTs)
   }
 
   /** FOLD a new benchmark wave into the suite as epoch N+1 (a fresh
@@ -1078,7 +1081,8 @@ object TextDedup {
     * delete path would then mis-target). Meta last; torn appends
     * invisible and retried. Single writer.
     */
-  def appendDeconIndex(indexDir: String, moreBench: DataFrame): Unit = {
+  def appendDeconIndex(indexDir: String, moreBench: DataFrame,
+      commitTs: Option[Long] = None): Unit = {
     val spark = moreBench.sparkSession
     val st = deconIndexState(spark, indexDir, "appendDeconIndex")
     val b = graft.CacheScope.scoped(moreBench.select("doc_id", "text"))
@@ -1099,7 +1103,7 @@ object TextDedup {
         "of that id would mis-target both versions); re-key the wave.")
     val (docs, grams) = deconTables(b, st.w)
     writeDeconEpoch(spark, indexDir, st.epoch + 1, docs, grams, st.w,
-      st.benchCount + c.getLong(0), st.floor)
+      st.benchCount + c.getLong(0), st.floor, commitTs = commitTs)
   }
 
   /** RETIRE stored benchmarks (r13 — the takedown semantics an eval
@@ -1113,7 +1117,8 @@ object TextDedup {
     * benchmark version restored); physical reclaim is
     * [[compactDeconIndex]] + [[vacuumDeconIndex]]. Single writer.
     */
-  def deleteFromDeconIndex(indexDir: String, ids: DataFrame): Unit = {
+  def deleteFromDeconIndex(indexDir: String, ids: DataFrame,
+      commitTs: Option[Long] = None): Unit = {
     val spark = ids.sparkSession
     val st = deconIndexState(spark, indexDir, "deleteFromDeconIndex")
     import spark.implicits._
@@ -1129,7 +1134,7 @@ object TextDedup {
       n => Seq((DeconIndexFamily, st.w, st.benchCount - n,
           st.epoch + 1))
         .toDF("family", "w", "bench_count", "epoch"),
-      st.epoch + 1, st.floor)
+      st.epoch + 1, st.floor, commitTs)
   }
 
   /** The live stored benchmark ids — tombstone-aware, the audit read a
@@ -1194,12 +1199,25 @@ object TextDedup {
     * "clean against last month's suite".
     */
   def compactDeconIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, below: Option[Int] = None): Boolean = {
+      indexDir: String, below: Option[Int] = None,
+      commitTs: Option[Long] = None): Boolean = {
     deconIndexState(spark, indexDir, "compactDeconIndex")
     graft.sources.EpochStore.compactMaybeBelow(spark, indexDir,
       Seq(graft.sources.EpochStore.CompactTable("docs", Some("doc_id")),
         graft.sources.EpochStore.CompactTable("grams", Some("doc_id"))),
-      below, "compactDeconIndex", "writeDeconIndex")
+      below, "compactDeconIndex", "writeDeconIndex", commitTs)
+  }
+
+  /** Resolve a caller-clock TIMESTAMP to this suite's retained read
+    * horizon (r15 — the `Dedup.fingerprintEpochAtTime` convention on
+    * the decon family: "clean against the suite as it stood at ts").
+    * Refusals: see [[graft.sources.EpochStore.servingStateAtTime]].
+    */
+  def deconEpochAtTime(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ts: Long): Int = {
+    deconIndexState(spark, indexDir, "deconEpochAtTime")
+    graft.sources.EpochStore.servingStateAtTime(spark, indexDir, ts,
+      "deconEpochAtTime", "writeDeconIndex").epoch
   }
 
   /** Reclaim epochs a [[compactDeconIndex]] superseded — see

@@ -128,6 +128,17 @@ object TextIndex {
     * do not need.
     */
   private def verifyExact(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
+    verifyExactUnsorted(cand, sh, threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[verifyExact]] without the trailing deterministic-gating sort —
+    * for consumers that apply their own final ordering (r15 review:
+    * Catalyst does not eliminate a Sort beneath a Union, so a sorted
+    * frame unioned then re-sorted pays the inner exchange+sort for
+    * nothing).
+    */
+  private def verifyExactUnsorted(cand: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
     val ppm = math.round(threshold * 1000000).toLong
     val candDocs = cand
@@ -152,7 +163,6 @@ object TextIndex {
       .filter(lit(1000000L) * col("ni") >= lit(ppm) * col("un"))
       .select(col("doc_a"), col("doc_b"),
         (col("ni").cast("double") / col("un")).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val PairDupConsequence: String =
@@ -220,7 +230,8 @@ object TextIndex {
     * [[EpochStore]] contract.
     */
   def writeJaccardIndex(corpus: DataFrame, dir: String,
-      threshold: Double, targetMiss: Double = 1e-4): Unit = {
+      threshold: Double, targetMiss: Double = 1e-4,
+      commitTs: Option[Long] = None): Unit = {
     val spark = corpus.sparkSession
     val (r, b) = bandingFor(threshold, targetMiss)
     val sh = graft.CacheScope.scoped(shingled(corpus))
@@ -231,12 +242,14 @@ object TextIndex {
         s"${agg.getLong(0) - agg.getLong(1)} duplicate id(s) within " +
         s"the corpus. $PairDupConsequence")
     EpochStore.deleteAll(spark, dir)
-    writeEpoch(dir, 0, sh, r, b, threshold, targetMiss, agg.getLong(0))
+    writeEpoch(dir, 0, sh, r, b, threshold, targetMiss, agg.getLong(0),
+      commitTs = commitTs)
   }
 
   private def writeEpoch(dir: String, epoch: Int, sh: DataFrame,
       r: Int, b: Int, threshold: Double, targetMiss: Double,
-      totalCount: Long, floor: Int = 0): Unit = {
+      totalCount: Long, floor: Int = 0,
+      commitTs: Option[Long] = None): Unit = {
     val spark = sh.sparkSession
     import spark.implicits._
     val meta = Seq((JaccardIndexFamily, r, b, threshold, targetMiss,
@@ -244,7 +257,8 @@ object TextIndex {
       .toDF("family", "rows_per_band", "bands", "threshold",
         "target_miss", "shingle_k", "corpus_count", "epoch")
     EpochStore.writeEpoch(dir, epoch,
-      Seq("docs" -> sh, "bands" -> bandRows(sh, r, b)), meta, floor)
+      Seq("docs" -> sh, "bands" -> bandRows(sh, r, b)), meta, floor,
+      commitTs = commitTs)
   }
 
   private case class JaccardIndexState(r: Int, b: Int,
@@ -301,7 +315,8 @@ object TextIndex {
     * internal and shard∩stored both refuse — an id stored twice
     * silently drops its future probe pairs). Single writer.
     */
-  def appendJaccardIndex(indexDir: String, more: DataFrame): Unit = {
+  def appendJaccardIndex(indexDir: String, more: DataFrame,
+      commitTs: Option[Long] = None): Unit = {
     val spark = more.sparkSession
     val st = indexState(spark, indexDir, "appendJaccardIndex")
     val sh = graft.CacheScope.scoped(shingled(more))
@@ -322,7 +337,8 @@ object TextIndex {
         "stored twice silently drops its future probe pairs); re-key " +
         "or dedup the shard first.")
     writeEpoch(indexDir, st.epoch + 1, sh, st.r, st.b, st.threshold,
-      st.targetMiss, st.count + agg.getLong(0), st.floor)
+      st.targetMiss, st.count + agg.getLong(0), st.floor,
+      commitTs = commitTs)
   }
 
   /** The live stored doc ids — tombstone-aware, the "audit what the
@@ -440,7 +456,8 @@ object TextIndex {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    val fresh = verifyExact(cand, addedDocs.unionByName(inc), threshold)
+    val fresh = verifyExactUnsorted(cand, addedDocs.unionByName(inc),
+      threshold)
     val removed = EpochStore.removedBetween(spark, indexDir, "docs",
       "doc_id", fromEpoch, toEpoch, "patchJaccardVerdicts",
       "writeJaccardIndex")
@@ -467,7 +484,8 @@ object TextIndex {
     * shrunken corpus cannot rot the stored parameters (the same
     * argument as append, in reverse). Single writer.
     */
-  def deleteFromJaccardIndex(indexDir: String, ids: DataFrame): Unit = {
+  def deleteFromJaccardIndex(indexDir: String, ids: DataFrame,
+      commitTs: Option[Long] = None): Unit = {
     val spark = ids.sparkSession
     val st = indexState(spark, indexDir, "deleteFromJaccardIndex")
     import spark.implicits._
@@ -484,7 +502,7 @@ object TextIndex {
           st.targetMiss, 3, st.count - n, st.epoch + 1))
         .toDF("family", "rows_per_band", "bands", "threshold",
           "target_miss", "shingle_k", "corpus_count", "epoch"),
-      st.epoch + 1, st.floor)
+      st.epoch + 1, st.floor, commitTs)
   }
 
   /** COMPACT the artifact — rewrite the live epochs into ONE fresh
@@ -498,12 +516,28 @@ object TextIndex {
     * writer; superseded epochs reclaim via [[vacuumJaccardIndex]].
     */
   def compactJaccardIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, below: Option[Int] = None): Boolean = {
+      indexDir: String, below: Option[Int] = None,
+      commitTs: Option[Long] = None): Boolean = {
     indexState(spark, indexDir, "compactJaccardIndex") // family refusal
     EpochStore.compactMaybeBelow(spark, indexDir,
       Seq(EpochStore.CompactTable("docs", Some("doc_id")),
         EpochStore.CompactTable("bands", Some("doc_id"))),
-      below, "compactJaccardIndex", "writeJaccardIndex")
+      below, "compactJaccardIndex", "writeJaccardIndex", commitTs)
+  }
+
+  /** Resolve a caller-clock TIMESTAMP to this artifact's retained read
+    * horizon (r15 — the `Dedup.fingerprintEpochAtTime` convention on
+    * the text family): the epoch an `asOf = Some(_)` probe pins for
+    * "the index as it stood at `ts`", resolved from the commit_ts
+    * values the mutations recorded. Refusals (unstamped history,
+    * backwards clock, pre-floor ts): see
+    * [[graft.sources.EpochStore.servingStateAtTime]].
+    */
+  def jaccardEpochAtTime(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ts: Long): Int = {
+    indexState(spark, indexDir, "jaccardEpochAtTime")
+    EpochStore.servingStateAtTime(spark, indexDir, ts,
+      "jaccardEpochAtTime", "writeJaccardIndex").epoch
   }
 
   /** Reclaim epochs a [[compactJaccardIndex]] superseded — see

@@ -96,6 +96,18 @@ object EpochStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(p, true)
     dropShapesUnder(dir)
+    // invalidate any cached plans/file listings over the old artifact
+    // (r15): a consumer that cached a frame reading this path would
+    // otherwise cache-match a post-rebuild identical plan and
+    // re-materialize from the DELETED part files (FAILED_READ_FILE).
+    // Best-effort on the RECACHE half: refreshByPath first drops the
+    // stale entries (the half that matters here), then tries to
+    // re-cache them — re-analysis over the just-deleted dir can throw,
+    // and a failed recache of a frame whose artifact is gone is
+    // exactly the documented stale-lineage situation (snapshot before
+    // mutating), not a deleteAll failure
+    try spark.catalog.refreshByPath(dir)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   // --------------------------------------------------------------------
@@ -327,8 +339,10 @@ object EpochStore {
     * gains a column without a rebuild. Renames, retypes, reorders, and
     * DROPS still refuse in both modes — those corrupt silently at
     * probe time. After a widening epoch commits, the widened schema IS
-    * the stored schema: later appends must carry it (backfill
-    * `lit(null)` in the writer) or widen further.
+    * the stored schema: later appends must carry it — backfill
+    * `lit(null).cast(<stored type>)` in the writer (a bare
+    * `lit(null)` is NullType and fails this very prefix check) — or
+    * widen further.
     *
     * `commitTs` (r15 — r14 VERDICT #3): a CALLER-SUPPLIED commit
     * timestamp (epoch millis) recorded in the meta as the layout-owned
@@ -616,8 +630,17 @@ object EpochStore {
       who: String, rebuildHint: String): Serving = {
     val st = servingState(spark, dir, who, rebuildHint)
     val stamped = (st.floor to st.epoch).map { n =>
+      // the shared torn-aware read (r15 review — the narrowing must
+      // keep exactly one home); a retained horizon's meta is committed
+      // by the layout's own invariants, so None here is corruption,
+      // not a torn write to skip
       val m = if (n == st.epoch) st.meta
-        else spark.read.parquet(s"$dir/meta_$n").head()
+        else readMetaRow(spark, dir, n).getOrElse(
+          throw new IllegalArgumentException(
+            s"$who: meta_$n at $dir is missing or torn inside the " +
+              s"retained range [${st.floor}, ${st.epoch}] — the " +
+              "layout commits metas last and vacuums only below the " +
+              s"floor, so this artifact is corrupt; $rebuildHint"))
       (n, metaCommitTs(m))
     }
     val missing = stamped.collect { case (n, None) => n }
@@ -1198,7 +1221,23 @@ object EpochStore {
             raw("epoch") < dd("del_epoch"), "left_anti")
         case _ => raw
       }
-      val rewritten = t.rewrite(alive.drop("epoch"))
+      val live = alive.drop("epoch")
+      val rewritten = t.rewrite(live)
+      // REWRITE-SHAPE PREMISE (r15 review): the family hook must
+      // preserve the table's (possibly additively-widened) schema —
+      // a re-aggregating rewrite written before an evolution would
+      // otherwise silently DROP the evolved columns' data in the fold
+      // (and recordShape below would bless the narrowed shape as the
+      // stored schema, so no later premise could ever catch it).
+      // Driver-side schema comparison only; nothing executes here.
+      require(shapeOf(rewritten.schema) == shapeOf(live.schema),
+        s"$who: the '${t.name}' rewrite hook changed the table's " +
+          s"schema — live ${live.schema.simpleString} vs rewritten " +
+          s"${rewritten.schema.simpleString}. A compaction moves " +
+          "bytes, never shapes; after an additive evolution the " +
+          "rewrite must carry the widened columns through (decide " +
+          "how they fold, e.g. a first()/sum() per group) or the " +
+          "fold silently loses their data.")
       rewritten
         .repartition(parts)
         .write.mode("overwrite").parquet(s"$dir/${t.name}/$StagingDir")
@@ -1326,7 +1365,23 @@ object EpochStore {
             raw("epoch") < dd("del_epoch"), "left_anti")
         case _ => raw
       }
-      val rewritten = t.rewrite(alive.drop("epoch"))
+      val live = alive.drop("epoch")
+      val rewritten = t.rewrite(live)
+      // REWRITE-SHAPE PREMISE (r15 review): the family hook must
+      // preserve the table's (possibly additively-widened) schema —
+      // a re-aggregating rewrite written before an evolution would
+      // otherwise silently DROP the evolved columns' data in the fold
+      // (and recordShape below would bless the narrowed shape as the
+      // stored schema, so no later premise could ever catch it).
+      // Driver-side schema comparison only; nothing executes here.
+      require(shapeOf(rewritten.schema) == shapeOf(live.schema),
+        s"$who: the '${t.name}' rewrite hook changed the table's " +
+          s"schema — live ${live.schema.simpleString} vs rewritten " +
+          s"${rewritten.schema.simpleString}. A compaction moves " +
+          "bytes, never shapes; after an additive evolution the " +
+          "rewrite must carry the widened columns through (decide " +
+          "how they fold, e.g. a first()/sum() per group) or the " +
+          "fold silently loses their data.")
       rewritten
         .repartition(parts)
         .write.mode("overwrite").parquet(s"$dir/${t.name}/$StagingDir")

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Ann, Bm25, Dedup, Multimodal, TextIndex}
+import graft.operators.{Ann, Bm25, Dedup, Multimodal, TextDedup, TextIndex}
 
 /** AS-OF (time-travel) reads over the EpochStore layout (r13): every
   * epoch in [floor, serving] has a complete meta and un-reclaimed data,
@@ -497,5 +497,58 @@ class EpochAsOfSpec extends AnyFunSuite {
     val bwd = intercept[IllegalArgumentException] {
       Dedup.fingerprintEpochAtTime(spark, d3, 5000L) }
     assert(bwd.getMessage.contains("run backwards"))
+  }
+
+  test("timestamp as-of wrappers (r15): all six families resolve a " +
+      "caller-clock instant through the one layout resolution — " +
+      "text / bm25 / cp / dhash / decon mirror fingerprintEpochAtTime " +
+      "(thin by design, like the r13 asOf unification)") {
+    val d = Tables.documents(spark, TestSpark.sf)
+    val docs = d.select("doc_id", "text", "n_chars").limit(120)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    def pin(at: (Long) => Int): Unit =
+      // between the stamps resolves to the base; at the append stamp,
+      // to the appended epoch — the fp test pins the full semantics,
+      // this one pins that each wrapper reaches the same resolution
+      assert(at(1500L) == 0 && at(2000L) == 1)
+    CacheScope.withScope {
+      val dir = "/tmp/graft_test_tsw_txt"
+      TextIndex.writeJaccardIndex(a, dir, threshold = 0.6,
+        commitTs = Some(1000L))
+      TextIndex.appendJaccardIndex(dir, b, commitTs = Some(2000L))
+      pin(TextIndex.jaccardEpochAtTime(spark, dir, _))
+    }
+    CacheScope.withScope {
+      val dir = "/tmp/graft_test_tsw_bm25"
+      Bm25.writeBm25Index(a, dir, commitTs = Some(1000L))
+      Bm25.appendBm25Index(dir, b, commitTs = Some(2000L))
+      pin(Bm25.bm25EpochAtTime(spark, dir, _))
+    }
+    CacheScope.withScope {
+      val e = Tables.embeddings(spark, TestSpark.sf)
+        .select("vec_id", "embedding").limit(200)
+      val dir = "/tmp/graft_test_tsw_cp"
+      // params pinned explicitly: the wrapper under test is the
+      // resolution, not append currency
+      Ann.writeCpIndex(e.filter(col("vec_id") % 2 === 0), dir,
+        threshold = 0.4, hashesPerBand = 2, bands = 4,
+        commitTs = Some(1000L))
+      Ann.appendCpIndex(dir, e.filter(col("vec_id") % 2 === 1),
+        commitTs = Some(2000L))
+      pin(Ann.cpEpochAtTime(spark, dir, _))
+    }
+    CacheScope.withScope {
+      val dir = "/tmp/graft_test_tsw_dh"
+      Multimodal.writeDHashIndex(a, dir, commitTs = Some(1000L))
+      Multimodal.appendDHashIndex(dir, b, commitTs = Some(2000L))
+      pin(Multimodal.dHashEpochAtTime(spark, dir, _))
+    }
+    CacheScope.withScope {
+      val dir = "/tmp/graft_test_tsw_dcn"
+      TextDedup.writeDeconIndex(a, dir, w = 20, commitTs = Some(1000L))
+      TextDedup.appendDeconIndex(dir, b, commitTs = Some(2000L))
+      pin(TextDedup.deconEpochAtTime(spark, dir, _))
+    }
   }
 }

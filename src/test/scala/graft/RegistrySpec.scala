@@ -35,7 +35,17 @@ class RegistrySpec extends AnyFunSuite {
   test("every query runs on sf0.001 and returns rows") {
     val spark = TestSpark.spark
     Queries.all.foreach { case (name, fn) =>
-      val n = fn(spark, TestSpark.sf).count()
+      // withScope per query — the CacheScope harness contract. Without
+      // it every query's operator-internal caches land in the global
+      // fallback registry and stay REGISTERED in the CacheManager for
+      // the JVM's life; queries sharing a rebuilt /tmp artifact (q182/
+      // q187/q194 rebuild one dir) then leave cached plans over DEAD
+      // part files, and any later identical plan fragment cache-matches
+      // them — if the blocks were evicted under this loop's churn, the
+      // re-materialization reads the dead files (measured r15: 1/258
+      // flake in PlanAuditSpec, FAILED_READ_FILE on the q182 artifact's
+      // deletes table).
+      val n = CacheScope.withScope { fn(spark, TestSpark.sf).count() }
       assert(n > 0, s"$name returned no rows at sf0.001")
     }
   }
