@@ -97,6 +97,33 @@ object Queries {
         dir.replaceAll("[^A-Za-z0-9._-]", "_"),
       s"cppairs|$dir|t0.4")
 
+  /** The co-purchase edge stage q108 counts triangles over and q134
+    * peels the k-core of — IDENTICAL derivation in both (the
+    * lineitem⋈orders incidence through `Triangles.coOccurrenceEdges`
+    * at minShared=3 / maxPerKey=256; the r7 REPORT already priced it
+    * as q134's dominant remainder after the hybrid peel), so the
+    * [[segmentedCustomerPairs]] discipline applies: ONE definition,
+    * shared at bench time via [[SharedStage.parquetOnce]], identity in
+    * Verify/tests. All-long (u, v) columns — exact under the parquet
+    * roundtrip. Under Bench's sorted order q108 pays the stage and
+    * q134 scans it (the BASELINE.md charge-shift note).
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val ol = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey").as("p"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("p"))
+    SharedStage.parquetOnce(
+      Triangles.coOccurrenceEdges(
+        ol.select(col("p").as("key"), col("c").as("item")),
+        minShared = 3, maxPerKey = 256),
+      "/tmp/graft_shared_copurchase_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_"),
+      s"copurchase|$dir|min3|cap256")
+  }
+
   /** The write-once cross-polytope index over the q147/q148 corpus
     * (embeddings with vec_id % 7 =!= 3, threshold 0.4), shared by q148
     * (incremental PAIR probe) and q151 (threshold-floored SEARCH) —
@@ -3067,18 +3094,10 @@ object Queries {
     // a loud 32-round convergence premise — the oracle unrolls exactly
     // 32 peel rounds, so a deeper cascade refuses instead of diffing.
     // Completes the graph family (components / PageRank / triangles).
-    "q134_kcore" -> ((s, dir) => {
-      val ol = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey").as("p"))
-        .join(Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("p"))
-      val e = Triangles.coOccurrenceEdges(
-        ol.select(col("p").as("key"), col("c").as("item")),
-        minShared = 3, maxPerKey = 256)
-      KCore.kCore(e, k = 3, maxRounds = 32)
-    }),
+    "q134_kcore" -> ((s, dir) =>
+      // edge derivation shared with q108 (coPurchaseEdges — one
+      // definition, bench-time parquetOnce, identity in Verify/tests)
+      KCore.kCore(coPurchaseEdges(s, dir), k = 3, maxRounds = 32)),
 
     // BPE ENCODE — the apply side of q143's merge learning: per-doc
     // exact (n_words, n_chars, n_tokens) under the 6 self-learned
@@ -3097,24 +3116,16 @@ object Queries {
         d.filter(col("doc_id") % 20 === 3))
     }),
 
-    "q108_triangles" -> ((s, dir) => {
-      val ol = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey").as("p"))
-        .join(Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("p"))
-      // edge derivation via Triangles.coOccurrenceEdges: one keyed
-      // shuffle, map-side C(k,2) pair generation, map-combinable count —
-      // and the r5-VERDICT hot-key premise made LOUD: TPC-H's
-      // customers-per-part is scale-invariant (measured max 49 at
-      // sf0.01, 53 at sf0.1), so 256 is generous headroom while
-      // bounding any part's pair volume to C(256,2) ≈ 33k.
-      val e = Triangles.coOccurrenceEdges(
-        ol.select(col("p").as("key"), col("c").as("item")),
-        minShared = 3, maxPerKey = 256)
-      Triangles.perNodeTriangles(e).orderBy(col("node"))
-    }),
+    // edge derivation via Triangles.coOccurrenceEdges: one keyed
+    // shuffle, map-side C(k,2) pair generation, map-combinable count —
+    // and the r5-VERDICT hot-key premise made LOUD: TPC-H's
+    // customers-per-part is scale-invariant (measured max 49 at
+    // sf0.01, 53 at sf0.1), so 256 is generous headroom while
+    // bounding any part's pair volume to C(256,2) ≈ 33k. The stage is
+    // shared with q134 (coPurchaseEdges — bench-time parquetOnce).
+    "q108_triangles" -> ((s, dir) =>
+      Triangles.perNodeTriangles(coPurchaseEdges(s, dir))
+        .orderBy(col("node"))),
 
     // Contamination forensics: longest shared token RUN per doc pair
     // (positional 13-grams → diagonal gaps-and-islands). The corpus gets

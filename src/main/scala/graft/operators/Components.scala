@@ -51,11 +51,53 @@ import graft.Checkpoints.RoundCheckpoint
   */
 object Components {
 
+  /** Exact single-task components finish (r15 optimization — the
+    * [[KCore]] hybrid's precedent applied to both component loops):
+    * union-find with MIN-ID ROOTS over a small edge iterator — every
+    * union links the larger root under the smaller, so each root IS
+    * its component's minimum id and the emitted (id, comp) labels are
+    * exactly the loops' fixpoint (the oracles compute true closure, so
+    * this is output-identical, not an approximation). Runs ON an
+    * executor via mapPartitions over a 1-partition repartition — no
+    * collect. Why it pays: at gate scale the loops' cost is almost
+    * entirely FIXED per-round job overhead (q96's ~12 star rounds are
+    * 4 shuffles + a checkpoint + a convergence probe each over a
+    * 15k-edge frame); one task replaces all of it. At 100 TB the edge
+    * set of a similarity-pair graph is small next to the corpus but
+    * can exceed one task — the distributed loops remain the over-cutoff
+    * path, same as KCore's peel.
+    */
+  private def localMinLabels(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent.getOrElse(c, c); parent.update(c, r); c = n }
+      r
+    }
+    it.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val ru = find(u)
+      val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.update(rv, ru) else parent.update(ru, rv)
+      }
+    }
+    parent.keys.toArray.iterator.map(v => (v, find(v)))
+  }
+
   /** @param edges two-column frame; column names are taken positionally
     *              (first = one endpoint, second = the other)
+    * @param localCutoff max symmetrized edges handed to the single-task
+    *                    union-find finish (0 forces the distributed
+    *                    loop — the spec uses it to prove phase parity)
     * @return (id, component) — component is the min id reachable
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      localCutoff: Long = 1000000L): DataFrame = {
     val Seq(a, b) = edges.columns.toSeq.take(2).map(col)
     // Symmetrize in ONE pass (explode of both directions per row), not a
     // UNION of two selects: union branches are separate plan subtrees, so
@@ -68,6 +110,19 @@ object Components {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .roundCheckpoint()
+
+    // HYBRID finish: sym is already materialized (the checkpoint), so
+    // the count is one cheap job; under the cutoff a single union-find
+    // task replaces every propagation round (identical labels — see
+    // [[localMinLabels]]). Every vertex appears as a src of sym, so
+    // the local emit covers the same vertex universe as the loop.
+    if (localCutoff > 0 && sym.count() <= localCutoff) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return sym.as[(Long, Long)].repartition(1)
+        .mapPartitions(localMinLabels)
+        .toDF("id", "comp")
+    }
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -173,7 +228,7 @@ object Components {
     *         the same contract as [[connectedComponents]].
     */
   def connectedComponentsStars(edges: DataFrame,
-      maxIter: Int = 40): DataFrame = {
+      maxIter: Int = 40, localCutoff: Long = 1000000L): DataFrame = {
     val Seq(a, b) = edges.columns.toSeq.take(2).map(col)
     // vertex universe from the RAW edges (self-loops contribute their
     // endpoint even though the star loop drops the loop edge itself) —
@@ -188,8 +243,23 @@ object Components {
         least(a.cast("long"), b.cast("long")).as("dst"))
       .distinct()
       .roundCheckpoint()
+    val nEdges = cur.count()
+    // HYBRID finish (see [[localMinLabels]]): under the cutoff one
+    // union-find task replaces the whole alternation — q96's ~12
+    // rounds at gate scale are pure fixed per-round overhead. The
+    // emitted labels include roots (id == comp); the left join below
+    // coalesces identically either way.
+    if (nEdges > 0 && localCutoff > 0 && nEdges <= localCutoff) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val labels = cur.as[(Long, Long)].repartition(1)
+        .mapPartitions(localMinLabels)
+        .toDF("id", "comp")
+      return verts.join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    }
     var iter = 0
-    var converged = cur.isEmpty // a loop-free edgeless graph is done
+    var converged = nEdges == 0L // a loop-free edgeless graph is done
     while (!converged && iter < maxIter) {
       // large-star over the symmetric view
       val sym = cur.select(col("src").as("u"), col("dst").as("v"))

@@ -132,6 +132,23 @@ object EpochStore {
     new java.util.concurrent.ConcurrentHashMap[String,
       Seq[(String, org.apache.spark.sql.types.DataType)]]()
 
+  // COMMITTED-META ROW CACHE (r15 optimization — the shape cache's
+  // argument applied to the meta read): every servingState /
+  // servingStateAt(Time) / describeHistory / target re-check pays one
+  // driver-side `spark.read.parquet(meta_N).head()` PER CONSULTED META
+  // — a footer read plus a one-row Spark job (~0.1 s each at local[32]),
+  // and the streaming drain loops consult ~6-7 metas per micro-batch
+  // (probe + append + compact×2 + vacuum + policy). A COMMITTED meta is
+  // write-once: the target re-check refuses a second commit at the same
+  // number, a TORN meta never reads (so it is never cached — the retry
+  // overwrite only ever replaces bytes no reader returned), and vacuum
+  // deletes only sub-floor metas, which every consult is listing- or
+  // floor-guarded away from. So a successfully-read meta Row can be
+  // cached for the JVM's life, keyed on its path; [[deleteAll]] clears
+  // the artifact's prefix (a rebuild may recommit the same numbers).
+  private val metaRows =
+    new java.util.concurrent.ConcurrentHashMap[String, Row]()
+
   /** Nullability normalizes away at every nesting level: an in-flight
     * frame is often non-nullable (and its array<string> often carries
     * containsNull=false) where the parquet read-back says nullable —
@@ -171,7 +188,8 @@ object EpochStore {
 
   private def dropShapesUnder(dir: String): Unit = {
     val prefix = s"$dir/"
-    schemaShapes.keySet.removeIf(_.startsWith(prefix)); ()
+    schemaShapes.keySet.removeIf(_.startsWith(prefix))
+    metaRows.keySet.removeIf(_.startsWith(prefix)); ()
   }
 
   // --------------------------------------------------------------------
@@ -482,13 +500,38 @@ object EpochStore {
     * narrowing must not diverge between them.
     */
   private def readMetaRow(spark: SparkSession, dir: String, n: Int)
-      : Option[Row] =
-    try Some(spark.read.parquet(s"$dir/meta_$n").head())
-    catch {
-      case ae: org.apache.spark.sql.AnalysisException
-          if TornMetaConditions.contains(ae.getCondition) => None
-      case _: java.util.NoSuchElementException => None
+      : Option[Row] = {
+    val key = s"$dir/meta_$n"
+    val cached = metaRows.get(key)
+    if (cached != null) Some(cached)
+    else
+      try {
+        val r = spark.read.parquet(key).head()
+        metaRows.put(key, r)
+        Some(r)
+      } catch {
+        case ae: org.apache.spark.sql.AnalysisException
+            if TornMetaConditions.contains(ae.getCondition) => None
+        case _: java.util.NoSuchElementException => None
+      }
+  }
+
+  /** The LOUD committed-meta read ([[servingStateAt]]'s shape — every
+    * epoch in `[floor, serving]` committed meta-last, so a failure here
+    * is a broken artifact and PROPAGATES, deliberately not the
+    * torn-skipping [[readMetaRow]]). Rides the same write-once cache.
+    */
+  private def readMetaRowLoud(spark: SparkSession, dir: String,
+      n: Int): Row = {
+    val key = s"$dir/meta_$n"
+    val cached = metaRows.get(key)
+    if (cached != null) cached
+    else {
+      val r = spark.read.parquet(key).head()
+      metaRows.put(key, r)
+      r
     }
+  }
 
   /** The floor a meta row recorded — pre-floor metas (and foreign
     * writers) may lack the column; missing or NULL means "never
@@ -574,7 +617,7 @@ object EpochStore {
       // single-writer contract, so this read can only fail on a broken
       // artifact — let that propagate loudly (deliberately NOT the
       // torn-skipping readMetaRow)
-      val meta = spark.read.parquet(s"$dir/meta_$asOf").head()
+      val meta = readMetaRowLoud(spark, dir, asOf)
       val floor = metaFloor(meta)
       // The CURRENT floor wins over the historical one (r14): after a
       // [[compactBelow]], the epochs below the serving floor C were

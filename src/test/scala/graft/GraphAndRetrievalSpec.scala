@@ -578,6 +578,37 @@ class GraphAndRetrievalSpec extends AnyFunSuite {
     assert(hybrid === pure && hybrid.nonEmpty)
   }
 
+  test("components hybrid local finish equals the distributed loops " +
+      "(both propagation and star alternation)") {
+    // chains (adversarial diameter for hash-min) + a pseudo-random
+    // clump + singleton-ish self-loop vertices, deterministic
+    val chains = (0L until 120L).filter(i => (i + 4) % 40 != 0)
+      .map(i => (i, i + 4))
+    val clump = (1L to 200L)
+      .map(i => (200 + (i * 2654435761L % 1000000007L) % 50,
+        200 + (i * 40503L % 999999937L) % 50))
+    val g = (chains ++ clump :+ (999L, 999L)).toDF("a", "b")
+    CacheScope.withScope {
+      val localStars = Components.connectedComponentsStars(g)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pureStars = Components.connectedComponentsStars(g,
+          localCutoff = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(localStars === pureStars && localStars.nonEmpty)
+      // hash-min on the clump-only graph (its diameter fits maxIter)
+      val cg = (clump :+ (999L, 999L)).toDF("a", "b")
+      val localProp = Components.connectedComponents(cg)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pureProp = Components.connectedComponents(cg,
+          localCutoff = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(localProp === pureProp && localProp.nonEmpty)
+      // both families agree with each other on the shared graph
+      assert(localProp === pureStars.filter(p =>
+        localProp.map(_._1).contains(p._1)))
+    }
+  }
+
   // ----------------------------------------- containment decontamination
 
   test("containment ratio: graded scoring, positional-repeat dedupe") {
