@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Diagnostics only (r15): extra -D flags for the forked run JVM, e.g.
+// SPARK_GRAFT_JAVA_OPTS="-Dspark.eventLog.enabled=true
+// -Dspark.eventLog.dir=/tmp/evlog" to profile a bench query's job
+// timeline offline. Unset (the driver's runs) this adds nothing.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

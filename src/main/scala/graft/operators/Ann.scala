@@ -1053,12 +1053,12 @@ object Ann {
 
     val inc = graft.CacheScope.scoped(incoming.select(col("vec_id"),
       VecFns.toDouble(col("embedding")).as("v")))
-    val nInc = requireDistinctIds(inc, "cosinePairsCpIndexed(incoming)",
-      "within the incoming shard")
     val corpusVecs = indexVectors(spark, indexDir, floor, epoch)
-    val nClash = inc.select("vec_id")
-      .join(corpusVecs.select("vec_id"), Seq("vec_id"), "left_semi")
-      .limit(1).count()
+    // dup + id-clash premises fused into ONE action (r15 — Checks)
+    val (nInc, ndInc, nClash) = Checks.dupAndClash(inc, "vec_id",
+      corpusVecs)
+    requireOneIdSpace("cosinePairsCpIndexed(incoming)",
+      "within the incoming shard", nInc, ndInc)
     require(nClash == 0,
       "cosinePairsCpIndexed: incoming vec_id(s) already exist in the " +
         s"indexed corpus at $indexDir — one id space is the contract " +

@@ -253,27 +253,30 @@ object Bm25 {
     val spark = moreDocs.sparkSession
     val st = bm25IndexState(spark, indexDir, "appendBm25Index")
     val d = graft.CacheScope.scoped(moreDocs.select("doc_id", "text"))
-    val c = d.agg(count(lit(1)).as("n"),
-      count_distinct(col("doc_id")).as("nd"),
-      coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
-        .as("sum_dl")).head()
-    require(c.getLong(0) == c.getLong(1),
+    // dup/Σdl aggregate + id-clash premises fused into ONE action
+    // (r15 — Checks): each was its own driver job at drain cadence
+    val Seq(c, idc) = Checks.counts(
+      d.agg(count(lit(1)).as("n"),
+        count_distinct(col("doc_id")).as("nd"),
+        coalesce(sum(size(split(col("text"), " ")).cast("long")),
+          lit(0L)).as("sum_dl")),
+      d.select("doc_id")
+        .join(graft.sources.EpochStore.tableThroughLive(spark, indexDir,
+            "docs", "doc_id", st.floor, st.epoch).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("c")))
+    require(c(0) == c(1),
       "appendBm25Index: doc_id is not one id space — " +
-        s"${c.getLong(0) - c.getLong(1)} duplicate id(s) within the " +
+        s"${c(0) - c(1)} duplicate id(s) within the " +
         "appended shard; re-key upstream.")
-    val idClash = d.select("doc_id")
-      .join(graft.sources.EpochStore.tableThroughLive(spark, indexDir,
-          "docs", "doc_id", st.floor, st.epoch).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      .limit(1).count()
-    require(idClash == 0,
+    require(idc(0) == 0,
       s"appendBm25Index: appended doc_id(s) already indexed at " +
         s"$indexDir — one id space is the contract (an id indexed " +
         "twice double-counts df and N); re-key or dedup the shard " +
         "first.")
     val (postings, lengths) = tokenized(d)
     writeBm25Epoch(spark, indexDir, st.epoch + 1, postings, lengths,
-      st.nDocs + c.getLong(0), st.sumDl + c.getLong(2), st.floor,
+      st.nDocs + c(0), st.sumDl + c(2), st.floor,
       commitTs = commitTs)
   }
 

@@ -260,26 +260,31 @@ object Dedup {
     val spark = survivors.sparkSession
     val st = fpIndexState(spark, indexDir, "appendFingerprintIndex")
     val f = graft.CacheScope.scoped(fps(survivors))
-    val counts = f.agg(count(lit(1)).as("n"),
-      count_distinct(col("doc_id")).as("nd")).head()
-    require(counts.getLong(0) == counts.getLong(1),
-      "appendFingerprintIndex: doc_id is not one id space — " +
-        s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s) " +
-        "within the appended shard; re-key upstream.")
     val stored = graft.sources.EpochStore.tableThroughLive(spark,
       indexDir, "fps", "owner", st.floor, st.epoch)
-    val idClash = f.select(col("doc_id").as("owner"))
-      .join(stored.select("owner"), Seq("owner"), "left_semi")
-      .limit(1).count()
-    require(idClash == 0,
-      s"appendFingerprintIndex: appended doc_id(s) already own stored " +
-        s"fingerprints at $indexDir — one id space is the contract.")
     val owners = f.filter(col("fp").isNotNull)
       .groupBy(col("fp")).agg(min(col("doc_id")).as("owner"))
-    val fpClash = owners.select("fp")
-      .join(stored.select("fp"), Seq("fp"), "left_semi")
-      .limit(1).count()
-    require(fpClash == 0,
+    // all three premises (dup, id-clash, fp-clash) fused into ONE
+    // action (r15 — Checks): three one-row aggregates that each paid a
+    // full driver job round-trip at drain cadence
+    val Seq(dup, idc, fpc) = Checks.counts(
+      f.agg(count(lit(1)).as("n"),
+        count_distinct(col("doc_id")).as("nd")),
+      f.select(col("doc_id").as("owner"))
+        .join(stored.select("owner"), Seq("owner"), "left_semi")
+        .agg(count(lit(1)).as("c")),
+      owners.select("fp")
+        .join(stored.select("fp"), Seq("fp"), "left_semi")
+        .agg(count(lit(1)).as("c")))
+    val counts = dup
+    require(counts(0) == counts(1),
+      "appendFingerprintIndex: doc_id is not one id space — " +
+        s"${counts(0) - counts(1)} duplicate id(s) " +
+        "within the appended shard; re-key upstream.")
+    require(idc(0) == 0,
+      s"appendFingerprintIndex: appended doc_id(s) already own stored " +
+        s"fingerprints at $indexDir — one id space is the contract.")
+    require(fpc(0) == 0,
       s"appendFingerprintIndex: appended fingerprint(s) already exist " +
         s"at $indexDir — two owners for one identity. Append the " +
         "survivors dedupAgainstIndex marked kept, not the raw shard.")
@@ -292,7 +297,7 @@ object Dedup {
     val widened = evolve.foldLeft(owners) { case (df, (n, c)) =>
       df.withColumn(n, c) }
     writeFpEpoch(spark, indexDir, st.epoch + 1, widened,
-      st.count + counts.getLong(0), st.floor,
+      st.count + counts(0), st.floor,
       allowAdditive = evolve.nonEmpty, commitTs = commitTs)
   }
 

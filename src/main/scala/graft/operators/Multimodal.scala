@@ -770,13 +770,16 @@ object Multimodal {
     val spark = more.sparkSession
     val st = dHashIndexState(spark, indexDir, "appendDHashIndex")
     val h = graft.CacheScope.scoped(dHashes(more).toDF())
-    val n = requireOneMediaIdSpace(h, "appendDHashIndex",
-      "within the appended shard")
-    val clash = h.select("media_id")
-      .join(graft.sources.EpochStore.tableThroughLive(spark, indexDir,
-          "hashes", "media_id", st.floor, st.epoch).select("media_id"),
-        Seq("media_id"), "left_semi")
-      .limit(1).count()
+    // dup + id-clash premises fused into ONE action (r15 — Checks);
+    // the decode cost lands once either way (h is cache-scoped)
+    val (n, nd, clash) = Checks.dupAndClash(h, "media_id",
+      graft.sources.EpochStore.tableThroughLive(spark, indexDir,
+        "hashes", "media_id", st.floor, st.epoch))
+    require(n == nd,
+      s"appendDHashIndex: media_id is not one id space — " +
+        s"${n - nd} duplicate id(s) within the appended shard; a " +
+        "shared id silently drops its real pair through the self-pair " +
+        "filter. Re-key upstream.")
     require(clash == 0,
       s"appendDHashIndex: appended media_id(s) already indexed at " +
         s"$indexDir — one id space is the contract (an id stored twice " +
@@ -812,13 +815,17 @@ object Multimodal {
     val st = dHashIndexState(spark, indexDir, "imageDHashNearIndexed",
       asOf)
     val inc = graft.CacheScope.scoped(dHashes(incoming).toDF())
-    val nInc = requireOneMediaIdSpace(inc, "imageDHashNearIndexed",
-      "within the incoming shard")
     val storedHashes = graft.sources.EpochStore.tableThroughLive(spark,
       indexDir, "hashes", "media_id", st.floor, st.epoch)
-    val clash = inc.select("media_id")
-      .join(storedHashes.select("media_id"), Seq("media_id"), "left_semi")
-      .limit(1).count()
+    // dup + id-clash premises fused into ONE action (r15 — Checks);
+    // the shard decodes once either way (inc is cache-scoped)
+    val (nInc, ndInc, clash) = Checks.dupAndClash(inc, "media_id",
+      storedHashes)
+    require(nInc == ndInc,
+      s"imageDHashNearIndexed: media_id is not one id space — " +
+        s"${nInc - ndInc} duplicate id(s) within the incoming shard; " +
+        "a shared id silently drops its real pair through the " +
+        "self-pair filter. Re-key upstream.")
     require(clash == 0,
       "imageDHashNearIndexed: incoming media_id(s) already exist in " +
         s"the indexed corpus at $indexDir — one id space is the " +

@@ -1086,24 +1086,21 @@ object TextDedup {
     val spark = moreBench.sparkSession
     val st = deconIndexState(spark, indexDir, "appendDeconIndex")
     val b = graft.CacheScope.scoped(moreBench.select("doc_id", "text"))
-    val c = b.agg(count(lit(1)).as("n"),
-      count_distinct(col("doc_id")).as("nd")).head()
-    require(c.getLong(0) == c.getLong(1),
+    // dup + id-clash premises fused into ONE action (r15 — Checks)
+    val (n, nd, idClash) = Checks.dupAndClash(b, "doc_id",
+      graft.sources.EpochStore.tableThroughLive(spark, indexDir,
+        "docs", "doc_id", st.floor, st.epoch))
+    require(n == nd,
       "appendDeconIndex: doc_id is not one id space — " +
-        s"${c.getLong(0) - c.getLong(1)} duplicate id(s) within the " +
+        s"${n - nd} duplicate id(s) within the " +
         "appended benchmark wave; re-key upstream.")
-    val idClash = b.select("doc_id")
-      .join(graft.sources.EpochStore.tableThroughLive(spark, indexDir,
-          "docs", "doc_id", st.floor, st.epoch).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      .limit(1).count()
     require(idClash == 0,
       s"appendDeconIndex: appended benchmark doc_id(s) already stored " +
         s"at $indexDir — one id space is the contract (a later delete " +
         "of that id would mis-target both versions); re-key the wave.")
     val (docs, grams) = deconTables(b, st.w)
     writeDeconEpoch(spark, indexDir, st.epoch + 1, docs, grams, st.w,
-      st.benchCount + c.getLong(0), st.floor, commitTs = commitTs)
+      st.benchCount + n, st.floor, commitTs = commitTs)
   }
 
   /** RETIRE stored benchmarks (r13 — the takedown semantics an eval

@@ -320,24 +320,21 @@ object TextIndex {
     val spark = more.sparkSession
     val st = indexState(spark, indexDir, "appendJaccardIndex")
     val sh = graft.CacheScope.scoped(shingled(more))
-    val agg = sh.agg(count(lit(1)).as("n"),
-      count_distinct(col("doc_id")).as("nd")).head()
-    require(agg.getLong(0) == agg.getLong(1),
+    // dup + id-clash premises fused into ONE action (r15 — Checks)
+    val (n, nd, nClash) = Checks.dupAndClash(sh, "doc_id",
+      EpochStore.tableThroughLive(spark, indexDir, "docs", "doc_id",
+        st.floor, st.epoch))
+    require(n == nd,
       "appendJaccardIndex: doc_id is not one id space — " +
-        s"${agg.getLong(0) - agg.getLong(1)} duplicate id(s) within " +
+        s"${n - nd} duplicate id(s) within " +
         s"the appended shard. $PairDupConsequence")
-    val nClash = sh.select("doc_id")
-      .join(EpochStore.tableThroughLive(spark, indexDir, "docs",
-          "doc_id", st.floor, st.epoch).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      .limit(1).count()
     require(nClash == 0,
       s"appendJaccardIndex: appended doc_id(s) already exist in the " +
         s"index at $indexDir — one id space is the contract (an id " +
         "stored twice silently drops its future probe pairs); re-key " +
         "or dedup the shard first.")
     writeEpoch(indexDir, st.epoch + 1, sh, st.r, st.b, st.threshold,
-      st.targetMiss, st.count + agg.getLong(0), st.floor,
+      st.targetMiss, st.count + n, st.floor,
       commitTs = commitTs)
   }
 
@@ -419,21 +416,17 @@ object TextIndex {
       s"patchJaccardVerdicts: window ($fromEpoch, $toEpoch] is not a " +
         s"retained range at $indexDir (serving epoch ${st.epoch})")
     val inc = graft.CacheScope.scoped(shingled(incoming))
-    val agg = inc.agg(count(lit(1)).as("n"),
-      count_distinct(col("doc_id")).as("nd")).head()
-    require(agg.getLong(0) == agg.getLong(1),
-      "patchJaccardVerdicts: doc_id is not one id space — " +
-        s"${agg.getLong(0) - agg.getLong(1)} duplicate id(s) within " +
-        s"the shard. $PairDupConsequence")
-    val nInc = agg.getLong(0)
     // the delta docs WITH their stored shingles — pruned to the window
     // epochs at the driver; the corpus-sized prefix never reads a row
     val addedDocs = graft.CacheScope.scoped(
       EpochStore.addedBetween(spark, indexDir, "docs", "doc_id",
         fromEpoch, toEpoch, "patchJaccardVerdicts", "writeJaccardIndex"))
-    val clash = inc.select("doc_id")
-      .join(addedDocs.select("doc_id"), Seq("doc_id"), "left_semi")
-      .limit(1).count()
+    // dup + window-clash premises fused into ONE action (r15 — Checks)
+    val (nInc, nd, clash) = Checks.dupAndClash(inc, "doc_id", addedDocs)
+    require(nInc == nd,
+      "patchJaccardVerdicts: doc_id is not one id space — " +
+        s"${nInc - nd} duplicate id(s) within " +
+        s"the shard. $PairDupConsequence")
     require(clash == 0,
       "patchJaccardVerdicts: shard doc_id(s) were appended to the " +
         s"index at $indexDir inside the window — the full probe at " +
@@ -574,18 +567,15 @@ object TextIndex {
     val st = readMeta(spark, indexDir, "jaccardPairsIndexed",
       threshold, targetMiss, asOf)
     val inc = graft.CacheScope.scoped(shingled(incoming))
-    val agg = inc.agg(count(lit(1)).as("n"),
-      count_distinct(col("doc_id")).as("nd")).head()
-    require(agg.getLong(0) == agg.getLong(1),
-      "jaccardPairsIndexed: doc_id is not one id space — " +
-        s"${agg.getLong(0) - agg.getLong(1)} duplicate id(s) within " +
-        s"the incoming shard. $PairDupConsequence")
-    val nInc = agg.getLong(0)
     val storedDocs = EpochStore.tableThroughLive(spark, indexDir,
       "docs", "doc_id", st.floor, st.epoch)
-    val nClash = inc.select("doc_id")
-      .join(storedDocs.select("doc_id"), Seq("doc_id"), "left_semi")
-      .limit(1).count()
+    // dup + id-clash premises fused into ONE action (r15 — Checks)
+    val (nInc, nd, nClash) = Checks.dupAndClash(inc, "doc_id",
+      storedDocs)
+    require(nInc == nd,
+      "jaccardPairsIndexed: doc_id is not one id space — " +
+        s"${nInc - nd} duplicate id(s) within " +
+        s"the incoming shard. $PairDupConsequence")
     require(nClash == 0,
       "jaccardPairsIndexed: incoming doc_id(s) already exist in the " +
         s"indexed corpus at $indexDir — one id space is the contract " +
@@ -637,18 +627,15 @@ object TextIndex {
     val st = readMeta(spark, indexDir, "jaccardTopKIndexed",
       threshold, targetMiss, asOf)
     val inc = graft.CacheScope.scoped(shingled(queries))
-    val agg = inc.agg(count(lit(1)).as("n"),
-      count_distinct(col("doc_id")).as("nd")).head()
-    require(agg.getLong(0) == agg.getLong(1),
-      "jaccardTopKIndexed: doc_id is not one id space — " +
-        s"${agg.getLong(0) - agg.getLong(1)} duplicate id(s) within " +
-        s"the query batch. $PairDupConsequence")
-    val nInc = agg.getLong(0)
     val storedDocs = EpochStore.tableThroughLive(spark, indexDir,
       "docs", "doc_id", st.floor, st.epoch)
-    val nClash = inc.select("doc_id")
-      .join(storedDocs.select("doc_id"), Seq("doc_id"), "left_semi")
-      .limit(1).count()
+    // dup + id-clash premises fused into ONE action (r15 — Checks)
+    val (nInc, nd, nClash) = Checks.dupAndClash(inc, "doc_id",
+      storedDocs)
+    require(nInc == nd,
+      "jaccardTopKIndexed: doc_id is not one id space — " +
+        s"${nInc - nd} duplicate id(s) within " +
+        s"the query batch. $PairDupConsequence")
     require(nClash == 0,
       "jaccardTopKIndexed: query doc_id(s) already exist in the " +
         s"indexed corpus at $indexDir — one id space is the contract " +

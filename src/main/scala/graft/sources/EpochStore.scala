@@ -898,19 +898,22 @@ object EpochStore {
       commitTs: Option[Long] = None): Unit = {
     val del = graft.CacheScope.scoped(
       ids.select(col(idCol).cast("long").as("id")))
-    val counts = del.agg(
-      org.apache.spark.sql.functions.count(lit(1)).as("n"),
-      org.apache.spark.sql.functions.count_distinct(col("id")).as("nd"))
-      .head()
-    require(counts.getLong(0) == counts.getLong(1),
+    // dup + liveness premises fused into ONE action (r15 —
+    // graft.operators.Checks): each was its own driver job round-trip
+    val Seq(counts, miss) = graft.operators.Checks.counts(
+      del.agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.count_distinct(col("id"))
+          .as("nd")),
+      del.join(liveIds, Seq("id"), "left_anti")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("c")))
+    require(counts(0) == counts(1),
       s"$who: the delete set is not one id space — " +
-        s"${counts.getLong(0) - counts.getLong(1)} duplicate id(s); " +
+        s"${counts(0) - counts(1)} duplicate id(s); " +
         "de-duplicate it upstream.")
-    val missing = del.join(liveIds, Seq("id"), "left_anti")
-      .limit(1).count()
-    require(missing == 0, s"$who: $notLiveMsg")
+    require(miss(0) == 0, s"$who: $notLiveMsg")
     writeDeleteEpoch(dir, epoch, del, extraTables,
-      shrunkenMeta(counts.getLong(0)), floor, commitTs)
+      shrunkenMeta(counts(0)), floor, commitTs)
   }
 
   /** The LIVE tombstones in `[floor, epoch]` as (id, del_epoch) — or

@@ -178,8 +178,16 @@ class TextAndAnnSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     assert(got.length == 301 && got.forall(_._2 == 0L),
       "all chain nodes must collapse to component 0")
+    // the r15 local union-find finish solves small graphs exactly, so
+    // the hash-min refusal is now the OVER-CUTOFF path's contract —
+    // pin it with the local finish forced off (localCutoff = 0), and
+    // pin that the default path solves the same chain exactly instead
+    val viaLocal = Components.connectedComponents(chain)
+      .as[(Long, Long)].collect()
+    assert(viaLocal.length == 301 && viaLocal.forall(_._2 == 0L),
+      "the local finish must solve the long chain exactly")
     val refused = intercept[IllegalArgumentException] {
-      Components.connectedComponents(chain).count()
+      Components.connectedComponents(chain, localCutoff = 0L).count()
     }
     assert(refused.getMessage.contains("did not converge"),
       s"hash-min must refuse the long chain, got: ${refused.getMessage}")
